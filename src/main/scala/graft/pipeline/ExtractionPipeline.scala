@@ -1,0 +1,340 @@
+package graft.pipeline
+
+import graft.extract.ContentExtractor
+import graft.model.{Page, PageText}
+import graft.rules.{RuleCompiler, RuleSet, RuleSets}
+import graft.textops.TextOps
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The Spark-native extraction pipeline (north_rule):
+  *
+  *   Dataset[Page]
+  *     → explicit url-hash repartition (X4)
+  *     → mapPartitions content extraction (X1 HTML / X2 PDF)   [typed map]
+  *     → page classification (C1/C2)                           [Column]
+  *     → table-row flatMap (P1/P2 + G3 header repair)          [generator]
+  *     → row filters (C9/C10/C11) + main-row detection (G1)    [Column]
+  *     → window segment-id + segment fold (G2/A5)              [window+agg]
+  *     → record routing (C3-C6)                                [Column]
+  *     → field extraction (N5-N13)                             [Column]
+  *     → validation/normalization (N14/N15, C12, J1)           [Column]
+  *
+  * One shuffle for the explicit repartition, one for the window sort,
+  * one (partial-agg-collapsed) for the segment fold. Everything after
+  * the flatMap is pure Column expressions inside whole-stage codegen —
+  * no UDFs. Classification/extraction logic mirrors ScalarEvaluator
+  * (the golden twin) line for line.
+  */
+object ExtractionPipeline {
+
+  /** Projection carried into the segmentation flatMap. */
+  case class PageForSeg(url: String, page_type: String, portfolio_no: String,
+      client_name: String, page_md: String)
+
+  case class SegRow(url: String, page_type: String, portfolio_no: String,
+      client_name: String, table_idx: Int, row_idx: Int, cells: Seq[String])
+
+  /** Stage 1: explicit url-hash partitioning + per-partition batched
+    * content extraction. The kernel objects are JVM-static singletons,
+    * reused across all rows of a partition (the reference's
+    * model-resident-per-process analogue, run.py:133-137).
+    */
+  def pageTexts(pages: Dataset[Page], partitions: Int = 32): Dataset[PageText] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+      .mapPartitions(_.map(ContentExtractor.extractPage))
+  }
+
+  /** Stage 2: page-level classification + page-context extraction (G4:
+    * computed BEFORE the row explode — broadcast-by-construction).
+    */
+  def classifyPages(pt: Dataset[PageText], rs: RuleSet = RuleSets.plugin): DataFrame = {
+    val md = col("page_md")
+    pt.toDF()
+      .withColumn("page_type", RuleCompiler.classifyPage(md, rs))
+      .withColumn("portfolio_no",
+        regexp_extract(md, "Portfolio number\\s+(\\d{3}-\\d{6}-\\d{2})", 1))
+      .withColumn("client_name",
+        when(md.contains("Portfolio number") &&
+          md.contains("Statement of assets"),
+          trim(regexp_extract(md,
+            "(?s)Portfolio number.*?\\n(.*?)\\n.*?Statement of assets", 1)))
+          .otherwise(lit("")))
+  }
+
+  // ---- Column helpers mirroring TextOps/ScalarEvaluator ----
+
+  private val DatePat = "\\d{2}\\.\\d{2}\\.\\d{4}"
+
+  private def startsWithCurrencyCol(c: Column): Column =
+    TextOps.Currencies.map(cur => c.startsWith(lit(cur)))
+      .reduce(_ || _)
+
+  private def sniffCurrencyCol(cells: Column): Column =
+    TextOps.Currencies.foldRight(lit("")) { (cur, els) =>
+      when(exists(cells, x => x.contains(lit(cur))), lit(cur)).otherwise(els)
+    }
+
+  /** Number normalization (N14): thousands separators (, ' space),
+    * parentheses-negative XOR leading minus — mirrors
+    * TextOps.normalizeNumber. Null when unparseable.
+    */
+  def normalizeNumberCol(c: Column): Column = {
+    val t = trim(c)
+    val paren = t.startsWith("(") && t.endsWith(")")
+    val inner0 = when(paren, substring(t, lit(2), greatest(length(t) - 2, lit(0))))
+      .otherwise(t)
+    val negLead = inner0.startsWith("-")
+    val inner1 = when(negLead, substring(inner0, lit(2), length(inner0)))
+      .otherwise(inner0)
+    val cleaned = regexp_replace(inner1, "[',\\s]", "")
+    val ok = cleaned.rlike("^\\d+(\\.\\d+)?$")
+    val num = cleaned.cast(DecimalType(38, 6))
+    when(ok, when(paren =!= negLead, -num).otherwise(num))
+      .otherwise(lit(null).cast(DecimalType(38, 6)))
+  }
+
+  /** Date normalization (N15) to ISO — mirrors TextOps.normalizeDate;
+    * "" when unparseable (full-match semantics).
+    */
+  def normalizeDateCol(c: Column): Column = {
+    val t = trim(c)
+    when(t.rlike("^\\d{2}\\.\\d{2}\\.\\d{4}$"),
+      regexp_replace(t, "(\\d{2})\\.(\\d{2})\\.(\\d{4})", "$3-$2-$1"))
+      .when(t.rlike("^\\d{2}/\\d{2}/\\d{4}$"),
+        regexp_replace(t, "(\\d{2})/(\\d{2})/(\\d{4})", "$3-$2-$1"))
+      .when(t.rlike("^\\d{4}-\\d{2}-\\d{2}$"), t)
+      .otherwise(lit(""))
+  }
+
+  /** Stages 3-7: segmentation → routing → field extraction → validation.
+    * Input: output of classifyPages. Output: ExtractedRecord-shaped DF.
+    */
+  def recordsFromClassified(classified: DataFrame,
+      rs: RuleSet = RuleSets.plugin): DataFrame = {
+    val spark = classified.sparkSession
+    import spark.implicits._
+
+    // Stage 3a: table-row flatMap (the Generator/UDTF slot) using the
+    // SAME shared kernel as the scalar evaluator (G3 repair inside).
+    val segRows: Dataset[SegRow] = classified
+      .filter(col("page_type").isin("Positions", "Transaction"))
+      .select("url", "page_type", "portfolio_no", "client_name", "page_md")
+      .as[PageForSeg]
+      .flatMap { p =>
+        ScalarEvaluator.enumerateRows(p.page_type, p.page_md).map {
+          case (t, r, cells) =>
+            SegRow(p.url, p.page_type, p.portfolio_no, p.client_name, t, r,
+              cells)
+        }
+      }
+
+    val isPos = col("page_type") === "Positions"
+    val cells = col("cells")
+    val rawJoin = concat_ws(" ", cells) // mkString(" ") — empties kept
+    val firstCol = trim(element_at(cells, 1))
+
+    // Stage 3b: row filters + main-row detection, all Columns
+    val withFlags = segRows.toDF()
+      .withColumn("row_text",
+        when(isPos, trim(rawJoin)).otherwise(rawJoin))
+      .withColumn("keep",
+        when(isPos,
+          col("row_text") =!= "" &&
+            !lower(col("row_text")).startsWith("total"))
+          .otherwise(
+            size(cells) > 0 &&
+              trim(element_at(cells, 1)).rlike("^" + DatePat) &&
+              size(cells) > 1 && trim(element_at(cells, 2)) =!= ""))
+      .withColumn("is_main",
+        when(isPos,
+          firstCol =!= "" &&
+            (substring(firstCol, 1, 1).rlike("^[0-9]$") ||
+              startsWithCurrencyCol(firstCol)) &&
+            !firstCol.rlike("^" + DatePat))
+          .otherwise(lit(true)))
+      .filter(col("keep"))
+
+    // Stage 3c: G2 — window segment-id (running count of main rows per
+    // page, ordered by (table_idx, row_idx)); continuation rows before
+    // the first main row get segId 0 and are dropped, exactly like the
+    // reference's `if records:` guard (orchestrator.py:135-140).
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("table_idx"), col("row_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSeg = withFlags
+      .withColumn("seg_id", sum(col("is_main").cast("int")).over(w))
+      .filter(col("seg_id") > 0)
+
+    // Stage 3d: A5 — segment fold. sort_array makes the fold order-stable
+    // under any partitioning; partial aggregation collapses each segment
+    // locally (rows of a segment are contiguous post-window).
+    val segs = withSeg
+      .groupBy(col("url"), col("seg_id"))
+      .agg(
+        first(col("page_type")).as("page_type"),
+        first(col("portfolio_no")).as("portfolio_no"),
+        first(col("client_name")).as("client_name"),
+        sort_array(collect_list(struct(
+          col("table_idx"), col("row_idx"), col("row_text"), col("cells"))))
+          .as("rows"))
+      .withColumn("mc", element_at(col("rows"), 1).getField("cells"))
+      .withColumn("stitched",
+        array_join(transform(col("rows"), r => r.getField("row_text")), " "))
+      .drop("rows")
+
+    extractFields(segs, rs)
+  }
+
+  /** Stages 4-7 — routing + field extraction + validation as one wide
+    * Column projection (mirrors ScalarEvaluator.extractPositions /
+    * extractTrade / validate).
+    */
+  private def extractFields(segs: DataFrame, rs: RuleSet): DataFrame = {
+    val isPos = col("page_type") === "Positions"
+    val mc = col("mc")
+    val txt = col("stitched")
+    val firstCol = trim(element_at(mc, 1))
+
+    // routing (C3) on the stitched text — Transaction rows only
+    val routed = RuleCompiler.classifyRecord(txt, rs)
+
+    // positions quantity/name split (positions.py:206-223)
+    val curHead = startsWithCurrencyCol(firstCol) && length(firstCol) <= 4
+    val cell2 = when(size(mc) > 1, element_at(mc, 2)).otherwise(lit(""))
+    val p2 = split(trim(cell2), "\\s+", 2)
+    val p1 = split(firstCol, "\\s+", 2)
+    val posQty = when(curHead,
+      when(size(p2) === 2, element_at(p2, 1)).otherwise(lit("")))
+      .otherwise(
+        when(size(p1) === 2, element_at(p1, 1)).otherwise(firstCol))
+    val posName = when(curHead,
+      when(size(p2) === 2, element_at(p2, 2)).otherwise(cell2))
+      .otherwise(when(size(p1) === 2, element_at(p1, 2)).otherwise(lit("")))
+    val posCurrency = when(curHead, firstCol)
+      .otherwise(sniffCurrencyCol(mc))
+
+    // trade date heuristics (trade_information.py:217-226)
+    val c0 = element_at(mc, 1)
+    val tradeDate = when(c0.rlike("^" + DatePat), c0).otherwise(lit(""))
+    val allDates = regexp_extract_all(txt, lit(DatePat), lit(0))
+    val settlement = when(tradeDate === "", lit(""))
+      .when(size(allDates) > 1, element_at(allDates, 2))
+      .otherwise(c0)
+
+    // trade currency/amount split (trade_information.py:230-241)
+    val c2 = when(size(mc) > 2, element_at(mc, 3)).otherwise(lit(""))
+    val parts = split(c2, "\\s+")
+    val firstTok = when(size(parts) > 0, element_at(parts, 1)).otherwise(lit(""))
+    val tokAlpha = firstTok.rlike("^[A-Za-z]+$")
+    val rest = array_join(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), " ")
+    val tradeCurrency = when(tokAlpha, firstTok).otherwise(lit(""))
+    val tradeNet = when(tokAlpha, rest).otherwise(c2)
+
+    val isin = regexp_extract(txt, "ISIN\\s+([A-Z0-9]{12})", 1)
+    val account = regexp_extract(txt, "\\d{3}-\\d{6}\\.[A-Z0-9]+", 0)
+
+    // J1 — FX buy/sell correlation
+    val buyCcy = regexp_extract(txt, "You bought ([A-Z]{3}) [0-9',\\. ]*\\d", 1)
+    val buyAmt = regexp_extract(txt, "You bought [A-Z]{3} ([0-9',\\. ]*\\d)", 1)
+    val sellCcy = regexp_extract(txt, "You sold ([A-Z]{3}) [0-9',\\. ]*\\d", 1)
+    val sellAmt = regexp_extract(txt, "You sold [A-Z]{3} ([0-9',\\. ]*\\d)", 1)
+
+    val df = segs
+      .withColumn("routed_section",
+        when(isPos, lit("Positions")).otherwise(routed.getField("txn_group")))
+      .withColumn("txn_type",
+        when(isPos, lit("Positions")).otherwise(routed.getField("txn_type")))
+      .withColumn("txn_type_detail",
+        when(isPos, lit("")).otherwise(RuleCompiler.classifyTxnType(txt, rs)))
+      .withColumn("row_text", txt)
+      .withColumn("client_name",
+        when(isPos, lit("")).otherwise(col("client_name")))
+      .withColumn("portfolio_no",
+        when(isPos, col("portfolio_no")).otherwise(lit("")))
+      .withColumn("trade_date", when(isPos, lit("")).otherwise(tradeDate))
+      .withColumn("settlement_date",
+        when(isPos, lit("")).otherwise(settlement))
+      .withColumn("transaction_type_raw",
+        when(isPos, lit(""))
+          .otherwise(when(size(mc) > 1, trim(element_at(mc, 2)))
+            .otherwise(lit(""))))
+      .withColumn("currency",
+        when(isPos, posCurrency).otherwise(tradeCurrency))
+      .withColumn("quantity", when(isPos, posQty).otherwise(lit("")))
+      .withColumn("security_name",
+        when(isPos, posName)
+          .otherwise(when(size(mc) > 3, element_at(mc, 4)).otherwise(lit(""))))
+      .withColumn("securities_id", isin)
+      .withColumn("account_no", account)
+      .withColumn("foreign_unit_price",
+        when(isPos, lit(""))
+          .otherwise(when(size(mc) > 4, element_at(mc, 5)).otherwise(lit(""))))
+      .withColumn("foreign_gross_consideration",
+        when(isPos, lit(""))
+          .otherwise(when(size(mc) > 7, element_at(mc, 8)).otherwise(lit(""))))
+      .withColumn("foreign_net_consideration",
+        when(isPos, lit("")).otherwise(tradeNet))
+      .withColumn("net_consideration",
+        when(isPos, lit("")).otherwise(tradeNet))
+      .withColumn("market_price",
+        when(isPos && size(mc) > 2, element_at(mc, 3)).otherwise(lit("")))
+      .withColumn("market_value",
+        when(isPos && size(mc) > 4, element_at(mc, 5)).otherwise(lit("")))
+      .withColumn("cost_price",
+        when(isPos && size(mc) > 4, element_at(mc, 5)).otherwise(lit("")))
+      .withColumn("valuation_date",
+        when(isPos, lit("31.07.2025")).otherwise(lit("")))
+      .withColumn("currency_buy", when(isPos, lit("")).otherwise(buyCcy))
+      .withColumn("amount_buy", when(isPos, lit("")).otherwise(buyAmt))
+      .withColumn("currency_sell", when(isPos, lit("")).otherwise(sellCcy))
+      .withColumn("amount_sell", when(isPos, lit("")).otherwise(sellAmt))
+
+    // Stage 7: validation + normalization + C12 downgrade
+    val valErrs = array_compact(array(
+      when(col("securities_id") =!= "" &&
+        !col("securities_id").rlike("^[A-Z]{2}[A-Z0-9]{9}[0-9]$"),
+        lit("VAL_ISIN_SHAPE")),
+      when(col("net_consideration") =!= "" &&
+        normalizeNumberCol(col("net_consideration")).isNull,
+        lit("VAL_NUM_NET")),
+      when(col("market_value") =!= "" &&
+        normalizeNumberCol(col("market_value")).isNull,
+        lit("VAL_NUM_MV"))))
+
+    df
+      .withColumn("trade_date_iso", normalizeDateCol(col("trade_date")))
+      .withColumn("settlement_date_iso",
+        normalizeDateCol(col("settlement_date")))
+      .withColumn("net_consideration_num",
+        normalizeNumberCol(col("net_consideration")))
+      .withColumn("market_value_num", normalizeNumberCol(col("market_value")))
+      .withColumn("validation_errors", valErrs)
+      .withColumn("target_section",
+        when(col("routed_section") === "FXTF" &&
+          (col("currency_buy") === "" || col("currency_sell") === ""),
+          lit("Trade"))
+          .when(col("routed_section") === "Trade" &&
+            col("securities_id") === "", lit("Others"))
+          .when(col("routed_section") === "Positions" &&
+            col("market_value") === "", lit("Others"))
+          .otherwise(col("routed_section")))
+      .drop("mc", "stitched", "seg_id")
+  }
+
+  /** Full pipeline: pages → records. */
+  def records(pages: Dataset[Page], rs: RuleSet = RuleSets.plugin,
+      partitions: Int = 32): DataFrame =
+    recordsFromClassified(classifyPages(pageTexts(pages, partitions), rs), rs)
+
+  /** Byte-identity artifact: url → (main_text, spans). */
+  def mainTexts(pages: Dataset[Page], partitions: Int = 32): DataFrame =
+    pageTexts(pages, partitions).toDF()
+      .select("url", "main_text", "spans", "content_kind", "n_blocks", "error")
+}

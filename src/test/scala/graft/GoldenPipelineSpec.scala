@@ -1,0 +1,133 @@
+package graft
+
+import graft.extract.ContentExtractor
+import graft.gen.PagesGen
+import graft.model.Page
+import graft.pipeline.{ExtractedRecord, ExtractionPipeline, ScalarEvaluator}
+import graft.rules.RuleSets
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The golden contract (SURVEY §5.2-3/4): the Spark pipeline and the
+  * scalar reference evaluator are two implementations of one semantics;
+  * their outputs must agree exactly, at any parallelism.
+  */
+class GoldenPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  val N = 200
+  lazy val pagesSeq: Seq[Page] = (0L until N.toLong).map(PagesGen.pageFor(_, 42))
+
+  def canon(r: ExtractedRecord): String = {
+    val fields = Seq(
+      r.url, r.page_type, r.target_section, r.routed_section, r.txn_type,
+      r.txn_type_detail, r.row_text, r.portfolio_no, r.client_name,
+      r.trade_date, r.settlement_date, r.transaction_type_raw, r.currency,
+      r.quantity, r.security_name, r.securities_id, r.account_no,
+      r.foreign_unit_price, r.foreign_gross_consideration,
+      r.foreign_net_consideration, r.net_consideration, r.market_price,
+      r.market_value, r.cost_price, r.valuation_date, r.currency_buy,
+      r.amount_buy, r.currency_sell, r.amount_sell, r.trade_date_iso,
+      r.settlement_date_iso,
+      r.net_consideration_num.map(_.setScale(6).bigDecimal.toPlainString)
+        .getOrElse("∅"),
+      r.market_value_num.map(_.setScale(6).bigDecimal.toPlainString)
+        .getOrElse("∅"),
+      r.validation_errors.mkString(","))
+    fields.mkString("")
+  }
+
+  val cols = Seq("url", "page_type", "target_section", "routed_section",
+    "txn_type", "txn_type_detail", "row_text", "portfolio_no", "client_name",
+    "trade_date", "settlement_date", "transaction_type_raw", "currency",
+    "quantity", "security_name", "securities_id", "account_no",
+    "foreign_unit_price", "foreign_gross_consideration",
+    "foreign_net_consideration", "net_consideration", "market_price",
+    "market_value", "cost_price", "valuation_date", "currency_buy",
+    "amount_buy", "currency_sell", "amount_sell", "trade_date_iso",
+    "settlement_date_iso", "net_consideration_num", "market_value_num",
+    "validation_errors")
+
+  def canonRow(row: Row): String =
+    cols.indices.map { i =>
+      row.get(i) match {
+        case null => "∅"
+        case d: java.math.BigDecimal => d.setScale(6).toPlainString
+        case s: scala.collection.Seq[_] => s.mkString(",")
+        case v => v.toString
+      }
+    }.mkString("")
+
+  def sparkCanon(df: DataFrame): Seq[String] =
+    df.select(cols.head, cols.tail: _*).collect().map(canonRow).toSeq.sorted
+
+  lazy val scalarRecords: Seq[String] =
+    pagesSeq.flatMap(ScalarEvaluator.process(_, RuleSets.plugin))
+      .map(canon).sorted
+
+  test("scalar evaluator produces a meaningful record mix") {
+    val recs = pagesSeq.flatMap(ScalarEvaluator.process(_, RuleSets.plugin))
+    assert(recs.nonEmpty)
+    val sections = recs.map(_.target_section).toSet
+    assert(sections.contains("Positions"))
+    val types = recs.map(_.txn_type).toSet
+    // the generator must exercise the rule space
+    assert(types.intersect(Set("Buy", "Sell", "FX Spot", "FX Forward",
+      "UBS Call Deposit")).size >= 4, s"types seen: $types")
+    assert(recs.exists(_.securities_id.nonEmpty))
+    assert(recs.exists(_.portfolio_no.nonEmpty))
+    assert(recs.exists(_.validation_errors.nonEmpty) ||
+      recs.forall(_.validation_errors.isEmpty))
+  }
+
+  test("golden: Spark records == scalar records (exact)") {
+    import spark.implicits._
+    val pages = spark.createDataset(pagesSeq)
+    val got = sparkCanon(ExtractionPipeline.records(pages, RuleSets.plugin, 8))
+    assert(got.length === scalarRecords.length,
+      s"spark=${got.length} scalar=${scalarRecords.length}")
+    got.zip(scalarRecords).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g === w, s"record $i differs")
+    }
+  }
+
+  test("golden: byte-identical main_text + spans per url") {
+    import spark.implicits._
+    val pages = spark.createDataset(pagesSeq)
+    val got = ExtractionPipeline.mainTexts(pages, 8)
+      .select("url", "main_text", "spans")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getSeq[Row](2).map(s => (s.getInt(0), s.getInt(1), s.getString(2),
+          s.getInt(3)))))
+      .sortBy(_._1)
+    val want = pagesSeq.map { p =>
+      val c = ContentExtractor.extract(p.html)
+      (p.url, c.main_text,
+        c.spans.map(s => (s.start, s.end, s.kind, s.block_id)))
+    }.sortBy(_._1)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((gu, gt, gs), (wu, wt, ws)) =>
+      assert(gu === wu)
+      assert(gt === wt, s"main_text differs for $gu")
+      assert(gs === ws, s"spans differ for $gu")
+    }
+  }
+
+  test("parallelism invariance: 1 vs 16 partitions, identical output") {
+    import spark.implicits._
+    val pages = spark.createDataset(pagesSeq)
+    val a = sparkCanon(ExtractionPipeline.records(pages, RuleSets.plugin, 1))
+    val b = sparkCanon(ExtractionPipeline.records(pages, RuleSets.plugin, 16))
+    assert(a === b)
+  }
+
+  test("soa variant also runs end-to-end") {
+    import spark.implicits._
+    val pages = spark.createDataset(pagesSeq.take(60))
+    val got = sparkCanon(ExtractionPipeline.records(pages, RuleSets.soa, 4))
+    val want = pagesSeq.take(60)
+      .flatMap(ScalarEvaluator.process(_, RuleSets.soa)).map(canon).sorted
+    assert(got === want)
+  }
+}
