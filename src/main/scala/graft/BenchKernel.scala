@@ -1,0 +1,54 @@
+package graft
+
+import graft.extract.ContentExtractor
+import graft.gen.PagesGen
+import graft.pipeline.ScalarEvaluator
+import graft.rules.RuleSets
+
+/** Single-threaded kernel microbenchmark (no Spark): what does one core
+  * do per page? Separates generation, extraction, and full scalar
+  * pipeline cost.
+  */
+object BenchKernel {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 10000
+    def timeIt(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label: $sec%.2f s  (${n / sec}%.0f pages/s/core)  [$r]")
+    }
+    // warmup
+    (0 until 2000).foreach { i =>
+      ScalarEvaluator.process(PagesGen.pageFor(i.toLong, 7), RuleSets.plugin)
+    }
+    timeIt("gen only") {
+      var acc = 0L
+      (0 until n).foreach(i => acc += PagesGen.pageFor(i.toLong, 42).html.length)
+      acc
+    }
+    val pages = (0 until n).map(i => PagesGen.pageFor(i.toLong, 42)).toArray
+    timeIt("extract only") {
+      var acc = 0L
+      pages.foreach(p => acc += ContentExtractor.extract(p.html).page_md.length)
+      acc
+    }
+    val mds = pages.map(p => ContentExtractor.extract(p.html).page_md)
+    timeIt("classify only") {
+      var acc = 0L
+      mds.foreach(md => acc +=
+        graft.rules.ScalarRules.classifyPage(md, RuleSets.plugin).length)
+      acc
+    }
+    timeIt("enumerateRows only") {
+      var acc = 0L
+      mds.foreach(md => acc += ScalarEvaluator.enumerateRows("Positions", md).size)
+      acc
+    }
+    timeIt("full scalar pipeline") {
+      var acc = 0L
+      pages.foreach(p => acc += ScalarEvaluator.process(p, RuleSets.plugin).size)
+      acc
+    }
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.gen.PagesGen
+import graft.pipeline.ExtractionPipeline
+import org.apache.spark.sql.SparkSession
+
+/** Single-measurement helper: run the extraction pipeline once at a given
+  * parallelism in a FRESH JVM (invoked per-level so the two scaling
+  * measurements don't share JIT/GC state). Prints one JSON line.
+  */
+object BenchPipeline {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val n = args(1).toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-pipe-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup (JIT + codegen), then measured run
+    ExtractionPipeline.records(PagesGen.pages(spark, 500, 7, cpus),
+      partitions = cpus).count()
+    val t0 = System.nanoTime()
+    val cnt = ExtractionPipeline.records(PagesGen.pages(spark, n, 42, cpus),
+      partitions = cpus).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"cpus":$cpus,"pages":$n,"records":$cnt,"sec":$sec%.3f,"docs_per_sec":${n / sec}%.1f}""")
+    spark.stop()
+  }
+}

@@ -1,13 +1,519 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.gen.PagesGen
+import graft.ops.{Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
+import graft.pipeline.ExtractionPipeline
+import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets, TxnTypeRule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract: one query per implemented operator (SURVEY §2), each
+  * with a DuckDB-runnable oracle where the operator is SQL-expressible.
+  *
+  * Oracle-parity rules used throughout:
+  *  - every query ends in a deterministic total ORDER BY (both sides);
+  *  - money sums go through DECIMAL(18,2) (exact) then cast to DOUBLE;
+  *  - ratios are integer ppm (×1e6, integer division) — no float rounding;
+  *  - the only cross-engine hash is md5 (identical hex both sides);
+  *  - timestamps compared as integer microseconds (unix_micros/epoch_us).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full web-page extraction pipeline on synthetic pages
+    * (driver smoke-checks rows > 0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ExtractionPipeline.records(PagesGen.pages(spark, 200, 42, 8))
+
+  // ---- shared SQL fragments (DuckDB) ----
+  private val toksSql =
+    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '')"""
+  private def tokHashSql(width: Int) =
+    s"CAST(('0x' || substr(md5(t), 1, $width)) AS BIGINT)"
+
+  private def stopHitsSql(words: Seq[String], textExpr: String): String =
+    words.map(w =>
+      s"len(regexp_extract_all($textExpr, '(^|\\s)$w(\\s|$$)'))")
+      .mkString(" + ")
+
+  private def stopHitsCol(words: Seq[String], text: Column): Column =
+    words.map(w =>
+      size(regexp_extract_all(text, lit(s"(^|\\s)$w(\\s|$$)"), lit(0))))
+      .reduce(_ + _)
+
+  /** Rule set for the documents-table classification demo (q10) — same
+    * compiler as the page classifier, domain-specific keywords.
+    */
+  private val docRules = RuleSet("docs", PluginHeader,
+    pageRules = Seq(
+      PageRule(10, "QueryDoc", Seq("join", "group")),
+      PageRule(8, "StreamDoc", Seq("stream", "window")),
+      PageRule(5, "StorageDoc", Seq("parquet", "scan", "column")),
+      PageRule(0, "OtherDoc", fallback = true)),
+    recordRules = RuleSets.plugin.recordRules,
+    txnTypeRules = RuleSets.plugin.txnTypeRules)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: grouped aggregation with partial/final hash agg
+    "q01_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // J: multi-way broadcast join
+    "q02_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    // O4: top-k with deterministic tie-break
+    "q03_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+    // W: window functions (row_number, lag)
+    "q04_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .orderBy(col("event_id"))
+    }),
+    // J: left semi (EXISTS)
+    "q05_semijoin" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 100.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    // J: left anti (NOT EXISTS)
+    "q06_antijoin" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    // O3: union + distinct
+    "q07_union" -> ((s, d) => {
+      val a = t(s, d, "events").select(col("event_type").as("label"))
+        .distinct().withColumn("src", lit("events"))
+      val b = t(s, d, "part").select(col("p_brand").as("label"))
+        .distinct().withColumn("src", lit("part"))
+      a.unionByName(b).orderBy("label", "src")
+    }),
+    // A: rollup with grouping nulls
+    "q08_rollup" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("yr", year(col("ts")))
+        .rollup(col("yr"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+        .orderBy(col("yr").asc_nulls_first,
+          col("event_type").asc_nulls_first)),
+    // A4: exact dedup via content grouping
+    "q09_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .select("canonical_id", "n_copies", "fp")
+        .orderBy("canonical_id")),
+    // C1/X3: rule-compiled classification (when-chain) over documents
+    "q10_classify" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          RuleCompiler.classifyPage(col("text"), docRules).as("doc_class"))
+        .orderBy("doc_id")),
+    // N5-N9: regex field extraction
+    "q11_regex" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+            .as("k_val"))
+        .orderBy("event_id")),
+    // G2/A5: window segmentation + segment fold (the stitching primitive)
+    "q12_segment" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("seg_id",
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).over(w))
+        .groupBy(col("user_id"), col("seg_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("first_ev"),
+          max(col("event_id")).as("last_ev"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+        .orderBy("user_id", "seg_id")
+    }),
+    // A: conditional aggregation (pivot-shaped)
+    "q13_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0))
+            .as("n_signup"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+          count(lit(1)).as("n_total"))
+        .orderBy("user_id")),
+    // dedup: MinHash signatures (portable LCG over md5-prefix hashes)
+    "q14_minhash" -> ((s, d) =>
+      Dedup.withMinhash(t(s, d, "documents").select("doc_id", "text"),
+        col("text"), 8)
+        .drop("text").orderBy("doc_id")),
+    // dedup: SimHash (16-bit portable variant)
+    "q15_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+    // dedup: exact n-gram Jaccard via shingle self-join
+    "q16_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3)
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)),
+    // simsearch: brute-force cosine top-k (baseline)
+    "q17_cosine_topk" -> ((s, d) => {
+      val v = t(s, d, "embeddings")
+      SimSearch.bruteForceTopK(v, v.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+    // simsearch: LSH-bucketed ANN (scale path; rows-only check)
+    "q18_ann_lsh" -> ((s, d) => {
+      val v = t(s, d, "embeddings")
+      SimSearch.lshTopK(v, v.filter(col("vec_id") < 10), "vec_id",
+        "embedding", 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+    // text analysis: quality features as exact integer ppm
+    "q19_quality" -> ((s, d) => {
+      val txt = col("text")
+      val len = length(txt).cast("long")
+      val toks = TextAnalysis.tokenCount(txt).cast("long")
+      val letters = length(regexp_replace(lower(txt), "[^a-z]", ""))
+        .cast("long")
+      val digits = length(regexp_replace(txt, "[^0-9]", "")).cast("long")
+      val stops = stopHitsCol(TextAnalysis.StopEn, lower(txt)).cast("long")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        toks.as("n_tokens"),
+        expr("CAST(length(text) AS LONG)").as("n_chars_m"),
+        when(toks > 0, (len * 100L) / toks).otherwise(lit(0L))
+          .cast("long").as("chars_per_100tok"),
+        when(len > 0, (letters * 1000000L) / len).otherwise(lit(0L))
+          .cast("long").as("alpha_ppm"),
+        when(len > 0, (digits * 1000000L) / len).otherwise(lit(0L))
+          .cast("long").as("digit_ppm"),
+        when(toks > 0, (stops * 1000000L) / toks).otherwise(lit(0L))
+          .cast("long").as("stopword_ppm"))
+        .orderBy("doc_id")
+    }),
+    // text analysis: heuristic language ID
+    "q20_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    // text analysis: document fingerprint + dup grouping
+    "q21_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .orderBy("min_doc")),
+    // the full extraction pipeline (not SQL-expressible; rows-only)
+    "q22_pipeline_extract" -> ((s, d) =>
+      ExtractionPipeline.records(PagesGen.pages(s, 600, 42, 8))
+        .groupBy(col("target_section"), col("txn_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("net_consideration_num")).as("sum_net"))
+        .orderBy("target_section", "txn_type")),
+    // byte-identity artifact summary (rows-only)
+    "q23_pipeline_bytes" -> ((s, d) =>
+      ExtractionPipeline.mainTexts(PagesGen.pages(s, 600, 42, 8))
+        .groupBy(col("content_kind"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(length(col("main_text"))).as("total_chars"),
+          sum(size(col("spans"))).as("total_spans"))
+        .orderBy("content_kind")),
+    // sessionization: gap-based (30 min) session windows
+    "q24_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L ||
+            lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_ev"),
+          max(col("event_id")).as("last_ev"))
+        .orderBy("user_id", "session_id")
+    }),
+    // X4: salted two-stage aggregation (skew-safe; same result as plain)
+    "q25_salted_agg" -> ((s, d) =>
+      Skew.saltedSum(t(s, d, "events"),
+        col("user_id"), col("value").cast(DecimalType(18, 2)), 8, "sum_value")
+        .select(col("_k").as("user_id"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("sum_value_n").as("n"))
+        .orderBy("user_id")),
+    // multimodal plumbing: synth → batched decode stub → resize plan
+    "q26_media" -> ((s, d) =>
+      Multimodal.withResizePlan(
+        Multimodal.decodeStub(Multimodal.synth(s, 500)).toDF())
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("resize_w")).as("sum_resize_w"))
+        .orderBy("kind")),
+    // multimodal: frame sampling via posexplode(sequence)
+    "q27_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeStub(Multimodal.synth(s, 500)).toDF(), 10000)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_frames"),
+          max(col("frame_idx")).as("max_frame_idx"))
+        .orderBy("kind")),
+    // dedup: MinHash-LSH candidate pairs (banded; rows-only)
+    "q28_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 16, bands = 8, minEstJaccard = 0.25)
+        .orderBy(col("est_jaccard").desc, col("a"), col("b"))
+        .limit(50)),
+    // dedup: embedding-cosine near-dup pairs (LSH-bucketed; rows-only)
+    "q29_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.2, planes = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("cosine").desc, col("a"), col("b"))
+        .limit(50))
+  )
+
+  // ---- DuckDB oracles ----
+
+  private def minhashSqlCols: String =
+    Dedup.minhashParams(8).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform($toksSql, t -> ($a * ${tokHashSql(8)} + $b) % ${Dedup.MinhashP}))" +
+        s" AS m$i"
+    }.mkString(", ")
+
+  private def simhash16Sql: String = {
+    val h = tokHashSql(4)
+    (0 until 16).map { i =>
+      s"(CASE WHEN list_sum(list_transform($toksSql, t -> (($h >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q04_window" ->
+      """SELECT event_id, user_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_value
+        FROM events ORDER BY event_id""",
+    "q05_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100.0)
+        ORDER BY c_custkey""",
+    "q06_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""",
+    "q07_union" ->
+      """SELECT label, src FROM (
+          SELECT DISTINCT event_type AS label, 'events' AS src FROM events
+          UNION ALL
+          SELECT DISTINCT p_brand AS label, 'part' AS src FROM part)
+        ORDER BY label, src""",
+    "q08_rollup" ->
+      """SELECT year(ts) AS yr, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY ROLLUP(yr, event_type)
+        ORDER BY yr ASC NULLS FIRST, event_type ASC NULLS FIRST""",
+    "q09_dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+        md5(text) AS fp
+        FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    "q10_classify" ->
+      """SELECT doc_id,
+        CASE
+          WHEN contains(lower(text), 'join') OR contains(lower(text), 'group')
+            THEN 'QueryDoc'
+          WHEN contains(lower(text), 'stream')
+            OR contains(lower(text), 'window') THEN 'StreamDoc'
+          WHEN contains(lower(text), 'parquet') OR contains(lower(text), 'scan')
+            OR contains(lower(text), 'column') THEN 'StorageDoc'
+          ELSE 'OtherDoc'
+        END AS doc_class
+        FROM documents ORDER BY doc_id""",
+    "q11_regex" ->
+      """SELECT event_id,
+        CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val
+        FROM events ORDER BY event_id""",
+    "q12_segment" ->
+      """SELECT user_id, seg_id, COUNT(*) AS n, MIN(event_id) AS first_ev,
+        MAX(event_id) AS last_ev,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT *,
+          CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+          FROM events)
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q13_pivot" ->
+      """SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        COUNT(*) AS n_total
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q14_minhash" ->
+      s"SELECT doc_id, $minhashSqlCols FROM documents ORDER BY doc_id",
+    "q15_simhash" ->
+      s"SELECT doc_id, $simhash16Sql AS simhash FROM documents ORDER BY doc_id",
+    "q16_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+          FROM toks),
+        sh2 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY 1),
+        inter AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+          FROM sh2 l JOIN sh2 r ON l.shingle = r.shingle
+            AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, inter,
+          CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        ORDER BY jaccard DESC, a, b LIMIT 20""",
+    "q17_cosine_topk" ->
+      """WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          list_sum(list_transform(generate_series(1, len(q.e)),
+            i -> q.e[i] * c.e[i])) /
+          (sqrt(list_sum(list_transform(generate_series(1, len(q.e)),
+            i -> q.e[i] * q.e[i]))) *
+           sqrt(list_sum(list_transform(generate_series(1, len(c.e)),
+            i -> c.e[i] * c.e[i])))) AS cosine
+          FROM v q, v c
+          WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+        SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q19_quality" ->
+      s"""SELECT doc_id,
+        len($toksSql) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_m,
+        CASE WHEN len($toksSql) > 0
+          THEN (length(text) * 100) // len($toksSql) ELSE 0 END
+          AS chars_per_100tok,
+        CASE WHEN length(text) > 0
+          THEN (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+            * 1000000) // length(text) ELSE 0 END AS alpha_ppm,
+        CASE WHEN length(text) > 0
+          THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+            * 1000000) // length(text) ELSE 0 END AS digit_ppm,
+        CASE WHEN len($toksSql) > 0
+          THEN ((${stopHitsSql(TextAnalysis.StopEn, "lower(text)")})
+            * 1000000) // len($toksSql) ELSE 0 END AS stopword_ppm
+        FROM documents ORDER BY doc_id""",
+    "q20_langid" -> {
+      val en = stopHitsSql(TextAnalysis.StopEn, "lower(text)")
+      val de = stopHitsSql(TextAnalysis.StopDe, "lower(text)")
+      val fr = stopHitsSql(TextAnalysis.StopFr, "lower(text)")
+      val es = stopHitsSql(TextAnalysis.StopEs, "lower(text)")
+      s"""SELECT doc_id, lang,
+        CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
+          WHEN ($en) = greatest($en, $de, $fr, $es) THEN 'en'
+          WHEN ($de) = greatest($en, $de, $fr, $es) THEN 'de'
+          WHEN ($fr) = greatest($en, $de, $fr, $es) THEN 'fr'
+          ELSE 'es' END AS lang_pred
+        FROM documents ORDER BY doc_id"""
+    },
+    "q21_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        COUNT(*) AS n, MIN(doc_id) AS min_doc
+        FROM documents GROUP BY 1 ORDER BY min_doc""",
+    "q24_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        MIN(event_id) AS first_ev, MAX(event_id) AS last_ev
+        FROM (SELECT *,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM (SELECT *,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                > 1800000000
+              OR lag(epoch_us(ts), 1)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+            FROM events))
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q25_salted_agg" ->
+      """SELECT user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1"""
+  )
 }

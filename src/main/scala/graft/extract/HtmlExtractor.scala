@@ -121,6 +121,7 @@ object HtmlExtractor {
     }
 
     val n = html.length
+    val lowerHtml = html.toLowerCase // once — used for close-tag scans
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -139,7 +140,7 @@ object HtmlExtractor {
             if (!isEnd && SkipTags.contains(rawName)) {
               // skip to matching close tag (no nesting of raw-text tags)
               val endTag = "</" + rawName
-              val e = html.toLowerCase.indexOf(endTag, close + 1)
+              val e = lowerHtml.indexOf(endTag, close + 1)
               i = if (e < 0) n else html.indexOf('>', e) match {
                 case -1 => n
                 case k  => k + 1
@@ -149,7 +150,6 @@ object HtmlExtractor {
                 // flush pending text, capture the table verbatim
                 flush(if (headingLevel > 0) "heading" else "paragraph",
                   headingLevel)
-                val lowerHtml = html.toLowerCase
                 val e = lowerHtml.indexOf("</table", close + 1)
                 val tableEnd =
                   if (e < 0) n

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash(+LSH), SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Design notes for 100 TB scale:
+  *  - Signatures (minhash/simhash) are pure Column expressions — computed
+  *    in one narrow pass inside whole-stage codegen, no UDFs, no shuffle.
+  *  - Candidate generation shuffles on *band/bucket keys* (small), never
+  *    on raw text; pairwise work happens only within buckets.
+  *  - The token hash is the first 8 hex chars of md5 → bigint, which is
+  *    engine-portable (same value in Spark and DuckDB), making the whole
+  *    signature SQL-checkable.
+  */
+object Dedup {
+
+  /** Portable 32-bit token hash: first 8 hex chars of md5 as a long. */
+  def tokHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Deterministic MinHash permutation parameters (seeded, public
+    * linear-congruential scheme h_i(x) = (a_i*x + b_i) mod p).
+    */
+  val MinhashP = 2147483647L // 2^31-1, so a*h fits in signed 64-bit
+  def minhashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    (0 until k).map(_ => (1L + rng.nextInt(Int.MaxValue - 1),
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k-perm MinHash signature as k columns m0..m{k-1} (flat columns keep
+    * the result engine-portable for the DuckDB oracle).
+    */
+  def withMinhash(df: DataFrame, textCol: Column, k: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val toks = tokens(textCol)
+    minhashParams(k, seed).zipWithIndex.foldLeft(df) {
+      case (acc, ((a, b), i)) =>
+        acc.withColumn(s"m$i",
+          array_min(transform(toks,
+            t => (lit(a) * tokHash(t) + lit(b)) % lit(MinhashP))))
+    }
+  }
+
+  /** MinHash-LSH candidate pairs: k perms split into `bands` bands; docs
+    * sharing any band bucket become candidates; estimated Jaccard =
+    * fraction of matching perms. One shuffle on the (band, bucket) key.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, seed: Long = 42L,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = withMinhash(df.select(col(idCol).as("id"), col(textCol).as("t")),
+      col("t"), k, seed)
+      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
+      .select(col("id"), col("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        (aggregate(zip_with(col("l.sig"), col("r.sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Portable 16-bit SimHash (first 4 md5 hex chars per token; majority
+    * vote per bit). Oracle-checkable; the 64-bit variant below is the
+    * production path.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = tokens(text)
+    val h = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast(LongType)
+    val bits = (0 until 16).map { i =>
+      val bitSum = aggregate(
+        transform(toks, t => (shiftright(h(t), i).bitwiseAND(lit(1L))) * 2 - 1),
+        lit(0L), (acc, x) => acc + x)
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** 64-bit SimHash on xxhash64 token hashes (production variant —
+    * xxhash64 is Spark-native codegen, not portable to the oracle).
+    */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val bits = (0 until 64).map { i =>
+      val bitSum = aggregate(
+        transform(toks,
+          t => (shiftright(xxhash64(t), i).bitwiseAND(lit(1L))) * 2 - 1),
+        lit(0L), (acc, x) => acc + x)
+      when(bitSum > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram (word shingle) Jaccard pairs via shingle self-join:
+    * explode distinct shingles, join on shingle, count intersections,
+    * jaccard = |∩| / (|A|+|B|-|∩|). Shuffles on the shingle key — at
+    * scale, combine with minhashLshPairs as a pre-filter.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val shingled = base.select(col("id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+        i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+        .as("shingle"))
+      .filter(length(col("shingle")) > 0)
+    val sizes = shingled.groupBy("id")
+      .agg(count(lit(1)).as("sz"))
+    val inter = shingled.as("l")
+      .join(shingled.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"),
+        "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"),
+        "b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a", "b", "inter", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by
+    * random-hyperplane LSH so the pairwise work stays within buckets.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", SimSearch.hyperplaneBucket(col("v"), planes, dim,
+        seed))
+    bucketed.as("l").join(bucketed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("cosine", SimSearch.cosine(col("l.v"), col("r.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("cosine"))
+  }
+}

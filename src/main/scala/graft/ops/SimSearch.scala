@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - Brute-force cosine top-k: broadcast the (small) query side, rank
+  *    within each query by a window — the correctness baseline.
+  *  - Hyperplane-LSH bucketing: deterministic seeded planes, candidate
+  *    join restricted to the query's bucket — the scale path (at 100 TB,
+  *    only the bucket key shuffles; multi-probe = union of neighbor
+  *    buckets).
+  *
+  * All vector math is `zip_with`/`aggregate` Column expressions in
+  * double precision, left-to-right — bit-identical to the DuckDB oracle.
+  */
+object SimSearch {
+
+  /** Dot product, left-to-right fold in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes (seeded). */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH bucket id = sign bits of the plane projections. */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int,
+      seed: Long = 42L): Column =
+    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: every query vs the full corpus.
+    * The query side is broadcast; ties broken by corpus id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's bucket. Recall is
+    * traded for a bucket-local join; increase nPlanes for precision,
+    * probe neighboring buckets for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, nPlanes: Int = 6, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes, dim, seed))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes, dim, seed))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+}

@@ -55,8 +55,15 @@ object ExtractionPipeline {
     */
   def classifyPages(pt: Dataset[PageText], rs: RuleSet = RuleSets.plugin): DataFrame = {
     val md = col("page_md")
+    // `_header` is materialized ONCE per row; the when-chain then only
+    // touches the attribute (otherwise Catalyst would duplicate the
+    // split/filter/concat header derivation into every keyword branch —
+    // measured 8× slowdown of this stage).
     pt.toDF()
-      .withColumn("page_type", RuleCompiler.classifyPage(md, rs))
+      .withColumn("_header", RuleCompiler.headerCol(md, rs.headerMode))
+      .withColumn("page_type",
+        RuleCompiler.classifyPageFromHeader(col("_header"), rs))
+      .drop("_header")
       .withColumn("portfolio_no",
         regexp_extract(md, "Portfolio number\\s+(\\d{3}-\\d{6}-\\d{2})", 1))
       .withColumn("client_name",
@@ -201,8 +208,9 @@ object ExtractionPipeline {
     val txt = col("stitched")
     val firstCol = trim(element_at(mc, 1))
 
-    // routing (C3) on the stitched text — Transaction rows only
-    val routed = RuleCompiler.classifyRecord(txt, rs)
+    // routing (C3) on the pre-lowered stitched text (materialized once —
+    // see classifyPages note on when-chain expression duplication)
+    val routed = RuleCompiler.classifyRecordFromLower(col("_rl"), rs)
 
     // positions quantity/name split (positions.py:206-223)
     val curHead = startsWithCurrencyCol(firstCol) && length(firstCol) <= 4
@@ -247,12 +255,14 @@ object ExtractionPipeline {
     val sellAmt = regexp_extract(txt, "You sold [A-Z]{3} ([0-9',\\. ]*\\d)", 1)
 
     val df = segs
+      .withColumn("_rl", lower(txt))
       .withColumn("routed_section",
         when(isPos, lit("Positions")).otherwise(routed.getField("txn_group")))
       .withColumn("txn_type",
         when(isPos, lit("Positions")).otherwise(routed.getField("txn_type")))
       .withColumn("txn_type_detail",
-        when(isPos, lit("")).otherwise(RuleCompiler.classifyTxnType(txt, rs)))
+        when(isPos, lit(""))
+          .otherwise(RuleCompiler.classifyTxnTypeFromLower(col("_rl"), rs)))
       .withColumn("row_text", txt)
       .withColumn("client_name",
         when(isPos, lit("")).otherwise(col("client_name")))
@@ -325,7 +335,7 @@ object ExtractionPipeline {
           .when(col("routed_section") === "Positions" &&
             col("market_value") === "", lit("Others"))
           .otherwise(col("routed_section")))
-      .drop("mc", "stitched", "seg_id")
+      .drop("mc", "stitched", "seg_id", "_rl")
   }
 
   /** Full pipeline: pages → records. */

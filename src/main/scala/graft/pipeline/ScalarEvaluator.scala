@@ -16,6 +16,9 @@ import scala.collection.mutable.ArrayBuffer
   */
 object ScalarEvaluator {
 
+  private val BuyPat = "You bought ([A-Z]{3}) ([0-9',\\. ]*\\d)".r
+  private val SellPat = "You sold ([A-Z]{3}) ([0-9',\\. ]*\\d)".r
+
   private case class Seg(cells: Seq[String], var text: String,
       tableIdx: Int, rowIdx: Int)
 
@@ -170,10 +173,8 @@ object ScalarEvaluator {
     val account = TextOps.extractAccount(rowText).getOrElse("")
     val txnDetail = ScalarRules.classifyTxnType(rowText, rs)
     // J1 — FX buy/sell correlation within the record text
-    val buyM = "You bought ([A-Z]{3}) ([0-9',\\. ]*\\d)".r
-      .findFirstMatchIn(rowText)
-    val sellM = "You sold ([A-Z]{3}) ([0-9',\\. ]*\\d)".r
-      .findFirstMatchIn(rowText)
+    val buyM = BuyPat.findFirstMatchIn(rowText)
+    val sellM = SellPat.findFirstMatchIn(rowText)
     ExtractedRecord.empty(url, pageType).copy(
       routed_section = group, target_section = group, txn_type = ttype,
       txn_type_detail = txnDetail, row_text = rowText,

@@ -249,19 +249,32 @@ object RuleCompiler {
     kws.map(k => text.contains(lit(k.toLowerCase(Locale.ROOT))))
       .reduceOption(_ || _).getOrElse(lit(false))
 
-  /** page text → page_type column. */
-  def classifyPage(text: Column, rs: RuleSet): Column = {
-    val header = headerCol(text, rs.headerMode)
+  /** page_type from an ALREADY-MATERIALIZED lowercased header column.
+    * IMPORTANT: pass an attribute (withColumn-materialized), not an
+    * expression — the when-chain references it once per keyword and
+    * Catalyst would otherwise duplicate the whole header computation
+    * into every branch (CollapseProject re-inlines cheap-looking
+    * aliases; HOF-bearing header derivation is not codegen-CSE'd).
+    */
+  def classifyPageFromHeader(header: Column, rs: RuleSet): Column =
     rs.sortedPageRules.filterNot(_.fallback).foldRight(lit(rs.pageFallback)) {
       (r, elseCol) =>
         when(containsAnyLower(header, r.containsAny), lit(r.pageType))
           .otherwise(elseCol)
     }
-  }
 
-  /** row text → struct(txn_group, txn_type). */
-  def classifyRecord(rowText: Column, rs: RuleSet): Column = {
-    val rl = lower(rowText)
+  /** page text → page_type column (single-expression form — fine for
+    * small/one-off projections; prefer materializing headerCol +
+    * classifyPageFromHeader in hot paths).
+    */
+  def classifyPage(text: Column, rs: RuleSet): Column =
+    classifyPageFromHeader(headerCol(text, rs.headerMode), rs)
+
+  /** struct(txn_group, txn_type) from a pre-lowered row-text column
+    * (materialize `lower(text)` once in hot paths — see
+    * classifyPageFromHeader note).
+    */
+  def classifyRecordFromLower(rl: Column, rs: RuleSet): Column = {
     val (fg, ft) = rs.recordFallback
     val fallbackCol = struct(lit(fg).as("txn_group"), lit(ft).as("txn_type"))
     rs.sortedRecordRules.filterNot(_.fallback).foldRight(fallbackCol) {
@@ -272,9 +285,12 @@ object RuleCompiler {
     }
   }
 
-  /** row text → transaction type (with exclude_if_contains). */
-  def classifyTxnType(rowText: Column, rs: RuleSet): Column = {
-    val rl = lower(rowText)
+  /** row text → struct(txn_group, txn_type). */
+  def classifyRecord(rowText: Column, rs: RuleSet): Column =
+    classifyRecordFromLower(lower(rowText), rs)
+
+  /** txn type (with exclude_if_contains) from a pre-lowered column. */
+  def classifyTxnTypeFromLower(rl: Column, rs: RuleSet): Column = {
     val fb = lit(rs.sortedTxnRules.find(_.fallback).map(_.output)
       .getOrElse("Other"))
     rs.sortedTxnRules.filterNot(_.fallback).foldRight(fb) { (r, elseCol) =>
@@ -283,4 +299,8 @@ object RuleCompiler {
       when(hit, lit(r.output)).otherwise(elseCol)
     }
   }
+
+  /** row text → transaction type (with exclude_if_contains). */
+  def classifyTxnType(rowText: Column, rs: RuleSet): Column =
+    classifyTxnTypeFromLower(lower(rowText), rs)
 }
