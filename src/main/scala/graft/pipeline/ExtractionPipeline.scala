@@ -347,4 +347,27 @@ object ExtractionPipeline {
   def mainTexts(pages: Dataset[Page], partitions: Int = 32): DataFrame =
     pageTexts(pages, partitions).toDF()
       .select("url", "main_text", "spans", "content_kind", "n_blocks", "error")
+
+  /** Pipeline event rows (S10) — same field set as the reference's JSONL
+    * event log (/root/reference/soa_extractor/error_system.py:73-86):
+    * extraction errors, blank pages, and per-page stage outcomes. Error
+    * statistics (A3) are a groupBy(code, stage).count() away.
+    */
+  def events(classified: DataFrame): DataFrame =
+    classified.select(
+      current_timestamp().as("ts"),
+      when(col("error") =!= "", lit("ERROR"))
+        .when(col("content_kind") === "empty", lit("WARN"))
+        .otherwise(lit("INFO")).as("level"),
+      when(col("error") =!= "", col("error"))
+        .when(col("content_kind") === "empty", lit("PAGE_EMPTY"))
+        .otherwise(concat(lit("PAGE_OK_"), upper(col("content_kind"))))
+        .as("code"),
+      lit("extract").as("stage"),
+      col("url"),
+      lit(0).as("page"),
+      lit("").as("record_id"),
+      col("page_type").as("group"),
+      lit("").as("txn_type"),
+      coalesce(col("error"), lit("")).as("message"))
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.model.Page
+import graft.pipeline.ExtractionPipeline
+import graft.rules.{RuleSet, RuleSets}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface. The reference is pure batch
+  * (/root/reference/soa_extractor/run.py:149 — a file loop), but the
+  * extraction pipeline is a pure function Dataset[Page] → records, so it
+  * runs unchanged under `foreachBatch` over any incremental source
+  * (SURVEY §2.9). Watermarked windowed aggregation and custom
+  * mapGroupsWithState sessionization cover the streaming operator
+  * surface the engine offers beyond the reference.
+  */
+object StreamingPipeline {
+
+  /** Incremental extraction: each micro-batch runs the SAME batch
+    * pipeline (one semantics, two execution modes) and appends to the
+    * output path partitioned by target_section.
+    */
+  def extractStream(pages: DataFrame, outPath: String,
+      checkpoint: String, rs: RuleSet = RuleSets.plugin,
+      partitions: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] = {
+    pages.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val recs = ExtractionPipeline.records(batch.as[Page], rs, partitions)
+          .withColumn("_batch_id", lit(batchId))
+        recs.write.mode("append")
+          .partitionBy("target_section")
+          .parquet(outPath)
+      }
+  }
+
+  /** Watermarked event-time windowed aggregation over an events stream
+    * (ts, event_type, value): 5-minute tumbling windows, 10-minute
+    * watermark for late data.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  case class Ev(user_id: Long, ts_ms: Long, value: Double)
+  case class SessionAgg(user_id: Long, n: Long, sum_value: Double,
+      closed: Boolean)
+
+  /** Custom keyed state: per-user running session aggregate
+    * (KeyValueGroupedDataset.mapGroupsWithState — the reference's
+    * in-batch retry state machine G5 generalized to keyed streaming
+    * state). timeoutMs > 0 arms a processing-time idle timeout that
+    * closes the session (timer-driven batches make the query run
+    * continuously — use 0/NoTimeout for bounded test sources).
+    */
+  def sessionize(events: Dataset[Ev], timeoutMs: Long = 0)
+      : Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(timeoutConf) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.copy(closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionAgg(uid, 0L, 0.0,
+              closed = false))
+            var n = prev.n
+            var sv = prev.sum_value
+            evs.foreach { e => n += 1; sv += e.value }
+            val next = SessionAgg(uid, n, sv, closed = false)
+            state.update(next)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            next
+          }
+      }
+  }
+
+  /** Convenience: run a streaming query to completion over a bounded
+    * source (test/demo helper).
+    */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import org.apache.spark.sql.DataFrame
+
+  def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different content about spark engines"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (4L, "der hund ist nicht ein katze und so weiter")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash: exact dup → identical signature; near dup → mostly equal") {
+    val sig = Dedup.withMinhash(docs, col("text"), 16).collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(r.fieldIndex(s"m$i"))))
+      .toMap
+    assert(sig(0L) === sig(3L))
+    val agree01 = sig(0L).zip(sig(1L)).count { case (a, b) => a == b }
+    val agree02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(agree01 > agree02, s"near-dup $agree01 vs unrelated $agree02")
+  }
+
+  test("minhash LSH pairs find the exact + near dup, not the unrelated") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 8,
+      minEstJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: hamming(near dups) < hamming(unrelated)") {
+    import spark.implicits._
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(3L)) === 0)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("ngram jaccard: dup=1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+      .toMap
+    assert(pairs((0L, 3L)) === 1.0)
+    assert(pairs((0L, 1L)) > 0.5)
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("brute-force cosine top-k: self-similar vectors rank first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = SimSearch.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.head === (1L, 1)) // nearest neighbor of e_x is the 0.9 vector
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 3,
+      nPlanes = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random-hyperplane LSH over near-orthogonal random vectors has
+    // modest recall by construction; with 2 planes (4 buckets) demand
+    // real overlap with the exact answer
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.1, s"recall $recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    import spark.implicits._
+    val r = Seq("the cat and the dog is here",
+      "der hund und die katze ist da",
+      "le chat est dans la maison",
+      "xyzzy plugh").toDF("t")
+      .select(TextAnalysis.langId(col("t"))).as[String].collect()
+    assert(r.toSeq === Seq("en", "de", "fr", "und"))
+  }
+
+  test("quality score and token counts behave") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox is in the house with the dog",
+      "@#$% 1234 !!").toDF("t")
+    val q = df.select(TextAnalysis.qualityScore(col("t")).as[Double])
+      .collect()
+    assert(q(0) > q(1))
+    val tc = df.select(TextAnalysis.tokenCount(col("t")).as[Int]).collect()
+    assert(tc(0) === 11)
+    val sw = df.select(TextAnalysis.subwordCount(col("t")).as[Int]).collect()
+    assert(sw(1) === 7) // @ # $ % + "1234" + ! ! → 7 pieces
+  }
+
+  test("multimodal: decode stub round-trips header metadata; frames sampled") {
+    val media = Multimodal.synth(spark, 50)
+    val feats = Multimodal.decodeStub(media).collect()
+    assert(feats.length === 50)
+    feats.foreach { f =>
+      assert(f.feature.length === 8)
+      assert(math.abs(f.feature.sum - (if (f.n_bytes > 16) 1.0 else 0.0)) < 1e-5)
+    }
+    val withMeta = media.collect().map(m => m.media_id -> m).toMap
+    feats.foreach { f =>
+      assert(f.width === withMeta(f.media_id).width)
+      assert(f.duration_ms === withMeta(f.media_id).duration_ms)
+    }
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeStub(media).toDF(), 10000)
+    val perMedia = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perMedia.foreach { case (id, n) =>
+      val dur = withMeta(id).duration_ms
+      assert(n === math.max(1, (dur - 1) / 10000 + 1), s"media $id dur $dur")
+    }
+  }
+
+  test("salted sum equals plain sum") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 7, i.toDouble)).toDF("k", "v")
+    val salted = Skew.saltedSum(df, col("k"), col("v"), 8, "s")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val plain = df.groupBy("k").agg(sum("v")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("hot key report") {
+    import spark.implicits._
+    val df = (Seq.fill(100)("hot") ++ Seq("a", "b")).toDF("k")
+    val hot = Skew.hotKeys(df, col("k"), 50).collect()
+    assert(hot.length === 1 && hot(0).getString(0) === "hot")
+  }
+}

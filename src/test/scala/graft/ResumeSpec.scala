@@ -1,0 +1,61 @@
+package graft
+
+import graft.gen.PagesGen
+import graft.io.TableIO
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Resume correctness (SURVEY §5.2-5): a killed run, re-invoked, must
+  * produce output identical to an uninterrupted run without reprocessing
+  * committed buckets.
+  */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("kill after k buckets → resume → identical output, no reprocess") {
+    import spark.implicits._
+    val pages = spark.createDataset((0L until 300L).map(PagesGen.pageFor(_, 42)))
+    val cleanDir = Files.createTempDirectory("graft_clean").toString
+    val resumeDir = Files.createTempDirectory("graft_resume").toString
+
+    // uninterrupted reference run
+    val total = TableIO.runResumable(pages, cleanDir, buckets = 8, waveSize = 3)
+    assert(total === 8)
+
+    // interrupted run: dies after 3 committed buckets
+    val thrown = intercept[RuntimeException] {
+      TableIO.runResumable(pages, resumeDir, buckets = 8, waveSize = 3,
+        failAfter = 3)
+    }
+    assert(thrown.getMessage.contains("injected failure"))
+    val afterKill = TableIO.readLineage(resumeDir)
+    assert(afterKill.count(_._2.status == "COMMITTED") === 3)
+
+    // resumed run: completes only the remaining buckets
+    val resumed = TableIO.runResumable(pages, resumeDir, buckets = 8,
+      waveSize = 3)
+    assert(resumed === 5, "resume must process exactly the pending buckets")
+
+    // committed-in-run-1 buckets were NOT reprocessed (attempt stays 1)
+    val lineage = TableIO.readLineage(resumeDir)
+    assert(lineage.size === 8)
+    assert(lineage.values.forall(_.attempt === 1))
+
+    // outputs identical to the uninterrupted run
+    def canon(dir: String): Seq[String] =
+      TableIO.readCommitted(spark, dir)
+        .select("url", "row_text", "target_section", "txn_type")
+        .collect().map(_.toString).toSeq.sorted
+    assert(canon(resumeDir) === canon(cleanDir))
+
+    // re-running a complete output is a no-op
+    assert(TableIO.runResumable(pages, resumeDir, buckets = 8) === 0)
+
+    // content hashes in lineage match across runs (same data → same hash)
+    val cleanHash = TableIO.readLineage(cleanDir).map { case (k, v) =>
+      k -> v.contentHash
+    }
+    val resumeHash = lineage.map { case (k, v) => k -> v.contentHash }
+    assert(cleanHash === resumeHash)
+  }
+}

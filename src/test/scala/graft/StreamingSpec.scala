@@ -1,0 +1,81 @@
+package graft
+
+import graft.gen.PagesGen
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("foreachBatch extraction: streaming result == batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pagesSeq = (0L until 120L).map(PagesGen.pageFor(_, 42))
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    val stream = MemoryStream[graft.model.Page]
+    val q = StreamingPipeline
+      .extractStream(stream.toDF(), out, ckpt, partitions = 4)
+      .start()
+    // three micro-batches
+    stream.addData(pagesSeq.slice(0, 40)); q.processAllAvailable()
+    stream.addData(pagesSeq.slice(40, 80)); q.processAllAvailable()
+    stream.addData(pagesSeq.slice(80, 120)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("url", "row_text", "txn_type").collect()
+      .map(_.toString).sorted
+    val batch = graft.pipeline.ExtractionPipeline
+      .records(spark.createDataset(pagesSeq), partitions = 4)
+      .select("url", "row_text", "txn_type").collect()
+      .map(_.toString).sorted
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingPipeline.windowedCounts(df)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+      (ts(7), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the earlier windows
+    stream.addData((ts(40), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").collect()
+    assert(rows.exists(r => r.getString(2) == "click" && r.getLong(3) == 2L))
+    assert(rows.exists(r => r.getString(2) == "view" && r.getLong(3) == 1L))
+  }
+
+  test("mapGroupsWithState sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamingPipeline.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update).start()
+    stream.addData(Ev(1, 1000, 5.0), Ev(1, 2000, 7.0), Ev(2, 1500, 1.0))
+    q.processAllAvailable()
+    stream.addData(Ev(1, 3000, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // user 1 accumulated 3 events / 15.0 across batches
+    assert(rows.contains((1L, 3L, 15.0)))
+    assert(rows.contains((2L, 1L, 1.0)))
+  }
+}
