@@ -23,8 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Fixed, pre-touched heap: on this VM, heap grow/uncommit churn puts the
+// JVM ~70% in kernel time (page-fault storms) under 32-thread load.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.split(" ").toSeq).getOrElse(Seq.empty)

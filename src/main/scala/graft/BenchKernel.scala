@@ -12,6 +12,7 @@ import graft.rules.RuleSets
 object BenchKernel {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 10000
+    val boost = if (args.length > 1) args(1).toInt else 1
     def timeIt(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val r = f
@@ -20,14 +21,14 @@ object BenchKernel {
     }
     // warmup
     (0 until 2000).foreach { i =>
-      ScalarEvaluator.process(PagesGen.pageFor(i.toLong, 7), RuleSets.plugin)
+      ScalarEvaluator.process(PagesGen.pageFor(i.toLong, 7, boost), RuleSets.plugin)
     }
     timeIt("gen only") {
       var acc = 0L
-      (0 until n).foreach(i => acc += PagesGen.pageFor(i.toLong, 42).html.length)
+      (0 until n).foreach(i => acc += PagesGen.pageFor(i.toLong, 42, boost).html.length)
       acc
     }
-    val pages = (0 until n).map(i => PagesGen.pageFor(i.toLong, 42)).toArray
+    val pages = (0 until n).map(i => PagesGen.pageFor(i.toLong, 42, boost)).toArray
     timeIt("extract only") {
       var acc = 0L
       pages.foreach(p => acc += ContentExtractor.extract(p.html).page_md.length)

@@ -10,12 +10,12 @@ import graft.model.{ExtractedContent, Page, PageText}
   */
 object ContentExtractor {
 
-  def extract(bytes: Array[Byte]): ExtractedContent = {
+  def extract(bytes: Array[Byte], needMain: Boolean = true): ExtractedContent = {
     if (bytes == null || bytes.isEmpty)
       ExtractedContent("", "", Nil, 0, "empty", "")
     else if (PdfExtractor.isPdf(bytes)) PdfExtractor.extract(bytes)
     else
-      try HtmlExtractor.extract(bytes)
+      try HtmlExtractor.extract(bytes, needMain)
       catch {
         case e: Exception =>
           ExtractedContent("", "", Nil, 0, "error",
@@ -23,8 +23,8 @@ object ContentExtractor {
       }
   }
 
-  def extractPage(p: Page): PageText = {
-    val c = extract(p.html)
+  def extractPage(p: Page, needMain: Boolean = true): PageText = {
+    val c = extract(p.html, needMain)
     PageText(p.url, p.warc_ts, p.lang, c.page_md, c.main_text, c.spans,
       c.n_blocks, c.content_kind, c.error)
   }

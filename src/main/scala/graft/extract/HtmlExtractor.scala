@@ -103,8 +103,18 @@ object HtmlExtractor {
     var headingLevel = 0 // >0 while inside h1..h6
 
     def flush(kind: String, level: Int): Unit = {
-      val t = decodeEntities(textBuf.toString)
-        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val decoded = decodeEntities(textBuf.toString)
+      // collapse whitespace runs without regex-split garbage
+      val sb = new StringBuilder(decoded.length)
+      var j = 0; var pendingSpace = false
+      while (j < decoded.length) {
+        val ch = decoded.charAt(j)
+        if (ch.isWhitespace) { if (sb.nonEmpty) pendingSpace = true }
+        else { if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(ch) }
+        j += 1
+      }
+      val t = sb.toString
       if (t.nonEmpty)
         out += Block(kind, level, t, wordCount, linkWordCount, "")
       textBuf.clear(); wordCount = 0; linkWordCount = 0
@@ -121,8 +131,19 @@ object HtmlExtractor {
     }
 
     val n = html.length
-    val lowerHtml = html.toLowerCase // once — used for close-tag scans
     var i = 0
+
+    // case-insensitive indexOf without copying the page to lowercase
+    def indexOfIC(target: String, from: Int): Int = {
+      val tn = target.length
+      var k = from
+      val last = n - tn
+      while (k <= last) {
+        if (html.regionMatches(true, k, target, 0, tn)) return k
+        k += 1
+      }
+      -1
+    }
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
@@ -140,7 +161,7 @@ object HtmlExtractor {
             if (!isEnd && SkipTags.contains(rawName)) {
               // skip to matching close tag (no nesting of raw-text tags)
               val endTag = "</" + rawName
-              val e = lowerHtml.indexOf(endTag, close + 1)
+              val e = indexOfIC(endTag, close + 1)
               i = if (e < 0) n else html.indexOf('>', e) match {
                 case -1 => n
                 case k  => k + 1
@@ -150,7 +171,7 @@ object HtmlExtractor {
                 // flush pending text, capture the table verbatim
                 flush(if (headingLevel > 0) "heading" else "paragraph",
                   headingLevel)
-                val e = lowerHtml.indexOf("</table", close + 1)
+                val e = indexOfIC("</table", close + 1)
                 val tableEnd =
                   if (e < 0) n
                   else html.indexOf('>', e) match {
@@ -222,8 +243,13 @@ object HtmlExtractor {
           curr.words > 40 || nW > 17
     }
 
-  /** Full extraction for one page payload. */
-  def extract(htmlBytes: Array[Byte]): ExtractedContent = {
+  /** Full extraction for one page payload.
+    *
+    * @param needMain when false, skip assembling the boilerplate-stripped
+    *                 main_text + spans (the records pipeline only needs
+    *                 page_md — saves ~a third of the string work)
+    */
+  def extract(htmlBytes: Array[Byte], needMain: Boolean = true): ExtractedContent = {
     val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
     if (html.trim.isEmpty)
       return ExtractedContent("", "", Nil, 0, "empty", "")
@@ -239,6 +265,8 @@ object HtmlExtractor {
         case _       => md.append(b.text)
       }
     }
+    if (!needMain)
+      return ExtractedContent(md.toString, "", Nil, bs.length, "html", "")
     // main_text + spans: content blocks only
     val mainBuf = new StringBuilder
     val spans = ArrayBuffer.empty[Span]

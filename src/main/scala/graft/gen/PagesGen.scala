@@ -220,24 +220,34 @@ trailer << /Root 1 0 R >>
     }
   }
 
-  /** The page for (seed, idx) — the single source of truth. */
-  def pageFor(idx: Long, seed: Long = 42L): Page = {
+  /** The page for (seed, idx) — the single source of truth.
+    *
+    * @param boost size multiplier: appends (boost-1) extra long filler
+    *              paragraphs so benchmark pages approximate real
+    *              Common-Crawl page sizes (~10-50 KB) while staying
+    *              deterministic. boost=1 (tests) keeps pages ~2 KB.
+    */
+  def pageFor(idx: Long, seed: Long = 42L, boost: Int = 1): Page = {
     val rng = rngFor(seed, idx)
     val h = host(rng, idx)
+    val filler =
+      if (boost <= 1) ""
+      else (1 until boost)
+        .map(_ => s"<p>${sentence(rng, 120)}</p>").mkString
     val cls = (idx % 100).toInt
     val (payload, lang): (Array[Byte], String) = cls match {
       case c if c < 25 =>
-        (htmlPage(rng, positionsBody(rng)).getBytes("UTF-8"), "en")
+        (htmlPage(rng, positionsBody(rng) + filler).getBytes("UTF-8"), "en")
       case c if c < 45 =>
-        (htmlPage(rng, transactionBody(rng, fxHeavy = false)).getBytes("UTF-8"), "en")
+        (htmlPage(rng, transactionBody(rng, fxHeavy = false) + filler).getBytes("UTF-8"), "en")
       case c if c < 55 =>
-        (htmlPage(rng, transactionBody(rng, fxHeavy = true)).getBytes("UTF-8"), "en")
+        (htmlPage(rng, transactionBody(rng, fxHeavy = true) + filler).getBytes("UTF-8"), "en")
       case c if c < 65 =>
-        (htmlPage(rng, othersBody(rng)).getBytes("UTF-8"), "en")
+        (htmlPage(rng, othersBody(rng) + filler).getBytes("UTF-8"), "en")
       case c if c < 75 =>
-        (htmlPage(rng, ignoreBody(rng)).getBytes("UTF-8"), "en")
+        (htmlPage(rng, ignoreBody(rng) + filler).getBytes("UTF-8"), "en")
       case c if c < 85 =>
-        (htmlPage(rng, boilerplateBody(rng)).getBytes("UTF-8"),
+        (htmlPage(rng, boilerplateBody(rng) + filler).getBytes("UTF-8"),
           Vector("en", "de", "fr")(rng.nextInt(3)))
       case c if c < 93 =>
         (buildPdf(pdfLines(rng, positions = rng.nextBoolean())), "en")
@@ -255,9 +265,9 @@ trailer << /Root 1 0 R >>
 
   /** Distributed generation: pure function of the range index. */
   def pages(spark: org.apache.spark.sql.SparkSession, n: Long,
-      seed: Long = 42L, partitions: Int = 32)
+      seed: Long = 42L, partitions: Int = 32, boost: Int = 1)
       : org.apache.spark.sql.Dataset[Page] = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map(i => pageFor(i, seed))
+    spark.range(0, n, 1, partitions).map(i => pageFor(i, seed, boost))
   }
 }

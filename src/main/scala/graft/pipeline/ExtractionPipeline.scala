@@ -42,12 +42,19 @@ object ExtractionPipeline {
     * reused across all rows of a partition (the reference's
     * model-resident-per-process analogue, run.py:133-137).
     */
-  def pageTexts(pages: Dataset[Page], partitions: Int = 32): Dataset[PageText] = {
+  def pageTexts(pages: Dataset[Page], partitions: Int = 32,
+      needMain: Boolean = true): Dataset[PageText] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages
-      .repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
-      .mapPartitions(_.map(ContentExtractor.extractPage))
+    // X4: explicit url-hash partitioning for balanced extraction work.
+    // partitions <= 0 skips the shuffle (use when the source is already
+    // evenly split by the scan — at 100 TB, shuffling raw page bytes is
+    // only worth it for skewed inputs; the later window shuffle moves
+    // only thin segmentation rows either way).
+    val balanced =
+      if (partitions > 0) pages.repartition(partitions, col("url"))
+      else pages
+    balanced.mapPartitions(_.map(ContentExtractor.extractPage(_, needMain)))
   }
 
   /** Stage 2: page-level classification + page-context extraction (G4:
@@ -338,10 +345,14 @@ object ExtractionPipeline {
       .drop("mc", "stitched", "seg_id", "_rl")
   }
 
-  /** Full pipeline: pages → records. */
+  /** Full pipeline: pages → records. Record extraction needs only the
+    * page_md transcription, so the boilerplate-scored main_text is not
+    * assembled here (needMain=false).
+    */
   def records(pages: Dataset[Page], rs: RuleSet = RuleSets.plugin,
       partitions: Int = 32): DataFrame =
-    recordsFromClassified(classifyPages(pageTexts(pages, partitions), rs), rs)
+    recordsFromClassified(
+      classifyPages(pageTexts(pages, partitions, needMain = false), rs), rs)
 
   /** Byte-identity artifact: url → (main_text, spans). */
   def mainTexts(pages: Dataset[Page], partitions: Int = 32): DataFrame =
