@@ -50,7 +50,7 @@ object Bench {
     * actual pipeline — not synthetic-page generation.
     */
   private def ensurePagesTable(spark: SparkSession, n: Long, boost: Int): String = {
-    val path = s"/tmp/graft_bench_pages_${n}_$boost"
+    val path = s"/dev/shm/graft_bench_pages_${n}_$boost"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       PagesGen.pages(spark, n, 42, 128, boost)
         .write.mode("overwrite").parquet(path)

@@ -51,7 +51,10 @@ object BenchCluster {
 
   /** Materialize the bucketed pages table (64 bucket dirs). */
   def ensureBucketedTable(nPages: Long, boost: Int): String = {
-    val path = s"/tmp/graft_bench_bucketed_${nPages}_$boost"
+    // tmpfs: the sandbox virtio disk caps at ~200 MB/s and both fleet
+    // widths saturate it; a real cluster's input bandwidth scales with
+    // nodes, so the engine benchmark reads from RAM-backed storage
+    val path = s"/dev/shm/graft_bench_bucketed_${nPages}_$boost"
     if (!new File(path + "/_SUCCESS").exists()) {
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master("local[32]")
@@ -82,8 +85,12 @@ object BenchCluster {
       "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val procs = (0 until executors).map { i =>
+      // ActiveProcessorCount = the executor's core allowance — without it
+      // every child sizes GC/JIT/netty pools for all 32 host cores and
+      // 8 children oversubscribe the box (a real cluster pins a cpuset)
       val cmd = Seq(javaBin, s"-Xmx$heap", s"-Xms$heap",
-        "-XX:+AlwaysPreTouch", "-Dspark.ui.enabled=false") ++ addOpens ++
+        "-XX:+AlwaysPreTouch", s"-XX:ActiveProcessorCount=$threads",
+        "-Dspark.ui.enabled=false") ++ addOpens ++
         Seq("-cp", cp, "graft.BenchCluster", "--child", pagesPath,
           threads.toString, i.toString, executors.toString)
       val sb = new StringBuilder
@@ -107,12 +114,23 @@ object BenchCluster {
     }
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "800000").toLong
     val boost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "8").toInt
-    val threads = 4
+    val threads = sys.env.getOrElse("SPARK_GRAFT_EXEC_THREADS", "4").toInt
+    val execN = sys.env.getOrElse("SPARK_GRAFT_EXEC_N", "2").toInt
+    val heap = sys.env.getOrElse("SPARK_GRAFT_EXEC_HEAP", "6g")
     val path = ensureBucketedTable(nPages, boost)
-    // N = 2 executors, 4N = 8 executors, 4 threads each
-    val tN = runFleet(path, 2, threads, "6g").max
-    val t4N = runFleet(path, 8, threads, "6g").max
+    // N executors vs 4N executors, same threads/heap per executor.
+    // Interleaved median-of-k: the host shows multi-x noise spikes.
+    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val trials = (1 to k).map { _ =>
+      val a = runFleet(path, execN, threads, heap).max
+      val b = runFleet(path, execN * 4, threads, heap).max
+      System.err.println(f"[cluster] trial tN=$a%.2f t4N=$b%.2f")
+      (a, b)
+    }
+    val tN = median(trials.map(_._1))
+    val t4N = median(trials.map(_._2))
     val eff = (tN / t4N) / 4.0
-    println(f"""{"mode":"multi-process","pages":$nPages,"boost":$boost,"executors_N":2,"executors_4N":8,"threads_per_exec":$threads,"sec_N":$tN%.3f,"sec_4N":$t4N%.3f,"docs_per_sec_N":${nPages / tN}%.1f,"docs_per_sec_4N":${nPages / t4N}%.1f,"scaling_efficiency":$eff%.3f}""")
+    println(f"""{"mode":"multi-process","pages":$nPages,"boost":$boost,"executors_N":$execN,"executors_4N":${execN * 4},"threads_per_exec":$threads,"sec_N":$tN%.3f,"sec_4N":$t4N%.3f,"docs_per_sec_N":${nPages / tN}%.1f,"docs_per_sec_4N":${nPages / t4N}%.1f,"scaling_efficiency":$eff%.3f}""")
   }
 }

@@ -320,7 +320,15 @@ object SparkEntry {
         "embedding", threshold = 0.2, planes = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("cosine").desc, col("a"), col("b"))
-        .limit(50))
+        .limit(50)),
+    // A3: error statistics by code/stage over the pipeline event log
+    "q30_event_stats" -> ((s, d) =>
+      ExtractionPipeline.events(
+        ExtractionPipeline.classifyPages(
+          ExtractionPipeline.pageTexts(PagesGen.pages(s, 600, 42, 8), 8)))
+        .groupBy(col("level"), col("code"), col("stage"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("level", "code", "stage"))
   )
 
   // ---- DuckDB oracles ----

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.{GraftFunctions, IsinValid, Md5Prefix32}
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("IsinValid: known-valid ISINs pass, corrupted fail") {
+    // public, well-known ISINs with correct check digits
+    val valid = Seq("US0378331005", "US5949181045", "DE0005140008",
+      "GB0002634946", "CH0012032048")
+    valid.foreach(i => assert(IsinValid.check(i), i))
+    assert(!IsinValid.check("US0378331004")) // wrong check digit
+    assert(!IsinValid.check("us0378331005")) // lowercase country
+    assert(!IsinValid.check("US03783310056")) // wrong length
+    assert(!IsinValid.check(null))
+  }
+
+  test("IsinValid as Column: codegen path matches scalar") {
+    import spark.implicits._
+    val data = Seq("US0378331005", "US0378331004", "XXNOPE", "DE0005140008")
+    val got = data.toDF("s").select(IsinValid($"s")).as[Boolean]
+      .collect().toSeq
+    assert(got === data.map(IsinValid.check))
+  }
+
+  test("Md5Prefix32 == conv(substring(md5))") {
+    import spark.implicits._
+    val data = Seq("hello", "a", "", "The quick brown fox", "日本語")
+    val df = data.toDF("s")
+    val native = df.select(Md5Prefix32($"s")).as[Long].collect().toSeq
+    val builtin = df.select(
+      conv(substring(md5($"s"), 1, 8), 16, 10).cast("long")).as[Long]
+      .collect().toSeq
+    assert(native === builtin)
+    // and matches the Dedup.tokHash used by the DuckDB-verified minhash
+    val viaDedup = df.select(Dedup.tokHash($"s")).as[Long].collect().toSeq
+    assert(native === viaDedup)
+  }
+
+  test("SQL registration works") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT isin_valid('US0378331005'), md5_prefix32('hello')").collect()(0)
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) === 1564557354L) // verified against DuckDB md5
+  }
+}
