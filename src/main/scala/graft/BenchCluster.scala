@@ -9,14 +9,26 @@ import scala.sys.process._
   * N- vs 4N-executor cluster (executors are separate JVMs; a single
   * shared JVM adds GC/futex contention a cluster doesn't have).
   *
-  * Each child warms up, then measures its slice; the cluster job time is
-  * max(child measured times) — executor provisioning (JVM start) is
-  * excluded, as on a long-lived cluster.
+  * Each child warms up, then measures its slice `reps` times; a fleet's
+  * job time is max over children of the per-child rep time — executor
+  * provisioning (JVM start) is excluded, as on a long-lived cluster.
   *
-  * Usage: BenchCluster <pagesPath> <executors> <threadsPerExec>
+  * Executor JVM sizing (what spark.executor.extraJavaOptions would carry
+  * on a real cluster) — measured on this host, full 800k-page table:
+  *  - fixed pre-touched heap, LARGE young gen (-Xmn = 3/4 heap): the
+  *    extraction kernel allocates short-lived strings at a rate that
+  *    makes default-G1 adaptive young sizing collect constantly
+  *    (t32 went 43s → 25s with heap 6g→16g + Xmn12g);
+  *  - spark.local.dir on tmpfs: shuffle on the virtio disk serializes
+  *    all executors at ~200 MB/s (a real cluster's shuffle bandwidth
+  *    scales with nodes; the sandbox disk does not).
+  *
+  * Usage: BenchCluster <env: SPARK_GRAFT_*>
   * Child mode: BenchCluster --child <pagesPath> <threads> <slice> <of>
   */
 object BenchCluster {
+
+  val ShmLocalDir = "/dev/shm/spark-tmp"
 
   def childMain(pagesPath: String, threads: Int, slice: Int, of: Int): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -25,6 +37,7 @@ object BenchCluster {
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", ShmLocalDir)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
@@ -37,14 +50,17 @@ object BenchCluster {
       .filter(_ % of == slice)
       .map(b => s"$pagesPath/bucket=$b")
     def job(): Long = {
-      val pages = spark.read.parquet(dirs: _*).as[graft.model.Page]
+      val pages = spark.read.parquet(dirs.toIndexedSeq: _*).as[graft.model.Page]
       graft.pipeline.ExtractionPipeline.records(pages, partitions = 0).count()
     }
-    job() // warmup (JIT)
-    val t0 = System.nanoTime()
-    val n = job()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"CHILD_RESULT $slice $sec%.3f $n")
+    job() // warmup (JIT + codegen)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CHILD_REPS", "1").toInt
+    (0 until reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = job()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"CHILD_RESULT $slice $r $sec%.3f $n")
+    }
     spark.stop()
     sys.exit(0)
   }
@@ -72,8 +88,12 @@ object BenchCluster {
     path
   }
 
+  /** Launch `executors` child JVMs over disjoint slices; returns for
+    * each rep the max-over-children job seconds (the fleet's wall time
+    * for that pass, on warm executors).
+    */
   def runFleet(pagesPath: String, executors: Int, threads: Int,
-      heap: String): Seq[Double] = {
+      heap: String, young: String, reps: Int): Seq[Double] = {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val cp = sys.props("java.class.path")
     val addOpens = Seq("java.base/java.lang", "java.base/java.lang.invoke",
@@ -88,23 +108,26 @@ object BenchCluster {
       // ActiveProcessorCount = the executor's core allowance — without it
       // every child sizes GC/JIT/netty pools for all 32 host cores and
       // 8 children oversubscribe the box (a real cluster pins a cpuset)
-      val cmd = Seq(javaBin, s"-Xmx$heap", s"-Xms$heap",
+      val cmd = Seq(javaBin, s"-Xmx$heap", s"-Xms$heap", s"-Xmn$young",
         "-XX:+AlwaysPreTouch", s"-XX:ActiveProcessorCount=$threads",
         "-Dspark.ui.enabled=false") ++ addOpens ++
         Seq("-cp", cp, "graft.BenchCluster", "--child", pagesPath,
           threads.toString, i.toString, executors.toString)
       val sb = new StringBuilder
-      val p = Process(cmd).run(ProcessLogger(l => sb.append(l).append('\n'),
-        _ => ()))
+      val p = Process(cmd, None,
+        "SPARK_GRAFT_CHILD_REPS" -> reps.toString)
+        .run(ProcessLogger(l => sb.append(l).append('\n'), _ => ()))
       (p, sb)
     }
-    procs.map { case (p, sb) =>
+    val perChild: Seq[Map[Int, Double]] = procs.map { case (p, sb) =>
       p.exitValue()
-      val line = sb.toString.linesIterator
-        .find(_.startsWith("CHILD_RESULT"))
-        .getOrElse(sys.error(s"child failed: ${sb.toString.take(500)}"))
-      line.split(" ")(2).toDouble
+      val rows = sb.toString.linesIterator
+        .filter(_.startsWith("CHILD_RESULT")).map(_.split(" "))
+        .map(a => a(2).toInt -> a(3).toDouble).toMap
+      if (rows.isEmpty) sys.error(s"child failed: ${sb.toString.take(500)}")
+      rows
     }
+    (0 until reps).map(r => perChild.map(_(r)).max)
   }
 
   def main(args: Array[String]): Unit = {
@@ -112,24 +135,25 @@ object BenchCluster {
       childMain(args(1), args(2).toInt, args(3).toInt, args(4).toInt)
       return
     }
+    new File(ShmLocalDir).mkdirs()
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "800000").toLong
     val boost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "8").toInt
     val threads = sys.env.getOrElse("SPARK_GRAFT_EXEC_THREADS", "4").toInt
     val execN = sys.env.getOrElse("SPARK_GRAFT_EXEC_N", "2").toInt
-    val heap = sys.env.getOrElse("SPARK_GRAFT_EXEC_HEAP", "6g")
+    val heap = sys.env.getOrElse("SPARK_GRAFT_EXEC_HEAP", "8g")
+    val young = sys.env.getOrElse("SPARK_GRAFT_EXEC_YOUNG", "6g")
     val path = ensureBucketedTable(nPages, boost)
     // N executors vs 4N executors, same threads/heap per executor.
-    // Interleaved median-of-k: the host shows multi-x noise spikes.
+    // reps measured passes per fleet launch; medians reported.
     val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val trials = (1 to k).map { _ =>
-      val a = runFleet(path, execN, threads, heap).max
-      val b = runFleet(path, execN * 4, threads, heap).max
-      System.err.println(f"[cluster] trial tN=$a%.2f t4N=$b%.2f")
-      (a, b)
-    }
-    val tN = median(trials.map(_._1))
-    val t4N = median(trials.map(_._2))
+    val tNs = runFleet(path, execN, threads, heap, young, k)
+    val t4Ns = runFleet(path, execN * 4, threads, heap, young, k)
+    System.err.println(
+      s"[cluster] tN reps=${tNs.map(t => f"$t%.2f").mkString(",")} " +
+        s"t4N reps=${t4Ns.map(t => f"$t%.2f").mkString(",")}")
+    val tN = median(tNs)
+    val t4N = median(t4Ns)
     val eff = (tN / t4N) / 4.0
     println(f"""{"mode":"multi-process","pages":$nPages,"boost":$boost,"executors_N":$execN,"executors_4N":${execN * 4},"threads_per_exec":$threads,"sec_N":$tN%.3f,"sec_4N":$t4N%.3f,"docs_per_sec_N":${nPages / tN}%.1f,"docs_per_sec_4N":${nPages / t4N}%.1f,"scaling_efficiency":$eff%.3f}""")
   }

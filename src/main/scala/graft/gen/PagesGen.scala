@@ -96,8 +96,9 @@ object PagesGen {
   private def positionsBody(rng: Random): String = {
     val port = portfolio(rng)
     val client = s"Client ${('A' + rng.nextInt(26)).toChar}. ${Fillers(rng.nextInt(Fillers.length)).capitalize}"
+    // varying statement dates: valuation_date must come from the page
     val intro =
-      s"""<p>Portfolio number $port</p><p>$client</p><p>Statement of assets valued as of 31.07.2025 ${sentence(rng, 18)}</p>"""
+      s"""<p>Portfolio number $port</p><p>$client</p><p>Statement of assets valued as of ${dateStr(rng)} ${sentence(rng, 18)}</p>"""
     val nRows = 2 + rng.nextInt(4)
     val rows = (1 to nRows).flatMap { _ =>
       val ccy = Currencies(rng.nextInt(Currencies.length))
@@ -120,7 +121,8 @@ object PagesGen {
     s"<h1>Detailed positions</h1>$intro$table"
   }
 
-  private def transactionBody(rng: Random, fxHeavy: Boolean): String = {
+  private def transactionBody(rng: Random, fxHeavy: Boolean,
+      heading: String = "Transaction list"): String = {
     val port = portfolio(rng)
     val intro =
       s"""<p>Portfolio number $port</p><p>Client ${('A' + rng.nextInt(26)).toChar}. Holder</p><p>Statement of assets and transactions ${sentence(rng, 14)}</p>"""
@@ -144,7 +146,7 @@ object PagesGen {
     val noise = s"<tr><td>Balance</td><td></td><td>${money(rng)}</td></tr>"
     val table =
       s"<table><thead><tr><th>Date</th><th>Booking text</th><th>Amount</th><th>Description</th><th>Price</th><th>Value date</th><th>Fee</th><th>Total</th></tr></thead><tbody>$rows$noise</tbody></table>"
-    s"<h1>Transaction list</h1>$intro$table"
+    s"<h1>$heading</h1>$intro$table"
   }
 
   private def othersBody(rng: Random): String = {
@@ -195,7 +197,7 @@ trailer << /Root 1 0 R >>
       Seq(
         "# Detailed positions",
         s"Portfolio number $port",
-        "Statement of assets as of 31.07.2025",
+        s"Statement of assets as of ${dateStr(rng)}",
         "| Description | Ccy | Market price | Cost | Market value |",
         "| --- | --- | --- | --- | --- |") ++
         (1 to 2 + rng.nextInt(3)).flatMap { _ =>
@@ -236,20 +238,28 @@ trailer << /Root 1 0 R >>
         .map(_ => s"<p>${sentence(rng, 120)}</p>").mkString
     val cls = (idx % 100).toInt
     val (payload, lang): (Array[Byte], String) = cls match {
-      case c if c < 25 =>
+      case c if c < 22 =>
         (htmlPage(rng, positionsBody(rng) + filler).getBytes("UTF-8"), "en")
-      case c if c < 45 =>
+      case c if c < 38 =>
         (htmlPage(rng, transactionBody(rng, fxHeavy = false) + filler).getBytes("UTF-8"), "en")
-      case c if c < 55 =>
+      case c if c < 46 =>
         (htmlPage(rng, transactionBody(rng, fxHeavy = true) + filler).getBytes("UTF-8"), "en")
-      case c if c < 65 =>
+      // Trade-headed pages (classified "Trade" via "Trade information")
+      case c if c < 52 =>
+        (htmlPage(rng, transactionBody(rng, fxHeavy = false,
+          heading = "Trade information") + filler).getBytes("UTF-8"), "en")
+      // FXTF-headed pages (classified "FXTF" via "FX & TF")
+      case c if c < 58 =>
+        (htmlPage(rng, transactionBody(rng, fxHeavy = true,
+          heading = "FX & TF") + filler).getBytes("UTF-8"), "en")
+      case c if c < 66 =>
         (htmlPage(rng, othersBody(rng) + filler).getBytes("UTF-8"), "en")
-      case c if c < 75 =>
+      case c if c < 74 =>
         (htmlPage(rng, ignoreBody(rng) + filler).getBytes("UTF-8"), "en")
-      case c if c < 85 =>
+      case c if c < 82 =>
         (htmlPage(rng, boilerplateBody(rng) + filler).getBytes("UTF-8"),
           Vector("en", "de", "fr")(rng.nextInt(3)))
-      case c if c < 93 =>
+      case c if c < 91 =>
         (buildPdf(pdfLines(rng, positions = rng.nextBoolean())), "en")
       case c if c < 97 =>
         ((if (rng.nextBoolean()) "" else "   \n  ").getBytes("UTF-8"), "und")

@@ -32,10 +32,11 @@ object ExtractionPipeline {
 
   /** Projection carried into the segmentation flatMap. */
   case class PageForSeg(url: String, page_type: String, portfolio_no: String,
-      client_name: String, page_md: String)
+      client_name: String, as_of_date: String, page_md: String)
 
   case class SegRow(url: String, page_type: String, portfolio_no: String,
-      client_name: String, table_idx: Int, row_idx: Int, cells: Seq[String])
+      client_name: String, as_of_date: String, table_idx: Int, row_idx: Int,
+      cells: Seq[String])
 
   /** Stage 1: explicit url-hash partitioning + per-partition batched
     * content extraction. The kernel objects are JVM-static singletons,
@@ -68,9 +69,12 @@ object ExtractionPipeline {
     // measured 8× slowdown of this stage).
     pt.toDF()
       .withColumn("_header", RuleCompiler.headerCol(md, rs.headerMode))
-      .withColumn("page_type",
+      .withColumn("_pt",
         RuleCompiler.classifyPageFromHeader(col("_header"), rs))
-      .drop("_header")
+      // Others-fallback re-test on the materialized attribute (empty
+      // pages classify "Others" too but produce zero table rows)
+      .withColumn("page_type", RuleCompiler.othersFallbackCol(col("_pt"), md, rs))
+      .drop("_header", "_pt")
       .withColumn("portfolio_no",
         regexp_extract(md, "Portfolio number\\s+(\\d{3}-\\d{6}-\\d{2})", 1))
       .withColumn("client_name",
@@ -79,6 +83,8 @@ object ExtractionPipeline {
           trim(regexp_extract(md,
             "(?s)Portfolio number.*?\\n(.*?)\\n.*?Statement of assets", 1)))
           .otherwise(lit("")))
+      .withColumn("as_of_date",
+        regexp_extract(md, "as of (\\d{2}\\.\\d{2}\\.\\d{4})", 1))
   }
 
   // ---- Column helpers mirroring TextOps/ScalarEvaluator ----
@@ -137,23 +143,28 @@ object ExtractionPipeline {
     // Stage 3a: table-row flatMap (the Generator/UDTF slot) using the
     // SAME shared kernel as the scalar evaluator (G3 repair inside).
     val segRows: Dataset[SegRow] = classified
-      .filter(col("page_type").isin("Positions", "Transaction"))
-      .select("url", "page_type", "portfolio_no", "client_name", "page_md")
+      .filter(col("page_type")
+        .isin("Positions", "Transaction", "Trade", "FXTF", "Others"))
+      .select("url", "page_type", "portfolio_no", "client_name",
+        "as_of_date", "page_md")
       .as[PageForSeg]
       .flatMap { p =>
         ScalarEvaluator.enumerateRows(p.page_type, p.page_md).map {
           case (t, r, cells) =>
-            SegRow(p.url, p.page_type, p.portfolio_no, p.client_name, t, r,
-              cells)
+            SegRow(p.url, p.page_type, p.portfolio_no, p.client_name,
+              p.as_of_date, t, r, cells)
         }
       }
 
     val isPos = col("page_type") === "Positions"
+    val isOth = col("page_type") === "Others"
     val cells = col("cells")
     val rawJoin = concat_ws(" ", cells) // mkString(" ") — empties kept
     val firstCol = trim(element_at(cells, 1))
 
-    // Stage 3b: row filters + main-row detection, all Columns
+    // Stage 3b: row filters + main-row detection, all Columns.
+    // Others keep = the C10 noise filter: ≥2 cells non-empty with an
+    // ASCII alphanumeric (others.py:41-47; scalar twin identical).
     val withFlags = segRows.toDF()
       .withColumn("row_text",
         when(isPos, trim(rawJoin)).otherwise(rawJoin))
@@ -161,6 +172,9 @@ object ExtractionPipeline {
         when(isPos,
           col("row_text") =!= "" &&
             !lower(col("row_text")).startsWith("total"))
+          .when(isOth,
+            size(filter(cells, c =>
+              trim(c) =!= "" && c.rlike("[a-zA-Z0-9]"))) >= 2)
           .otherwise(
             size(cells) > 0 &&
               trim(element_at(cells, 1)).rlike("^" + DatePat) &&
@@ -194,6 +208,7 @@ object ExtractionPipeline {
         first(col("page_type")).as("page_type"),
         first(col("portfolio_no")).as("portfolio_no"),
         first(col("client_name")).as("client_name"),
+        first(col("as_of_date")).as("as_of_date"),
         sort_array(collect_list(struct(
           col("table_idx"), col("row_idx"), col("row_text"), col("cells"))))
           .as("rows"))
@@ -211,6 +226,9 @@ object ExtractionPipeline {
     */
   private def extractFields(segs: DataFrame, rs: RuleSet): DataFrame = {
     val isPos = col("page_type") === "Positions"
+    // Others records carry row_text only — no field extraction, no page
+    // context (others.py:48-59; scalar twin extractOthers)
+    val isOth = col("page_type") === "Others"
     val mc = col("mc")
     val txt = col("stitched")
     val firstCol = trim(element_at(mc, 1))
@@ -264,42 +282,46 @@ object ExtractionPipeline {
     val df = segs
       .withColumn("_rl", lower(txt))
       .withColumn("routed_section",
-        when(isPos, lit("Positions")).otherwise(routed.getField("txn_group")))
+        when(isPos, lit("Positions")).when(isOth, lit("Others"))
+          .otherwise(routed.getField("txn_group")))
       .withColumn("txn_type",
-        when(isPos, lit("Positions")).otherwise(routed.getField("txn_type")))
+        when(isPos, lit("Positions")).when(isOth, lit("Other"))
+          .otherwise(routed.getField("txn_type")))
       .withColumn("txn_type_detail",
-        when(isPos, lit(""))
+        when(isPos || isOth, lit(""))
           .otherwise(RuleCompiler.classifyTxnTypeFromLower(col("_rl"), rs)))
       .withColumn("row_text", txt)
       .withColumn("client_name",
-        when(isPos, lit("")).otherwise(col("client_name")))
+        when(isPos || isOth, lit("")).otherwise(col("client_name")))
       .withColumn("portfolio_no",
         when(isPos, col("portfolio_no")).otherwise(lit("")))
-      .withColumn("trade_date", when(isPos, lit("")).otherwise(tradeDate))
+      .withColumn("trade_date",
+        when(isPos || isOth, lit("")).otherwise(tradeDate))
       .withColumn("settlement_date",
-        when(isPos, lit("")).otherwise(settlement))
+        when(isPos || isOth, lit("")).otherwise(settlement))
       .withColumn("transaction_type_raw",
-        when(isPos, lit(""))
+        when(isPos || isOth, lit(""))
           .otherwise(when(size(mc) > 1, trim(element_at(mc, 2)))
             .otherwise(lit(""))))
       .withColumn("currency",
-        when(isPos, posCurrency).otherwise(tradeCurrency))
+        when(isPos, posCurrency).when(isOth, lit(""))
+          .otherwise(tradeCurrency))
       .withColumn("quantity", when(isPos, posQty).otherwise(lit("")))
       .withColumn("security_name",
-        when(isPos, posName)
+        when(isPos, posName).when(isOth, lit(""))
           .otherwise(when(size(mc) > 3, element_at(mc, 4)).otherwise(lit(""))))
-      .withColumn("securities_id", isin)
-      .withColumn("account_no", account)
+      .withColumn("securities_id", when(isOth, lit("")).otherwise(isin))
+      .withColumn("account_no", when(isOth, lit("")).otherwise(account))
       .withColumn("foreign_unit_price",
-        when(isPos, lit(""))
+        when(isPos || isOth, lit(""))
           .otherwise(when(size(mc) > 4, element_at(mc, 5)).otherwise(lit(""))))
       .withColumn("foreign_gross_consideration",
-        when(isPos, lit(""))
+        when(isPos || isOth, lit(""))
           .otherwise(when(size(mc) > 7, element_at(mc, 8)).otherwise(lit(""))))
       .withColumn("foreign_net_consideration",
-        when(isPos, lit("")).otherwise(tradeNet))
+        when(isPos || isOth, lit("")).otherwise(tradeNet))
       .withColumn("net_consideration",
-        when(isPos, lit("")).otherwise(tradeNet))
+        when(isPos || isOth, lit("")).otherwise(tradeNet))
       .withColumn("market_price",
         when(isPos && size(mc) > 2, element_at(mc, 3)).otherwise(lit("")))
       .withColumn("market_value",
@@ -307,11 +329,15 @@ object ExtractionPipeline {
       .withColumn("cost_price",
         when(isPos && size(mc) > 4, element_at(mc, 5)).otherwise(lit("")))
       .withColumn("valuation_date",
-        when(isPos, lit("31.07.2025")).otherwise(lit("")))
-      .withColumn("currency_buy", when(isPos, lit("")).otherwise(buyCcy))
-      .withColumn("amount_buy", when(isPos, lit("")).otherwise(buyAmt))
-      .withColumn("currency_sell", when(isPos, lit("")).otherwise(sellCcy))
-      .withColumn("amount_sell", when(isPos, lit("")).otherwise(sellAmt))
+        when(isPos, col("as_of_date")).otherwise(lit("")))
+      .withColumn("currency_buy",
+        when(isPos || isOth, lit("")).otherwise(buyCcy))
+      .withColumn("amount_buy",
+        when(isPos || isOth, lit("")).otherwise(buyAmt))
+      .withColumn("currency_sell",
+        when(isPos || isOth, lit("")).otherwise(sellCcy))
+      .withColumn("amount_sell",
+        when(isPos || isOth, lit("")).otherwise(sellAmt))
 
     // Stage 7: validation + normalization + C12 downgrade
     val valErrs = array_compact(array(
@@ -342,7 +368,7 @@ object ExtractionPipeline {
           .when(col("routed_section") === "Positions" &&
             col("market_value") === "", lit("Others"))
           .otherwise(col("routed_section")))
-      .drop("mc", "stitched", "seg_id", "_rl")
+      .drop("mc", "stitched", "seg_id", "_rl", "as_of_date")
   }
 
   /** Full pipeline: pages → records. Record extraction needs only the

@@ -41,9 +41,13 @@ object ScalarEvaluator {
           if (firstH.nonEmpty && (firstH.head.isDigit ||
               TextOps.startsWithCurrency(firstH))) t.headers +: t.rows
           else t.rows
-        case "Transaction" if t.headers.nonEmpty &&
+        // Trade/FXTF-classified pages carry the same transaction-row
+        // shape; TradeInformationPlugin applies the identical
+        // date-in-header repair (trade_information.py:67-74).
+        case ("Transaction" | "Trade" | "FXTF") if t.headers.nonEmpty &&
             TextOps.extractDates(t.headers.head).nonEmpty =>
           t.headers +: t.rows
+        // Others iterates data rows only (others.py:43), like default
         case _ => t.rows
       }
       rows.zipWithIndex.map { case (cells, rIdx) => (tIdx, rIdx, cells) }
@@ -59,51 +63,81 @@ object ScalarEvaluator {
 
   def processMd(url: String, pageMd: String, rs: RuleSet): Seq[ExtractedRecord] = {
     if (pageMd.isEmpty) return Nil
-    val pageType = ScalarRules.classifyPage(pageMd, rs)
-    if (pageType == "Ignore" || pageType == "Unknown") return Nil
+    val pageType = ScalarRules.effectivePageType(pageMd, rs)
 
     val portfolioNo = TextOps.extractPortfolioNo(pageMd).getOrElse("")
     val clientName = TextOps.extractClientName(pageMd).getOrElse("")
+    val asOfDate = TextOps.extractAsOfDate(pageMd).getOrElse("")
     val out = ArrayBuffer.empty[ExtractedRecord]
 
-    if (pageType == "Positions") {
-      // orchestrator.py:58-137 — stateful main/continuation stitching
-      val segs = ArrayBuffer.empty[Seg]
-      enumerateRows(pageType, pageMd).foreach { case (tIdx, rIdx, cells) =>
-        val rowText = cells.mkString(" ").trim
-        if (rowText.nonEmpty && !TextOps.lower(rowText).startsWith("total")) {
-          val firstCol = cells.headOption.getOrElse("").trim
-          val isMain = firstCol.nonEmpty &&
-            (firstCol.head.isDigit || TextOps.startsWithCurrency(firstCol)) &&
-            !TextOps.startsWithDate(firstCol)
-          if (isMain) segs += Seg(cells, rowText, tIdx, rIdx)
-          else if (segs.nonEmpty) segs.last.text += " " + rowText
-        }
-      }
-      segs.foreach { s =>
-        out += extractPositions(url, pageType, s.cells, s.text, portfolioNo)
-      }
-    } else if (pageType == "Transaction") {
-      // orchestrator.py:139-188 — per-row records
-      enumerateRows(pageType, pageMd).foreach { case (_, _, cells) =>
-        if (cells.nonEmpty) {
-          val validDate = TextOps.startsWithDate(cells.head.trim)
-          val hasType = cells.length > 1 && cells(1).trim.nonEmpty
-          if (validDate && hasType) {
-            val rowText = cells.mkString(" ")
-            val (group, ttype) = ScalarRules.classifyRecord(rowText, rs)
-            out += extractTrade(url, pageType, group, ttype, cells, rowText,
-              clientName, rs)
+    pageType match {
+      case "Positions" =>
+        // orchestrator.py:58-137 — stateful main/continuation stitching
+        val segs = ArrayBuffer.empty[Seg]
+        enumerateRows(pageType, pageMd).foreach { case (tIdx, rIdx, cells) =>
+          val rowText = cells.mkString(" ").trim
+          if (rowText.nonEmpty && !TextOps.lower(rowText).startsWith("total")) {
+            val firstCol = cells.headOption.getOrElse("").trim
+            // ASCII digit, matching the Column twin's `^[0-9]` exactly
+            // (deviation from Python's Unicode isdigit, documented:
+            // the parity contract between the two backends wins)
+            val isMain = firstCol.nonEmpty &&
+              ((firstCol.head >= '0' && firstCol.head <= '9') ||
+                TextOps.startsWithCurrency(firstCol)) &&
+              !TextOps.startsWithDate(firstCol)
+            if (isMain) segs += Seg(cells, rowText, tIdx, rIdx)
+            else if (segs.nonEmpty) segs.last.text += " " + rowText
           }
         }
-      }
+        segs.foreach { s =>
+          out += extractPositions(url, pageType, s.cells, s.text, portfolioNo,
+            asOfDate)
+        }
+      case "Transaction" | "Trade" | "FXTF" =>
+        // orchestrator.py:139-188 — per-row records. Trade/FXTF pages
+        // share the transaction-row shape (trade_information.py:81-85);
+        // per-row classify_record routes FX rows regardless of page type.
+        enumerateRows(pageType, pageMd).foreach { case (_, _, cells) =>
+          if (cells.nonEmpty) {
+            val validDate = TextOps.startsWithDate(cells.head.trim)
+            val hasType = cells.length > 1 && cells(1).trim.nonEmpty
+            if (validDate && hasType) {
+              val rowText = cells.mkString(" ")
+              val (group, ttype) = ScalarRules.classifyRecord(rowText, rs)
+              out += extractTrade(url, pageType, group, ttype, cells, rowText,
+                clientName, rs)
+            }
+          }
+        }
+      case "Others" =>
+        // OthersPlugin.extract (others.py:33-63): all table rows; keep
+        // rows with ≥2 cells that are non-empty and contain an ASCII
+        // alphanumeric (C10 noise filter; ASCII to match the Column twin)
+        enumerateRows(pageType, pageMd).foreach { case (_, _, cells) =>
+          val content = cells.count(c => c.trim.nonEmpty &&
+            c.exists(ch => (ch >= 'a' && ch <= 'z') ||
+              (ch >= 'A' && ch <= 'Z') || (ch >= '0' && ch <= '9')))
+          if (content >= 2) out += extractOthers(url, pageType, cells)
+        }
+      case _ => // Ignore / Unknown — no records (orchestrator.py:20-21)
     }
     out.toSeq.map(validate)
   }
 
-  /** PositionsPlugin.extract_row (positions.py:176-250). */
+  /** OthersPlugin row record (others.py:48-59): generic columns only —
+    * no field extraction, no page context.
+    */
+  def extractOthers(url: String, pageType: String,
+      cells: Seq[String]): ExtractedRecord =
+    ExtractedRecord.empty(url, pageType).copy(
+      routed_section = "Others", target_section = "Others",
+      txn_type = "Other", row_text = cells.mkString(" "))
+
+  /** PositionsPlugin.extract_row (positions.py:176-250). `asOfDate` is
+    * the page-level "as of DD.MM.YYYY" statement date (G4 context).
+    */
   def extractPositions(url: String, pageType: String, cells: Seq[String],
-      rowText: String, portfolioNo: String): ExtractedRecord = {
+      rowText: String, portfolioNo: String, asOfDate: String): ExtractedRecord = {
     val firstCol = cells.headOption.getOrElse("").trim
     var currency = ""
     var quantity = ""
@@ -134,7 +168,7 @@ object ScalarEvaluator {
     ExtractedRecord.empty(url, pageType).copy(
       routed_section = "Positions", target_section = "Positions",
       txn_type = "Positions", row_text = rowText,
-      portfolio_no = portfolioNo, valuation_date = "31.07.2025",
+      portfolio_no = portfolioNo, valuation_date = asOfDate,
       currency = currency, quantity = quantity, security_name = name,
       securities_id = isin, account_no = account,
       market_price = marketPrice, market_value = marketValue,

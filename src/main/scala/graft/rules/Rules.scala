@@ -78,23 +78,44 @@ case class RuleSet(
     headerMode: HeaderMode,
     pageRules: Seq[PageRule],
     recordRules: Seq[RecordRule],
-    txnTypeRules: Seq[TxnTypeRule]) {
-  // priority desc; fallback rules only set the default (classifier loop
-  // `continue`s past them — page_classifier.py:22-24).
+    txnTypeRules: Seq[TxnTypeRule],
+    /** OthersPlugin.identify semantics (others.py:9-29): pages that hit
+      * the page fallback are re-routed to "Others" unless their text
+      * starts with an excluded header. Plugin variant only.
+      */
+    othersFallback: Boolean = false,
+    othersExcludedPrefixes: Seq[String] = RuleSet.DefaultOthersExcluded) {
+  // priority desc; fallback rules only set the default. The reference
+  // loop reassigns the default on EVERY fallback rule it passes
+  // (priority desc, page_classifier.py:22-24), so with several fallback
+  // rules the LAST one in priority-desc order wins.
   val sortedPageRules: Seq[PageRule] = pageRules.sortBy(-_.priority)
   val sortedRecordRules: Seq[RecordRule] = recordRules.sortBy(-_.priority)
   val sortedTxnRules: Seq[TxnTypeRule] = txnTypeRules.sortBy(-_.priority)
   def pageFallback: String =
-    sortedPageRules.find(_.fallback).map(_.pageType).getOrElse(defaultPage)
+    sortedPageRules.filter(_.fallback).lastOption.map(_.pageType)
+      .getOrElse(defaultPage)
   def recordFallback: (String, String) =
-    sortedRecordRules.find(_.fallback).map(r => (r.outputGroup, r.output))
+    sortedRecordRules.filter(_.fallback).lastOption
+      .map(r => (r.outputGroup, r.output))
       .getOrElse(defaultRecord)
+  def txnFallback: String =
+    sortedTxnRules.filter(_.fallback).lastOption.map(_.output)
+      .getOrElse("Other")
   // built-in defaults when no fallback rule exists: soa router defaults
   // ("Others","Other") at record_router.py:6-7; plugin router defaults
   // ("Trade","Trade") at pipeline/record_router.py:5-6.
   def defaultPage: String = "Ignore"
   def defaultRecord: (String, String) =
     if (headerMode == SoaHeader) ("Others", "Other") else ("Trade", "Trade")
+}
+
+object RuleSet {
+  /** The 7 page headers OthersPlugin refuses to claim (others.py:13-21). */
+  val DefaultOthersExcluded: Seq[String] = Seq(
+    "# Performance", "# Table of contents", "# Asset evaluations",
+    "# Asset allocation", "# Document Title", "# Important information",
+    "# Portfolio overview")
 }
 
 /** The two reference rule configurations, encoded as data (the rule
@@ -154,8 +175,11 @@ object RuleSets {
       "new inv"), output = "New investment"),
     TxnTypeRule("Other", 0, fallback = true, output = "Other"))
 
+  // Others-fallback is the plugin family's behavior (others.py:9-29);
+  // the soa path drops fallback-classified pages (run.py:189-196).
   val plugin: RuleSet =
-    RuleSet("plugin", PluginHeader, pageRules, recordRules, txnRules)
+    RuleSet("plugin", PluginHeader, pageRules, recordRules, txnRules,
+      othersFallback = true)
   val soa: RuleSet =
     RuleSet("soa", SoaHeader, pageRules, recordRules, txnRules)
 }
@@ -187,6 +211,25 @@ object ScalarRules {
       .map(_.pageType).getOrElse(rs.pageFallback)
   }
 
+  /** OthersPlugin.identify (others.py:9-29): a fallback-classified page
+    * is claimed by "Others" unless its text (leading ASCII whitespace
+    * stripped, matching the Column twin's regexp `^\s+`) starts with an
+    * excluded header.
+    */
+  def isOthersPage(text: String, rs: RuleSet): Boolean = {
+    val t = text.dropWhile(c => c == ' ' || c == '\t' || c == '\n' ||
+      c == '\r' || c == '\u000B' || c == '\f')
+    rs.othersFallback && !rs.othersExcludedPrefixes.exists(t.startsWith)
+  }
+
+  /** classifyPage + the Others-fallback re-test — the page type the
+    * extraction pipeline routes on.
+    */
+  def effectivePageType(text: String, rs: RuleSet): String = {
+    val base = classifyPage(text, rs)
+    if (base == rs.pageFallback && isOthersPage(text, rs)) "Others" else base
+  }
+
   /** Returns (group, type). */
   def classifyRecord(rowText: String, rs: RuleSet): (String, String) = {
     val rl = lower(rowText)
@@ -206,8 +249,7 @@ object ScalarRules {
         !r.excludeIfContains.exists(e => rl.contains(lower(e)))
       }
       .map(_.output)
-      .getOrElse(rs.sortedTxnRules.find(_.fallback).map(_.output)
-        .getOrElse("Other"))
+      .getOrElse(rs.txnFallback)
   }
 
   /** (isFx, fxType) — FX-only subset, rule order preserved (fx_tf.py:32-59). */
@@ -270,6 +312,22 @@ object RuleCompiler {
   def classifyPage(text: Column, rs: RuleSet): Column =
     classifyPageFromHeader(headerCol(text, rs.headerMode), rs)
 
+  /** Others-fallback re-test (ScalarRules.effectivePageType twin):
+    * `pageType` must be an ALREADY-MATERIALIZED classification attribute
+    * (see classifyPageFromHeader note). Identity when the rule set has
+    * othersFallback disabled.
+    */
+  def othersFallbackCol(pageType: Column, md: Column, rs: RuleSet): Column =
+    if (!rs.othersFallback) pageType
+    else {
+      val stripped = regexp_replace(md, "^\\s+", "")
+      val excluded = rs.othersExcludedPrefixes
+        .map(p => stripped.startsWith(lit(p)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      when(pageType === lit(rs.pageFallback) && !excluded, lit("Others"))
+        .otherwise(pageType)
+    }
+
   /** struct(txn_group, txn_type) from a pre-lowered row-text column
     * (materialize `lower(text)` once in hot paths — see
     * classifyPageFromHeader note).
@@ -291,8 +349,7 @@ object RuleCompiler {
 
   /** txn type (with exclude_if_contains) from a pre-lowered column. */
   def classifyTxnTypeFromLower(rl: Column, rs: RuleSet): Column = {
-    val fb = lit(rs.sortedTxnRules.find(_.fallback).map(_.output)
-      .getOrElse("Other"))
+    val fb = lit(rs.txnFallback)
     rs.sortedTxnRules.filterNot(_.fallback).foldRight(fb) { (r, elseCol) =>
       val hit = containsAnyLower(rl, r.matchAny) &&
         !containsAnyLower(rl, r.excludeIfContains)

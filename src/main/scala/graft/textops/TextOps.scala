@@ -138,6 +138,16 @@ object TextOps {
     if (m.find()) Some(m.group(1)) else None
   }
 
+  /** Page-level statement date: `as of DD.MM.YYYY` ("Statement of
+    * assets valued as of …" — the reference takes the valuation date
+    * from the page, not from config).
+    */
+  private val asOfPat = Pattern.compile("as of (\\d{2}\\.\\d{2}\\.\\d{4})")
+  def extractAsOfDate(text: String): Option[String] = {
+    val m = asOfPat.matcher(text)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
   /** All `DD.MM.YYYY` dates in order (trade_information.py:217-226). */
   private val datePat = Pattern.compile("\\d{2}\\.\\d{2}\\.\\d{4}")
   def extractDates(text: String): Seq[String] = {

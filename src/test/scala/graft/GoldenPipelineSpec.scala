@@ -70,12 +70,20 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(recs.nonEmpty)
     val sections = recs.map(_.target_section).toSet
     assert(sections.contains("Positions"))
+    assert(sections.contains("Others"))
+    // all four classified page routes produce records
+    val pageTypes = recs.map(_.page_type).toSet
+    assert(Set("Positions", "Transaction", "Trade", "FXTF", "Others")
+      .subsetOf(pageTypes), s"page types routed: $pageTypes")
     val types = recs.map(_.txn_type).toSet
     // the generator must exercise the rule space
     assert(types.intersect(Set("Buy", "Sell", "FX Spot", "FX Forward",
       "UBS Call Deposit")).size >= 4, s"types seen: $types")
     assert(recs.exists(_.securities_id.nonEmpty))
     assert(recs.exists(_.portfolio_no.nonEmpty))
+    // valuation_date comes from the page and varies across pages
+    assert(recs.filter(_.page_type == "Positions")
+      .map(_.valuation_date).filter(_.nonEmpty).toSet.size > 1)
     assert(recs.exists(_.validation_errors.nonEmpty) ||
       recs.forall(_.validation_errors.isEmpty))
   }
