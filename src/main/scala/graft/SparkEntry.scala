@@ -3,7 +3,7 @@ package graft
 import graft.gen.PagesGen
 import graft.ops.{Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
 import graft.pipeline.ExtractionPipeline
-import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets, TxnTypeRule}
+import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -57,6 +57,45 @@ object SparkEntry {
       PageRule(0, "OtherDoc", fallback = true)),
     recordRules = RuleSets.plugin.recordRules,
     txnTypeRules = RuleSets.plugin.txnTypeRules)
+
+  /** Booking texts for the q31 synthesized routing pages — exercises the
+    * record-rule space (FX, Sell, Buy, UBS, Positions-increase, fallback).
+    */
+  private val RouteBookings = Seq(
+    "FX FORWARD deal", "FX SPOT conversion", "SPOT conversion deal",
+    "YOUR SALE of units", "NEW ISSUE PURCHASE", "REDUCTION of deposit",
+    "Portfolio increase booked", "new investment subscription",
+    "Coupon payment received")
+
+  /** S8 sheet-name mapping (run_hard_core.py:47-54), section → sheet. */
+  private val SheetNames = Seq(
+    "Trade" -> "Trade", "Trade information" -> "Trade",
+    "FXTF" -> "FX & TF", "FX & TF" -> "FX & TF",
+    "Others" -> "Others", "Positions" -> "Positions")
+
+  private def sheetNameCol(section: Column): Column =
+    SheetNames.foldRight(section) { case ((from, to), els) =>
+      when(section === lit(from), lit(to)).otherwise(els)
+    }
+
+  /** q31 synthesized page text, shared construction (see oracle twin):
+    * one '#' header line (did%5 selects the page family) + three
+    * markdown pipe rows (two routable, one noise).
+    */
+  private def routePageCol(did: Column, booking1: Column,
+      booking2: Column): Column = {
+    val header = when(pmod(did, lit(5)) === 0, lit("# Transaction list"))
+      .when(pmod(did, lit(5)) === 1, lit("# Trade information"))
+      .when(pmod(did, lit(5)) === 2, lit("# FX & TF"))
+      .when(pmod(did, lit(5)) === 3, lit("# Account summary")) // Others fallback
+      .otherwise(lit("# Table of contents")) // excluded → Ignore
+    concat_ws("\n", header,
+      concat(lit("| 01.02.2024 | "), booking1,
+        lit(" | USD 1'250.00 | ISIN US0000000001 |")),
+      lit("| Balance |  |  |  |"),
+      concat(lit("| 15.03.2024 | "), booking2,
+        lit(" | EUR 900.00 | note text |")))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: grouped aggregation with partial/final hash agg
@@ -321,23 +360,180 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("cosine").desc, col("a"), col("b"))
         .limit(50)),
-    // A3: error statistics by code/stage over the pipeline event log
-    "q30_event_stats" -> ((s, d) =>
-      ExtractionPipeline.events(
-        ExtractionPipeline.classifyPages(
-          ExtractionPipeline.pageTexts(PagesGen.pages(s, 600, 42, 8), 8)))
+    // A3: error statistics by code/stage over the pipeline event log —
+    // page-stage + record-stage (route/validate) events unioned
+    "q30_event_stats" -> ((s, d) => {
+      val classified = ExtractionPipeline.classifyPages(
+        ExtractionPipeline.pageTexts(PagesGen.pages(s, 600, 42, 8), 8))
+      ExtractionPipeline.events(classified)
+        .unionByName(ExtractionPipeline.recordEvents(
+          ExtractionPipeline.recordsFromClassified(classified)))
         .groupBy(col("level"), col("code"), col("stage"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("level", "code", "stage"))
+        .orderBy("level", "code", "stage")
+    }),
+    // C1+C3+C10+P1+S8 routing, oracle-checked: pages synthesized from
+    // `documents` rows (identical construction in the oracle), classified
+    // by the COMPILED rule chains incl. the Others fallback, pipe rows
+    // exploded, routed per row, counted per (page_type, sheet)
+    "q31_route_records" -> ((s, d) => {
+      val rs = RuleSets.plugin
+      val did = col("doc_id").cast("long")
+      def booking(shift: Int): Column =
+        RouteBookings.zipWithIndex.foldRight(lit("")) { case ((b, i), els) =>
+          when(pmod(did + shift, lit(RouteBookings.length)) === i, lit(b))
+            .otherwise(els)
+        }
+      val page = routePageCol(did, booking(0), booking(3))
+      val isOth = col("page_type") === "Others"
+      val lineArr = split(col("page"), "\n", -1)
+      val cellsOf = (line: Column) => {
+        val parts = split(line, "\\|", -1)
+        transform(slice(parts, lit(2), size(parts) - 2), c => trim(c))
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .withColumn("_pt", RuleCompiler.classifyPage(col("page"), rs))
+        .withColumn("page_type",
+          RuleCompiler.othersFallbackCol(col("_pt"), col("page"), rs))
+        .filter(col("page_type")
+          .isin("Transaction", "Trade", "FXTF", "Others"))
+        .withColumn("line", explode(
+          filter(lineArr, l => l.startsWith("|") && l.endsWith("|"))))
+        .withColumn("cells", cellsOf(col("line")))
+        .withColumn("keep",
+          when(isOth,
+            size(filter(col("cells"), c =>
+              c =!= "" && c.rlike("[a-zA-Z0-9]"))) >= 2)
+            .otherwise(
+              element_at(col("cells"), 1).rlike("^\\d{2}\\.\\d{2}\\.\\d{4}") &&
+                size(col("cells")) > 1 && element_at(col("cells"), 2) =!= ""))
+        .filter(col("keep"))
+        .withColumn("section",
+          when(isOth, lit("Others"))
+            .otherwise(RuleCompiler
+              .classifyRecord(concat_ws(" ", col("cells")), rs)
+              .getField("txn_group")))
+        .withColumn("sheet", sheetNameCol(col("section")))
+        .groupBy(col("page_type"), col("section"), col("sheet"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("page_type", "section")
+    }),
+    // dedup end-game: LSH candidate pairs → connected components →
+    // canonical survivor (min id). Oracle = recursive CTE in DuckDB.
+    "q32_dedup_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 16, bands = 8, minEstJaccard = 0.5)
+      Dedup.canonicalize(docs, "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // N4: JSON code-fence strip (validator.py:5-17) — fenced body else
+    // passthrough, over fenced strings synthesized from documents
+    "q33_code_fence" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val snippet = substring(col("text"), 1, 40)
+      val fenced = when(pmod(did, lit(3)) === 0,
+        concat(lit("```json\n"), snippet, lit("\n```")))
+        .when(pmod(did, lit(3)) === 1,
+          concat(lit("```\n"), snippet, lit("\n```")))
+        .otherwise(snippet)
+      val body = regexp_extract(col("fenced"),
+        "(?s)```(?:json)?\\s*(.*?)\\s*```", 1)
+      t(s, d, "documents")
+        .select(col("doc_id"), fenced.as("fenced"))
+        .withColumn("stripped",
+          when(col("fenced").rlike("(?s)```(?:json)?\\s*.*?\\s*```"), body)
+            .otherwise(col("fenced")))
+        .select("doc_id", "stripped")
+        .orderBy("doc_id")
+    })
   )
 
   // ---- DuckDB oracles ----
 
-  private def minhashSqlCols: String =
-    Dedup.minhashParams(8).zipWithIndex.map { case ((a, b), i) =>
+  private def minhashSqlCols(k: Int = 8): String =
+    Dedup.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform($toksSql, t -> ($a * ${tokHashSql(8)} + $b) % ${Dedup.MinhashP}))" +
         s" AS m$i"
     }.mkString(", ")
+
+  /** Banded MinHash-LSH candidate pairs as SQL CTEs (mirrors
+    * Dedup.minhashLshPairs with k=16, bands=8): yields CTE `pairs`
+    * with columns (a, b, est_jaccard).
+    */
+  private def lshPairsCtes: String = {
+    val sigArr = (0 until 16).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""sig0 AS (SELECT doc_id AS id, ${minhashSqlCols(16)} FROM documents),
+      sig AS (SELECT id, $sigArr AS sig FROM sig0),
+      banded AS (
+        SELECT id, sig, r.range AS band,
+          md5(array_to_string(list_transform(
+            sig[r.range*2+1 : r.range*2+2], x -> CAST(x AS VARCHAR)), ','))
+            AS bucket
+        FROM sig CROSS JOIN range(8) r),
+      pairs AS (
+        SELECT DISTINCT l.id AS a, r.id AS b,
+          CAST(list_sum(list_transform(generate_series(1, 16),
+            i -> CASE WHEN l.sig[i] = r.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / 16 AS est_jaccard
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)"""
+  }
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** Page-classification CASE generated from the rule set (priority-desc
+    * when-chain, contains over the lowercased header expression).
+    */
+  private def pageClassifySql(hdrExpr: String, rs: RuleSet): String = {
+    val whens = rs.sortedPageRules.filterNot(_.fallback).map { r =>
+      val conds = r.containsAny
+        .map(k => s"contains($hdrExpr, '${sqlLit(k.toLowerCase)}')")
+        .mkString(" OR ")
+      s"WHEN $conds THEN '${sqlLit(r.pageType)}'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${sqlLit(rs.pageFallback)}' END"
+  }
+
+  /** Record-classification CASE (txn_group only). */
+  private def recordGroupSql(rlExpr: String, rs: RuleSet): String = {
+    val whens = rs.sortedRecordRules.filterNot(_.fallback).map { r =>
+      val conds = r.matchAny
+        .map(k => s"contains($rlExpr, '${sqlLit(k.toLowerCase)}')")
+        .mkString(" OR ")
+      s"WHEN $conds THEN '${sqlLit(r.outputGroup)}'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${sqlLit(rs.recordFallback._1)}' END"
+  }
+
+  private def sheetNameSql(sectionExpr: String): String = {
+    val whens = SheetNames.map { case (from, to) =>
+      s"WHEN $sectionExpr = '${sqlLit(from)}' THEN '${sqlLit(to)}'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE $sectionExpr END"
+  }
+
+  private def bookingSql(shift: Int): String = {
+    val whens = RouteBookings.zipWithIndex.map { case (b, i) =>
+      s"WHEN (CAST(doc_id AS BIGINT) + $shift) % ${RouteBookings.length} = $i THEN '${sqlLit(b)}'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '' END"
+  }
+
+  private def routePageSql: String = {
+    val hdr = """CASE CAST(doc_id AS BIGINT) % 5
+      WHEN 0 THEN '# Transaction list'
+      WHEN 1 THEN '# Trade information'
+      WHEN 2 THEN '# FX & TF'
+      WHEN 3 THEN '# Account summary'
+      ELSE '# Table of contents' END"""
+    s"""concat_ws(chr(10), $hdr,
+      concat('| 01.02.2024 | ', ${bookingSql(0)}, ' | USD 1''250.00 | ISIN US0000000001 |'),
+      '| Balance |  |  |  |',
+      concat('| 15.03.2024 | ', ${bookingSql(3)}, ' | EUR 900.00 | note text |'))"""
+  }
 
   private def simhash16Sql: String = {
     val h = tokHashSql(4)
@@ -431,7 +627,7 @@ object SparkEntry {
         COUNT(*) AS n_total
         FROM events GROUP BY 1 ORDER BY 1""",
     "q14_minhash" ->
-      s"SELECT doc_id, $minhashSqlCols FROM documents ORDER BY doc_id",
+      s"SELECT doc_id, ${minhashSqlCols()} FROM documents ORDER BY doc_id",
     "q15_simhash" ->
       s"SELECT doc_id, $simhash16Sql AS simhash FROM documents ORDER BY doc_id",
     "q16_jaccard_pairs" ->
@@ -522,6 +718,69 @@ object SparkEntry {
       """SELECT user_id,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         COUNT(*) AS n
-        FROM events GROUP BY 1 ORDER BY 1"""
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q28_minhash_lsh" ->
+      s"""WITH $lshPairsCtes
+        SELECT a, b, est_jaccard FROM pairs WHERE est_jaccard >= 0.25
+        ORDER BY est_jaccard DESC, a, b LIMIT 50""",
+    "q31_route_records" -> {
+      val rs = RuleSets.plugin
+      val hdrExpr = "lower(array_to_string(list_filter(" +
+        "string_split(page, chr(10)), l -> starts_with(ltrim(l), '#')), chr(10)))"
+      val excluded = rs.othersExcludedPrefixes
+        .map(p => "starts_with(regexp_replace(page, '^\\s+', ''), '" + sqlLit(p) + "')")
+        .mkString(" OR ")
+      s"""WITH pages AS (SELECT doc_id, $routePageSql AS page FROM documents),
+        cls0 AS (SELECT doc_id, page,
+          ${pageClassifySql(hdrExpr, rs)} AS pt0 FROM pages),
+        cls AS (SELECT doc_id, page,
+          CASE WHEN pt0 = '${sqlLit(rs.pageFallback)}' AND NOT ($excluded)
+            THEN 'Others' ELSE pt0 END AS page_type FROM cls0),
+        rows0 AS (SELECT doc_id, page_type,
+          unnest(list_filter(string_split(page, chr(10)),
+            l -> starts_with(l, '|') AND ends_with(l, '|'))) AS line
+          FROM cls
+          WHERE page_type IN ('Transaction', 'Trade', 'FXTF', 'Others')),
+        cellsT AS (SELECT doc_id, page_type,
+          list_transform(string_split(line, '|')[2:-2], c -> trim(c)) AS cells
+          FROM rows0),
+        kept AS (SELECT * FROM cellsT WHERE
+          CASE WHEN page_type = 'Others'
+            THEN len(list_filter(cells, c -> c != ''
+              AND regexp_matches(c, '[a-zA-Z0-9]'))) >= 2
+            ELSE regexp_matches(cells[1], '^[0-9]{2}[.][0-9]{2}[.][0-9]{4}')
+              AND len(cells) > 1 AND cells[2] != '' END),
+        routed AS (SELECT page_type,
+          CASE WHEN page_type = 'Others' THEN 'Others'
+            ELSE ${recordGroupSql("lower(array_to_string(cells, ' '))", rs)}
+          END AS section FROM kept)
+        SELECT page_type, section, ${sheetNameSql("section")} AS sheet,
+          COUNT(*) AS n
+        FROM routed GROUP BY 1, 2, 3 ORDER BY 1, 2"""
+    },
+    "q32_dedup_cluster" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+        edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
+          UNION SELECT b, a FROM pairs WHERE est_jaccard >= 0.5),
+        comp(id, canon) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a, c.canon FROM edges e JOIN comp c ON c.id = e.b)
+        SELECT id AS doc_id, MIN(canon) AS canonical_id
+        FROM comp GROUP BY 1 ORDER BY 1""",
+    "q33_code_fence" ->
+      """WITH f AS (SELECT doc_id,
+          CASE CAST(doc_id AS BIGINT) % 3
+            WHEN 0 THEN concat('```json', chr(10), substr(text, 1, 40),
+              chr(10), '```')
+            WHEN 1 THEN concat('```', chr(10), substr(text, 1, 40),
+              chr(10), '```')
+            ELSE substr(text, 1, 40) END AS fenced
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN regexp_matches(fenced, '(?s)```(?:json)?\s*.*?\s*```')
+            THEN regexp_extract(fenced, '(?s)```(?:json)?\s*(.*?)\s*```', 1)
+            ELSE fenced END AS stripped
+        FROM f ORDER BY doc_id"""
   )
 }

@@ -131,5 +131,9 @@ object GraftFunctions {
       "isin_valid", exprs => IsinValid(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_prefix32", exprs => Md5Prefix32(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash16", exprs => SimHashMd5(exprs.head, 16), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHashXx64(exprs.head), "scala_udf")
   }
 }

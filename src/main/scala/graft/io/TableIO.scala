@@ -64,6 +64,23 @@ object TableIO {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Scala twin of the `pmod(xxhash64(url), buckets)` Column — used for
+    * accumulator bucketing inside the extraction job (equality with the
+    * Column is asserted in ResumeSpec).
+    */
+  def bucketFor(url: String, buckets: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(url)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+
   /** Resumable extraction run: processes only buckets not yet COMMITTED,
     * in WAVES of `waveSize` buckets — one Spark job per wave (not per
     * bucket: a job per bucket would rescan the input `buckets` times; a
@@ -71,10 +88,19 @@ object TableIO {
     * With a real Iceberg/partitioned source the wave filter prunes to
     * just the wave's partitions; here it predicate-filters the scan.
     *
-    * Commit protocol per wave: write all wave buckets (each bucket is an
-    * idempotent overwrite of its own directory), then atomically commit
-    * one lineage file per bucket. A kill mid-wave leaves no lineage for
-    * the wave's buckets → the next run redoes exactly that wave.
+    * Commit protocol per wave: delete stale (uncommitted) wave bucket
+    * dirs, write all wave buckets in one job (each bucket an idempotent
+    * overwrite of its own directory), compute per-bucket output stats in
+    * ONE follow-up job over the written files, then atomically commit
+    * one lineage file per bucket — including 0-row lineage for buckets
+    * whose pages produced no records (a missing directory is a valid
+    * outcome, not an error). A kill mid-wave leaves no lineage for the
+    * wave's buckets → the next run redoes exactly that wave.
+    *
+    * Input counts ride a per-bucket accumulator inside the extraction
+    * job — the input is scanned ONCE per wave. (Accumulators can
+    * over-count under task retries; counts are metrics-grade, the
+    * commit decision never depends on them.)
     *
     * @param buckets   total url-hash buckets (the resume granularity)
     * @param waveSize  buckets per Spark job
@@ -97,12 +123,20 @@ object TableIO {
       if (failAfter >= 0 && done >= failAfter)
         throw new RuntimeException(s"injected failure after $done buckets")
       val t0 = System.currentTimeMillis()
+      // stale dirs from a failed attempt carry no lineage; removing them
+      // makes the post-write listing exactly this attempt's output even
+      // when the retry produces zero rows for a previously-written bucket
+      wave.foreach(b => deleteRecursively(Paths.get(s"$out/data/bucket=$b")))
+      val nb = buckets
+      val accs = wave.map(b =>
+        b -> spark.sparkContext.longAccumulator(s"graft_in_$b")).toMap
       val slice = pages.withColumn("_bucket", bucketOf)
         .filter(col("_bucket").isin(wave: _*))
-      val inCounts = slice.groupBy(col("_bucket")).count().collect()
-        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      val recs = ExtractionPipeline.records(
-        slice.drop("_bucket").as[Page](pages.encoder), rs,
+        .drop("_bucket").as[Page](pages.encoder)
+        .mapPartitions { it =>
+          it.map { p => accs(bucketFor(p.url, nb)).add(1L); p }
+        }(pages.encoder)
+      val recs = ExtractionPipeline.records(slice, rs,
         partitions = math.max(4, waveSize * 4))
         .withColumn("bucket", bucketOf)
       // ONE write job for the wave; dynamic partition overwrite touches
@@ -111,30 +145,42 @@ object TableIO {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(s"$out/data")
-      // stats from what actually landed, then atomic per-bucket commits
+      // stats from what actually landed — ONE job over the wave's dirs
+      val writtenDirs = wave
+        .filter(b => Files.exists(Paths.get(s"$out/data/bucket=$b")))
+        .map(b => s"$out/data/bucket=$b")
+      val stats: Map[Int, (Long, Long)] =
+        if (writtenDirs.isEmpty) Map.empty
+        else spark.read.option("basePath", s"$out/data")
+          .parquet(writtenDirs: _*)
+          .groupBy(col("bucket"))
+          // bit_xor: order-independent content hash, no ANSI overflow
+          .agg(count(lit(1)).as("n"),
+            coalesce(expr("bit_xor(xxhash64(url, row_text))"), lit(0L))
+              .as("h"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       wave.foreach { b =>
-        val written = spark.read.parquet(s"$out/data/bucket=$b")
-        // bit_xor: order-independent content hash, no ANSI overflow
-        val stats = written.agg(
-          count(lit(1)).as("n"),
-          coalesce(expr("bit_xor(xxhash64(url, row_text))"), lit(0L))
-            .as("h")).collect()(0)
+        val (n, h) = stats.getOrElse(b, (0L, 0L))
         writeLineage(out, Lineage(b, "COMMITTED",
           existing.get(b).map(_.attempt + 1).getOrElse(1),
-          inCounts.getOrElse(b, 0L), stats.getLong(0), stats.getLong(1),
-          t0, System.currentTimeMillis()))
+          accs(b).value, n, h, t0, System.currentTimeMillis()))
         done += 1
       }
     }
     done
   }
 
-  /** Read the committed dataset (only COMMITTED buckets). */
+  /** Read the committed dataset (only COMMITTED buckets). A committed
+    * bucket with zero output rows has no directory — skipped, not an
+    * error.
+    */
   def readCommitted(spark: SparkSession, out: String): DataFrame = {
     val committed = readLineage(out).values
       .filter(_.status == "COMMITTED").map(_.bucket).toSeq.sorted
     val paths = committed.map(b => s"$out/data/bucket=$b")
+      .filter(p => Files.exists(Paths.get(p)))
     if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(paths: _*)
+    else spark.read.option("basePath", s"$out/data").parquet(paths: _*)
   }
 }

@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
-  /** Portable 32-bit token hash: first 8 hex chars of md5 as a long. */
-  def tokHash(t: Column): Column =
-    conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+  /** Portable 32-bit token hash: first 8 hex chars of md5 as a long —
+    * computed by the native Md5Prefix32 expression (one codegen'd call
+    * instead of conv(substring(md5(…))): three allocations per token),
+    * bit-identical to the SQL form the DuckDB oracle uses.
+    */
+  def tokHash(t: Column): Column = graft.functions.Md5Prefix32(t)
 
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
@@ -52,6 +55,8 @@ object Dedup {
   /** MinHash-LSH candidate pairs: k perms split into `bands` bands; docs
     * sharing any band bucket become candidates; estimated Jaccard =
     * fraction of matching perms. One shuffle on the (band, bucket) key.
+    * The bucket key is md5 of the band's comma-joined perm values —
+    * engine-portable, so the whole operator is DuckDB-oracle-checkable.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, seed: Long = 42L,
@@ -64,8 +69,9 @@ object Dedup {
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-            .as("bucket"))
+          md5(concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")))).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
     val l = banded.as("l")
@@ -82,34 +88,19 @@ object Dedup {
 
   /** Portable 16-bit SimHash (first 4 md5 hex chars per token; majority
     * vote per bit). Oracle-checkable; the 64-bit variant below is the
-    * production path.
+    * production path. One-pass native expression (SimHashMd5) —
+    * bit-identical to the 16-HOF-pass round-1 formulation but hashes
+    * each token once.
     */
-  def simhash16(text: Column): Column = {
-    val toks = tokens(text)
-    val h = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast(LongType)
-    val bits = (0 until 16).map { i =>
-      val bitSum = aggregate(
-        transform(toks, t => (shiftright(h(t), i).bitwiseAND(lit(1L))) * 2 - 1),
-        lit(0L), (acc, x) => acc + x)
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def simhash16(text: Column): Column =
+    graft.functions.SimHashKernel.simhashMd5(lower(trim(text)), 16)
 
-  /** 64-bit SimHash on xxhash64 token hashes (production variant —
-    * xxhash64 is Spark-native codegen, not portable to the oracle).
+  /** 64-bit SimHash on xxhash64(seed=42) token hashes (production
+    * variant — Spark-native hash, not portable to the oracle). One-pass
+    * native expression: the round-1 HOF form re-hashed every token 64×.
     */
-  def simhash64(text: Column): Column = {
-    val toks = tokens(text)
-    val bits = (0 until 64).map { i =>
-      val bitSum = aggregate(
-        transform(toks,
-          t => (shiftright(xxhash64(t), i).bitwiseAND(lit(1L))) * 2 - 1),
-        lit(0L), (acc, x) => acc + x)
-      when(bitSum > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.SimHashKernel.simhashXx64(lower(trim(text)))
 
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -144,6 +135,56 @@ object Dedup {
         (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "inter", "jaccard")
+  }
+
+  /** Dedup end-game: candidate pairs → connected components → canonical
+    * survivor per component (min id). Returns (id, canonical_id) for
+    * EVERY row of `df` — docs with no near-dup pair are their own
+    * canonical; `filter(id === canonical_id)` keeps the survivors.
+    *
+    * Min-id label propagation iterated to fixpoint: each step joins the
+    * current labels across the (small) edge set and takes the min over
+    * self + neighbors. At 100 TB the joins shuffle only (id, label)
+    * pairs and candidate edges — never text; iteration count = cluster
+    * graph diameter (near-dup components are tiny in practice, and the
+    * fixpoint loop is bounded by `maxIter` with a logged cap — no
+    * silent truncation).
+    */
+  def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // undirected: propagate labels both ways
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = df.select(col(idCol).as("id"))
+      .withColumn("canonical_id", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid"))
+        .agg(min(col("canonical_id")).as("nmin"))
+      val updated = labels.as("l")
+        .join(neighborMin, col("l.id") === col("nid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.canonical_id"),
+            coalesce(col("nmin"), col("l.canonical_id"))).as("canonical_id"))
+        .persist()
+      val changed = updated.as("u")
+        .join(labels.as("l0"), col("u.id") === col("l0.id"))
+        .filter(col("u.canonical_id") =!= col("l0.canonical_id"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      System.err.println(
+        s"[graft] canonicalize: not converged after $maxIter iterations")
+    labels
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by

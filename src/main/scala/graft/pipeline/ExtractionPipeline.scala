@@ -340,10 +340,15 @@ object ExtractionPipeline {
         when(isPos || isOth, lit("")).otherwise(sellAmt))
 
     // Stage 7: validation + normalization + C12 downgrade
+    val isinShapeOk =
+      col("securities_id").rlike("^[A-Z]{2}[A-Z0-9]{9}[0-9]$")
     val valErrs = array_compact(array(
-      when(col("securities_id") =!= "" &&
-        !col("securities_id").rlike("^[A-Z]{2}[A-Z0-9]{9}[0-9]$"),
+      when(col("securities_id") =!= "" && !isinShapeOk,
         lit("VAL_ISIN_SHAPE")),
+      // shape OK but ISO 6166 Luhn digit wrong — native IsinValid expr
+      when(col("securities_id") =!= "" && isinShapeOk &&
+        !graft.functions.IsinValid(col("securities_id")),
+        lit("VAL_ISIN_CHECKSUM")),
       when(col("net_consideration") =!= "" &&
         normalizeNumberCol(col("net_consideration")).isNull,
         lit("VAL_NUM_NET")),
@@ -407,4 +412,44 @@ object ExtractionPipeline {
       col("page_type").as("group"),
       lit("").as("txn_type"),
       coalesce(col("error"), lit("")).as("message"))
+
+  /** Record-stage events (reference REC/VAL taxonomy,
+    * error_system.py:19-43): one record_route event per record (FALLBACK
+    * when routing fell through to the default rule on a transaction-form
+    * page) and one validate event per validation error. record_id is a
+    * stable content hash, so the log is deterministic and joinable back
+    * to the output.
+    */
+  def recordEvents(records: DataFrame): DataFrame = {
+    val recId = substring(md5(concat(col("url"), col("row_text"))), 1, 8)
+    val route = records.select(
+      current_timestamp().as("ts"),
+      lit("INFO").as("level"),
+      when(col("page_type").isin("Transaction", "Trade", "FXTF") &&
+        col("routed_section") === "Others" && col("txn_type") === "Other",
+        lit("REC_ROUTE_FALLBACK")).otherwise(lit("REC_ROUTE_OK")).as("code"),
+      lit("record_route").as("stage"),
+      col("url"),
+      lit(0).as("page"),
+      recId.as("record_id"),
+      col("routed_section").as("group"),
+      col("txn_type"),
+      lit("").as("message"))
+    val vals = records
+      .select(col("url"), col("row_text"), col("routed_section"),
+        col("txn_type"),
+        explode(col("validation_errors")).as("verr"))
+      .select(
+        current_timestamp().as("ts"),
+        lit("WARN").as("level"),
+        col("verr").as("code"),
+        lit("validate").as("stage"),
+        col("url"),
+        lit(0).as("page"),
+        recId.as("record_id"),
+        col("routed_section").as("group"),
+        col("txn_type"),
+        lit("").as("message"))
+    route.unionByName(vals)
+  }
 }

@@ -229,6 +229,9 @@ object ScalarEvaluator {
     val errs = ArrayBuffer.empty[String]
     if (r.securities_id.nonEmpty && !TextOps.isValidIsin(r.securities_id))
       errs += "VAL_ISIN_SHAPE"
+    else if (r.securities_id.nonEmpty &&
+        !graft.functions.IsinValid.check(r.securities_id))
+      errs += "VAL_ISIN_CHECKSUM" // shape OK, ISO 6166 Luhn digit wrong
     val netNum = TextOps.normalizeNumber(r.net_consideration)
     if (r.net_consideration.nonEmpty && netNum.isEmpty)
       errs += "VAL_NUM_NET"

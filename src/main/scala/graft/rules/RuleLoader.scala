@@ -1,0 +1,105 @@
+package graft.rules
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Rule config as data: parses a rule.json-shaped document (the
+  * reference's runtime config — soa_extractor/rules/rule.json:1-132 /
+  * docs/rule.json field names) into a [[RuleSet]], so keyword changes
+  * need no recompile (the reference loads it at startup,
+  * soa_extractor/run.py:107-122).
+  *
+  * Recognized shape:
+  * {{{
+  * { "page_classification":   {"rules": [{"priority", "type",
+  *       "contains_any", "fallback"}…]},
+  *   "record_classification": {"rules": [{"priority", "match_any",
+  *       "output", "output_group", "fallback"}…]},
+  *   "transaction_type_rules": [{"name", "priority", "match_any",
+  *       "exclude_if_contains", "output", "fallback"}…] }
+  * }}}
+  * Unknown keys (e.g. `sections`, `global_field_constraints`,
+  * `match_in`) are ignored, mirroring the reference classifiers which
+  * only read the fields above. The two built-in rule sets also ship as
+  * resources (`/graft/rules/plugin_rules.json`); the hardcoded
+  * [[RuleSets]] remain the defaults.
+  */
+object RuleLoader {
+
+  private val mapper = new ObjectMapper()
+
+  private def strSeq(n: JsonNode, field: String): Seq[String] = {
+    val arr = n.get(field)
+    if (arr == null || !arr.isArray) Nil
+    else arr.elements().asScala.map(_.asText()).toSeq
+  }
+
+  private def int(n: JsonNode, field: String, dflt: Int = 0): Int = {
+    val v = n.get(field); if (v == null) dflt else v.asInt(dflt)
+  }
+
+  private def str(n: JsonNode, field: String, dflt: String = ""): String = {
+    val v = n.get(field); if (v == null) dflt else v.asText(dflt)
+  }
+
+  private def bool(n: JsonNode, field: String): Boolean = {
+    val v = n.get(field); v != null && v.asBoolean(false)
+  }
+
+  private def rulesOf(root: JsonNode, section: String): Seq[JsonNode] = {
+    val s = root.get(section)
+    if (s == null) Nil
+    else {
+      val arr = if (s.isArray) s else s.get("rules")
+      if (arr == null || !arr.isArray) Nil
+      else arr.elements().asScala.toSeq
+    }
+  }
+
+  def fromJson(json: String, name: String = "loaded",
+      headerMode: HeaderMode = PluginHeader,
+      othersFallback: Boolean = false): RuleSet = {
+    val root = mapper.readTree(json)
+    val pageRules = rulesOf(root, "page_classification").map { r =>
+      PageRule(int(r, "priority"), str(r, "type", "Ignore"),
+        strSeq(r, "contains_any"), bool(r, "fallback"))
+    }
+    val recordRules = rulesOf(root, "record_classification").map { r =>
+      RecordRule(int(r, "priority"), strSeq(r, "match_any"),
+        str(r, "output"), str(r, "output_group"), bool(r, "fallback"))
+    }
+    val txnRules = rulesOf(root, "transaction_type_rules").map { r =>
+      TxnTypeRule(str(r, "name"), int(r, "priority"), strSeq(r, "match_any"),
+        strSeq(r, "exclude_if_contains"), str(r, "output"),
+        bool(r, "fallback"))
+    }
+    RuleSet(name, headerMode, pageRules, recordRules, txnRules,
+      othersFallback)
+  }
+
+  def fromFile(path: String, name: String = "loaded",
+      headerMode: HeaderMode = PluginHeader,
+      othersFallback: Boolean = false): RuleSet =
+    fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8), name, headerMode,
+      othersFallback)
+
+  /** The built-in set shipped as a classpath resource. */
+  def fromResource(resource: String, name: String,
+      headerMode: HeaderMode = PluginHeader,
+      othersFallback: Boolean = false): RuleSet = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing resource $resource")
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    fromJson(json, name, headerMode, othersFallback)
+  }
+
+  /** plugin_rules.json parsed back — must equal RuleSets.plugin
+    * (asserted in RulesSpec).
+    */
+  def pluginFromResource: RuleSet =
+    fromResource("/graft/rules/plugin_rules.json", "plugin", PluginHeader,
+      othersFallback = true)
+}

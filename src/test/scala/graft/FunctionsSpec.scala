@@ -48,4 +48,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getBoolean(0))
     assert(r.getLong(1) === 1564557354L) // verified against DuckDB md5
   }
+
+  test("one-pass SimHashMd5 == the per-bit HOF formulation") {
+    import spark.implicits._
+    // tricky tokenizations: leading/trailing/multiple whitespace, tabs,
+    // empty, single token, unicode
+    val data = Seq("the quick brown fox", "  leading ws", "trailing ws  ",
+      "a  b\t\tc", "", "   ", "one", "HeLLo WoRLD", "日本 語 テスト")
+    val df = data.toDF("s")
+    val native = df.select(Dedup.simhash16($"s")).as[Long].collect().toSeq
+    // the round-1 formulation, inlined: 16 aggregate/transform passes
+    val pre = lower(trim($"s"))
+    val toks = filter(split(pre, "\\s+"), t => t =!= "")
+    val h = (t: org.apache.spark.sql.Column) =>
+      conv(substring(md5(t), 1, 4), 16, 10).cast("long")
+    val hof = (0 until 16).map { i =>
+      val bitSum = aggregate(
+        transform(toks, t => (shiftright(h(t), i).bitwiseAND(lit(1L))) * 2 - 1),
+        lit(0L), (acc, x) => acc + x)
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val want = df.select(hof).as[Long].collect().toSeq
+    assert(native === want)
+  }
+
+  test("SimHashXx64 matches the xxhash64 HOF formulation") {
+    import spark.implicits._
+    val data = Seq("the quick brown fox jumps", "x", "a b  c", "")
+    val df = data.toDF("s")
+    val native = df.select(Dedup.simhash64($"s")).as[Long].collect().toSeq
+    val pre = lower(trim($"s"))
+    val toks = filter(split(pre, "\\s+"), t => t =!= "")
+    val hof = (0 until 64).map { i =>
+      val bitSum = aggregate(
+        transform(toks,
+          t => (shiftright(xxhash64(t), i).bitwiseAND(lit(1L))) * 2 - 1),
+        lit(0L), (acc, x) => acc + x)
+      when(bitSum > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val want = df.select(hof).as[Long].collect().toSeq
+    assert(native === want)
+  }
 }

@@ -69,20 +69,48 @@ class OpsSpec extends AnyFunSuite {
     assert(top.head === (1L, 1)) // nearest neighbor of e_x is the 0.9 vector
   }
 
-  test("LSH ANN recall vs brute force on real embeddings") {
+  test("LSH ANN with multi-probe: recall >= 0.9 vs brute force") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val qs = emb.filter(col("vec_id") < 5)
+    val qs = emb.filter(col("vec_id") < 10)
     val brute = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 3,
-      nPlanes = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // random-hyperplane LSH over near-orthogonal random vectors has
-    // modest recall by construction; with 2 planes (4 buckets) demand
-    // real overlap with the exact answer
+    // defaults: 4 planes × 4 tables, Hamming<=1 multi-probe
+    val lsh = SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall > 0.1, s"recall $recall")
-    assert(lsh.nonEmpty)
+    assert(recall >= 0.9, s"recall $recall")
+    // one single-probe table is the baseline multi-table/probe must beat
+    val single = SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 3,
+      probeHamming = 0, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singleRecall = (brute & single).size.toDouble / brute.size
+    assert(recall >= singleRecall)
+  }
+
+  test("canonicalize: near-dup chain collapses to one min-id survivor") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 8,
+      minEstJaccard = 0.4)
+    val labels = Dedup.canonicalize(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {0, 1, 3} is one near-dup component (0=3 exact, 0~1 near) → min id 0
+    assert(labels(0L) === 0L)
+    assert(labels(1L) === 0L)
+    assert(labels(3L) === 0L)
+    // unrelated docs survive as their own canonical
+    assert(labels(2L) === 2L)
+    assert(labels(4L) === 4L)
+    // survivors = distinct canonical ids
+    assert(labels.values.toSet === Set(0L, 2L, 4L))
+  }
+
+  test("canonicalize: transitive chain a~b, b~c (no a~c pair) converges") {
+    import spark.implicits._
+    val ids = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val chain = Seq((11L, 12L), (12L, 13L)).toDF("a", "b") // 11-12-13 path
+    val labels = Dedup.canonicalize(ids, "id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(10L -> 10L, 11L -> 11L, 12L -> 11L, 13L -> 11L))
   }
 
   test("langId picks the language with most stopword hits") {

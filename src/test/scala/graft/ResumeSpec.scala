@@ -57,5 +57,39 @@ class ResumeSpec extends AnyFunSuite {
     }
     val resumeHash = lineage.map { case (k, v) => k -> v.contentHash }
     assert(cleanHash === resumeHash)
+
+    // input counts landed via the in-job accumulators (single scan)
+    assert(lineage.values.map(_.inputRows).sum === 300L)
+  }
+
+  test("scala bucketFor == pmod(xxhash64(url), n) Column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val urls = (0L until 500L).map(i => s"https://h$i.example.org/p/$i")
+    val got = urls.toDF("url")
+      .select(pmod(xxhash64(col("url")), lit(16)).cast("int")).as[Int]
+      .collect().toSeq
+    assert(got === urls.map(TableIO.bucketFor(_, 16)))
+  }
+
+  test("zero-record buckets commit 0-row lineage and resume cleanly") {
+    import spark.implicits._
+    // all-empty payloads → every bucket produces zero records
+    val pages = spark.createDataset((0L until 40L).map { i =>
+      graft.model.Page(s"https://x.example.org/e/$i",
+        new java.sql.Timestamp(0L), Array.emptyByteArray, null, "und")
+    })
+    val out = Files.createTempDirectory("graft_empty").toString
+    val n = TableIO.runResumable(pages, out, buckets = 4, waveSize = 2)
+    assert(n === 4)
+    val lineage = TableIO.readLineage(out)
+    assert(lineage.size === 4)
+    assert(lineage.values.forall(l =>
+      l.status == "COMMITTED" && l.outputRows == 0L))
+    assert(lineage.values.map(_.inputRows).sum === 40L)
+    // read-back of a committed-but-empty table is empty, not an error
+    assert(TableIO.readCommitted(spark, out).isEmpty)
+    // and a re-run is a no-op
+    assert(TableIO.runResumable(pages, out, buckets = 4) === 0)
   }
 }

@@ -92,4 +92,50 @@ class RulesSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(gotTxn === rows.map(ScalarRules.classifyTxnType(_, rs)))
   }
+
+  test("JSON loader: plugin_rules.json resource == hardcoded RuleSets.plugin") {
+    assert(RuleLoader.pluginFromResource === RuleSets.plugin)
+  }
+
+  test("JSON loader: parses the reference rule.json field shapes") {
+    val json = """{
+      "page_classification": {"rules": [
+        {"priority": 10, "type": "Trade", "match_in": "header",
+         "contains_any": ["Trade information"]},
+        {"priority": 0, "fallback": true, "type": "Ignore"}]},
+      "record_classification": {"rules": [
+        {"priority": 100, "match_any": ["FX FORWARD"],
+         "output": "FX Forward", "output_group": "FXTF"},
+        {"priority": 0, "fallback": true, "output": "Other",
+         "output_group": "Others"}]},
+      "transaction_type_rules": [
+        {"name": "FX Spot (implicit)", "priority": 90, "match_any": ["SPOT"],
+         "exclude_if_contains": ["SALE"], "output": "FX Spot"}],
+      "sections": [{"section_name": "ignored-by-loader"}]
+    }"""
+    val loaded = RuleLoader.fromJson(json, "test")
+    assert(loaded.pageRules ===
+      Seq(PageRule(10, "Trade", Seq("Trade information")),
+        PageRule(0, "Ignore", Nil, fallback = true)))
+    assert(loaded.recordRules.head ===
+      RecordRule(100, Seq("FX FORWARD"), "FX Forward", "FXTF"))
+    assert(loaded.recordFallback === ("Others", "Other"))
+    assert(loaded.txnTypeRules ===
+      Seq(TxnTypeRule("FX Spot (implicit)", 90, Seq("SPOT"), Seq("SALE"),
+        "FX Spot")))
+    // a loaded set drives the classifiers like any built-in one
+    assert(ScalarRules.classifyPage("# Trade information\n", loaded) ===
+      "Trade")
+    assert(ScalarRules.classifyTxnType("SPOT SALE", loaded) === "Other")
+  }
+
+  test("fallback selection: LAST fallback in priority-desc order wins") {
+    // the reference loop reassigns the default on every fallback rule,
+    // so the lowest-priority fallback is the effective default
+    val two = RuleSets.plugin.copy(pageRules =
+      RuleSets.plugin.pageRules ++ Seq(
+        PageRule(5, "HighFallback", Nil, fallback = true)))
+    // fallbacks sorted desc: HighFallback(5), Ignore(0) → last = Ignore
+    assert(two.pageFallback === "Ignore")
+  }
 }
