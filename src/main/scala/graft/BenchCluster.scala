@@ -70,7 +70,10 @@ object BenchCluster {
     // tmpfs: the sandbox virtio disk caps at ~200 MB/s and both fleet
     // widths saturate it; a real cluster's input bandwidth scales with
     // nodes, so the engine benchmark reads from RAM-backed storage
-    val path = s"/dev/shm/graft_bench_bucketed_${nPages}_$boost"
+    // keyed by generator version: a PagesGen change must invalidate the
+    // cached table, not silently reuse stale pages
+    val path =
+      s"/dev/shm/graft_bench_bucketed_${nPages}_${boost}_v${graft.gen.PagesGen.Version}"
     if (!new File(path + "/_SUCCESS").exists()) {
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master("local[32]")
@@ -108,6 +111,11 @@ object BenchCluster {
       // ActiveProcessorCount = the executor's core allowance — without it
       // every child sizes GC/JIT/netty pools for all 32 host cores and
       // 8 children oversubscribe the box (a real cluster pins a cpuset)
+      // AlwaysPreTouch: first-touch faults are pathologically slow on
+      // this VM (fault storms at 60-75% kernel time); pre-touching pays
+      // that cost BEFORE the warmup job so the measured reps run on a
+      // fully-touched heap. Executor heaps are 8g per 4-thread JVM (4g/3g regressed t4N 2× under GC
+      // pressure — measured); pretouch wall cost is the price of clean reps.
       val cmd = Seq(javaBin, s"-Xmx$heap", s"-Xms$heap", s"-Xmn$young",
         "-XX:+AlwaysPreTouch", s"-XX:ActiveProcessorCount=$threads",
         "-Dspark.ui.enabled=false") ++ addOpens ++

@@ -51,5 +51,39 @@ object BenchKernel {
       pages.foreach(p => acc += ScalarEvaluator.process(p, RuleSets.plugin).size)
       acc
     }
+    // one-pass SimHash kernel vs the round-1 shape (64 independent
+    // tokenize+hash passes, one per bit — what the HOF formulation cost)
+    import graft.functions.SimHashKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val lowered = mds.map(md => UTF8String.fromString(md.toLowerCase.trim))
+    timeIt("simhash64 one-pass") {
+      var acc = 0L
+      lowered.foreach(s => acc ^= SimHashKernel.xx64Simhash(s))
+      acc
+    }
+    timeIt("simhash64 64-pass (r1 shape)") {
+      var acc = 0L
+      lowered.foreach { s =>
+        val str = s.toString
+        var out = 0L
+        var b = 0
+        while (b < 64) {
+          var sum = 0L
+          str.split("\\s+").foreach { tok =>
+            if (tok.nonEmpty) {
+              val u = UTF8String.fromString(tok)
+              val h = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+                  u.numBytes(), 42L)
+              sum += (((h >>> b) & 1L) << 1) - 1
+            }
+          }
+          if (sum > 0) out |= 1L << b
+          b += 1
+        }
+        acc ^= out
+      }
+      acc
+    }
   }
 }

@@ -54,13 +54,20 @@ object GraftApp {
     val done = TableIO.runResumable(pages, output, buckets, wave, rs)
     val sec = (System.nanoTime() - t0) / 1e9
 
-    // metrics table (append per run)
-    ExtractionPipeline.classifyPages(
-      ExtractionPipeline.pageTexts(pages), rs)
-      .transform(ExtractionPipeline.events)
-      .write.mode("append").parquet(s"$output/_metrics")
-
+    // metrics table (append per run): record-stage events come from the
+    // committed OUTPUT — no second scan of the input. Page-stage events
+    // re-run content extraction just for the log, so they are opt-in
+    // (--page-events true).
     val recs = TableIO.readCommitted(spark, output)
+    if (!recs.isEmpty)
+      ExtractionPipeline.recordEvents(recs)
+        .write.mode("append").parquet(s"$output/_metrics")
+    if (opts.get("page-events").contains("true"))
+      ExtractionPipeline.classifyPages(
+        ExtractionPipeline.pageTexts(pages), rs)
+        .transform(ExtractionPipeline.events)
+        .write.mode("append").parquet(s"$output/_metrics")
+
     val n = if (recs.isEmpty) 0L else recs.count()
     println(f"""{"buckets_done":$done,"records":$n,"sec":$sec%.2f}""")
     spark.stop()

@@ -424,9 +424,42 @@ object SparkEntry {
     "q32_dedup_cluster" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        k = 16, bands = 8, minEstJaccard = 0.5)
+        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
       Dedup.canonicalize(docs, "doc_id", pairs)
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // dedup at scale: exact n-gram Jaccard restricted to LSH candidates
+    // (the composed operator — no all-pairs shingle self-join)
+    "q34_jaccard_lsh" -> ((s, d) =>
+      Dedup.ngramJaccardLsh(t(s, d, "documents"), "doc_id", "text",
+        n = 3, k = 16, bands = 8, minEstJaccard = 0.25, minJaccard = 0.1)
+        .withColumn("inter", col("inter").cast("long"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(50)),
+    // P3: bbox output parse (app.py:200-215) — detections extracted,
+    // coordinates stripped from the text, image refs kept
+    "q35_bbox" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val p = "!\\[image\\]\\((image_\\d+\\.png)\\)\\s*(\\d+),(\\d+),(\\d+),(\\d+)"
+      val synth = concat(substring(col("text"), 1, 30),
+        lit(" ![image](image_"), pmod(did, lit(7)), lit(".png)"),
+        pmod(did, lit(5)) * 100, lit(","), pmod(did, lit(4)) * 100,
+        lit(","), pmod(did, lit(5)) * 100 + 200, lit(","),
+        pmod(did, lit(4)) * 100 + 150,
+        lit(" more ![image](image_9.png)10,20,110,220"))
+      t(s, d, "documents")
+        .select(col("doc_id"), synth.as("t"))
+        .withColumn("cleaned", regexp_replace(col("t"), p, "![image]($1)"))
+        .withColumn("dets", regexp_extract_all(col("t"), lit(p), lit(0)))
+        .withColumn("n_det", size(col("dets")).cast("long"))
+        .withColumn("sum_w", aggregate(transform(col("dets"),
+          m => regexp_extract(m, p, 4).cast("long") -
+            regexp_extract(m, p, 2).cast("long")), lit(0L), (a, x) => a + x))
+        .withColumn("sum_h", aggregate(transform(col("dets"),
+          m => regexp_extract(m, p, 5).cast("long") -
+            regexp_extract(m, p, 3).cast("long")), lit(0L), (a, x) => a + x))
+        .select("doc_id", "cleaned", "n_det", "sum_w", "sum_h")
         .orderBy("doc_id")
     }),
     // N4: JSON code-fence strip (validator.py:5-17) — fenced body else
@@ -459,13 +492,27 @@ object SparkEntry {
         s" AS m$i"
     }.mkString(", ")
 
+  /** Shingle-array SQL (mirrors Dedup.shingles + empty filter). */
+  private def shingleSql(n: Int): String =
+    s"""list_filter(list_distinct(list_transform(
+      generate_series(0, greatest(len($toksSql) - $n, 0)),
+      i -> array_to_string(($toksSql)[i+1:i+$n], ' '))), s -> length(s) > 0)"""
+
+  private def minhashSqlColsOver(k: Int, unitsSql: String): String =
+    Dedup.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform($unitsSql, t -> ($a * ${tokHashSql(8)} + $b) % ${Dedup.MinhashP}))" +
+        s" AS m$i"
+    }.mkString(", ")
+
   /** Banded MinHash-LSH candidate pairs as SQL CTEs (mirrors
     * Dedup.minhashLshPairs with k=16, bands=8): yields CTE `pairs`
-    * with columns (a, b, est_jaccard).
+    * with columns (a, b, est_jaccard). shingleN mirrors the Spark
+    * parameter (1 = unigram tokens).
     */
-  private def lshPairsCtes: String = {
+  private def lshPairsCtesOver(shingleN: Int): String = {
+    val units = if (shingleN <= 1) toksSql else shingleSql(shingleN)
     val sigArr = (0 until 16).map(i => s"m$i").mkString("[", ", ", "]")
-    s"""sig0 AS (SELECT doc_id AS id, ${minhashSqlCols(16)} FROM documents),
+    s"""sig0 AS (SELECT doc_id AS id, ${minhashSqlColsOver(16, units)} FROM documents),
       sig AS (SELECT id, $sigArr AS sig FROM sig0),
       banded AS (
         SELECT id, sig, r.range AS band,
@@ -481,6 +528,8 @@ object SparkEntry {
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)"""
   }
+
+  private def lshPairsCtes: String = lshPairsCtesOver(1)
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
@@ -591,18 +640,19 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies,
         md5(text) AS fp
         FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
-    "q10_classify" ->
-      """SELECT doc_id,
-        CASE
-          WHEN contains(lower(text), 'join') OR contains(lower(text), 'group')
-            THEN 'QueryDoc'
-          WHEN contains(lower(text), 'stream')
-            OR contains(lower(text), 'window') THEN 'StreamDoc'
-          WHEN contains(lower(text), 'parquet') OR contains(lower(text), 'scan')
-            OR contains(lower(text), 'column') THEN 'StorageDoc'
-          ELSE 'OtherDoc'
-        END AS doc_class
-        FROM documents ORDER BY doc_id""",
+    "q10_classify" -> {
+      // mirror the PluginHeader slice ('#'-prefixed lines, else first 10
+      // lines) instead of classifying over the full text — the two only
+      // coincide for short texts
+      val hdr = "lower(array_to_string(CASE WHEN len(list_filter(" +
+        "string_split(text, chr(10)), l -> starts_with(ltrim(l), '#'))) > 0 " +
+        "THEN list_filter(string_split(text, chr(10)), " +
+        "l -> starts_with(ltrim(l), '#')) " +
+        "ELSE string_split(text, chr(10))[1:10] END, chr(10)))"
+      s"""SELECT doc_id, ${pageClassifySql("hdr", docRules)} AS doc_class
+        FROM (SELECT doc_id, $hdr AS hdr FROM documents)
+        ORDER BY doc_id"""
+    },
     "q11_regex" ->
       """SELECT event_id,
         CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val
@@ -759,7 +809,7 @@ object SparkEntry {
         FROM routed GROUP BY 1, 2, 3 ORDER BY 1, 2"""
     },
     "q32_dedup_cluster" ->
-      s"""WITH RECURSIVE $lshPairsCtes,
+      s"""WITH RECURSIVE ${lshPairsCtesOver(3)},
         edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
           UNION SELECT b, a FROM pairs WHERE est_jaccard >= 0.5),
         comp(id, canon) AS (
@@ -768,6 +818,46 @@ object SparkEntry {
           SELECT e.a, c.canon FROM edges e JOIN comp c ON c.id = e.b)
         SELECT id AS doc_id, MIN(canon) AS canonical_id
         FROM comp GROUP BY 1 ORDER BY 1""",
+    "q34_jaccard_lsh" ->
+      s"""WITH ${lshPairsCtesOver(3)},
+        cand AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.25),
+        sh AS (SELECT doc_id AS id,
+          list_filter(list_distinct(list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(tk[i+1:i+3], ' '))), s -> length(s) > 0)
+            AS sh
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents)),
+        scored AS (SELECT a, b,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            AS jaccard
+          FROM cand JOIN sh sa ON sa.id = a JOIN sh sb ON sb.id = b)
+        SELECT a, b, inter, jaccard FROM scored WHERE jaccard >= 0.1
+        ORDER BY jaccard DESC, a, b LIMIT 50""",
+    "q35_bbox" ->
+      """WITH f AS (SELECT doc_id,
+          concat(substr(text, 1, 30),
+            ' ![image](image_', CAST(doc_id AS BIGINT) % 7, '.png)',
+            (CAST(doc_id AS BIGINT) % 5) * 100, ',',
+            (CAST(doc_id AS BIGINT) % 4) * 100, ',',
+            (CAST(doc_id AS BIGINT) % 5) * 100 + 200, ',',
+            (CAST(doc_id AS BIGINT) % 4) * 100 + 150,
+            ' more ![image](image_9.png)10,20,110,220') AS t
+          FROM documents),
+        d AS (SELECT doc_id, t,
+          regexp_extract_all(t, '!\[image\]\((image_\d+\.png)\)\s*(\d+),(\d+),(\d+),(\d+)') AS dets
+          FROM f)
+        SELECT doc_id,
+          regexp_replace(t, '!\[image\]\((image_\d+\.png)\)\s*(\d+),(\d+),(\d+),(\d+)', '![image](\1)', 'g') AS cleaned,
+          CAST(len(dets) AS BIGINT) AS n_det,
+          CAST(list_sum(list_transform(dets, m ->
+            CAST(regexp_extract(m, '!\[image\]\((image_\d+\.png)\)\s*(\d+),(\d+),(\d+),(\d+)', 4) AS BIGINT) -
+            CAST(regexp_extract(m, '!\[image\]\((image_\d+\.png)\)\s*(\d+),(\d+),(\d+),(\d+)', 2) AS BIGINT))) AS BIGINT) AS sum_w,
+          CAST(list_sum(list_transform(dets, m ->
+            CAST(regexp_extract(m, '!\[image\]\((image_\d+\.png)\)\s*(\d+),(\d+),(\d+),(\d+)', 5) AS BIGINT) -
+            CAST(regexp_extract(m, '!\[image\]\((image_\d+\.png)\)\s*(\d+),(\d+),(\d+),(\d+)', 3) AS BIGINT))) AS BIGINT) AS sum_h
+        FROM d ORDER BY doc_id""",
     "q33_code_fence" ->
       """WITH f AS (SELECT doc_id,
           CASE CAST(doc_id AS BIGINT) % 3

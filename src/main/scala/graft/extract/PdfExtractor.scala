@@ -129,7 +129,12 @@ object PdfExtractor {
   def extract(bytes: Array[Byte]): ExtractedContent = {
     try {
       val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val items = ArrayBuffer.empty[Item]
+      // One content stream per page (the deterministic subset's layout;
+      // the reference likewise iterates pages one at a time,
+      // ocr_service.py:116-133). Streams are parsed separately so the
+      // y-sort never interleaves lines of DIFFERENT pages that happen to
+      // share coordinates; pages keep file order.
+      val pages = ArrayBuffer.empty[ArrayBuffer[Item]]
       var idx = 0
       while (idx >= 0) {
         val sIdx = raw.indexOf("stream", idx)
@@ -142,23 +147,27 @@ object PdfExtractor {
           val eIdx = raw.indexOf("endstream", cStart)
           if (eIdx < 0) idx = -1
           else {
+            val items = ArrayBuffer.empty[Item]
             parseStream(raw.substring(cStart, eIdx), items)
+            if (items.nonEmpty) pages += items
             idx = eIdx + "endstream".length
           }
         }
       }
-      if (items.isEmpty)
+      if (pages.isEmpty)
         return ExtractedContent("", "", Nil, 0, "pdf", "PDF_NO_TEXT")
-      // group into lines: same y within tolerance
-      val sorted = items.sortBy(it => (-it.y, it.x))
-      val lines = ArrayBuffer.empty[ArrayBuffer[Item]]
-      sorted.foreach { it =>
-        if (lines.nonEmpty && math.abs(lines.last.head.y - it.y) <= 2.0)
-          lines.last += it
-        else lines += ArrayBuffer(it)
+      // per page: group into lines (same y within tolerance), reading order
+      val lineTexts = pages.flatMap { items =>
+        val sorted = items.sortBy(it => (-it.y, it.x))
+        val lines = ArrayBuffer.empty[ArrayBuffer[Item]]
+        sorted.foreach { it =>
+          if (lines.nonEmpty && math.abs(lines.last.head.y - it.y) <= 2.0)
+            lines.last += it
+          else lines += ArrayBuffer(it)
+        }
+        lines.map(_.sortBy(_.x).map(_.text.trim)
+          .filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty)
       }
-      val lineTexts = lines.map(_.sortBy(_.x).map(_.text.trim)
-        .filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty)
       val pageMd = lineTexts.mkString("\n")
       val mainBuf = new StringBuilder
       val spans = ArrayBuffer.empty[Span]

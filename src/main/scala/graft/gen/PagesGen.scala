@@ -20,6 +20,11 @@ import scala.util.Random
   */
 object PagesGen {
 
+  /** Bump on any change to generated content — benchmark tables cached
+    * on disk are keyed by this.
+    */
+  val Version = 3
+
   val Currencies = Vector("SGD", "USD", "CHF", "HKD", "EUR", "GBP", "JPY",
     "AUD", "CAD")
 
@@ -165,31 +170,44 @@ object PagesGen {
     s"""<div>$linkFarm</div><h2>Market commentary</h2><p>${sentence(rng, 45)}</p><p>${sentence(rng, 30)}</p><div>$linkFarm</div>"""
   }
 
-  /** Minimal deterministic PDF: one page, one uncompressed content
-    * stream, Helvetica, text placed with Td/Tj line by line.
+  /** Minimal deterministic PDF: one uncompressed content stream PER
+    * page, Helvetica, text placed with Td/Tj line by line.
     */
-  def buildPdf(lines: Seq[String]): Array[Byte] = {
+  def buildPdfPages(pageLines: Seq[Seq[String]]): Array[Byte] = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    val content = new StringBuilder("BT /F1 10 Tf 50 780 Td ")
-    lines.zipWithIndex.foreach { case (l, i) =>
-      if (i > 0) content.append("0 -14 Td ")
-      content.append(s"(${esc(l)}) Tj ")
+    def contentOf(lines: Seq[String]): String = {
+      val content = new StringBuilder("BT /F1 10 Tf 50 780 Td ")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) content.append("0 -14 Td ")
+        content.append(s"(${esc(l)}) Tj ")
+      }
+      content.append("ET")
+      content.toString
     }
-    content.append("ET")
-    val cs = content.toString
+    val nPages = pageLines.length
+    val fontObj = 3 + 2 * nPages
+    val kids = (0 until nPages).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    val pageObjs = pageLines.zipWithIndex.map { case (lines, p) =>
+      val pageNum = 3 + 2 * p
+      val contentNum = pageNum + 1
+      val cs = contentOf(lines)
+      s"""$pageNum 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $contentNum 0 R /Resources << /Font << /F1 $fontObj 0 R >> >> >> endobj
+$contentNum 0 obj << /Length ${cs.length} >> stream
+$cs
+endstream endobj"""
+    }.mkString("\n")
     val pdf =
       s"""%PDF-1.4
 1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
-2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
-3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj
-4 0 obj << /Length ${cs.length} >> stream
-$cs
-endstream endobj
-5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj
+$pageObjs
+$fontObj 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
 trailer << /Root 1 0 R >>
 %%EOF"""
     pdf.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
+
+  def buildPdf(lines: Seq[String]): Array[Byte] = buildPdfPages(Seq(lines))
 
   private def pdfLines(rng: Random, positions: Boolean): Seq[String] = {
     if (positions) {
@@ -259,8 +277,13 @@ trailer << /Root 1 0 R >>
       case c if c < 82 =>
         (htmlPage(rng, boilerplateBody(rng) + filler).getBytes("UTF-8"),
           Vector("en", "de", "fr")(rng.nextInt(3)))
-      case c if c < 91 =>
+      case c if c < 88 =>
         (buildPdf(pdfLines(rng, positions = rng.nextBoolean())), "en")
+      // multi-page PDFs: 2-3 pages, mixed positions/transaction layouts
+      case c if c < 91 =>
+        val nPg = 2 + rng.nextInt(2)
+        (buildPdfPages((1 to nPg).map(_ =>
+          pdfLines(rng, positions = rng.nextBoolean()))), "en")
       case c if c < 97 =>
         ((if (rng.nextBoolean()) "" else "   \n  ").getBytes("UTF-8"), "und")
       case _ =>

@@ -40,14 +40,21 @@ object Dedup {
 
   /** k-perm MinHash signature as k columns m0..m{k-1} (flat columns keep
     * the result engine-portable for the DuckDB oracle).
+    *
+    * @param shingleN 1 = unigram tokens; n > 1 = distinct word n-gram
+    *                 shingles (the standard near-dup unit — unigram sets
+    *                 are degenerate on small vocabularies, where every
+    *                 pair of documents shares most words)
     */
   def withMinhash(df: DataFrame, textCol: Column, k: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val toks = tokens(textCol)
+      seed: Long = 42L, shingleN: Int = 1): DataFrame = {
+    val units =
+      if (shingleN <= 1) tokens(textCol)
+      else filter(shingles(textCol, shingleN), s => length(s) > 0)
     minhashParams(k, seed).zipWithIndex.foldLeft(df) {
       case (acc, ((a, b), i)) =>
         acc.withColumn(s"m$i",
-          array_min(transform(toks,
+          array_min(transform(units,
             t => (lit(a) * tokHash(t) + lit(b)) % lit(MinhashP))))
     }
   }
@@ -60,10 +67,10 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, seed: Long = 42L,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5, shingleN: Int = 1): DataFrame = {
     val rowsPerBand = k / bands
     val sig = withMinhash(df.select(col(idCol).as("id"), col(textCol).as("t")),
-      col("t"), k, seed)
+      col("t"), k, seed, shingleN)
       .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
       .select(col("id"), col("sig"))
     val banded = sig.select(col("id"), col("sig"),
@@ -133,6 +140,41 @@ object Dedup {
         "b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a", "b", "inter", "jaccard")
+  }
+
+  /** Word-shingle array (distinct n-grams) — the unit both Jaccard
+    * variants measure over.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact n-gram Jaccard restricted to MinHash-LSH candidate pairs —
+    * the scale composition of ngramJaccardPairs (whose shingle self-join
+    * is all-pairs within shingle groups). Only candidates that share an
+    * LSH band bucket get the exact intersection, computed per pair with
+    * array ops (no shingle explode, no shingle-key shuffle): the join
+    * moves each candidate's shingle array once.
+    */
+  def ngramJaccardLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8, seed: Long = 42L,
+      minEstJaccard: Double = 0.25, minJaccard: Double = 0.0): DataFrame = {
+    // prefilter minhashes the SAME shingle space the exact measure uses
+    val cand = minhashLshPairs(df, idCol, textCol, k, bands, seed,
+      minEstJaccard, shingleN = n).select(col("a"), col("b"))
+    val sh = df.select(col(idCol).as("id"),
+      filter(shingles(col(textCol), n), s => length(s) > 0).as("sh"))
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "inter", "jaccard")
   }

@@ -62,6 +62,21 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(c.spans.length === lines.length)
   }
 
+  test("pdf: multi-page — pages in order, never y-interleaved") {
+    // both pages place text at the same y coordinates; per-page parsing
+    // must keep page 1's lines strictly before page 2's
+    val p1 = Seq("# Detailed positions", "Portfolio number 111-222333-44",
+      "| 100 Fund A | USD | 1.00 | 2.00 | 3.00 |")
+    val p2 = Seq("# Transaction list",
+      "| 01.02.2024 | YOUR SALE | USD 1'000.00 |")
+    val pdf = PagesGen.buildPdfPages(Seq(p1, p2))
+    assert(PdfExtractor.isPdf(pdf))
+    val c = PdfExtractor.extract(pdf)
+    assert(c.content_kind === "pdf")
+    assert(c.page_md === (p1 ++ p2).mkString("\n"))
+    assert(c.spans.length === p1.length + p2.length)
+  }
+
   test("pdf: garbage degrades gracefully") {
     val c = PdfExtractor.extract("%PDF-1.4 garbage".getBytes)
     assert(c.content_kind === "pdf" || c.content_kind === "error")

@@ -55,6 +55,18 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("ngramJaccardLsh: identical exact jaccard, restricted to candidates") {
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+      .toMap
+    val viaLsh = Dedup.ngramJaccardLsh(docs, "doc_id", "text", 3, 16, 8,
+      minEstJaccard = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+      .toMap
+    viaLsh.foreach { case (k, v) => assert(full(k) === v, s"pair $k") }
+    assert(viaLsh.contains((0L, 3L)) && viaLsh((0L, 3L)) === 1.0)
+  }
+
   test("brute-force cosine top-k: self-similar vectors rank first") {
     import spark.implicits._
     val vecs = Seq(
