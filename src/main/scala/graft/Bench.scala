@@ -88,21 +88,18 @@ object Bench {
     val boost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "8").toInt
     val threads = sys.env.getOrElse("SPARK_GRAFT_EXEC_THREADS", "4").toInt
     val execN = sys.env.getOrElse("SPARK_GRAFT_EXEC_N", "2").toInt
-    val heap = sys.env.getOrElse("SPARK_GRAFT_EXEC_HEAP", "8g")
-    val young = sys.env.getOrElse("SPARK_GRAFT_EXEC_YOUNG", "6g")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val heap = sys.env.getOrElse("SPARK_GRAFT_EXEC_HEAP", "2g")
+    val young = sys.env.getOrElse("SPARK_GRAFT_EXEC_YOUNG", "1500m")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CHILD_REPS", "2").toInt
     new java.io.File(BenchCluster.ShmLocalDir).mkdirs()
     val path = BenchCluster.ensureBucketedTable(nPages, boost)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val tNs = BenchCluster.runFleet(path, execN, threads, heap, young, reps)
-    val t4Ns =
-      BenchCluster.runFleet(path, execN * 4, threads, heap, young, reps)
-    System.err.println(
-      s"[bench] tN=${tNs.map(t => f"$t%.2f").mkString(",")} " +
-        s"t4N=${t4Ns.map(t => f"$t%.2f").mkString(",")}")
-    val tN = median(tNs)
-    val t4N = median(t4Ns)
-    val eff = (tN / t4N) / 4.0
+    val pairs = BenchCluster.interleavedTrials(path, execN, threads, heap,
+      young, trials, reps)
+    val eff = median(pairs.map { case (a, b) => (a / b) / 4.0 })
+    val tN = median(pairs.map(_._1))
+    val t4N = median(pairs.map(_._2))
 
     val qs = results.map { case (k, v) => "\"" + k + f""""""" + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")

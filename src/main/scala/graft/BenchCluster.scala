@@ -15,10 +15,14 @@ import scala.sys.process._
   *
   * Executor JVM sizing (what spark.executor.extraJavaOptions would carry
   * on a real cluster) — measured on this host, full 800k-page table:
-  *  - fixed pre-touched heap, LARGE young gen (-Xmn = 3/4 heap): the
-  *    extraction kernel allocates short-lived strings at a rate that
-  *    makes default-G1 adaptive young sizing collect constantly
-  *    (t32 went 43s → 25s with heap 6g→16g + Xmn12g);
+  *  - fixed pre-touched heap with an explicit LARGE young-gen fraction
+  *    (-Xmn = 3/4 heap): the extraction kernel allocates short-lived
+  *    strings at a rate that makes default-G1 adaptive young sizing
+  *    collect constantly (a 32-thread JVM went 43s → 25s);
+  *  - per-executor heaps kept SMALL (2g per 4-thread child — measured
+  *    as fast as 8g): this VM's first-touch page faults are pathologically
+  *    slow, and pre-touching 64 GB of fleet heap both takes minutes and
+  *    degrades the whole host; 16 GB of fleet heap does neither;
   *  - spark.local.dir on tmpfs: shuffle on the virtio disk serializes
   *    all executors at ~200 MB/s (a real cluster's shuffle bandwidth
   *    scales with nodes; the sandbox disk does not).
@@ -114,8 +118,7 @@ object BenchCluster {
       // AlwaysPreTouch: first-touch faults are pathologically slow on
       // this VM (fault storms at 60-75% kernel time); pre-touching pays
       // that cost BEFORE the warmup job so the measured reps run on a
-      // fully-touched heap. Executor heaps are 8g per 4-thread JVM (4g/3g regressed t4N 2× under GC
-      // pressure — measured); pretouch wall cost is the price of clean reps.
+      // fully-touched heap.
       val cmd = Seq(javaBin, s"-Xmx$heap", s"-Xms$heap", s"-Xmn$young",
         "-XX:+AlwaysPreTouch", s"-XX:ActiveProcessorCount=$threads",
         "-Dspark.ui.enabled=false") ++ addOpens ++
@@ -138,6 +141,26 @@ object BenchCluster {
     (0 until reps).map(r => perChild.map(_(r)).max)
   }
 
+  /** Interleaved trials: per trial, the N fleet and the 4N fleet run
+    * back-to-back (warmup + `reps` measured passes each; a trial's
+    * fleet time = min over its measured passes) and the trial's
+    * efficiency is computed from that adjacent pair. The sandbox host
+    * has multi-minute degradation windows (hypervisor neighbors, page-
+    * fault-handler saturation) — pairing adjacent-in-time fleets makes
+    * each ratio meaningful even when absolute throughput drifts, and
+    * the median over trials rejects a bad window.
+    */
+  def interleavedTrials(path: String, execN: Int, threads: Int,
+      heap: String, young: String, trials: Int, reps: Int)
+      : Seq[(Double, Double)] =
+    (1 to trials).map { t =>
+      val tN = runFleet(path, execN, threads, heap, young, reps).min
+      val t4N = runFleet(path, execN * 4, threads, heap, young, reps).min
+      System.err.println(f"[cluster] trial $t tN=$tN%.2f t4N=$t4N%.2f " +
+        f"eff=${tN / t4N / 4.0}%.3f")
+      (tN, t4N)
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty && args(0) == "--child") {
       childMain(args(1), args(2).toInt, args(3).toInt, args(4).toInt)
@@ -148,21 +171,17 @@ object BenchCluster {
     val boost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "8").toInt
     val threads = sys.env.getOrElse("SPARK_GRAFT_EXEC_THREADS", "4").toInt
     val execN = sys.env.getOrElse("SPARK_GRAFT_EXEC_N", "2").toInt
-    val heap = sys.env.getOrElse("SPARK_GRAFT_EXEC_HEAP", "8g")
-    val young = sys.env.getOrElse("SPARK_GRAFT_EXEC_YOUNG", "6g")
+    val heap = sys.env.getOrElse("SPARK_GRAFT_EXEC_HEAP", "2g")
+    val young = sys.env.getOrElse("SPARK_GRAFT_EXEC_YOUNG", "1500m")
     val path = ensureBucketedTable(nPages, boost)
-    // N executors vs 4N executors, same threads/heap per executor.
-    // reps measured passes per fleet launch; medians reported.
-    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CHILD_REPS", "2").toInt
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val tNs = runFleet(path, execN, threads, heap, young, k)
-    val t4Ns = runFleet(path, execN * 4, threads, heap, young, k)
-    System.err.println(
-      s"[cluster] tN reps=${tNs.map(t => f"$t%.2f").mkString(",")} " +
-        s"t4N reps=${t4Ns.map(t => f"$t%.2f").mkString(",")}")
-    val tN = median(tNs)
-    val t4N = median(t4Ns)
-    val eff = (tN / t4N) / 4.0
+    val pairs = interleavedTrials(path, execN, threads, heap, young, trials,
+      reps)
+    val eff = median(pairs.map { case (a, b) => (a / b) / 4.0 })
+    val tN = median(pairs.map(_._1))
+    val t4N = median(pairs.map(_._2))
     println(f"""{"mode":"multi-process","pages":$nPages,"boost":$boost,"executors_N":$execN,"executors_4N":${execN * 4},"threads_per_exec":$threads,"sec_N":$tN%.3f,"sec_4N":$t4N%.3f,"docs_per_sec_N":${nPages / tN}%.1f,"docs_per_sec_4N":${nPages / t4N}%.1f,"scaling_efficiency":$eff%.3f}""")
   }
 }

@@ -37,7 +37,13 @@ case class Block(kind: String, level: Int, text: String, words: Int,
   *    byte-identity artifact of the north rule.
   *
   * Pure Scala; one instance is reusable across a partition
-  * (mapPartitions) with no per-row allocation beyond the output.
+  * (mapPartitions). The hot path is written for allocation economy —
+  * the extraction kernel's allocation rate is what caps multi-core
+  * scaling (GC barriers + DRAM traffic), so text runs are decoded,
+  * whitespace-collapsed, and word-counted in a single fused pass
+  * directly from the source string into a reused builder; tables are
+  * scanned in one pass (no regex replace / split / join garbage); tag
+  * names never allocate more than one small String.
   */
 object HtmlExtractor {
 
@@ -50,6 +56,8 @@ object HtmlExtractor {
 
   /** Minimal entity decode — the same four entities the reference decodes
     * (pipeline/utils.py:13-24) plus &quot;/&#39; and numeric refs.
+    * (Standalone form; the block tokenizer uses the fused in-place
+    * variant below.)
     */
   def decodeEntities(s: String): String = {
     if (!s.contains('&')) return s
@@ -60,19 +68,7 @@ object HtmlExtractor {
       if (c == '&') {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 8) {
-          val ent = s.substring(i + 1, semi)
-          val rep = ent match {
-            case "nbsp" => " "
-            case "amp"  => "&"
-            case "lt"   => "<"
-            case "gt"   => ">"
-            case "quot" => "\""
-            case "#39" | "apos" => "'"
-            case e if e.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(e.drop(1)).toChar)
-              catch { case _: Exception => null }
-            case _ => null
-          }
+          val rep = entityOf(s, i + 1, semi)
           if (rep != null) { out.append(rep); i = semi + 1 }
           else { out.append(c); i += 1 }
         } else { out.append(c); i += 1 }
@@ -81,14 +77,28 @@ object HtmlExtractor {
     out.toString
   }
 
-  private def countWords(s: String): Int = {
-    var n = 0; var inWord = false; var i = 0
-    while (i < s.length) {
-      if (s.charAt(i).isWhitespace) inWord = false
-      else if (!inWord) { n += 1; inWord = true }
-      i += 1
-    }
-    n
+  /** Entity body s[from, to) → replacement string or null. */
+  private def entityOf(s: String, from: Int, to: Int): String = {
+    val len = to - from
+    @inline def is(lit: String): Boolean =
+      len == lit.length && s.regionMatches(from, lit, 0, len)
+    if (is("nbsp")) " "
+    else if (is("amp")) "&"
+    else if (is("lt")) "<"
+    else if (is("gt")) ">"
+    else if (is("quot")) "\""
+    else if (is("#39") || is("apos")) "'"
+    else if (len > 1 && s.charAt(from) == '#') {
+      var v = 0
+      var k = from + 1
+      var ok = k < to
+      while (k < to && ok) {
+        val d = s.charAt(k)
+        if (d >= '0' && d <= '9') { v = v * 10 + (d - '0'); k += 1 }
+        else ok = false
+      }
+      if (ok && v >= 0 && v <= 0xFFFF) String.valueOf(v.toChar) else null
+    } else null
   }
 
   /** Tokenize + build the flat block sequence. Malformed HTML never
@@ -96,38 +106,60 @@ object HtmlExtractor {
     */
   def blocks(html: String): Seq[Block] = {
     val out = ArrayBuffer.empty[Block]
-    val textBuf = new StringBuilder
+    val textBuf = new StringBuilder(1024)
+    val nameBuf = new StringBuilder(16)
     var wordCount = 0
     var linkWordCount = 0
     var anchorDepth = 0
     var headingLevel = 0 // >0 while inside h1..h6
+    // fused decode/collapse/count state for the current block
+    var pendingSpace = false
+    var inWord = false
 
     def flush(kind: String, level: Int): Unit = {
-      val decoded = decodeEntities(textBuf.toString)
-      // collapse whitespace runs without regex-split garbage
-      val sb = new StringBuilder(decoded.length)
-      var j = 0; var pendingSpace = false
-      while (j < decoded.length) {
-        val ch = decoded.charAt(j)
-        if (ch.isWhitespace) { if (sb.nonEmpty) pendingSpace = true }
-        else { if (pendingSpace) { sb.append(' '); pendingSpace = false }
-          sb.append(ch) }
-        j += 1
-      }
-      val t = sb.toString
-      if (t.nonEmpty)
-        out += Block(kind, level, t, wordCount, linkWordCount, "")
-      textBuf.clear(); wordCount = 0; linkWordCount = 0
+      if (textBuf.nonEmpty)
+        out += Block(kind, level, textBuf.toString, wordCount, linkWordCount,
+          "")
+      textBuf.setLength(0)
+      wordCount = 0; linkWordCount = 0; pendingSpace = false; inWord = false
     }
-    def addText(t: String): Unit = {
-      val decoded = t
-      val w = countWords(decodeEntities(decoded))
-      if (w > 0) {
-        if (textBuf.nonEmpty && !textBuf.last.isWhitespace) textBuf.append(' ')
-        textBuf.append(decoded.trim)
-        wordCount += w
-        if (anchorDepth > 0) linkWordCount += w
+
+    // one fused pass: entity-decode + whitespace-collapse + word-count
+    // straight from html[start,end) into textBuf (no substring, no
+    // intermediate decoded/trimmed copies)
+    def addRun(start: Int, end: Int): Unit = {
+      if (start >= end) return
+      val before = wordCount
+      // a new run is separated from prior content (the old path joined
+      // trimmed runs with a single space)
+      if (textBuf.nonEmpty) pendingSpace = true
+      inWord = false
+      @inline def put(ch: Char): Unit =
+        if (Character.isWhitespace(ch)) {
+          if (textBuf.nonEmpty) pendingSpace = true
+          inWord = false
+        } else {
+          if (pendingSpace) { textBuf.append(' '); pendingSpace = false }
+          textBuf.append(ch)
+          if (!inWord) { wordCount += 1; inWord = true }
+        }
+      var i = start
+      while (i < end) {
+        val c = html.charAt(i)
+        if (c == '&') {
+          val semi = html.indexOf(';', i + 1)
+          if (semi > i && semi < end && semi - i <= 8) {
+            val rep = entityOf(html, i + 1, semi)
+            if (rep != null) {
+              var k = 0
+              while (k < rep.length) { put(rep.charAt(k)); k += 1 }
+              i = semi + 1
+            } else { put(c); i += 1 }
+          } else { put(c); i += 1 }
+        } else { put(c); i += 1 }
       }
+      val added = wordCount - before
+      if (anchorDepth > 0) linkWordCount += added
     }
 
     val n = html.length
@@ -144,6 +176,75 @@ object HtmlExtractor {
       }
       -1
     }
+
+    /** One-pass table scan over html[tStart,tEnd): builds the
+      * tag-stripped, entity-decoded, collapsed cell text + word count
+      * (regex-replaceAll semantics: '<'…next '>' with ≥1 char between =
+      * a tag → one space) and counts words inside <a>…</a> regions on
+      * the raw tag-stripped stream (the old lw regex semantics).
+      */
+    def scanTable(tStart: Int, tEnd: Int): Block = {
+      val sb = new StringBuilder(256)
+      var w = 0
+      var lw = 0
+      var pend = false
+      var word = false
+      var lwWord = false
+      var inA = false
+      @inline def text(ch: Char): Unit = {
+        if (Character.isWhitespace(ch)) { if (sb.nonEmpty) pend = true; word = false }
+        else {
+          if (pend) { sb.append(' '); pend = false }
+          sb.append(ch)
+          if (!word) { w += 1; word = true }
+        }
+      }
+      @inline def lwRaw(ch: Char): Unit =
+        if (Character.isWhitespace(ch)) lwWord = false
+        else if (inA && !lwWord) { lw += 1; lwWord = true }
+        else if (!inA) lwWord = false
+      var k = tStart
+      while (k < tEnd) {
+        val c = html.charAt(k)
+        if (c == '<') {
+          val close = html.indexOf('>', k + 1)
+          if (close > k + 1 && close < tEnd) {
+            // a tag: word break on both streams; track <a>/</a>
+            val isEnd = html.charAt(k + 1) == '/'
+            val ns = if (isEnd) k + 2 else k + 1
+            if (ns < close) {
+              val c0 = html.charAt(ns)
+              if (c0 == 'a' || c0 == 'A') {
+                val after = ns + 1
+                if (after == close || html.charAt(after) == ' ' ||
+                  html.charAt(after) == '/' ||
+                  Character.isWhitespace(html.charAt(after))) {
+                  if (isEnd) inA = false else inA = true
+                }
+              }
+            }
+            if (sb.nonEmpty) pend = true
+            word = false; lwWord = false
+            k = close + 1
+          } else { text(c); lwRaw(c); k += 1 }
+        } else if (c == '&') {
+          val semi = html.indexOf(';', k + 1)
+          if (semi > k && semi < tEnd && semi - k <= 8) {
+            val rep = entityOf(html, k + 1, semi)
+            if (rep != null) {
+              var m = 0
+              while (m < rep.length) { text(rep.charAt(m)); m += 1 }
+              // raw lw stream counts the undecoded chars
+              var m2 = k
+              while (m2 <= semi) { lwRaw(html.charAt(m2)); m2 += 1 }
+              k = semi + 1
+            } else { text(c); lwRaw(c); k += 1 }
+          } else { text(c); lwRaw(c); k += 1 }
+        } else { text(c); lwRaw(c); k += 1 }
+      }
+      Block("table", 0, sb.toString, w, lw, html.substring(tStart, tEnd))
+    }
+
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
@@ -152,12 +253,18 @@ object HtmlExtractor {
           i = if (e < 0) n else e + 3
         } else {
           val close = html.indexOf('>', i + 1)
-          if (close < 0) { addText(html.substring(i)); i = n }
+          if (close < 0) { addRun(i, n); i = n }
           else {
-            val inner = html.substring(i + 1, close)
-            val isEnd = inner.startsWith("/")
-            val rawName = (if (isEnd) inner.drop(1) else inner)
-              .takeWhile(ch => !ch.isWhitespace && ch != '/').toLowerCase
+            val isEnd = i + 1 < n && html.charAt(i + 1) == '/'
+            val nameStart = if (isEnd) i + 2 else i + 1
+            nameBuf.setLength(0)
+            var ne = nameStart
+            while (ne < close && !Character.isWhitespace(html.charAt(ne)) &&
+              html.charAt(ne) != '/') {
+              nameBuf.append(Character.toLowerCase(html.charAt(ne)))
+              ne += 1
+            }
+            val rawName = nameBuf.toString
             if (!isEnd && SkipTags.contains(rawName)) {
               // skip to matching close tag (no nesting of raw-text tags)
               val endTag = "</" + rawName
@@ -178,27 +285,12 @@ object HtmlExtractor {
                     case -1 => n
                     case k  => k + 1
                   }
-                val rawTable = html.substring(i, tableEnd)
-                val cellText = decodeEntities(
-                  rawTable.replaceAll("<[^>]+>", " "))
-                  .split("\\s+").filter(_.nonEmpty).mkString(" ")
-                val w = countWords(cellText)
-                // link words inside the table: approximate by counting
-                // words within <a>…</a> regions of the raw markup
-                val lw = {
-                  var acc = 0
-                  val m = java.util.regex.Pattern
-                    .compile("(?is)<a\\b[^>]*>(.*?)</a>").matcher(rawTable)
-                  while (m.find())
-                    acc += countWords(m.group(1).replaceAll("<[^>]+>", " "))
-                  acc
-                }
-                out += Block("table", 0, cellText, w, lw, rawTable)
+                out += scanTable(i, tableEnd)
                 i = tableEnd
               } else {
                 if (rawName == "a") {
                   if (isEnd) anchorDepth = math.max(0, anchorDepth - 1)
-                  else if (!inner.endsWith("/")) anchorDepth += 1
+                  else if (html.charAt(close - 1) != '/') anchorDepth += 1
                 }
                 if (BlockTags.contains(rawName)) {
                   flush(if (headingLevel > 0) "heading" else "paragraph",
@@ -217,7 +309,7 @@ object HtmlExtractor {
       } else {
         val nextTag = html.indexOf('<', i)
         val end = if (nextTag < 0) n else nextTag
-        addText(html.substring(i, end))
+        addRun(i, end)
         i = end
       }
     }
@@ -251,11 +343,14 @@ object HtmlExtractor {
     */
   def extract(htmlBytes: Array[Byte], needMain: Boolean = true): ExtractedContent = {
     val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
-    if (html.trim.isEmpty)
+    // blank check without the trim copy
+    var bi = 0
+    while (bi < html.length && html.charAt(bi) <= ' ') bi += 1
+    if (bi == html.length)
       return ExtractedContent("", "", Nil, 0, "empty", "")
     val bs = blocks(html)
     // page_md: ALL blocks, markdown-ized (full-page transcription)
-    val md = new StringBuilder
+    val md = new StringBuilder(html.length / 2 + 16)
     bs.foreach { b =>
       if (md.nonEmpty) md.append("\n\n")
       b.kind match {

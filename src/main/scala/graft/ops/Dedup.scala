@@ -48,15 +48,23 @@ object Dedup {
     */
   def withMinhash(df: DataFrame, textCol: Column, k: Int = 8,
       seed: Long = 42L, shingleN: Int = 1): DataFrame = {
-    val units =
-      if (shingleN <= 1) tokens(textCol)
-      else filter(shingles(textCol, shingleN), s => length(s) > 0)
-    minhashParams(k, seed).zipWithIndex.foldLeft(df) {
+    // materialize the unit array ONCE per row: the k signature columns
+    // (and, for shingles, every sequence element) must reference an
+    // attribute, not re-evaluate the tokenize/shingle expression —
+    // CollapseProject keeps multi-referenced non-cheap aliases
+    // materialized (same trick as the classifier header column)
+    val withUnits =
+      if (shingleN <= 1) df.withColumn("_units", tokens(textCol))
+      else df.withColumn("_toks", tokens(textCol))
+        .withColumn("_units",
+          filter(shinglesOf(col("_toks"), shingleN), s => length(s) > 0))
+        .drop("_toks")
+    minhashParams(k, seed).zipWithIndex.foldLeft(withUnits) {
       case (acc, ((a, b), i)) =>
         acc.withColumn(s"m$i",
-          array_min(transform(units,
+          array_min(transform(col("_units"),
             t => (lit(a) * tokHash(t) + lit(b)) % lit(MinhashP))))
-    }
+    }.drop("_units")
   }
 
   /** MinHash-LSH candidate pairs: k perms split into `bands` bands; docs
@@ -144,15 +152,24 @@ object Dedup {
       .select("a", "b", "inter", "jaccard")
   }
 
-  /** Word-shingle array (distinct n-grams) — the unit both Jaccard
-    * variants measure over.
+  /** Word-shingle array (distinct n-grams) over a MATERIALIZED token
+    * array attribute — the unit both Jaccard variants measure over.
+    * `toks` must be an attribute (withColumn/select alias), not an
+    * expression: the slice inside the lambda runs once per sequence
+    * element, so an inlined tokenize would be re-evaluated O(tokens)
+    * times per row (measured: a 5000-doc minhash went minutes → seconds
+    * after materializing).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+
+  /** Convenience over a text column — materialize `tokens(text)` first
+    * in hot paths (see shinglesOf).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOf(tokens(text), n)
 
   /** Exact n-gram Jaccard restricted to MinHash-LSH candidate pairs —
     * the scale composition of ngramJaccardPairs (whose shingle self-join
@@ -167,8 +184,9 @@ object Dedup {
     // prefilter minhashes the SAME shingle space the exact measure uses
     val cand = minhashLshPairs(df, idCol, textCol, k, bands, seed,
       minEstJaccard, shingleN = n).select(col("a"), col("b"))
-    val sh = df.select(col(idCol).as("id"),
-      filter(shingles(col(textCol), n), s => length(s) > 0).as("sh"))
+    val sh = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        filter(shinglesOf(col("tk"), n), s => length(s) > 0).as("sh"))
     cand
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
