@@ -59,10 +59,16 @@ object Bench {
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")
     val s1 = session(cpus)
     val names = if (skipHeadline) Seq.empty[String] else headline
-    // warm pass: session init, parquet footer reads, codegen, JIT
-    names.foreach(n => SparkEntry.queries(n)(s1, sfDir).count())
+    // Warm IMMEDIATELY before timing, per query — not one warm pass for
+    // the whole set: 14 queries generate more codegen units than the
+    // JVM-wide codegen cache holds (default 100 entries), so a global
+    // warm pass lets later queries evict earlier ones' compiled classes
+    // and the timed pass re-pays multi-second Janino compiles for the
+    // wide-projection queries (q22 measured 10.7 s set-warmed vs 2 s
+    // self-warmed).
     val results: Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
+      fn(s1, sfDir).count() // warm: codegen, JIT, parquet footers
       name -> time { fn(s1, sfDir).count() }
     }
 
@@ -82,20 +88,37 @@ object Bench {
       }
     s1.stop()
 
-    // Part 2: N vs 4N executor fleets (separate JVMs, disjoint slices,
-    // rep-wise max-over-children, median over reps) — BenchCluster.
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "800000").toLong
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("headline")) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ann_recall":${f"$annRecall%.3f"}}""")
+      return
+    }
+
+    // Part 2: N vs 4N executor fleets (separate pinned JVMs, disjoint
+    // slices, paired alternating passes) — BenchCluster.
+    // N=1 executor x 4 cores vs 4N=4 executors x 4 cores, each executor
+    // taskset-pinned to a disjoint cpuset (what YARN/k8s does). 2x4 vs
+    // 8x4 was rejected: at 32 active threads the single sandbox box
+    // saturates its one memory controller (the 4N fleet burned 25-33%
+    // more CPU for the same work), an artifact a real 4N-node cluster
+    // does not have; at 4-vs-16 cores the box scales cleanly (measured
+    // eff 0.98 with cpu_util 0.94/0.92).
+    // 400k boost-8 pages (~6.5 GB of HTML): a pair of passes completes
+    // in ~1 minute, so 8 pairs sample 8 distinct host windows — on this
+    // drifting shared-hypervisor box, sampling MORE windows beats
+    // making each window longer.
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
     val boost = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOST", "8").toInt
     val threads = sys.env.getOrElse("SPARK_GRAFT_EXEC_THREADS", "4").toInt
-    val execN = sys.env.getOrElse("SPARK_GRAFT_EXEC_N", "2").toInt
+    val execN = sys.env.getOrElse("SPARK_GRAFT_EXEC_N", "1").toInt
     val heap = sys.env.getOrElse("SPARK_GRAFT_EXEC_HEAP", "2g")
     val young = sys.env.getOrElse("SPARK_GRAFT_EXEC_YOUNG", "1500m")
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_CHILD_REPS", "2").toInt
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "8").toInt
     new java.io.File(BenchCluster.ShmLocalDir).mkdirs()
     val path = BenchCluster.ensureBucketedTable(nPages, boost)
-    val ts = BenchCluster.interleavedTrials(path, execN, threads, heap,
-      young, trials, reps)
+    val ts = BenchCluster.pairedTrials(path, execN, threads, heap, young,
+      pairs)
 
     val qs = results.map { case (k, v) => "\"" + k + f""""""" + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -368,6 +368,7 @@ object SparkEntry {
       ExtractionPipeline.events(classified)
         .unionByName(ExtractionPipeline.recordEvents(
           ExtractionPipeline.recordsFromClassified(classified)))
+        .unionByName(ExtractionPipeline.stitchEvents(classified))
         .groupBy(col("level"), col("code"), col("stage"))
         .agg(count(lit(1)).as("n"))
         .orderBy("level", "code", "stage")

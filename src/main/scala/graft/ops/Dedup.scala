@@ -212,12 +212,24 @@ object Dedup {
     */
   def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // Iterative fixpoint state is localCheckpoint'ed (truncated lineage,
+    // eager, per-run RDD blocks), NOT persist()'ed: persist keys the
+    // cache by analyzed-plan equality, so two runs of the same
+    // canonicalize (e.g. a warmup pass then a measured pass) silently
+    // SHARE cache entries, and each run's unpersist()/partial
+    // materialization corrupts the other's — the returned frame could
+    // re-run the whole candidate-pair generation on its next action.
+    // localCheckpoint is the single-process analogue of checkpoint(dir)
+    // on a real cluster (which a 100 TB run would use for the same
+    // lineage-truncation reason).
+    //
     // undirected: propagate labels both ways
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+      .localCheckpoint() // eager: pair generation runs exactly once
     var labels = df.select(col(idCol).as("id"))
-      .withColumn("canonical_id", col("id")).persist()
+      .withColumn("canonical_id", col("id"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -230,17 +242,15 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.canonical_id"),
             coalesce(col("nmin"), col("l.canonical_id"))).as("canonical_id"))
-        .persist()
+        .localCheckpoint()
       val changed = updated.as("u")
         .join(labels.as("l0"), col("u.id") === col("l0.id"))
         .filter(col("u.canonical_id") =!= col("l0.canonical_id"))
         .limit(1).count() > 0
-      labels.unpersist()
       labels = updated
       converged = !changed
       iter += 1
     }
-    edges.unpersist()
     if (!converged)
       System.err.println(
         s"[graft] canonicalize: not converged after $maxIter iterations")

@@ -136,7 +136,13 @@ object ExtractionPipeline {
     * Input: output of classifyPages. Output: ExtractedRecord-shaped DF.
     */
   def recordsFromClassified(classified: DataFrame,
-      rs: RuleSet = RuleSets.plugin): DataFrame = {
+      rs: RuleSet = RuleSets.plugin): DataFrame =
+    extractFields(segments(classified).drop("n_rows"), rs)
+
+  /** Stages 3a-3d: classified pages → stitched segments (one row per
+    * record-to-be, with `n_rows` = how many table rows were folded in).
+    */
+  private def segments(classified: DataFrame): DataFrame = {
     val spark = classified.sparkSession
     import spark.implicits._
 
@@ -215,9 +221,10 @@ object ExtractionPipeline {
       .withColumn("mc", element_at(col("rows"), 1).getField("cells"))
       .withColumn("stitched",
         array_join(transform(col("rows"), r => r.getField("row_text")), " "))
+      .withColumn("n_rows", size(col("rows")))
       .drop("rows")
 
-    extractFields(segs, rs)
+    segs
   }
 
   /** Stages 4-7 — routing + field extraction + validation as one wide
@@ -452,4 +459,26 @@ object ExtractionPipeline {
         lit("").as("message"))
     route.unionByName(vals)
   }
+
+  /** Stitch-stage events (reference REC_STITCH, error_system.py:19-43):
+    * one event per segment folded from >1 table row (a main row plus
+    * continuation rows). record_id matches recordEvents' content hash
+    * (the record's row_text IS the stitched text), so stitch events are
+    * joinable to route/validate events and to the output records.
+    */
+  def stitchEvents(classified: DataFrame): DataFrame =
+    segments(classified)
+      .filter(col("n_rows") > 1)
+      .select(
+        current_timestamp().as("ts"),
+        lit("INFO").as("level"),
+        lit("REC_STITCH_MERGED").as("code"),
+        lit("stitch").as("stage"),
+        col("url"),
+        lit(0).as("page"),
+        substring(md5(concat(col("url"), col("stitched"))), 1, 8)
+          .as("record_id"),
+        col("page_type").as("group"),
+        lit("").as("txn_type"),
+        concat(lit("rows="), col("n_rows")).as("message"))
 }

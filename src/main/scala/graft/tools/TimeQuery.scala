@@ -1,0 +1,30 @@
+// Ad-hoc query timer: scala-cli style runner via java -cp. Usage:
+//   java -cp ... graft.tools.TimeQuery q17_cosine_topk [sfDir]
+// Warm pass then 2 timed passes; prints each.
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    (0 until 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}
