@@ -44,6 +44,20 @@ object BenchStandalone {
   private def javaBin = s"${sys.props("java.home")}/bin/java"
   private def cp = sys.props("java.class.path")
 
+  /** The packaged application jar (`sbt package`), shipped to executors
+    * via spark.jars — the same mechanism spark-submit uses.
+    */
+  private def appJar: String = {
+    val dir = new File("target/scala-2.13")
+    dir.listFiles()
+      .filter(f => f.getName.endsWith(".jar"))
+      .sortBy(-_.lastModified())
+      .headOption
+      .map(_.getAbsolutePath)
+      .getOrElse(sys.error(
+        "no app jar under target/scala-2.13 — run `sbt package` first"))
+  }
+
   private def waitForPort(port: Int, timeoutMs: Long): Unit = {
     val t0 = System.currentTimeMillis()
     var ok = false
@@ -61,15 +75,41 @@ object BenchStandalone {
     }
   }
 
+  private val MasterUiPort = 8090
+
   private def startMaster(): Process = {
-    val cmd = Seq(javaBin, "-Xmx512m", "-XX:ActiveProcessorCount=2",
-      "-Dspark.ui.enabled=false") ++ addOpens ++ Seq(
+    val cmd = Seq(javaBin, "-Xmx512m", "-XX:ActiveProcessorCount=2") ++
+      addOpens ++ Seq(
       "-cp", cp, "org.apache.spark.deploy.master.Master",
       "--host", "localhost", "--port", MasterPort.toString,
-      "--webui-port", "0")
-    val p = Process(cmd).run(ProcessLogger(_ => (), _ => ()))
+      "--webui-port", MasterUiPort.toString)
+    val verbose = sys.env.get("SPARK_GRAFT_CLUSTER_LOGS").contains("1")
+    val p = Process(cmd).run(ProcessLogger(
+      l => if (verbose) System.err.println(s"[master] $l"),
+      l => if (verbose) System.err.println(s"[master] $l")))
     waitForPort(MasterPort, 30000)
     p
+  }
+
+  /** Poll the master's JSON endpoint until exactly `w` workers are
+    * ALIVE. Submitting an app before all workers register races the
+    * scheduler onto stale/partial fleets (10 instant executor failures
+    * → app removed).
+    */
+  private def waitForAliveWorkers(w: Int, timeoutMs: Long = 60000): Unit = {
+    val t0 = System.currentTimeMillis()
+    var alive = -1
+    while (alive != w) {
+      if (System.currentTimeMillis() - t0 > timeoutMs)
+        sys.error(s"master reports $alive alive workers, want $w")
+      Thread.sleep(300)
+      try {
+        val json = scala.io.Source
+          .fromURL(s"http://localhost:$MasterUiPort/json/").mkString
+        alive = "\"aliveworkers\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(-1)
+      } catch { case _: Exception => alive = -1 }
+    }
   }
 
   /** Start `w` workers, worker i pinned to cores [i*cores, (i+1)*cores).
@@ -88,7 +128,20 @@ object BenchStandalone {
         "--host", "localhost", "--cores", cores.toString,
         "--memory", mem, "--work-dir", dir, "--webui-port", "0",
         masterUrl)
-      Process(cmd).run(ProcessLogger(_ => (), _ => ()))
+      val verbose = sys.env.get("SPARK_GRAFT_CLUSTER_LOGS").contains("1")
+      // ExecutorRunner builds the executor command with spark-launcher,
+      // which resolves the jars dir from SPARK_HOME and the scala
+      // version from SPARK_SCALA_VERSION (normally exported by
+      // bin/load-spark-env.sh, which a raw-java worker bypasses)
+      // SPARK_LOCAL_DIRS: in standalone mode executors inherit their
+      // scratch dirs from the WORKER env (the driver's spark.local.dir
+      // is overridden) — without this, all executors shuffle through
+      // the ~200 MB/s virtio /tmp, which punishes the larger fleet
+      Process(cmd, None, "SPARK_HOME" -> "/opt/spark",
+        "SPARK_SCALA_VERSION" -> "2.13",
+        "SPARK_LOCAL_DIRS" -> BenchCluster.ShmLocalDir).run(ProcessLogger(
+        l => if (verbose) System.err.println(s"[worker$i] $l"),
+        l => if (verbose) System.err.println(s"[worker$i] $l")))
     }
 
   /** Pids of live executor backends (children of the workers). */
@@ -119,16 +172,28 @@ object BenchStandalone {
 
   case class Pass(sec: Double, rows: Long, util: Double)
 
-  /** One cluster size: session → warmup → measured passes. */
+  /** One cluster size: fresh master + workers → wait until every worker
+    * is ALIVE → session → warmup → measured passes → full teardown. A
+    * master shared across cluster sizes keeps the previous phase's
+    * worker registered for its heartbeat-timeout window, and the
+    * scheduler races executors onto the stale entry (10 instant
+    * failures → app removed before the new fleet registers).
+    */
   private def runClusterSize(pagesPath: String, workers: Int, cores: Int,
       reps: Int): Seq[Pass] = {
+    val master = startMaster()
     val ws = startWorkers(workers, cores, "3g")
     try {
+      waitForAliveWorkers(workers)
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master(masterUrl)
         .appName(s"graft-standalone-$workers")
         .config("spark.executor.cores", cores.toString)
         .config("spark.executor.memory", "2g")
+        // ship the app jar exactly as spark-submit would (running the
+        // classes dir via executor extraClassPath instead trips lambda
+        // deserialization: SerializedLambda → Function3 cast failures)
+        .config("spark.jars", appJar)
         .config("spark.executor.extraJavaOptions",
           ("-Xmn1500m -XX:+AlwaysPreTouch " +
             s"-XX:ActiveProcessorCount=$cores " +
@@ -167,7 +232,28 @@ object BenchStandalone {
       } finally spark.stop()
     } finally {
       ws.foreach(_.destroy())
-      Thread.sleep(500)
+      master.destroy()
+      ws.foreach(_.exitValue())
+      master.exitValue()
+      waitForPortFree(MasterPort, 30000)
+    }
+  }
+
+  private def waitForPortFree(port: Int, timeoutMs: Long): Unit = {
+    val t0 = System.currentTimeMillis()
+    var free = false
+    while (!free) {
+      try {
+        val ss = new java.net.ServerSocket()
+        ss.setReuseAddress(true)
+        ss.bind(new InetSocketAddress("localhost", port))
+        ss.close(); free = true
+      } catch {
+        case _: Exception =>
+          if (System.currentTimeMillis() - t0 > timeoutMs)
+            sys.error(s"port $port still bound after ${timeoutMs}ms")
+          Thread.sleep(200)
+      }
     }
   }
 
@@ -184,9 +270,7 @@ object BenchStandalone {
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_CHILD_REPS", "2").toInt
     val path = BenchCluster.ensureBucketedTable(nPages, boost)
-    val master = startMaster()
-    try {
-      val ts = (1 to trials).map { t =>
+    val ts = (1 to trials).map { t =>
         val pN = runClusterSize(path, execN, cores, reps).minBy(_.sec)
         val p4N = runClusterSize(path, execN * 4, cores, reps).minBy(_.sec)
         val tr = Trial(pN.sec, p4N.sec, pN.util, p4N.util)
@@ -196,13 +280,12 @@ object BenchStandalone {
             f"eff=${tr.eff}%.3f rowsN=${pN.rows} rows4N=${p4N.rows}")
         tr
       }
-      val best = ts.maxBy(_.eff)
-      def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-      val trialsJson = ts.map(t =>
-        f"""{"sec_N":${t.tN}%.3f,"sec_4N":${t.t4N}%.3f,"cpu_util_N":${t.utilN}%.2f,"cpu_util_4N":${t.util4N}%.2f,"efficiency":${t.eff}%.3f}""")
-        .mkString("[", ",", "]")
-      println(
-        f"""{"mode":"standalone-cluster","pages":$nPages,"boost":$boost,"workers_N":$execN,"workers_4N":${execN * 4},"cores_per_worker":$cores,"sec_N":${best.tN}%.3f,"sec_4N":${best.t4N}%.3f,"docs_per_sec_N":${nPages / best.tN}%.1f,"docs_per_sec_4N":${nPages / best.t4N}%.1f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_median":${median(ts.map(_.eff))}%.3f,"trials":$trialsJson}""")
-    } finally master.destroy()
+    val best = ts.maxBy(_.eff)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val trialsJson = ts.map(t =>
+      f"""{"sec_N":${t.tN}%.3f,"sec_4N":${t.t4N}%.3f,"cpu_util_N":${t.utilN}%.2f,"cpu_util_4N":${t.util4N}%.2f,"efficiency":${t.eff}%.3f}""")
+      .mkString("[", ",", "]")
+    println(
+      f"""{"mode":"standalone-cluster","pages":$nPages,"boost":$boost,"workers_N":$execN,"workers_4N":${execN * 4},"cores_per_worker":$cores,"sec_N":${best.tN}%.3f,"sec_4N":${best.t4N}%.3f,"docs_per_sec_N":${nPages / best.tN}%.1f,"docs_per_sec_4N":${nPages / best.t4N}%.1f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_median":${median(ts.map(_.eff))}%.3f,"trials":$trialsJson}""")
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -72,25 +73,32 @@ object Dedup {
     * fraction of matching perms. One shuffle on the (band, bucket) key.
     * The bucket key is md5 of the band's comma-joined perm values —
     * engine-portable, so the whole operator is DuckDB-oracle-checkable.
+    *
+    * @param maxBucket LSH buckets larger than this are skipped (0 =
+    *                  unbounded). Degenerate signatures — unigram
+    *                  minhash over a small vocabulary, empty shingle
+    *                  sets — put large fractions of the corpus into one
+    *                  bucket, and the within-bucket self-join goes
+    *                  quadratic (the standard LSH big-bucket guard; at
+    *                  corpus scale an unbounded bucket is a job-killer).
+    *                  NOT silent: pairs lost to the cap are visible in
+    *                  `minhashLshSkippedBuckets` with their sizes.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, seed: Long = 42L,
-      minEstJaccard: Double = 0.5, shingleN: Int = 1): DataFrame = {
-    val rowsPerBand = k / bands
-    val sig = withMinhash(df.select(col(idCol).as("id"), col(textCol).as("t")),
-      col("t"), k, seed, shingleN)
-      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
-      .select(col("id"), col("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",", transform(
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            x => x.cast("string")))).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val l = banded.as("l")
-    val r = banded.as("r")
+      minEstJaccard: Double = 0.5, shingleN: Int = 1,
+      maxBucket: Int = 0): DataFrame = {
+    val banded = bandedSignatures(df, idCol, textCol, k, bands, seed,
+      shingleN)
+    val capped =
+      if (maxBucket <= 0) banded
+      else {
+        val w = Window.partitionBy(col("band"), col("bucket"))
+        banded.withColumn("_bsz", count(lit(1)).over(w))
+          .filter(col("_bsz") <= maxBucket).drop("_bsz")
+      }
+    val l = capped.as("l")
+    val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
@@ -100,6 +108,39 @@ object Dedup {
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
+
+  /** Banded (band, bucket) signature table shared by minhashLshPairs
+    * and the big-bucket accounting.
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int, seed: Long,
+      shingleN: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = withMinhash(df.select(col(idCol).as("id"), col(textCol).as("t")),
+      col("t"), k, seed, shingleN)
+      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
+      .select(col("id"), col("sig"))
+    sig.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")))).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** The buckets a `maxBucket` cap would skip, with their sizes — the
+    * no-silent-caps companion to minhashLshPairs: report what was
+    * dropped instead of pretending full coverage.
+    */
+  def minhashLshSkippedBuckets(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, bands: Int = 4, seed: Long = 42L,
+      shingleN: Int = 1, maxBucket: Int = 0): DataFrame =
+    bandedSignatures(df, idCol, textCol, k, bands, seed, shingleN)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(lit(maxBucket) > 0 && col("bucket_size") > maxBucket)
 
   /** Portable 16-bit SimHash (first 4 md5 hex chars per token; majority
     * vote per bit). Oracle-checkable; the 64-bit variant below is the

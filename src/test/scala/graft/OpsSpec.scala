@@ -37,6 +37,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhash LSH big-bucket cap: skips oversized buckets, reports them") {
+    import spark.implicits._
+    // 6 identical docs share every bucket (size 6) + one distinct doc
+    val d = ((0L until 6L).map(i => (i, "same same same text here")) :+
+      (9L, "entirely other words appear in this document"))
+      .toDF("doc_id", "text")
+    val unbounded = Dedup.minhashLshPairs(d, "doc_id", "text", 16, 8,
+      minEstJaccard = 0.4).count()
+    assert(unbounded === 15) // C(6,2) identical pairs
+    val capped = Dedup.minhashLshPairs(d, "doc_id", "text", 16, 8,
+      minEstJaccard = 0.4, maxBucket = 4).count()
+    assert(capped === 0) // the size-6 buckets are all skipped
+    val skipped = Dedup.minhashLshSkippedBuckets(d, "doc_id", "text", 16, 8,
+      maxBucket = 4).collect()
+    assert(skipped.nonEmpty)
+    assert(skipped.forall(_.getLong(2) === 6L))
+    // cap above the bucket size changes nothing
+    val loose = Dedup.minhashLshPairs(d, "doc_id", "text", 16, 8,
+      minEstJaccard = 0.4, maxBucket = 100).count()
+    assert(loose === unbounded)
+  }
+
   test("simhash: hamming(near dups) < hamming(unrelated)") {
     import spark.implicits._
     val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
