@@ -36,15 +36,17 @@ object SparkEntry {
   private def tokHashSql(width: Int) =
     s"CAST(('0x' || substr(md5(t), 1, $width)) AS BIGINT)"
 
-  private def stopHitsSql(words: Seq[String], textExpr: String): String =
-    words.map(w =>
-      s"len(regexp_extract_all($textExpr, '(^|\\s)$w(\\s|$$)'))")
-      .mkString(" + ")
+  /** DuckDB twin of TextAnalysis.stopwordHits: tokenize once, count
+    * list membership (same split regex, same IN list).
+    */
+  private def stopHitsSql(words: Seq[String], textExpr: String): String = {
+    val inList = words.map(w => s"'${sqlLit(w)}'").mkString(", ")
+    s"len(list_filter(regexp_split_to_array($textExpr, '\\s+'), " +
+      s"t -> t IN ($inList)))"
+  }
 
   private def stopHitsCol(words: Seq[String], text: Column): Column =
-    words.map(w =>
-      size(regexp_extract_all(text, lit(s"(^|\\s)$w(\\s|$$)"), lit(0))))
-      .reduce(_ + _)
+    TextAnalysis.stopwordHits(text, words)
 
   /** Rule set for the documents-table classification demo (q10) — same
     * compiler as the page classifier, domain-specific keywords.
@@ -734,16 +736,18 @@ object SparkEntry {
             * 1000000) // len($toksSql) ELSE 0 END AS stopword_ppm
         FROM documents ORDER BY doc_id""",
     "q20_langid" -> {
-      val en = stopHitsSql(TextAnalysis.StopEn, "lower(text)")
-      val de = stopHitsSql(TextAnalysis.StopDe, "lower(text)")
-      val fr = stopHitsSql(TextAnalysis.StopFr, "lower(text)")
-      val es = stopHitsSql(TextAnalysis.StopEs, "lower(text)")
+      // mirror of TextAnalysis.langId: same lists, same tie order
+      val hits = TextAnalysis.StopLists.map { case (lang, words) =>
+        lang -> stopHitsSql(words, "lower(text)")
+      }
+      val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
+      val branches = hits.map { case (lang, h) =>
+        s"WHEN ($h) = $mx THEN '$lang'"
+      }.mkString("\n          ")
       s"""SELECT doc_id, lang,
-        CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
-          WHEN ($en) = greatest($en, $de, $fr, $es) THEN 'en'
-          WHEN ($de) = greatest($en, $de, $fr, $es) THEN 'de'
-          WHEN ($fr) = greatest($en, $de, $fr, $es) THEN 'fr'
-          ELSE 'es' END AS lang_pred
+        CASE WHEN $mx = 0 THEN 'und'
+          $branches
+          ELSE '${TextAnalysis.StopLists.last._1}' END AS lang_pred
         FROM documents ORDER BY doc_id"""
     },
     "q21_fingerprint" ->

@@ -20,32 +20,52 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Stopword-list hits for a language (token-boundary matches). */
-  private def stopwordHits(text: Column, words: Seq[String]): Column =
-    words.map(w =>
-      size(regexp_extract_all(text, lit(s"(^|\\s)${w}(\\s|$$)"), lit(0))))
-      .reduce(_ + _)
+  /** Stopword-list hits for a language: whitespace-tokenize once, count
+    * list membership. One split per row regardless of list size — the
+    * per-word regex-scan form costs |words| regex passes over the full
+    * text per language, which at 7 languages × 15 words is 105 scans
+    * per row (a 100 TB job killer); membership over the token array is
+    * one pass plus hash lookups, and stays engine-portable for the
+    * DuckDB oracle (list_filter + IN).
+    */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(split(text, "\\s+"), t => t.isin(words: _*)))
 
-  val StopEn = Seq("the", "and", "of", "to", "a", "is", "in")
-  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
-  val StopFr = Seq("le", "la", "les", "et", "est", "une", "dans")
-  val StopEs = Seq("el", "los", "las", "y", "es", "una", "que")
+  // 15 high-frequency unaccented stopwords per language (public
+  // frequency lists); tie-break priority en > de > fr > es > it > pt >
+  // nl. Cross-language shared forms ("de", "que", "en") score for every
+  // list containing them — a heuristic, resolved by the tie order.
+  val StopEn = Seq("the", "and", "of", "to", "a", "is", "in", "that",
+    "it", "for", "was", "with", "on", "as", "are")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+    "eine", "mit", "von", "auf", "im", "den", "zu", "sich")
+  val StopFr = Seq("le", "la", "les", "et", "est", "une", "dans", "des",
+    "du", "pour", "pas", "sur", "avec", "au", "ce")
+  val StopEs = Seq("el", "los", "las", "y", "es", "una", "que", "de",
+    "en", "por", "con", "para", "del", "se", "su")
+  val StopIt = Seq("il", "lo", "gli", "e", "che", "di", "un", "per",
+    "non", "sono", "si", "da", "nel", "alla", "come")
+  val StopPt = Seq("o", "os", "um", "uma", "para", "com", "nao", "em",
+    "dos", "das", "mais", "como", "foi", "ao", "sua")
+  val StopNl = Seq("de", "het", "een", "van", "en", "niet", "met", "op",
+    "voor", "aan", "zijn", "dat", "er", "ook", "bij")
+
+  val StopLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> StopEn, "de" -> StopDe, "fr" -> StopFr, "es" -> StopEs,
+    "it" -> StopIt, "pt" -> StopPt, "nl" -> StopNl)
 
   /** Heuristic language ID: the language whose stopword list hits most
-    * (priority order en > de > fr > es on ties); "und" when no hits.
+    * (ties break in StopLists order); "und" when no hits.
     */
   def langId(textRaw: Column): Column = {
     val text = lower(textRaw)
-    val en = stopwordHits(text, StopEn)
-    val de = stopwordHits(text, StopDe)
-    val fr = stopwordHits(text, StopFr)
-    val es = stopwordHits(text, StopEs)
-    val mx = greatest(en, de, fr, es)
-    when(mx === 0, lit("und"))
-      .when(en === mx, lit("en"))
-      .when(de === mx, lit("de"))
-      .when(fr === mx, lit("fr"))
-      .otherwise(lit("es"))
+    val hits = StopLists.map { case (lang, words) =>
+      lang -> stopwordHits(text, words)
+    }
+    val mx = greatest(hits.map(_._2): _*)
+    hits.foldLeft(when(mx === 0, lit("und"))) { case (acc, (lang, h)) =>
+      acc.when(h === mx, lit(lang))
+    }.otherwise(lit(StopLists.last._1))
   }
 
   /** Quality features: length, token stats, character-class ratios,

@@ -92,6 +92,23 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming exact dedup for a training-data ingest: drop documents
+    * whose content hash was already seen, with a watermark bounding how
+    * long seen-hashes state is retained (at 100 TB the state store
+    * cannot hold every hash forever — the watermark is the standard
+    * retention contract: a duplicate arriving later than the watermark
+    * delay after its original may pass through).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermarkDelay: String = "10 minutes")
+      : DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("_h", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   /** Convenience: run a streaming query to completion over a bounded
     * source (test/demo helper).
     */

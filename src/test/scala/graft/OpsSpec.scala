@@ -147,14 +147,30 @@ class OpsSpec extends AnyFunSuite {
     assert(labels === Map(10L -> 10L, 11L -> 11L, 12L -> 11L, 13L -> 11L))
   }
 
+  test("dupEvents: one REC_DUP per dropped duplicate, survivors silent") {
+    import spark.implicits._
+    val ids = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val chain = Seq((11L, 12L), (12L, 13L)).toDF("a", "b")
+    val ev = Dedup.dupEvents(Dedup.canonicalize(ids, "id", chain)).collect()
+    assert(ev.length === 2) // 12 and 13 dropped in favor of 11
+    assert(ev.forall(r => r.getAs[String]("code") === "REC_DUP" &&
+      r.getAs[String]("stage") === "record_dedup" &&
+      r.getAs[String]("message") === "canonical=11"))
+    assert(ev.map(_.getAs[String]("url")).sorted.toSeq === Seq("12", "13"))
+  }
+
   test("langId picks the language with most stopword hits") {
     import spark.implicits._
     val r = Seq("the cat and the dog is here",
       "der hund und die katze ist da",
       "le chat est dans la maison",
+      "el perro es una mascota que vive en la casa",
+      "il gatto non sono un cane che vive nel giardino",
+      "um gato para os amigos com mais alegria do que nunca",
+      "de hond en het paard zijn niet bij de boer",
       "xyzzy plugh").toDF("t")
       .select(TextAnalysis.langId(col("t"))).as[String].collect()
-    assert(r.toSeq === Seq("en", "de", "fr", "und"))
+    assert(r.toSeq === Seq("en", "de", "fr", "es", "it", "pt", "nl", "und"))
   }
 
   test("quality score and token counts behave") {

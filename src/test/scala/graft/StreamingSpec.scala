@@ -78,4 +78,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 3L, 15.0)))
     assert(rows.contains((2L, 1L, 1.0)))
   }
+
+  test("streaming exact dedup drops repeated content within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingPipeline.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((ts(1), 1L, "alpha"), (ts(1), 2L, "beta"),
+      (ts(2), 3L, "alpha")) // same content as doc 1 → dropped
+    q.processAllAvailable()
+    stream.addData((ts(3), 4L, "alpha"), (ts(3), 5L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // docs 3 and 4 are duplicates of doc 1's content inside the
+    // watermark window; 1, 2, 5 survive
+    assert(kept === Seq(1L, 2L, 5L))
+  }
 }
