@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Three parts:
   *  1. headline operator queries at SPARK_GRAFT_SF_DIR (local[cpus]),
-  *     measured WARM: the whole set runs once untimed first, so JVM/
-  *     codegen warmup isn't billed to the first query and round-over-
-  *     round deltas are meaningful;
+  *     each measured WARM immediately after its own untimed warm run
+  *     (see the loop comment for why warm-per-query, not warm-the-set);
   *  2. the north-rule scaling evidence: N vs 4N executor fleets, each
-  *     executor a separate JVM over a disjoint slice of the same
-  *     materialized pages table (BenchCluster) — throughput at both
-  *     widths + efficiency (tN/t4N)/4 (sandbox adaptation of the
-  *     N- vs 4N-executor criterion);
+  *     executor a separate cpuset-pinned JVM over a disjoint slice of
+  *     the same materialized pages table, measured as paired
+  *     alternating passes (BenchCluster) — throughput at both widths +
+  *     efficiency (tN/t4N)/4 (sandbox adaptation of the N- vs
+  *     4N-executor criterion; see also BenchStandalone for the
+  *     real-cluster variant);
   *  3. ANN quality: recall@5 of the multi-probe LSH path vs the exact
   *     brute-force baseline on the sf embeddings.
   */
