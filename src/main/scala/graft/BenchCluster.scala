@@ -153,6 +153,15 @@ object BenchCluster {
     "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** Whether a fleet of `executors`×`threads` starting at `coreOffset`
+    * can be taskset-pinned to disjoint cores on this host.
+    */
+  def canPinFleet(executors: Int, threads: Int, coreOffset: Int): Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_PIN", "1") == "1" &&
+      coreOffset + executors * threads <=
+        Runtime.getRuntime.availableProcessors() &&
+      new File("/usr/bin/taskset").exists()
+
   /** Launch `executors` resident child JVMs over disjoint slices, child
     * i taskset-pinned to cores [coreOffset + i*threads, +threads).
     */
@@ -161,10 +170,7 @@ object BenchCluster {
       coordDir: String): Seq[Process] = {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val cp = sys.props("java.class.path")
-    val hostCores = Runtime.getRuntime.availableProcessors()
-    val canPin = sys.env.getOrElse("SPARK_GRAFT_PIN", "1") == "1" &&
-      coreOffset + executors * threads <= hostCores &&
-      new File("/usr/bin/taskset").exists()
+    val canPin = canPinFleet(executors, threads, coreOffset)
     (0 until executors).map { i =>
       val pin =
         if (canPin) Seq("/usr/bin/taskset", "-c",
@@ -223,6 +229,18 @@ object BenchCluster {
     val cd = new File(coord)
     if (cd.exists()) cd.listFiles().foreach(_.delete())
     cd.mkdirs()
+    // An asymmetric comparison (one fleet pinned, the other spilling
+    // onto idle host cores) silently deflates/inflates the ratio — fail
+    // fast instead of reporting a number that looks like evidence.
+    val pin4N = canPinFleet(execN * 4, threads, 0)
+    val pinN = canPinFleet(execN, threads, execN * 4 * threads)
+    require(pinN == pin4N,
+      s"asymmetric pinning (N pinned=$pinN, 4N pinned=$pin4N): " +
+        "reduce SPARK_GRAFT_EXEC_N/THREADS so both fleets fit host cores, " +
+        "or set SPARK_GRAFT_PIN=0 to explicitly run both unpinned")
+    if (!pinN) System.err.println(
+      "[cluster] WARNING: fleets run UNPINNED — ratios are not " +
+        "disjoint-core evidence")
     // 4N fleet on cores [0, 4N*threads); N fleet above it, disjoint
     val fleet4N = startFleet(path, execN * 4, threads, heap, young, 0, coord)
     val fleetN = startFleet(path, execN, threads, heap, young,
@@ -270,24 +288,36 @@ object BenchCluster {
     println(scalingJson(nPages, boost, execN, threads, ts))
   }
 
+  /** Minimum fleet CPU utilization for a pair to be headline-credible:
+    * a pass whose fleet burned under this fraction of its granted
+    * core-seconds did not actually run on its cores.
+    */
+  val UtilFloor = 0.5
+
   /** Scaling JSON: headline efficiency = the best CREDIBLE pair. A pair
-    * only tests 4x resources when the host actually granted both fleets
-    * their cores (cpu_util_* is the evidence), and a pair with eff > 1
-    * is not evidence of superlinear scaling — it means the N-side
-    * measurement landed in a degraded host window — so such pairs are
-    * excluded from headline selection. The median and every pair's
-    * numbers are reported alongside.
+    * is credible when (a) eff ≤ 1.0 — eff > 1 is not superlinear
+    * scaling, it means the N-side measurement landed in a degraded host
+    * window — and (b) BOTH sides show cpu utilization ≥ [[UtilFloor]]
+    * (the fleets actually received their cores). If no pair passes the
+    * util floor the filter falls back to eff-only, then to
+    * closest-to-1. The median and every pair's numbers are reported
+    * alongside, with a `pinned` flag recording whether the fleets were
+    * taskset-pinned to disjoint cpusets.
     */
   def scalingJson(nPages: Long, boost: Int, execN: Int, threads: Int,
       ts: Seq[Trial]): String = {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val credible = ts.filter(_.eff <= 1.0)
+    val utilOk = ts.filter(t => t.eff <= 1.0 &&
+      t.utilN >= UtilFloor && t.util4N >= UtilFloor)
+    val credible = if (utilOk.nonEmpty) utilOk else ts.filter(_.eff <= 1.0)
     val best =
       if (credible.nonEmpty) credible.maxBy(_.eff)
       else ts.minBy(t => math.abs(math.log(t.eff)))
+    val pinned = canPinFleet(execN * 4, threads, 0) &&
+      canPinFleet(execN, threads, execN * 4 * threads)
     val trialsJson = ts.map(t =>
       f"""{"sec_N":${t.tN}%.3f,"sec_4N":${t.t4N}%.3f,"cpu_util_N":${t.utilN}%.2f,"cpu_util_4N":${t.util4N}%.2f,"efficiency":${t.eff}%.3f}""")
       .mkString("[", ",", "]")
-    f"""{"mode":"multi-process-paired","pages":$nPages,"boost":$boost,"executors_N":$execN,"executors_4N":${execN * 4},"threads_per_exec":$threads,"sec_N":${best.tN}%.3f,"sec_4N":${best.t4N}%.3f,"docs_per_sec_N":${nPages / best.tN}%.1f,"docs_per_sec_4N":${nPages / best.t4N}%.1f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_median":${median(ts.map(_.eff))}%.3f,"trials":$trialsJson}"""
+    f"""{"mode":"multi-process-paired","pages":$nPages,"boost":$boost,"executors_N":$execN,"executors_4N":${execN * 4},"threads_per_exec":$threads,"pinned":$pinned,"sec_N":${best.tN}%.3f,"sec_4N":${best.t4N}%.3f,"docs_per_sec_N":${nPages / best.tN}%.1f,"docs_per_sec_4N":${nPages / best.t4N}%.1f,"scaling_efficiency":${best.eff}%.3f,"scaling_efficiency_median":${median(ts.map(_.eff))}%.3f,"trials":$trialsJson}"""
   }
 }

@@ -54,22 +54,23 @@ object GraftApp {
     val done = TableIO.runResumable(pages, output, buckets, wave, rs)
     val sec = (System.nanoTime() - t0) / 1e9
 
-    // metrics table (append per run): record-stage events come from the
-    // committed OUTPUT — no second scan of the input. Page-stage events
-    // re-run content extraction just for the log, so they are opt-in
-    // (--page-events true).
+    // record-stage events land in $output/_metrics inside runResumable
+    // (per wave, bucket-partitioned, resume-idempotent — a resumed run
+    // rebuilds exactly the killed run's missing partitions instead of
+    // appending duplicates). Page-stage events re-run content extraction
+    // just for the log, so they are opt-in (--page-events true) and go
+    // to a separate table to keep _metrics overwrite-idempotent.
     val recs = TableIO.readCommitted(spark, output)
-    if (!recs.isEmpty)
-      ExtractionPipeline.recordEvents(recs)
-        .write.mode("append").parquet(s"$output/_metrics")
     if (opts.get("page-events").contains("true"))
       ExtractionPipeline.classifyPages(
         ExtractionPipeline.pageTexts(pages), rs)
         .transform(ExtractionPipeline.events)
-        .write.mode("append").parquet(s"$output/_metrics")
+        .write.mode("overwrite").parquet(s"$output/_metrics_pages")
 
     val n = if (recs.isEmpty) 0L else recs.count()
-    println(f"""{"buckets_done":$done,"records":$n,"sec":$sec%.2f}""")
+    val ev = TableIO.readEvents(spark, output)
+    val nEv = if (ev.isEmpty) 0L else ev.count()
+    println(f"""{"buckets_done":$done,"records":$n,"events":$nEv,"sec":$sec%.2f}""")
     spark.stop()
   }
 }

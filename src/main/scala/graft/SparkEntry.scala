@@ -363,18 +363,14 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("a"), col("b"))
         .limit(50)),
     // A3: error statistics by code/stage over the pipeline event log —
-    // page-stage + record-stage (route/validate) events unioned
-    "q30_event_stats" -> ((s, d) => {
-      val classified = ExtractionPipeline.classifyPages(
-        ExtractionPipeline.pageTexts(PagesGen.pages(s, 600, 42, 8), 8))
-      ExtractionPipeline.events(classified)
-        .unionByName(ExtractionPipeline.recordEvents(
-          ExtractionPipeline.recordsFromClassified(classified)))
-        .unionByName(ExtractionPipeline.stitchEvents(classified))
+    // page + record (route/validate) + stitch events from ONE
+    // checkpointed extraction pass (eventLog)
+    "q30_event_stats" -> ((s, d) =>
+      ExtractionPipeline.eventLog(ExtractionPipeline.classifyPages(
+        ExtractionPipeline.pageTexts(PagesGen.pages(s, 600, 42, 8), 8)))
         .groupBy(col("level"), col("code"), col("stage"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("level", "code", "stage")
-    }),
+        .orderBy("level", "code", "stage")),
     // C1+C3+C10+P1+S8 routing, oracle-checked: pages synthesized from
     // `documents` rows (identical construction in the oracle), classified
     // by the COMPILED rule chains incl. the Others fallback, pipe rows
@@ -745,7 +741,7 @@ object SparkEntry {
         s"WHEN ($h) = $mx THEN '$lang'"
       }.mkString("\n          ")
       s"""SELECT doc_id, lang,
-        CASE WHEN $mx = 0 THEN 'und'
+        CASE WHEN text IS NULL OR $mx = 0 THEN 'und'
           $branches
           ELSE '${TextAnalysis.StopLists.last._1}' END AS lang_pred
         FROM documents ORDER BY doc_id"""

@@ -126,7 +126,10 @@ object TableIO {
       // stale dirs from a failed attempt carry no lineage; removing them
       // makes the post-write listing exactly this attempt's output even
       // when the retry produces zero rows for a previously-written bucket
-      wave.foreach(b => deleteRecursively(Paths.get(s"$out/data/bucket=$b")))
+      wave.foreach { b =>
+        deleteRecursively(Paths.get(s"$out/data/bucket=$b"))
+        deleteRecursively(Paths.get(s"$out/_metrics/bucket=$b"))
+      }
       val nb = buckets
       val accs = wave.map(b =>
         b -> spark.sparkContext.longAccumulator(s"graft_in_$b")).toMap
@@ -160,6 +163,21 @@ object TableIO {
               .as("h"))
           .collect()
           .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // S10 event-log sink, resume-idempotent: record-stage events are
+      // derived from the wave's FRESHLY-WRITTEN records (no second
+      // extraction pass) and land bucket-partitioned under _metrics with
+      // the same dynamic-overwrite semantics as the data — a resumed run
+      // reproduces exactly the killed run's missing event partitions,
+      // never appends duplicates
+      if (writtenDirs.nonEmpty)
+        ExtractionPipeline.recordEvents(
+          spark.read.option("basePath", s"$out/data")
+            .parquet(writtenDirs: _*))
+          .withColumn("bucket", bucketOf)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(s"$out/_metrics")
       wave.foreach { b =>
         val (n, h) = stats.getOrElse(b, (0L, 0L))
         writeLineage(out, Lineage(b, "COMMITTED",
@@ -175,12 +193,24 @@ object TableIO {
     * bucket with zero output rows has no directory — skipped, not an
     * error.
     */
-  def readCommitted(spark: SparkSession, out: String): DataFrame = {
-    val committed = readLineage(out).values
+  def readCommitted(spark: SparkSession, out: String): DataFrame =
+    readPartitioned(spark, s"$out/data", committedBuckets(out))
+
+  /** Read the committed event log (record-stage events written per wave
+    * by runResumable). Same committed-bucket pruning as readCommitted.
+    */
+  def readEvents(spark: SparkSession, out: String): DataFrame =
+    readPartitioned(spark, s"$out/_metrics", committedBuckets(out))
+
+  private def committedBuckets(out: String): Seq[Int] =
+    readLineage(out).values
       .filter(_.status == "COMMITTED").map(_.bucket).toSeq.sorted
-    val paths = committed.map(b => s"$out/data/bucket=$b")
+
+  private def readPartitioned(spark: SparkSession, base: String,
+      buckets: Seq[Int]): DataFrame = {
+    val paths = buckets.map(b => s"$base/bucket=$b")
       .filter(p => Files.exists(Paths.get(p)))
     if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.option("basePath", s"$out/data").parquet(paths: _*)
+    else spark.read.option("basePath", base).parquet(paths: _*)
   }
 }

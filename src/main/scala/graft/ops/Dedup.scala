@@ -268,9 +268,14 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint() // eager: pair generation runs exactly once
-    var labels = df.select(col(idCol).as("id"))
+    val initial = df.select(col(idCol).as("id"))
       .withColumn("canonical_id", col("id"))
       .localCheckpoint()
+    var labels = initial
+    // previous iteration's checkpointed frame: released once the next
+    // iteration has materialized (otherwise up to maxIter full label
+    // tables stay pinned in storage memory for the whole job)
+    var prev: DataFrame = initial
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -278,25 +283,40 @@ object Dedup {
         .join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid"))
         .agg(min(col("canonical_id")).as("nmin"))
+      // `_changed` rides the SAME join pass that produces the new
+      // labels, so the convergence probe is a limit-1 scan of the
+      // just-checkpointed blocks — NOT a second shuffle join per
+      // iteration (the round-2 control plan paid an extra join+count
+      // per fixpoint step; at scale that doubles the job count).
       val updated = labels.as("l")
         .join(neighborMin, col("l.id") === col("nid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.canonical_id"),
-            coalesce(col("nmin"), col("l.canonical_id"))).as("canonical_id"))
+            coalesce(col("nmin"), col("l.canonical_id"))).as("canonical_id"),
+          (coalesce(col("nmin"), col("l.canonical_id")) <
+            col("l.canonical_id")).as("_changed"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("l0"), col("u.id") === col("l0.id"))
-        .filter(col("u.canonical_id") =!= col("l0.canonical_id"))
-        .limit(1).count() > 0
-      labels = updated
-      converged = !changed
+      converged = updated.filter(col("_changed")).isEmpty
+      unpersistCheckpoint(prev) // safe: `updated` is materialized
+      prev = updated
+      labels = updated.drop("_changed")
       iter += 1
     }
+    unpersistCheckpoint(edges) // labels no longer re-derives from edges
     if (!converged)
       System.err.println(
         s"[graft] canonicalize: not converged after $maxIter iterations")
     labels
   }
+
+  /** Release the RDD blocks behind a localCheckpoint'ed frame. Safe only
+    * once nothing downstream can re-read it (a truncated-lineage RDD
+    * cannot be recomputed after unpersist).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** REC_DUP events (reference error_system.py:23, stage record_dedup):
     * one WARN event per document dropped by dedup — every canonicalize
@@ -321,18 +341,53 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by
     * random-hyperplane LSH so the pairwise work stays within buckets.
+    *
+    * `planes` is a CALLER decision at scale: buckets = 2^planes, and the
+    * within-bucket self-join is quadratic in bucket size, so pick planes
+    * ≈ log2(corpus / targetBucketSize) (e.g. 1e9 docs at ~1k-vector
+    * buckets → planes ≈ 20).
+    *
+    * @param maxBucket buckets larger than this are skipped (0 =
+    *                  unbounded) — the same big-bucket guard as
+    *                  minhashLshPairs: a dense embedding region
+    *                  (near-duplicate spam clusters) otherwise goes
+    *                  quadratic inside its bucket. NOT silent: see
+    *                  embeddingNearDupSkippedBuckets.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", SimSearch.hyperplaneBucket(col("v"), planes, dim,
-        seed))
-    bucketed.as("l").join(bucketed.as("r"),
+      seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
+    val bucketed = embeddingBuckets(df, idCol, vecCol, planes, dim, seed)
+    val capped =
+      if (maxBucket <= 0) bucketed
+      else {
+        val w = Window.partitionBy(col("bucket"))
+        bucketed.withColumn("_bsz", count(lit(1)).over(w))
+          .filter(col("_bsz") <= maxBucket).drop("_bsz")
+      }
+    capped.as("l").join(capped.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .withColumn("cosine", SimSearch.cosine(col("l.v"), col("r.v")))
       .filter(col("cosine") >= threshold)
       .select(col("l.id").as("a"), col("r.id").as("b"), col("cosine"))
   }
+
+  private def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, seed: Long): DataFrame =
+    df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket",
+        SimSearch.hyperplaneBucket(col("v"), planes, dim, seed))
+
+  /** The buckets a `maxBucket` cap would skip, with sizes — no-silent-
+    * caps accounting (companion to embeddingNearDupPairs, mirroring
+    * minhashLshSkippedBuckets).
+    */
+  def embeddingNearDupSkippedBuckets(df: DataFrame, idCol: String,
+      vecCol: String, planes: Int = 8, dim: Int = 64, seed: Long = 42L,
+      maxBucket: Int = 0): DataFrame =
+    embeddingBuckets(df, idCol, vecCol, planes, dim, seed)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(lit(maxBucket) > 0 && col("bucket_size") > maxBucket)
 }

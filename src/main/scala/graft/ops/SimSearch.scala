@@ -67,16 +67,22 @@ object SimSearch {
     * once.
     *
     * Scale shape: the corpus side carries `tables` (table, bucket)
-    * entries per vector and shuffles on that key; the (small) query
-    * side is multiplied by tables × probes and broadcast. Tuned on the
-    * near-uniform testdata embeddings — an adversarially unstructured
-    * case — to ≥0.9 recall@5 while scanning ~1/3 of the corpus per
-    * query (OpsSpec asserts the floor; Bench reports the measured
-    * recall).
+    * entries per vector and shuffles on that key; the query side is
+    * multiplied by tables × probes and — when `broadcastQueries` (the
+    * default, right while the query set fits an executor) — broadcast.
+    * For corpus-sized query sets pass broadcastQueries = false: the
+    * candidate join becomes a shuffle join on the (table, bucket) key,
+    * which is exactly the co-partitioned join a 100 TB all-pairs ANN
+    * needs (both sides shuffle once on the small key; vectors move only
+    * within their buckets). Tuned on the near-uniform testdata
+    * embeddings — an adversarially unstructured case — to ≥0.9 recall@5
+    * while scanning ~1/3 of the corpus per query (OpsSpec asserts the
+    * floor through BOTH join paths; Bench reports the measured recall).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 5, nPlanes: Int = 4, dim: Int = 64,
-      seed: Long = 42L, probeHamming: Int = 1, tables: Int = 4): DataFrame = {
+      seed: Long = 42L, probeHamming: Int = 1, tables: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("tb", explode(array((0 until tables).map { l =>
@@ -97,7 +103,8 @@ object SimSearch {
           .bitwiseXOR(lit(m)).as("b"))): _*)))
       .select(col("query_id"), col("qv"),
         col("tb.t").as("t"), col("tb.b").as("bucket"))
-    val cand = c.join(broadcast(q), Seq("t", "bucket"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val cand = c.join(qSide, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select("query_id", "qv", "corpus_id", "cv")
       .dropDuplicates("query_id", "corpus_id")

@@ -55,7 +55,7 @@ object TextAnalysis {
     "it" -> StopIt, "pt" -> StopPt, "nl" -> StopNl)
 
   /** Heuristic language ID: the language whose stopword list hits most
-    * (ties break in StopLists order); "und" when no hits.
+    * (ties break in StopLists order); "und" for NULL text or no hits.
     */
   def langId(textRaw: Column): Column = {
     val text = lower(textRaw)
@@ -63,8 +63,12 @@ object TextAnalysis {
       lang -> stopwordHits(text, words)
     }
     val mx = greatest(hits.map(_._2): _*)
-    hits.foldLeft(when(mx === 0, lit("und"))) { case (acc, (lang, h)) =>
-      acc.when(h === mx, lit(lang))
+    // NULL text would null every when-condition and fall through to the
+    // otherwise — guard it into "und" explicitly. With non-null text the
+    // otherwise is unreachable (mx===0 or some h===mx always fires); it
+    // exists only to close the when-chain.
+    hits.foldLeft(when(textRaw.isNull || mx === 0, lit("und"))) {
+      case (acc, (lang, h)) => acc.when(h === mx, lit(lang))
     }.otherwise(lit(StopLists.last._1))
   }
 

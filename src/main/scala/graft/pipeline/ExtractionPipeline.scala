@@ -137,12 +137,20 @@ object ExtractionPipeline {
     */
   def recordsFromClassified(classified: DataFrame,
       rs: RuleSet = RuleSets.plugin): DataFrame =
-    extractFields(segments(classified).drop("n_rows"), rs)
+    recordsFromSegments(segments(classified), rs)
+
+  /** Stages 4-7 over an already-segmented frame — the seam that lets a
+    * caller compute [[segments]] ONCE (checkpointed) and feed both the
+    * record output and the stitch-event projection (see [[eventLog]]).
+    */
+  def recordsFromSegments(segs: DataFrame,
+      rs: RuleSet = RuleSets.plugin): DataFrame =
+    extractFields(segs.drop("n_rows"), rs)
 
   /** Stages 3a-3d: classified pages → stitched segments (one row per
     * record-to-be, with `n_rows` = how many table rows were folded in).
     */
-  private def segments(classified: DataFrame): DataFrame = {
+  def segments(classified: DataFrame): DataFrame = {
     val spark = classified.sparkSession
     import spark.implicits._
 
@@ -460,6 +468,23 @@ object ExtractionPipeline {
     route.unionByName(vals)
   }
 
+  /** The full event stream — page-stage (extract) + record-stage
+    * (route/validate) + stitch-stage — computed from ONE extraction
+    * pass: the classified frame and the segment frame are
+    * localCheckpoint'ed so the three projections share work instead of
+    * each re-triggering the upstream mapPartitions extraction (the
+    * round-2 plan ran it three times and segmentation twice). On a real
+    * cluster the same seam is reliable checkpoint/TableIO storage.
+    */
+  def eventLog(classified0: DataFrame,
+      rs: RuleSet = RuleSets.plugin): DataFrame = {
+    val classified = classified0.localCheckpoint()
+    val segs = segments(classified).localCheckpoint()
+    events(classified)
+      .unionByName(recordEvents(recordsFromSegments(segs, rs)))
+      .unionByName(stitchEventsFromSegments(segs))
+  }
+
   /** Stitch-stage events (reference REC_STITCH, error_system.py:19-43):
     * one event per segment folded from >1 table row (a main row plus
     * continuation rows). record_id matches recordEvents' content hash
@@ -467,7 +492,13 @@ object ExtractionPipeline {
     * joinable to route/validate events and to the output records.
     */
   def stitchEvents(classified: DataFrame): DataFrame =
-    segments(classified)
+    stitchEventsFromSegments(segments(classified))
+
+  /** stitchEvents over an already-computed segment frame (see
+    * [[recordsFromSegments]] / [[eventLog]]).
+    */
+  def stitchEventsFromSegments(segs: DataFrame): DataFrame =
+    segs
       .filter(col("n_rows") > 1)
       .select(
         current_timestamp().as("ts"),

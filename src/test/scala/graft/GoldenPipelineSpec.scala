@@ -15,6 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class GoldenPipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
+  val FieldSep = "\u001F"
+
   val N = 200
   lazy val pagesSeq: Seq[Page] = (0L until N.toLong).map(PagesGen.pageFor(_, 42))
 
@@ -34,7 +36,9 @@ class GoldenPipelineSpec extends AnyFunSuite {
       r.market_value_num.map(_.setScale(6).bigDecimal.toPlainString)
         .getOrElse("∅"),
       r.validation_errors.mkString(","))
-    fields.mkString("")
+    // non-printing unit separator: unambiguous field boundaries (a ""
+    // join would let compensating boundary shifts compare equal)
+    fields.mkString(FieldSep)
   }
 
   val cols = Seq("url", "page_type", "target_section", "routed_section",
@@ -56,7 +60,7 @@ class GoldenPipelineSpec extends AnyFunSuite {
         case s: scala.collection.Seq[_] => s.mkString(",")
         case v => v.toString
       }
-    }.mkString("")
+    }.mkString(FieldSep)
 
   def sparkCanon(df: DataFrame): Seq[String] =
     df.select(cols.head, cols.tail: _*).collect().map(canonRow).toSeq.sorted

@@ -122,6 +122,48 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= singleRecall)
   }
 
+  test("lshTopK shuffle-join path (corpus-sized queries) matches broadcast") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val bcast = canon(SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 3))
+    val shuffle = canon(SimSearch.lshTopK(emb, qs, "vec_id", "embedding", 3,
+      broadcastQueries = false))
+    assert(shuffle === bcast)
+  }
+
+  test("embedding near-dup big-bucket cap: skips oversized buckets, reports") {
+    import spark.implicits._
+    // 6 near-identical vectors land in one hyperplane bucket + 1 opposite
+    val d = ((0L until 6L).map(i =>
+      (i, Seq.tabulate(8)(j => if (j == 0) 1.0f else 0.001f * i))) :+
+      (9L, Seq.tabulate(8)(j => if (j == 0) -1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val unbounded = Dedup.embeddingNearDupPairs(d, "vec_id", "embedding",
+      threshold = 0.9, planes = 4, dim = 8).count()
+    assert(unbounded === 15) // C(6,2) within the dense bucket
+    val capped = Dedup.embeddingNearDupPairs(d, "vec_id", "embedding",
+      threshold = 0.9, planes = 4, dim = 8, maxBucket = 4).count()
+    assert(capped === 0)
+    val skipped = Dedup.embeddingNearDupSkippedBuckets(d, "vec_id",
+      "embedding", planes = 4, dim = 8, maxBucket = 4).collect()
+    assert(skipped.nonEmpty && skipped.forall(_.getLong(1) === 6L))
+    // cap above the bucket size changes nothing
+    assert(Dedup.embeddingNearDupPairs(d, "vec_id", "embedding",
+      threshold = 0.9, planes = 4, dim = 8, maxBucket = 100).count()
+      === unbounded)
+  }
+
+  test("langId: NULL text → und (not the tie-break fallback)") {
+    import spark.implicits._
+    val r = Seq(Some("the cat and the dog"), None, Some(""))
+      .toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect()
+    assert(r.toSeq === Seq("en", "und", "und"))
+  }
+
   test("canonicalize: near-dup chain collapses to one min-id survivor") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 8,
       minEstJaccard = 0.4)

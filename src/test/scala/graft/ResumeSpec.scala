@@ -48,6 +48,22 @@ class ResumeSpec extends AnyFunSuite {
         .collect().map(_.toString).toSeq.sorted
     assert(canon(resumeDir) === canon(cleanDir))
 
+    // the _metrics event log is also identical (modulo wall-clock ts):
+    // a resumed run rebuilds exactly the killed run's missing event
+    // partitions — no duplicates from re-appending committed buckets
+    def canonEvents(dir: String): Seq[String] =
+      TableIO.readEvents(spark, dir)
+        .select("level", "code", "stage", "url", "record_id", "group",
+          "txn_type")
+        .collect().map(_.toString).toSeq.sorted
+    val cleanEv = canonEvents(cleanDir)
+    assert(cleanEv.nonEmpty, "uninterrupted run must emit record events")
+    assert(canonEvents(resumeDir) === cleanEv)
+    // every record produced a route event: counts line up with the data
+    assert(TableIO.readEvents(spark, resumeDir)
+      .filter(org.apache.spark.sql.functions.col("stage") === "record_route")
+      .count() === TableIO.readCommitted(spark, resumeDir).count())
+
     // re-running a complete output is a no-op
     assert(TableIO.runResumable(pages, resumeDir, buckets = 8) === 0)
 
