@@ -69,6 +69,32 @@ object SparkEntry {
     "Portfolio increase booked", "new investment subscription",
     "Coupon payment received")
 
+  /** q36 synthesized validator inputs — each list mixes valid, invalid,
+    * and empty shapes so every code of the reference VAL taxonomy
+    * (error_system.py:37-43) fires deterministically on the documents
+    * table. Selected per row by (doc_id + shift) % len, identically in
+    * the Spark query and the generated oracle SQL.
+    */
+  private val ValTradeDates = Seq("15.03.2024", "29.02.2024", "30.02.2024",
+    "31.04.2023", "29.02.2023", "10/11/2023", "2024-13-05", "",
+    "03.07.2025")
+  private val ValSettleDates = Seq("18.03.2024", "01.01.2024", "31.12.2023",
+    "29.02.2024", "31.04.2024", "", "2024-02-30", "05.05.2024")
+  private val ValCurrencies = Seq("USD", "EUR", "XBT", "usd", "", "CHF",
+    "Fee", "JPY")
+  private val ValNets = Seq("1'234.56", "(2'500.00)",
+    "1'000'000'000'000.00", "12.345", "abc", "999'999'999'999.99", "-42",
+    "")
+  private val ValMvs = Seq("500.25", "(0.10)", "9'999'999'999'999.99",
+    "77.777", "12 345.00", "", "n/a", "1.00")
+  private val ValIsins = Seq("", "US0378331005", "US0378331004",
+    "ABCDEFGHIJKL", "CH0012032048", "ZZ9999999990", "BAD", "")
+
+  private def pickCol(did: Column, vals: Seq[String], shift: Int): Column =
+    vals.zipWithIndex.foldRight(lit("")) { case ((v, i), els) =>
+      when(pmod(did + shift, lit(vals.length)) === i, lit(v)).otherwise(els)
+    }
+
   /** S8 sheet-name mapping (run_hard_core.py:47-54), section → sheet. */
   private val SheetNames = Seq(
     "Trade" -> "Trade", "Trade information" -> "Trade",
@@ -461,6 +487,41 @@ object SparkEntry {
         .select("doc_id", "cleaned", "n_det", "sum_w", "sum_h")
         .orderBy("doc_id")
     }),
+    // full reference validator taxonomy (error_system.py:37-43:
+    // VAL_ISIN/NUM/RANGE/DATE/CURR/CONFLICT) over documents-synthesized
+    // field values; the same validationErrorsCol the extraction
+    // pipeline's Stage 7 uses
+    "q36_validate" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          pickCol(did, ValTradeDates, 0).as("trade_date"),
+          pickCol(did, ValSettleDates, 1).as("settlement_date"),
+          pickCol(did, ValCurrencies, 2).as("currency"),
+          pickCol(did, ValNets, 3).as("net_consideration"),
+          pickCol(did, ValMvs, 4).as("market_value"),
+          pickCol(did, ValIsins, 5).as("securities_id"))
+        .withColumn("trade_date_iso",
+          ExtractionPipeline.normalizeDateCol(col("trade_date")))
+        .withColumn("settlement_date_iso",
+          ExtractionPipeline.normalizeDateCol(col("settlement_date")))
+        .withColumn("net_num",
+          ExtractionPipeline.normalizeNumberCol(col("net_consideration"))
+            .cast("double"))
+        .withColumn("errs", array_join(
+          ExtractionPipeline.validationErrorsCol(
+            col("securities_id"),
+            col("net_consideration"),
+            ExtractionPipeline.normalizeNumberCol(col("net_consideration")),
+            col("market_value"),
+            ExtractionPipeline.normalizeNumberCol(col("market_value")),
+            col("trade_date"), col("trade_date_iso"),
+            col("settlement_date"), col("settlement_date_iso"),
+            col("currency")), ","))
+        .select("doc_id", "trade_date_iso", "settlement_date_iso",
+          "net_num", "errs")
+        .orderBy("doc_id")
+    }),
     // N4: JSON code-fence strip (validator.py:5-17) — fenced body else
     // passthrough, over fenced strings synthesized from documents
     "q33_code_fence" -> ((s, d) => {
@@ -581,6 +642,167 @@ object SparkEntry {
       concat('| 01.02.2024 | ', ${bookingSql(0)}, ' | USD 1''250.00 | ISIN US0000000001 |'),
       '| Balance |  |  |  |',
       concat('| 15.03.2024 | ', ${bookingSql(3)}, ' | EUR 900.00 | note text |'))"""
+  }
+
+  /** Hyperplane literal as a DuckDB DOUBLE list. Each coefficient goes
+    * through CAST('<Double.toString>' AS DOUBLE): a bare decimal literal
+    * would be DECIMAL-typed in DuckDB, and Double.toString is the
+    * shortest round-trip form, so the parsed value is bit-identical to
+    * the Spark lit(d).
+    */
+  private def planeListSql(p: Seq[Double]): String =
+    p.map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ",", "]")
+
+  /** q29 oracle CTEs: the SAME driver-side seeded hyperplanes as
+    * SimSearch.hyperplaneBucket (planes(4, 64, 42)), dot products as a
+    * left-to-right list_reduce fold (bit-identical to the Spark
+    * aggregate() fold — the bucket SIGN has no rounding tolerance),
+    * cosine as in the proven q17 twin.
+    */
+  private def embedNearDupSql(nPlanes: Int, dim: Int, threshold: Double)
+      : String = {
+    val planeRows = SimSearch.planes(nPlanes, dim).zipWithIndex
+      .map { case (p, i) => s"($i, ${planeListSql(p)})" }.mkString(", ")
+    s"""WITH v AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        planes(pi, pv) AS (VALUES $planeRows),
+        dots AS (SELECT v.id, v.e, p.pi,
+          list_reduce(list_transform(generate_series(1, $dim),
+            i -> v.e[i] * p.pv[i]), (acc, x) -> acc + x) AS dot
+          FROM v CROSS JOIN planes p),
+        b AS (SELECT id, e,
+          CAST(SUM(CASE WHEN dot > 0 THEN (1 << pi) ELSE 0 END) AS BIGINT)
+            AS bucket
+          FROM dots GROUP BY id, e),
+        pairs AS (SELECT l.id AS a, r.id AS b,
+          list_sum(list_transform(generate_series(1, $dim),
+            i -> l.e[i] * r.e[i])) /
+          (sqrt(list_sum(list_transform(generate_series(1, $dim),
+            i -> l.e[i] * l.e[i]))) *
+           sqrt(list_sum(list_transform(generate_series(1, $dim),
+            i -> r.e[i] * r.e[i])))) AS cosine
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+        SELECT a, b, round(cosine, 6) AS cosine FROM pairs
+        WHERE cosine >= $threshold
+        ORDER BY cosine DESC, a, b LIMIT 50"""
+  }
+
+  // ---- q36 oracle SQL (DuckDB twins of the validator kernels) ----
+
+  private def pickSql(vals: Seq[String], shift: Int): String = {
+    val whens = vals.zipWithIndex.map { case (v, i) =>
+      s"WHEN (CAST(doc_id AS BIGINT) + $shift) % ${vals.length} = $i " +
+        s"THEN '${sqlLit(v)}'"
+    }
+    s"(CASE ${whens.mkString(" ")} ELSE '' END)"
+  }
+
+  /** TextOps.normalizeDate twin. */
+  private def normDateSql(c: String): String =
+    s"""(CASE
+      WHEN regexp_matches(trim($c), '^[0-9]{2}[.][0-9]{2}[.][0-9]{4}$$')
+        THEN regexp_replace(trim($c),
+          '([0-9]{2})[.]([0-9]{2})[.]([0-9]{4})', '\\3-\\2-\\1')
+      WHEN regexp_matches(trim($c), '^[0-9]{2}/[0-9]{2}/[0-9]{4}$$')
+        THEN regexp_replace(trim($c),
+          '([0-9]{2})/([0-9]{2})/([0-9]{4})', '\\3-\\2-\\1')
+      WHEN regexp_matches(trim($c), '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$')
+        THEN trim($c)
+      ELSE '' END)"""
+
+  /** TextOps.isValidCalendarDate twin (pure arithmetic; TRY_CAST is the
+    * DuckDB analogue of the when-guarded casts ANSI Spark needs).
+    */
+  private def calOkSql(iso: String): String = {
+    val y = s"TRY_CAST(substr($iso, 1, 4) AS INT)"
+    val m = s"TRY_CAST(substr($iso, 6, 2) AS INT)"
+    val d = s"TRY_CAST(substr($iso, 9, 2) AS INT)"
+    s"""coalesce(regexp_matches($iso, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$')
+      AND $m BETWEEN 1 AND 12 AND $d >= 1 AND $d <= (CASE
+        WHEN $m IN (1,3,5,7,8,10,12) THEN 31
+        WHEN $m IN (4,6,9,11) THEN 30
+        WHEN $m = 2 THEN (CASE WHEN ($y % 4 = 0 AND $y % 100 != 0)
+          OR $y % 400 = 0 THEN 29 ELSE 28 END)
+        ELSE 0 END), FALSE)"""
+  }
+
+  /** TextOps.cleanNumberString twin → (cleaned digits, negate?). */
+  private def cleanNumSql(c: String): (String, String) = {
+    val t = s"trim($c)"
+    val paren = s"(starts_with($t, '(') AND ends_with($t, ')'))"
+    val inner0 =
+      s"(CASE WHEN $paren THEN substr($t, 2, greatest(length($t) - 2, 0)) ELSE $t END)"
+    val negLead = s"starts_with($inner0, '-')"
+    val inner1 = s"(CASE WHEN $negLead THEN substr($inner0, 2) ELSE $inner0 END)"
+    (s"regexp_replace($inner1, '['',\\s]', '', 'g')",
+      s"($paren != $negLead)")
+  }
+
+  private def q36Sql: String = {
+    val (netClean, netNeg) = cleanNumSql("net_consideration")
+    val (mvClean, mvNeg) = cleanNumSql("market_value")
+    // VAL_ISIN_CHECKSUM per synthesized value, precomputed at SQL-gen
+    // time with the same IsinValid kernel the Column uses (the Luhn
+    // expansion is golden/unit-tested elsewhere; the values here are
+    // driver-side constants, so this stays a pure-data CASE)
+    val checksumWhens = ValIsins.zipWithIndex.collect {
+      case (v, i) if v.nonEmpty && v.matches("[A-Z]{2}[A-Z0-9]{9}[0-9]") &&
+          !graft.functions.IsinValid.check(v) =>
+        s"WHEN (CAST(doc_id AS BIGINT) + 5) % ${ValIsins.length} = $i " +
+          "THEN 'VAL_ISIN_CHECKSUM'"
+    }
+    val checksumSql =
+      if (checksumWhens.isEmpty) "NULL"
+      else s"(CASE ${checksumWhens.mkString(" ")} END)"
+    val currList = graft.textops.TextOps.Currencies
+      .map(c => s"'${sqlLit(c)}'").mkString(", ")
+    val numOk = "'^[0-9]+([.][0-9]+)?$'"
+    val rangeOk = "'^[0-9]{1,12}([.][0-9]{1,2})?$'"
+    s"""WITH f AS (SELECT doc_id,
+        ${pickSql(ValTradeDates, 0)} AS trade_date,
+        ${pickSql(ValSettleDates, 1)} AS settlement_date,
+        ${pickSql(ValCurrencies, 2)} AS currency,
+        ${pickSql(ValNets, 3)} AS net_consideration,
+        ${pickSql(ValMvs, 4)} AS market_value,
+        ${pickSql(ValIsins, 5)} AS securities_id
+        FROM documents),
+      n AS (SELECT *,
+        $netClean AS net_clean, $netNeg AS net_neg,
+        $mvClean AS mv_clean,
+        ${normDateSql("trade_date")} AS trade_date_iso,
+        ${normDateSql("settlement_date")} AS settlement_date_iso
+        FROM f),
+      v AS (SELECT *,
+        regexp_matches(net_clean, $numOk) AS net_ok,
+        regexp_matches(mv_clean, $numOk) AS mv_ok,
+        ${calOkSql("trade_date_iso")} AS t_ok,
+        ${calOkSql("settlement_date_iso")} AS s_ok
+        FROM n)
+      SELECT doc_id, trade_date_iso, settlement_date_iso,
+        CASE WHEN net_ok THEN CAST(net_clean AS DOUBLE) *
+          (CASE WHEN net_neg THEN -1 ELSE 1 END) END AS net_num,
+        array_to_string(list_filter([
+          CASE WHEN securities_id != '' AND NOT regexp_matches(
+            securities_id, '^[A-Z]{2}[A-Z0-9]{9}[0-9]$$')
+            THEN 'VAL_ISIN_SHAPE' END,
+          $checksumSql,
+          CASE WHEN net_consideration != '' AND NOT net_ok
+            THEN 'VAL_NUM_NET' END,
+          CASE WHEN market_value != '' AND NOT mv_ok THEN 'VAL_NUM_MV' END,
+          CASE WHEN net_ok AND NOT regexp_matches(net_clean, $rangeOk)
+            THEN 'VAL_RANGE_NET' END,
+          CASE WHEN mv_ok AND NOT regexp_matches(mv_clean, $rangeOk)
+            THEN 'VAL_RANGE_MV' END,
+          CASE WHEN trade_date != '' AND NOT t_ok THEN 'VAL_DATE_TRADE' END,
+          CASE WHEN settlement_date != '' AND NOT s_ok
+            THEN 'VAL_DATE_SETTLE' END,
+          CASE WHEN currency != '' AND currency NOT IN ($currList)
+            THEN 'VAL_CURR' END,
+          CASE WHEN t_ok AND s_ok AND settlement_date_iso < trade_date_iso
+            THEN 'VAL_CONFLICT' END
+        ], x -> x IS NOT NULL), ',') AS errs
+      FROM v ORDER BY doc_id"""
   }
 
   private def simhash16Sql: String = {
@@ -774,6 +996,8 @@ object SparkEntry {
       s"""WITH $lshPairsCtes
         SELECT a, b, est_jaccard FROM pairs WHERE est_jaccard >= 0.25
         ORDER BY est_jaccard DESC, a, b LIMIT 50""",
+    "q29_embed_neardup" -> embedNearDupSql(4, 64, 0.2),
+    "q36_validate" -> q36Sql,
     "q31_route_records" -> {
       val rs = RuleSets.plugin
       val hdrExpr = "lower(array_to_string(list_filter(" +

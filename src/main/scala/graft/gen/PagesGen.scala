@@ -23,7 +23,7 @@ object PagesGen {
   /** Bump on any change to generated content — benchmark tables cached
     * on disk are keyed by this.
     */
-  val Version = 3
+  val Version = 4
 
   val Currencies = Vector("SGD", "USD", "CHF", "HKD", "EUR", "GBP", "JPY",
     "AUD", "CAD")
@@ -58,15 +58,24 @@ object PagesGen {
     else s"site${rng.nextInt(500)}.example.org"
 
   private def money(rng: Random): String = {
-    val v = 100 + rng.nextInt(2000000)
-    val cents = rng.nextInt(100)
+    val kind = rng.nextInt(20)
+    val v: Long =
+      if (kind == 0) 1000000000000L + rng.nextInt(1000000) // 13 int digits → VAL_RANGE
+      else 100L + rng.nextInt(2000000)
     // thousands separated with apostrophe like Swiss bank statements
     val grouped = v.toString.reverse.grouped(3).mkString("'").reverse
-    f"$grouped.$cents%02d"
+    if (kind == 1) f"$grouped.${rng.nextInt(1000)}%03d" // 3 decimals → VAL_RANGE
+    else f"$grouped.${rng.nextInt(100)}%02d"
   }
 
   private def dateStr(rng: Random): String =
-    f"${1 + rng.nextInt(28)}%02d.${1 + rng.nextInt(12)}%02d.${2023 + rng.nextInt(3)}%04d"
+    // ~1 in 10 dates lands on day 29-31 of Feb/Apr: a mix of
+    // calendar-invalid (30.02, 31.04, 29.02 non-leap) and valid
+    // (29.02.2024, 30.04) shapes that exercises VAL_DATE + leap logic
+    if (rng.nextInt(10) == 0)
+      f"${29 + rng.nextInt(3)}%02d.${2 + rng.nextInt(2) * 2}%02d.${2023 + rng.nextInt(3)}%04d"
+    else
+      f"${1 + rng.nextInt(28)}%02d.${1 + rng.nextInt(12)}%02d.${2023 + rng.nextInt(3)}%04d"
 
   private def isin(rng: Random): String = {
     val cc = Vector("US", "CH", "SG", "DE", "GB")(rng.nextInt(5))
@@ -138,7 +147,10 @@ object PagesGen {
         if (fxHeavy && rng.nextInt(10) < 7)
           Vector("FX FORWARD deal", "FX SPOT conversion", "SPOT conversion")(rng.nextInt(3))
         else BookingTexts(rng.nextInt(BookingTexts.length))
-      val ccy = Currencies(rng.nextInt(Currencies.length))
+      // occasional off-list alpha token where the currency sits → VAL_CURR
+      val ccy =
+        if (rng.nextInt(15) == 0) Vector("XBT", "ZZZ", "Fee")(rng.nextInt(3))
+        else Currencies(rng.nextInt(Currencies.length))
       val amt = money(rng)
       val name = SecurityNames(rng.nextInt(SecurityNames.length))
       val extra =

@@ -105,6 +105,18 @@ object ExtractionPipeline {
     * TextOps.normalizeNumber. Null when unparseable.
     */
   def normalizeNumberCol(c: Column): Column = {
+    val (cleaned, negFlip) = cleanedNumberCol(c)
+    val ok = cleaned.rlike("^\\d+(\\.\\d+)?$")
+    val num = cleaned.cast(DecimalType(38, 6))
+    when(ok, when(negFlip, -num).otherwise(num))
+      .otherwise(lit(null).cast(DecimalType(38, 6)))
+  }
+
+  /** (separator-stripped digit string, negate?) — shared cleaning step
+    * behind normalizeNumberCol and the VAL_RANGE check (mirrors
+    * TextOps.cleanNumberString).
+    */
+  private def cleanedNumberCol(c: Column): (Column, Column) = {
     val t = trim(c)
     val paren = t.startsWith("(") && t.endsWith(")")
     val inner0 = when(paren, substring(t, lit(2), greatest(length(t) - 2, lit(0))))
@@ -112,11 +124,67 @@ object ExtractionPipeline {
     val negLead = inner0.startsWith("-")
     val inner1 = when(negLead, substring(inner0, lit(2), length(inner0)))
       .otherwise(inner0)
-    val cleaned = regexp_replace(inner1, "[',\\s]", "")
-    val ok = cleaned.rlike("^\\d+(\\.\\d+)?$")
-    val num = cleaned.cast(DecimalType(38, 6))
-    when(ok, when(paren =!= negLead, -num).otherwise(num))
-      .otherwise(lit(null).cast(DecimalType(38, 6)))
+    (regexp_replace(inner1, "[',\\s]", ""), paren =!= negLead)
+  }
+
+  /** VAL_RANGE twin of TextOps.numberInRange: ≤12 integer digits, ≤2
+    * decimals, over the cleaned digit string.
+    */
+  def numberInRangeCol(c: Column): Column =
+    cleanedNumberCol(c)._1.rlike("^\\d{1,12}(\\.\\d{1,2})?$")
+
+  /** VAL_DATE twin of TextOps.isValidCalendarDate over an ISO string —
+    * pure arithmetic (no engine date parser), identical in the DuckDB
+    * oracle.
+    */
+  def calendarOkCol(iso: Column): Column = {
+    // every cast sits under a shape-checking when(): with ANSI mode ON
+    // (Spark 4 default) a bare cast('' as int) throws, and relying on
+    // && short-circuit order would be one optimizer rule away from a
+    // runtime error. CaseWhen branches are guaranteed lazy.
+    val shaped = iso.rlike("^\\d{4}-\\d{2}-\\d{2}$")
+    val y = when(shaped, substring(iso, 1, 4).cast("int"))
+    val m = when(shaped, substring(iso, 6, 2).cast("int"))
+    val d = when(shaped, substring(iso, 9, 2).cast("int"))
+    val leap = (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
+    val dim = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(m.isin(4, 6, 9, 11), 30)
+      .when(m === 2, when(leap, 29).otherwise(28))
+      .otherwise(0)
+    coalesce(shaped && m >= 1 && m <= 12 && d >= 1 && d <= dim, lit(false))
+  }
+
+  /** The full validator taxonomy as one Column (reference
+    * error_system.py:37-43; scalar twin ScalarEvaluator.validate —
+    * identical code order). `netNum`/`mvNum` take the already-
+    * normalized numeric columns so callers that materialize them don't
+    * re-evaluate the parse.
+    */
+  def validationErrorsCol(securitiesId: Column,
+      netConsideration: Column, netNum: Column,
+      marketValue: Column, mvNum: Column,
+      tradeDate: Column, tradeIso: Column,
+      settlementDate: Column, settlementIso: Column,
+      currency: Column): Column = {
+    val isinShapeOk = securitiesId.rlike("^[A-Z]{2}[A-Z0-9]{9}[0-9]$")
+    val tOk = calendarOkCol(tradeIso)
+    val sOk = calendarOkCol(settlementIso)
+    array_compact(array(
+      when(securitiesId =!= "" && !isinShapeOk, lit("VAL_ISIN_SHAPE")),
+      // shape OK but ISO 6166 Luhn digit wrong — native IsinValid expr
+      when(securitiesId =!= "" && isinShapeOk &&
+        !graft.functions.IsinValid(securitiesId), lit("VAL_ISIN_CHECKSUM")),
+      when(netConsideration =!= "" && netNum.isNull, lit("VAL_NUM_NET")),
+      when(marketValue =!= "" && mvNum.isNull, lit("VAL_NUM_MV")),
+      when(netNum.isNotNull && !numberInRangeCol(netConsideration),
+        lit("VAL_RANGE_NET")),
+      when(mvNum.isNotNull && !numberInRangeCol(marketValue),
+        lit("VAL_RANGE_MV")),
+      when(tradeDate =!= "" && !tOk, lit("VAL_DATE_TRADE")),
+      when(settlementDate =!= "" && !sOk, lit("VAL_DATE_SETTLE")),
+      when(currency =!= "" && !currency.isin(TextOps.Currencies: _*),
+        lit("VAL_CURR")),
+      when(tOk && sOk && settlementIso < tradeIso, lit("VAL_CONFLICT"))))
   }
 
   /** Date normalization (N15) to ISO — mirrors TextOps.normalizeDate;
@@ -354,23 +422,9 @@ object ExtractionPipeline {
       .withColumn("amount_sell",
         when(isPos || isOth, lit("")).otherwise(sellAmt))
 
-    // Stage 7: validation + normalization + C12 downgrade
-    val isinShapeOk =
-      col("securities_id").rlike("^[A-Z]{2}[A-Z0-9]{9}[0-9]$")
-    val valErrs = array_compact(array(
-      when(col("securities_id") =!= "" && !isinShapeOk,
-        lit("VAL_ISIN_SHAPE")),
-      // shape OK but ISO 6166 Luhn digit wrong — native IsinValid expr
-      when(col("securities_id") =!= "" && isinShapeOk &&
-        !graft.functions.IsinValid(col("securities_id")),
-        lit("VAL_ISIN_CHECKSUM")),
-      when(col("net_consideration") =!= "" &&
-        normalizeNumberCol(col("net_consideration")).isNull,
-        lit("VAL_NUM_NET")),
-      when(col("market_value") =!= "" &&
-        normalizeNumberCol(col("market_value")).isNull,
-        lit("VAL_NUM_MV"))))
-
+    // Stage 7: validation + normalization + C12 downgrade. The iso/num
+    // columns are materialized FIRST so validationErrorsCol references
+    // the attributes instead of re-evaluating the normalizers per check.
     df
       .withColumn("trade_date_iso", normalizeDateCol(col("trade_date")))
       .withColumn("settlement_date_iso",
@@ -378,7 +432,13 @@ object ExtractionPipeline {
       .withColumn("net_consideration_num",
         normalizeNumberCol(col("net_consideration")))
       .withColumn("market_value_num", normalizeNumberCol(col("market_value")))
-      .withColumn("validation_errors", valErrs)
+      .withColumn("validation_errors", validationErrorsCol(
+        col("securities_id"),
+        col("net_consideration"), col("net_consideration_num"),
+        col("market_value"), col("market_value_num"),
+        col("trade_date"), col("trade_date_iso"),
+        col("settlement_date"), col("settlement_date_iso"),
+        col("currency")))
       .withColumn("target_section",
         when(col("routed_section") === "FXTF" &&
           (col("currency_buy") === "" || col("currency_sell") === ""),

@@ -224,7 +224,14 @@ object ScalarEvaluator {
       amount_sell = sellM.map(_.group(2)).getOrElse(""))
   }
 
-  /** Validation + normalization (N14/N15, C12 downgrade, strict ISIN). */
+  /** Validation + normalization (N14/N15, C12 downgrade, strict ISIN,
+    * and the reference's full VAL taxonomy — error_system.py:37-43:
+    * VAL_DATE (impossible calendar date), VAL_CURR (currency-list
+    * membership), VAL_RANGE (max 12 integer / 2 decimal digits,
+    * docs/rule_2.txt number constraints), VAL_CONFLICT (settlement
+    * before trade date). Code order here is the contract the Column
+    * twin reproduces exactly.
+    */
   def validate(r: ExtractedRecord): ExtractedRecord = {
     val errs = ArrayBuffer.empty[String]
     if (r.securities_id.nonEmpty && !TextOps.isValidIsin(r.securities_id))
@@ -237,8 +244,22 @@ object ScalarEvaluator {
       errs += "VAL_NUM_NET"
     val mvNum = TextOps.normalizeNumber(r.market_value)
     if (r.market_value.nonEmpty && mvNum.isEmpty) errs += "VAL_NUM_MV"
+    // VAL_RANGE: parses, but violates the 12-integer/2-decimal digit cap
+    if (netNum.isDefined && !TextOps.numberInRange(r.net_consideration))
+      errs += "VAL_RANGE_NET"
+    if (mvNum.isDefined && !TextOps.numberInRange(r.market_value))
+      errs += "VAL_RANGE_MV"
     val tIso = TextOps.normalizeDate(r.trade_date).getOrElse("")
     val sIso = TextOps.normalizeDate(r.settlement_date).getOrElse("")
+    // VAL_DATE: present but lexically unparseable OR calendar-impossible
+    val tOk = TextOps.isValidCalendarDate(tIso)
+    val sOk = TextOps.isValidCalendarDate(sIso)
+    if (r.trade_date.nonEmpty && !tOk) errs += "VAL_DATE_TRADE"
+    if (r.settlement_date.nonEmpty && !sOk) errs += "VAL_DATE_SETTLE"
+    if (r.currency.nonEmpty && !TextOps.Currencies.contains(r.currency))
+      errs += "VAL_CURR"
+    // VAL_CONFLICT: both dates valid and settlement precedes trade
+    if (tOk && sOk && sIso < tIso) errs += "VAL_CONFLICT"
     // C12 downgrade (docs/rule_2.txt:390-418)
     val section =
       if (r.routed_section == "FXTF" &&

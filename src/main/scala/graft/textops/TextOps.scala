@@ -197,16 +197,51 @@ object TextOps {
     * violations still parse but are flagged by the validator.
     */
   def normalizeNumber(raw: String): Option[BigDecimal] = {
-    if (raw == null) return None
-    var s = raw.trim
-    if (s.isEmpty) return None
-    var neg = false
-    if (s.startsWith("(") && s.endsWith(")")) { neg = true; s = s.substring(1, s.length - 1) }
-    if (s.startsWith("-")) { neg = !neg; s = s.substring(1) } // leading minus
-    s = s.replaceAll("[',\\s]", "")
+    val (s, neg) = cleanNumberString(raw)
     if (!s.matches("\\d+(\\.\\d+)?")) return None
     val v = BigDecimal(s)
     Some(if (neg) -v else v)
+  }
+
+  /** The separator-stripped digit string + parity of negation markers —
+    * the shared cleaning step behind normalizeNumber and the VAL_RANGE
+    * digit-cap check (single kernel, two consumers).
+    */
+  private def cleanNumberString(raw: String): (String, Boolean) = {
+    if (raw == null) return ("", false)
+    var s = raw.trim
+    var neg = false
+    if (s.startsWith("(") && s.endsWith(")")) { neg = true; s = s.substring(1, s.length - 1) }
+    if (s.startsWith("-")) { neg = !neg; s = s.substring(1) } // leading minus
+    (s.replaceAll("[',\\s]", ""), neg)
+  }
+
+  /** VAL_RANGE spec (docs/rule_2.txt:349-356 number constraints): at
+    * most 12 integer digits and 2 decimal digits. Only meaningful for
+    * values that parse — callers flag parse failures as VAL_NUM first.
+    */
+  def numberInRange(raw: String): Boolean =
+    cleanNumberString(raw)._1.matches("\\d{1,12}(\\.\\d{1,2})?")
+
+  /** VAL_DATE spec: an ISO yyyy-MM-dd string that is also a possible
+    * proleptic-Gregorian calendar date (month 1-12, day within the
+    * month, Feb 29 only in leap years). Pure arithmetic — identical in
+    * the Column twin and the DuckDB oracle, no engine date-parser
+    * divergence.
+    */
+  def isValidCalendarDate(iso: String): Boolean = {
+    if (iso == null || !iso.matches("\\d{4}-\\d{2}-\\d{2}")) return false
+    val y = iso.substring(0, 4).toInt
+    val m = iso.substring(5, 7).toInt
+    val d = iso.substring(8, 10).toInt
+    if (m < 1 || m > 12 || d < 1) return false
+    val leap = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+    val dim = m match {
+      case 1 | 3 | 5 | 7 | 8 | 10 | 12 => 31
+      case 4 | 6 | 9 | 11              => 30
+      case _                           => if (leap) 29 else 28
+    }
+    d <= dim
   }
 
   /** Accept DD.MM.YYYY / DD/MM/YYYY / YYYY-MM-DD → ISO yyyy-MM-dd

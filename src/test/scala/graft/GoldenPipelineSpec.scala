@@ -88,8 +88,12 @@ class GoldenPipelineSpec extends AnyFunSuite {
     // valuation_date comes from the page and varies across pages
     assert(recs.filter(_.page_type == "Positions")
       .map(_.valuation_date).filter(_.nonEmpty).toSet.size > 1)
-    assert(recs.exists(_.validation_errors.nonEmpty) ||
-      recs.forall(_.validation_errors.isEmpty))
+    // every class of the validator taxonomy fires somewhere in the
+    // corpus — VAL_DATE/CURR/RANGE/CONFLICT coverage is real, not vacuous
+    val codes = recs.flatMap(_.validation_errors).toSet
+    assert(Set("VAL_DATE_TRADE", "VAL_CURR", "VAL_RANGE_NET",
+      "VAL_RANGE_MV", "VAL_CONFLICT").subsetOf(codes),
+      s"validator codes seen: $codes")
   }
 
   test("golden: Spark records == scalar records (exact)") {

@@ -76,6 +76,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.normalizeDate("1.2.2024") === None)
   }
 
+  test("VAL_RANGE digit caps (12 integer / 2 decimal)") {
+    assert(TextOps.numberInRange("999'999'999'999.99")) // exactly 12/2
+    assert(!TextOps.numberInRange("1'000'000'000'000.00")) // 13 int digits
+    assert(!TextOps.numberInRange("12.345")) // 3 decimals
+    assert(TextOps.numberInRange("(1'234.56)"))
+    assert(TextOps.numberInRange("-42"))
+    assert(!TextOps.numberInRange("abc")) // unparseable ⊄ in-range
+  }
+
+  test("VAL_DATE calendar arithmetic (incl. leap years)") {
+    assert(TextOps.isValidCalendarDate("2024-02-29")) // leap
+    assert(!TextOps.isValidCalendarDate("2023-02-29")) // non-leap
+    assert(!TextOps.isValidCalendarDate("2100-02-29")) // century non-leap
+    assert(TextOps.isValidCalendarDate("2000-02-29")) // 400-year leap
+    assert(!TextOps.isValidCalendarDate("2024-02-30"))
+    assert(!TextOps.isValidCalendarDate("2024-04-31"))
+    assert(TextOps.isValidCalendarDate("2024-04-30"))
+    assert(!TextOps.isValidCalendarDate("2024-13-01"))
+    assert(!TextOps.isValidCalendarDate("2024-00-10"))
+    assert(!TextOps.isValidCalendarDate("2024-01-00"))
+    assert(TextOps.isValidCalendarDate("2024-12-31"))
+    assert(!TextOps.isValidCalendarDate("31.12.2024")) // not ISO
+    assert(!TextOps.isValidCalendarDate(""))
+  }
+
   test("splitFirst mirrors python split(maxsplit=1)") {
     assert(TextOps.splitFirst("100 ACME Bond") === ("100", Some("ACME Bond")))
     assert(TextOps.splitFirst("solo") === ("solo", None))
