@@ -320,9 +320,16 @@ object ExtractionPipeline {
     // see classifyPages note on when-chain expression duplication)
     val routed = RuleCompiler.classifyRecordFromLower(col("_rl"), rs)
 
+    // ---- strategy compiler: rs.extraction (config-driven, default =
+    // the reference plugins' hardcoded extraction) → Columns ----
+
+    // 1-based positional cell with the size guard (N12)
+    def cellAt(i: Int): Column =
+      when(size(mc) >= i, element_at(mc, i)).otherwise(lit(""))
+
     // positions quantity/name split (positions.py:206-223)
     val curHead = startsWithCurrencyCol(firstCol) && length(firstCol) <= 4
-    val cell2 = when(size(mc) > 1, element_at(mc, 2)).otherwise(lit(""))
+    val cell2 = cellAt(2)
     val p2 = split(trim(cell2), "\\s+", 2)
     val p1 = split(firstCol, "\\s+", 2)
     val posQty = when(curHead,
@@ -343,24 +350,53 @@ object ExtractionPipeline {
       .when(size(allDates) > 1, element_at(allDates, 2))
       .otherwise(c0)
 
-    // trade currency/amount split (trade_information.py:230-241)
-    val c2 = when(size(mc) > 2, element_at(mc, 3)).otherwise(lit(""))
-    val parts = split(c2, "\\s+")
-    val firstTok = when(size(parts) > 0, element_at(parts, 1)).otherwise(lit(""))
-    val tokAlpha = firstTok.rlike("^[A-Za-z]+$")
-    val rest = array_join(
-      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), " ")
-    val tradeCurrency = when(tokAlpha, firstTok).otherwise(lit(""))
-    val tradeNet = when(tokAlpha, rest).otherwise(c2)
+    // currency/amount split of one cell (trade_information.py:230-241)
+    def currencySplit(i: Int): (Column, Column) = {
+      val c = cellAt(i)
+      val parts = split(c, "\\s+")
+      val firstTok =
+        when(size(parts) > 0, element_at(parts, 1)).otherwise(lit(""))
+      val tokAlpha = firstTok.rlike("^[A-Za-z]+$")
+      val rest = array_join(
+        slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), " ")
+      (when(tokAlpha, firstTok).otherwise(lit("")),
+        when(tokAlpha, rest).otherwise(c))
+    }
 
-    val isin = regexp_extract(txt, "ISIN\\s+([A-Z0-9]{12})", 1)
-    val account = regexp_extract(txt, "\\d{3}-\\d{6}\\.[A-Z0-9]+", 0)
+    def compile(fs: graft.rules.FieldSpec): Column = fs.strategy match {
+      case "regex"                 => regexp_extract(txt, fs.pattern, fs.group)
+      case "cell"                  => cellAt(fs.index)
+      case "cell_trim" =>
+        when(size(mc) >= fs.index, trim(element_at(mc, fs.index)))
+          .otherwise(lit(""))
+      case "page_context"          => col(fs.key)
+      case "first_date"            => tradeDate
+      case "second_date_or_first"  => settlement
+      case "currency_token"        => currencySplit(fs.index)._1
+      case "amount_after_currency" => currencySplit(fs.index)._2
+      case "positions_currency"    => posCurrency
+      case "positions_quantity"    => posQty
+      case "positions_name"        => posName
+      case "const"                 => lit(fs.key)
+      case other =>
+        throw new IllegalArgumentException(s"unknown strategy '$other'")
+    }
 
-    // J1 — FX buy/sell correlation
-    val buyCcy = regexp_extract(txt, "You bought ([A-Z]{3}) [0-9',\\. ]*\\d", 1)
-    val buyAmt = regexp_extract(txt, "You bought [A-Z]{3} ([0-9',\\. ]*\\d)", 1)
-    val sellCcy = regexp_extract(txt, "You sold ([A-Z]{3}) [0-9',\\. ]*\\d", 1)
-    val sellAmt = regexp_extract(txt, "You sold [A-Z]{3} ([0-9',\\. ]*\\d)", 1)
+    val spec = rs.extraction
+    def tfield(name: String): Column =
+      spec.trade.get(name).map(compile).getOrElse(lit(""))
+    def pfield(name: String): Column =
+      spec.positions.get(name).map(compile).getOrElse(lit(""))
+    // trade-family-only field (Positions/Others always blank)
+    def tOnly(name: String): Column =
+      when(isPos || isOth, lit("")).otherwise(tfield(name))
+    // positions-only field
+    def pOnly(name: String): Column =
+      when(isPos, pfield(name)).otherwise(lit(""))
+    // extracted for both families, blank for Others
+    def bothField(name: String): Column =
+      when(isOth, lit(""))
+        .when(isPos, pfield(name)).otherwise(tfield(name))
 
     val df = segs
       .withColumn("_rl", lower(txt))
@@ -374,53 +410,30 @@ object ExtractionPipeline {
         when(isPos || isOth, lit(""))
           .otherwise(RuleCompiler.classifyTxnTypeFromLower(col("_rl"), rs)))
       .withColumn("row_text", txt)
-      .withColumn("client_name",
-        when(isPos || isOth, lit("")).otherwise(col("client_name")))
-      .withColumn("portfolio_no",
-        when(isPos, col("portfolio_no")).otherwise(lit("")))
-      .withColumn("trade_date",
-        when(isPos || isOth, lit("")).otherwise(tradeDate))
-      .withColumn("settlement_date",
-        when(isPos || isOth, lit("")).otherwise(settlement))
-      .withColumn("transaction_type_raw",
-        when(isPos || isOth, lit(""))
-          .otherwise(when(size(mc) > 1, trim(element_at(mc, 2)))
-            .otherwise(lit(""))))
-      .withColumn("currency",
-        when(isPos, posCurrency).when(isOth, lit(""))
-          .otherwise(tradeCurrency))
-      .withColumn("quantity", when(isPos, posQty).otherwise(lit("")))
-      .withColumn("security_name",
-        when(isPos, posName).when(isOth, lit(""))
-          .otherwise(when(size(mc) > 3, element_at(mc, 4)).otherwise(lit(""))))
-      .withColumn("securities_id", when(isOth, lit("")).otherwise(isin))
-      .withColumn("account_no", when(isOth, lit("")).otherwise(account))
-      .withColumn("foreign_unit_price",
-        when(isPos || isOth, lit(""))
-          .otherwise(when(size(mc) > 4, element_at(mc, 5)).otherwise(lit(""))))
+      .withColumn("client_name", tOnly("client_name"))
+      .withColumn("portfolio_no", pOnly("portfolio_no"))
+      .withColumn("trade_date", tOnly("trade_date"))
+      .withColumn("settlement_date", tOnly("settlement_date"))
+      .withColumn("transaction_type_raw", tOnly("transaction_type_raw"))
+      .withColumn("currency", bothField("currency"))
+      .withColumn("quantity", bothField("quantity"))
+      .withColumn("security_name", bothField("security_name"))
+      .withColumn("securities_id", bothField("securities_id"))
+      .withColumn("account_no", bothField("account_no"))
+      .withColumn("foreign_unit_price", tOnly("foreign_unit_price"))
       .withColumn("foreign_gross_consideration",
-        when(isPos || isOth, lit(""))
-          .otherwise(when(size(mc) > 7, element_at(mc, 8)).otherwise(lit(""))))
+        tOnly("foreign_gross_consideration"))
       .withColumn("foreign_net_consideration",
-        when(isPos || isOth, lit("")).otherwise(tradeNet))
-      .withColumn("net_consideration",
-        when(isPos || isOth, lit("")).otherwise(tradeNet))
-      .withColumn("market_price",
-        when(isPos && size(mc) > 2, element_at(mc, 3)).otherwise(lit("")))
-      .withColumn("market_value",
-        when(isPos && size(mc) > 4, element_at(mc, 5)).otherwise(lit("")))
-      .withColumn("cost_price",
-        when(isPos && size(mc) > 4, element_at(mc, 5)).otherwise(lit("")))
-      .withColumn("valuation_date",
-        when(isPos, col("as_of_date")).otherwise(lit("")))
-      .withColumn("currency_buy",
-        when(isPos || isOth, lit("")).otherwise(buyCcy))
-      .withColumn("amount_buy",
-        when(isPos || isOth, lit("")).otherwise(buyAmt))
-      .withColumn("currency_sell",
-        when(isPos || isOth, lit("")).otherwise(sellCcy))
-      .withColumn("amount_sell",
-        when(isPos || isOth, lit("")).otherwise(sellAmt))
+        tOnly("foreign_net_consideration"))
+      .withColumn("net_consideration", tOnly("net_consideration"))
+      .withColumn("market_price", pOnly("market_price"))
+      .withColumn("market_value", pOnly("market_value"))
+      .withColumn("cost_price", pOnly("cost_price"))
+      .withColumn("valuation_date", pOnly("valuation_date"))
+      .withColumn("currency_buy", tOnly("currency_buy"))
+      .withColumn("amount_buy", tOnly("amount_buy"))
+      .withColumn("currency_sell", tOnly("currency_sell"))
+      .withColumn("amount_sell", tOnly("amount_sell"))
 
     // Stage 7: validation + normalization + C12 downgrade. The iso/num
     // columns are materialized FIRST so validationErrorsCol references

@@ -74,7 +74,38 @@ object RuleLoader {
         bool(r, "fallback"))
     }
     RuleSet(name, headerMode, pageRules, recordRules, txnRules,
-      othersFallback)
+      othersFallback, extraction = extractionOf(root))
+  }
+
+  /** Parse `sections[].extraction_rules` + `global_field_constraints`
+    * (docs/rule.json:68-845 shape, machine-usable subset — see
+    * [[ExtractionSpec]]). A document without `sections` gets the
+    * built-in defaults, mirroring the reference classifiers which carry
+    * hardcoded extraction when the config is silent.
+    */
+  private def extractionOf(root: JsonNode): ExtractionSpec = {
+    def fieldsOf(section: JsonNode): Map[String, FieldSpec] = {
+      val er = section.get("extraction_rules")
+      if (er == null || !er.isObject) Map.empty
+      else er.fields().asScala.map { e =>
+        val r = e.getValue
+        e.getKey -> FieldSpec(str(r, "strategy"), str(r, "pattern"),
+          int(r, "group"), int(r, "index"), str(r, "key"))
+      }.toMap
+    }
+    val sections = rulesOf(root, "sections")
+    def family(f: String): Map[String, FieldSpec] =
+      sections.find(s => str(s, "family") == f).map(fieldsOf)
+        .getOrElse(
+          if (f == "positions") ExtractionSpec.PositionsDefaults
+          else ExtractionSpec.TradeDefaults)
+    val gfc = rulesOf(root, "global_field_constraints").map { c =>
+      str(c, "field_name") -> strSeq(c, "constraints")
+    }.toMap
+    // constraint parity with the built-in default keeps RuleSet case-
+    // class equality meaningful in the loader-identity tests
+    ExtractionSpec(family("trade"), family("positions"),
+      if (gfc.isEmpty) ExtractionSpec.default.globalConstraints else gfc)
   }
 
   def fromFile(path: String, name: String = "loaded",

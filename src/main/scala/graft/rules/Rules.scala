@@ -84,7 +84,12 @@ case class RuleSet(
       * starts with an excluded header. Plugin variant only.
       */
     othersFallback: Boolean = false,
-    othersExcludedPrefixes: Seq[String] = RuleSet.DefaultOthersExcluded) {
+    othersExcludedPrefixes: Seq[String] = RuleSet.DefaultOthersExcluded,
+    /** Config-driven field extraction (docs/rule.json sections[]
+      * extraction_rules) — defaults reproduce the reference plugins'
+      * hardcoded extraction exactly (loader-identity golden test).
+      */
+    extraction: ExtractionSpec = ExtractionSpec.default) {
   // priority desc; fallback rules only set the default. The reference
   // loop reassigns the default on EVERY fallback rule it passes
   // (priority desc, page_classifier.py:22-24), so with several fallback

@@ -138,6 +138,45 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("loader-identity: JSON-config extraction == hardcoded, byte-identical") {
+    import spark.implicits._
+    val pages = spark.createDataset(pagesSeq.take(120))
+    val loaded = graft.rules.RuleLoader.pluginFromResource
+    assert(loaded.extraction === graft.rules.ExtractionSpec.default)
+    val a = sparkCanon(ExtractionPipeline.records(pages, RuleSets.plugin, 8))
+    val b = sparkCanon(ExtractionPipeline.records(pages, loaded, 8))
+    assert(a === b)
+  }
+
+  test("config override: extraction rules are live data, not decoration") {
+    import spark.implicits._
+    val pages = spark.createDataset(pagesSeq.take(120))
+    val rs0 = RuleSets.plugin
+    // repoint securities_id at a never-matching pattern: trade-family
+    // records lose their ISIN and the C12 downgrade re-routes them
+    val rs = rs0.copy(extraction = rs0.extraction.copy(
+      trade = rs0.extraction.trade + ("securities_id" ->
+        graft.rules.FieldSpec("regex", "\\bNEVERMATCH([0-9]+)\\b", group = 1))))
+    val recs = ExtractionPipeline.records(pages, rs, 8)
+      .select("page_type", "target_section", "securities_id",
+        "routed_section").collect()
+    val tradeFam = recs.filter(r =>
+      Set("Transaction", "Trade", "FXTF").contains(r.getString(0)))
+    assert(tradeFam.nonEmpty)
+    assert(tradeFam.forall(_.getString(2) == ""),
+      "overridden regex must blank every trade-family securities_id")
+    // C12: records ROUTED to Trade lose their ISIN → all downgrade to
+    // Others (FXTF-routed ones may still downgrade INTO Trade — that
+    // branch of the chain fires first and doesn't require an ISIN)
+    val routedTrade = tradeFam.filter(_.getString(3) == "Trade")
+    assert(routedTrade.nonEmpty)
+    assert(routedTrade.forall(_.getString(1) == "Others"),
+      "ISIN-less routed-Trade records must downgrade to Others (C12)")
+    // positions keep their own (untouched) spec
+    assert(recs.exists(r =>
+      r.getString(0) == "Positions" && r.getString(2).nonEmpty))
+  }
+
   test("soa variant also runs end-to-end") {
     import spark.implicits._
     val pages = spark.createDataset(pagesSeq.take(60))
