@@ -90,6 +90,25 @@ object SparkEntry {
   private val ValIsins = Seq("", "US0378331005", "US0378331004",
     "ABCDEFGHIJKL", "CH0012032048", "ZZ9999999990", "BAD", "")
 
+  /** q37 synthesized multi-script texts (one per script family the
+    * langId classifier recognizes, plus Latin controls and a
+    * latin-dominant mixed case). Everything BMP, so char counts agree
+    * across UTF-16 (Spark) and codepoints (DuckDB).
+    */
+  private val ScriptSnippets = Seq(
+    "the quick brown fox jumps over the lazy dog and the cat",
+    "der hund und die katze ist nicht ein pferd",
+    "这是一个简单的中文句子没有任何其他文字",
+    "これは簡単な日本語の文です",
+    "한국어로 된 간단한 문장입니다",
+    "это простое предложение на русском языке",
+    "هذه جملة بسيطة باللغة العربية",
+    "αυτή είναι μια απλή ελληνική πρόταση",
+    "זהו משפט פשוט בעברית",
+    "यह हिंदी में एक सरल वाक्य है",
+    "นี่คือประโยคง่ายๆในภาษาไทย",
+    "mixed 中文 with mostly english words around it")
+
   private def pickCol(did: Column, vals: Seq[String], shift: Int): Column =
     vals.zipWithIndex.foldRight(lit("")) { case ((v, i), els) =>
       when(pmod(did + shift, lit(vals.length)) === i, lit(v)).otherwise(els)
@@ -311,6 +330,16 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    // language ID over non-Latin scripts (CJK/Hangul/Cyrillic/Arabic/
+    // Greek/Hebrew/Devanagari/Thai) — same classifier, synthesized
+    // multi-script corpus
+    "q37_langid_scripts" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          pickCol(col("doc_id").cast("long"), ScriptSnippets, 0).as("text"))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .select("doc_id", "text", "lang_pred")
         .orderBy("doc_id")),
     // text analysis: document fingerprint + dup grouping
     "q21_fingerprint" -> ((s, d) =>
@@ -805,6 +834,40 @@ object SparkEntry {
       FROM v ORDER BY doc_id"""
   }
 
+  /** DuckDB twin of TextAnalysis.langId: (inner script-count columns,
+    * decision CASE over them + the stopword vote). Same ranges, same
+    * family order, same tie-breaks — generated from the same constants.
+    */
+  private def langIdSqlParts: (String, String) = {
+    val scCols = TextAnalysis.ScriptRanges.map { case (k, r) =>
+      s"(length(text) - length(regexp_replace(text, '$r', '', 'g'))) AS s_$k"
+    }.mkString(", ")
+    val hits = TextAnalysis.StopLists.map { case (lang, words) =>
+      lang -> stopHitsSql(words, "lower(text)")
+    }
+    val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
+    val latinBranches = hits.map { case (lang, h) =>
+      s"WHEN ($h) = $mx THEN '$lang'"
+    }.mkString(" ")
+    val latin = s"CASE WHEN $mx = 0 THEN 'und' $latinBranches " +
+      s"ELSE '${TextAnalysis.StopLists.last._1}' END"
+    val fams = Seq("cjk" -> "(s_han + s_kana)", "ko" -> "s_hangul",
+      "ru" -> "s_cyrillic", "ar" -> "s_arabic", "el" -> "s_greek",
+      "he" -> "s_hebrew", "hi" -> "s_devanagari", "th" -> "s_thai")
+    val mxS = s"greatest(${fams.map(_._2).mkString(", ")})"
+    val total = fams.map(_._2).mkString(" + ")
+    val pickBranches = fams.map { case (f, c) =>
+      val v =
+        if (f == "cjk") "(CASE WHEN s_kana > 0 THEN 'ja' ELSE 'zh' END)"
+        else s"'$f'"
+      s"WHEN $c = $mxS THEN $v"
+    }.mkString(" ")
+    val caseExpr = s"(CASE WHEN text IS NULL THEN 'und' " +
+      s"WHEN ($total) * 2 > length(text) " +
+      s"THEN (CASE $pickBranches ELSE 'und' END) ELSE ($latin) END)"
+    (scCols, caseExpr)
+  }
+
   private def simhash16Sql: String = {
     val h = tokHashSql(4)
     (0 until 16).map { i =>
@@ -954,19 +1017,18 @@ object SparkEntry {
             * 1000000) // len($toksSql) ELSE 0 END AS stopword_ppm
         FROM documents ORDER BY doc_id""",
     "q20_langid" -> {
-      // mirror of TextAnalysis.langId: same lists, same tie order
-      val hits = TextAnalysis.StopLists.map { case (lang, words) =>
-        lang -> stopHitsSql(words, "lower(text)")
-      }
-      val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
-      val branches = hits.map { case (lang, h) =>
-        s"WHEN ($h) = $mx THEN '$lang'"
-      }.mkString("\n          ")
-      s"""SELECT doc_id, lang,
-        CASE WHEN text IS NULL OR $mx = 0 THEN 'und'
-          $branches
-          ELSE '${TextAnalysis.StopLists.last._1}' END AS lang_pred
-        FROM documents ORDER BY doc_id"""
+      val (scCols, caseExpr) = langIdSqlParts
+      s"""SELECT doc_id, lang, $caseExpr AS lang_pred
+        FROM (SELECT doc_id, lang, text, $scCols FROM documents)
+        ORDER BY doc_id"""
+    },
+    "q37_langid_scripts" -> {
+      val (scCols, caseExpr) = langIdSqlParts
+      s"""SELECT doc_id, text, $caseExpr AS lang_pred
+        FROM (SELECT doc_id, text, $scCols FROM
+          (SELECT doc_id, ${pickSql(ScriptSnippets, 0)} AS text
+           FROM documents))
+        ORDER BY doc_id"""
     },
     "q21_fingerprint" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

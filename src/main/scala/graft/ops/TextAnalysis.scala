@@ -54,8 +54,39 @@ object TextAnalysis {
     "en" -> StopEn, "de" -> StopDe, "fr" -> StopFr, "es" -> StopEs,
     "it" -> StopIt, "pt" -> StopPt, "nl" -> StopNl)
 
-  /** Heuristic language ID: the language whose stopword list hits most
-    * (ties break in StopLists order); "und" for NULL text or no hits.
+  /** Unicode script blocks used for non-Latin language ID. Plain BMP
+    * codepoint ranges in \x{…} syntax — identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB), so the whole classifier stays
+    * oracle-portable. All ranges are BMP: one UTF-16 unit in Spark, one
+    * codepoint in DuckDB, so the subtraction count matches.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "han" -> "[\\x{4E00}-\\x{9FFF}]",
+    "kana" -> "[\\x{3040}-\\x{30FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "thai" -> "[\\x{0E00}-\\x{0E7F}]")
+
+  /** Count of characters in a script range (length subtraction — one
+    * regex pass, no explode).
+    */
+  def scriptCount(text: Column, range: String): Column =
+    length(text) - length(regexp_replace(text, range, ""))
+
+  /** Heuristic language ID.
+    *
+    * Two tiers: when non-Latin script characters make up more than half
+    * of the text, the dominant script family decides (CJK resolves to
+    * "ja" if any kana is present else "zh"; Hangul → ko, Cyrillic → ru,
+    * Arabic → ar, Greek → el, Hebrew → he, Devanagari → hi, Thai → th —
+    * the script's majority language, a standard first-pass heuristic).
+    * Otherwise the Latin-script stopword vote picks among StopLists
+    * (ties break in list order). "und" for NULL text, no stopword hits,
+    * or an unrecognized script mix.
     */
   def langId(textRaw: Column): Column = {
     val text = lower(textRaw)
@@ -63,13 +94,28 @@ object TextAnalysis {
       lang -> stopwordHits(text, words)
     }
     val mx = greatest(hits.map(_._2): _*)
-    // NULL text would null every when-condition and fall through to the
-    // otherwise — guard it into "und" explicitly. With non-null text the
-    // otherwise is unreachable (mx===0 or some h===mx always fires); it
-    // exists only to close the when-chain.
-    hits.foldLeft(when(textRaw.isNull || mx === 0, lit("und"))) {
+    // With non-null text the otherwise is unreachable (mx===0 or some
+    // h===mx always fires); it exists only to close the when-chain.
+    val latin = hits.foldLeft(when(mx === 0, lit("und"))) {
       case (acc, (lang, h)) => acc.when(h === mx, lit(lang))
     }.otherwise(lit(StopLists.last._1))
+    val sc = ScriptRanges.map { case (k, r) =>
+      k -> scriptCount(textRaw, r)
+    }.toMap
+    val fams: Seq[(String, Column)] = Seq(
+      "cjk" -> (sc("han") + sc("kana")), "ko" -> sc("hangul"),
+      "ru" -> sc("cyrillic"), "ar" -> sc("arabic"), "el" -> sc("greek"),
+      "he" -> sc("hebrew"), "hi" -> sc("devanagari"), "th" -> sc("thai"))
+    val mxS = greatest(fams.map(_._2): _*)
+    val total = fams.map(_._2).reduce(_ + _)
+    val scriptPick = fams.foldRight(lit("und")) { case ((f, c), els) =>
+      when(c === mxS,
+        if (f == "cjk") when(sc("kana") > 0, lit("ja")).otherwise(lit("zh"))
+        else lit(f)).otherwise(els)
+    }
+    when(textRaw.isNull, lit("und"))
+      .when(total * 2 > length(textRaw), scriptPick)
+      .otherwise(latin)
   }
 
   /** Quality features: length, token stats, character-class ratios,

@@ -157,6 +157,24 @@ class OpsSpec extends AnyFunSuite {
       === unbounded)
   }
 
+  test("langId: non-Latin scripts route to the script's language") {
+    import spark.implicits._
+    val r = Seq(
+      "这是一个简单的中文句子没有任何其他文字",       // Han only → zh
+      "これは簡単な日本語の文です",                   // kana present → ja
+      "한국어로 된 간단한 문장입니다",                // Hangul → ko
+      "это простое предложение на русском языке",     // Cyrillic → ru
+      "هذه جملة بسيطة باللغة العربية",                // Arabic → ar
+      "αυτή είναι μια απλή ελληνική πρόταση",         // Greek → el
+      "זהו משפט פשוט בעברית",                         // Hebrew → he
+      "यह हिंदी में एक सरल वाक्य है",                   // Devanagari → hi
+      "นี่คือประโยคง่ายๆในภาษาไทย",                     // Thai → th
+      "mixed 中文 with mostly english words around it" // Latin-dominant → en
+    ).toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect()
+    assert(r.toSeq === Seq("zh", "ja", "ko", "ru", "ar", "el", "he", "hi",
+      "th", "en"))
+  }
+
   test("langId: NULL text → und (not the tie-break fallback)") {
     import spark.implicits._
     val r = Seq(Some("the cat and the dog"), None, Some(""))
