@@ -337,7 +337,8 @@ object Dedup {
         lit("dedup").as("group"),
         lit("").as("txn_type"),
         concat(lit("canonical="), col("canonical_id").cast("string"))
-          .as("message"))
+          .as("message"),
+        lit("SOA-REC-DUP-004").as("ref_code"))
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by
     * random-hyperplane LSH so the pairwise work stays within buckets.

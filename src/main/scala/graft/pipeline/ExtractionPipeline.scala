@@ -500,6 +500,8 @@ object ExtractionPipeline {
       col("page_type").as("group"),
       lit("").as("txn_type"),
       coalesce(col("error"), lit("")).as("message"))
+      // reference error-code vocabulary (error_system.py:13-54)
+      .withColumn("ref_code", ErrorCodes.refCodeCol(col("code")))
 
   /** Record-stage events (reference REC/VAL taxonomy,
     * error_system.py:19-43): one record_route event per record (FALLBACK
@@ -539,6 +541,7 @@ object ExtractionPipeline {
         col("txn_type"),
         lit("").as("message"))
     route.unionByName(vals)
+      .withColumn("ref_code", ErrorCodes.refCodeCol(col("code")))
   }
 
   /** The full event stream — page-stage (extract) + record-stage
@@ -585,4 +588,5 @@ object ExtractionPipeline {
         col("page_type").as("group"),
         lit("").as("txn_type"),
         concat(lit("rows="), col("n_rows")).as("message"))
+      .withColumn("ref_code", ErrorCodes.refCodeCol(col("code")))
 }

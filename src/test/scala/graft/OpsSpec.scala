@@ -215,7 +215,8 @@ class OpsSpec extends AnyFunSuite {
     assert(ev.length === 2) // 12 and 13 dropped in favor of 11
     assert(ev.forall(r => r.getAs[String]("code") === "REC_DUP" &&
       r.getAs[String]("stage") === "record_dedup" &&
-      r.getAs[String]("message") === "canonical=11"))
+      r.getAs[String]("message") === "canonical=11" &&
+      r.getAs[String]("ref_code") === "SOA-REC-DUP-004"))
     assert(ev.map(_.getAs[String]("url")).sorted.toSeq === Seq("12", "13"))
   }
 
@@ -267,6 +268,27 @@ class OpsSpec extends AnyFunSuite {
       val dur = withMeta(id).duration_ms
       assert(n === math.max(1, (dur - 1) / 10000 + 1), s"media $id dur $dur")
     }
+  }
+
+  test("event codes map to the reference error-code vocabulary") {
+    import graft.pipeline.ErrorCodes.refCode
+    assert(refCode("VAL_DATE_TRADE") === "SOA-VAL-DATE-002")
+    assert(refCode("VAL_RANGE_MV") === "SOA-VAL-RANGE-006")
+    assert(refCode("VAL_CURR") === "SOA-VAL-CURR-003")
+    assert(refCode("VAL_CONFLICT") === "SOA-VAL-CONFLICT-007")
+    assert(refCode("VAL_ISIN_CHECKSUM") === "SOA-VAL-ISIN-004")
+    assert(refCode("REC_ROUTE_FALLBACK") === "SOA-REC-ROUTE-003")
+    assert(refCode("REC_STITCH_MERGED") === "SOA-REC-STITCH-002")
+    assert(refCode("PAGE_EMPTY") === "SOA-PAGE-SPLIT-003")
+    assert(refCode("UNKNOWN_THING") === "")
+    // Column twin agrees
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val codes = Seq("VAL_DATE_SETTLE", "REC_DUP", "PAGE_OK_HTML", "other")
+    val got = codes.toDF("c")
+      .select(graft.pipeline.ErrorCodes.refCodeCol(col("c"))).as[String]
+      .collect().toSeq
+    assert(got === codes.map(refCode))
   }
 
   test("salted sum equals plain sum") {
