@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.PagesGen
-import graft.ops.{Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
 import graft.pipeline.ExtractionPipeline
 import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -570,6 +570,84 @@ object SparkEntry {
             .otherwise(col("fenced")))
         .select("doc_id", "stripped")
         .orderBy("doc_id")
+    }),
+    // curation: PII redaction (emails/IPs/phones synthesized onto the
+    // text deterministically; counts on raw, redaction chained)
+    "q38_pii" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val aug = concat(col("text"),
+        lit(" Contact user"), pmod(did, lit(7)).cast("string"),
+        lit("@example."),
+        when(pmod(did, lit(2)) === 0, lit("com")).otherwise(lit("org")),
+        lit(" from "), pmod(did, lit(256)).cast("string"), lit("."),
+        pmod(did * 7, lit(256)).cast("string"), lit(".0.1"),
+        when(pmod(did, lit(4)) === 0,
+          concat(lit(" tel +41 44 "),
+            lpad(pmod(did, lit(10000)).cast("string"), 4, "0"),
+            lit(" 00"))).otherwise(lit("")))
+      val base = t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+      val counted = Curation.piiCounts(col("aug"))
+        .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+      counted
+        .withColumn("redacted", Curation.piiRedact(col("aug")))
+        .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_phone").cast("long").as("n_phone"),
+          length(col("redacted")).cast("long").as("red_len"),
+          md5(col("redacted")).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+    // curation: Gopher-style repetition/symbol features (integer ppm)
+    // over multi-line text synthesized with a deterministic dup line
+    "q39_repetition" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val promo = "Click here to read more..."
+      val aug = concat_ws("\n", col("text"),
+        lit("- first point"), lit("- second point"), lit(promo),
+        when(pmod(did, lit(2)) === 0, lit(promo)),
+        when(pmod(did, lit(3)) === 0, lit("# heading " + promo)))
+      val base = t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+      Curation.repetitionFeatures(col("aug"))
+        .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+        .drop("aug")
+        .orderBy("doc_id")
+    }),
+    // curation: corpus-level duplicated-paragraph removal — boilerplate
+    // paragraphs injected into every 3rd/5th doc are detected by exact
+    // hash across >= 3 distinct docs and stripped; only (id,pos,hash)
+    // rows shuffle
+    "q40_para_dedup" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val aug = concat_ws("\n\n",
+        when(pmod(did, lit(3)) === 0,
+          lit("Subscribe to our newsletter for updates.")),
+        col("text"),
+        when(pmod(did, lit(5)) === 0,
+          lit("All rights reserved. Terms of use apply.")))
+      val docs = t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+      Curation.dropDuplicatedParagraphs(docs, "doc_id", "aug", minDocs = 3)
+        .select(col("doc_id"), col("n_paras").cast("long").as("n_paras"),
+          col("n_dropped").cast("long").as("n_dropped"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+    // curation: host extraction + per-host corpus stats (the host-level
+    // grouping a domain-blocklist / per-host quality filter runs on)
+    "q41_host_stats" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val url = concat(lit("https://"), col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com/doc/"),
+        col("doc_id").cast("string"))
+      t(s, d, "documents")
+        .withColumn("host", Curation.hostOf(url))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("host")
     })
   )
 
@@ -1158,6 +1236,119 @@ object SparkEntry {
           CASE WHEN regexp_matches(fenced, '(?s)```(?:json)?\s*.*?\s*```')
             THEN regexp_extract(fenced, '(?s)```(?:json)?\s*(.*?)\s*```', 1)
             ELSE fenced END AS stripped
-        FROM f ORDER BY doc_id"""
+        FROM f ORDER BY doc_id""",
+    "q38_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\+[0-9][0-9 ()./-]{6,}[0-9]"
+      s"""WITH f AS (SELECT doc_id, concat(text,
+          ' Contact user', CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR),
+          '@example.',
+          CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0 THEN 'com' ELSE 'org' END,
+          ' from ', CAST(CAST(doc_id AS BIGINT) % 256 AS VARCHAR), '.',
+          CAST((CAST(doc_id AS BIGINT) * 7) % 256 AS VARCHAR), '.0.1',
+          CASE WHEN CAST(doc_id AS BIGINT) % 4 = 0
+            THEN concat(' tel +41 44 ',
+              lpad(CAST(CAST(doc_id AS BIGINT) % 10000 AS VARCHAR), 4, '0'),
+              ' 00')
+            ELSE '' END) AS aug FROM documents),
+        r AS (SELECT doc_id, aug,
+          regexp_replace(regexp_replace(regexp_replace(aug,
+            '$email', '<EMAIL>', 'g'),
+            '$ip', '<IP>', 'g'),
+            '$phone', '<PHONE>', 'g') AS red FROM f)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ip,
+          CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phone,
+          CAST(length(red) AS BIGINT) AS red_len, md5(red) AS red_md5
+        FROM r ORDER BY doc_id"""
+    },
+    "q39_repetition" ->
+      """WITH f AS (SELECT doc_id, concat_ws(chr(10), text,
+          '- first point', '- second point', 'Click here to read more...',
+          CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+            THEN 'Click here to read more...' END,
+          CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+            THEN '# heading Click here to read more...' END) AS aug
+          FROM documents),
+        l AS (SELECT doc_id, aug,
+          list_filter(list_transform(string_split(aug, chr(10)),
+            x -> trim(x)), x -> x != '') AS ls FROM f),
+        m AS (SELECT doc_id, aug, ls,
+          CAST(len(ls) AS BIGINT) AS n,
+          CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS ndup,
+          CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+            AS BIGINT) AS chars,
+          CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+            x -> length(x))), 0) AS BIGINT) AS fchars,
+          CAST(len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))
+            AS BIGINT) AS bullets,
+          CAST(len(list_filter(ls, x -> regexp_matches(x, '\.\.\.$')))
+            AS BIGINT) AS ell_lines,
+          CAST(length(aug) - length(regexp_replace(aug, '#', '', 'g'))
+            AS BIGINT) AS hashes,
+          CAST(len(regexp_extract_all(aug, '\.\.\.')) AS BIGINT) AS ells,
+          CAST(len(list_filter(regexp_split_to_array(trim(aug), '\s+'),
+            t -> t != '')) AS BIGINT) AS toks FROM l)
+        SELECT doc_id, n AS n_lines,
+          CAST(CASE WHEN n > 0 THEN (ndup * 1000000) // n ELSE 0 END
+            AS BIGINT) AS dup_line_ppm,
+          CAST(CASE WHEN chars > 0
+            THEN ((chars - fchars) * 1000000) // chars ELSE 0 END
+            AS BIGINT) AS dup_char_ppm,
+          CAST(CASE WHEN n > 0 THEN (bullets * 1000000) // n ELSE 0 END
+            AS BIGINT) AS bullet_ppm,
+          CAST(CASE WHEN n > 0 THEN (ell_lines * 1000000) // n ELSE 0 END
+            AS BIGINT) AS ellipsis_ppm,
+          CAST(CASE WHEN toks > 0
+            THEN ((hashes + ells) * 1000000) // toks ELSE 0 END
+            AS BIGINT) AS symbol_ppm
+        FROM m ORDER BY doc_id""",
+    "q40_para_dedup" ->
+      """WITH f AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+          CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+            THEN 'Subscribe to our newsletter for updates.' END,
+          text,
+          CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0
+            THEN 'All rights reserved. Terms of use apply.' END) AS aug
+          FROM documents),
+        p0 AS (SELECT doc_id,
+          list_filter(list_transform(regexp_split_to_array(aug, '\n{2,}'),
+            p -> trim(p)), p -> p != '') AS paras FROM f),
+        th AS (SELECT doc_id,
+          unnest(list_transform(paras, p -> md5(p))) AS ph,
+          unnest(range(1, len(paras) + 1)) AS pos FROM p0),
+        dup AS (SELECT ph FROM th GROUP BY ph
+          HAVING count(DISTINCT doc_id) >= 3),
+        dr AS (SELECT doc_id, list(pos) AS dp
+          FROM th JOIN dup USING (ph) GROUP BY doc_id),
+        cl AS (SELECT p0.doc_id, paras,
+          coalesce(dp, CAST([] AS BIGINT[])) AS dp
+          FROM p0 LEFT JOIN dr ON p0.doc_id = dr.doc_id),
+        fin AS (SELECT doc_id,
+          CAST(len(paras) AS BIGINT) AS n_paras,
+          CAST(len(dp) AS BIGINT) AS n_dropped,
+          array_to_string(list_filter(paras,
+            (p, i) -> NOT list_contains(dp, i)),
+            chr(10)||chr(10)) AS ct FROM cl)
+        SELECT doc_id, n_paras, n_dropped,
+          CAST(length(ct) AS BIGINT) AS clean_len, md5(ct) AS clean_md5
+        FROM fin ORDER BY doc_id""",
+    "q41_host_stats" ->
+      """WITH u AS (SELECT *, concat('https://', source, '-',
+          CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR),
+          '.example.com/doc/', CAST(doc_id AS VARCHAR)) AS url
+          FROM documents)
+        SELECT
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+            AS host,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(list_filter(
+            regexp_split_to_array(trim(text), '\s+'), t -> t != '')))
+            AS BIGINT) AS total_tokens,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM u GROUP BY 1 ORDER BY 1"""
   )
 }

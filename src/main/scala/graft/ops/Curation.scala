@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/langid/quality: PII redaction, Gopher-style repetition
+  * features, corpus-level duplicated-paragraph removal, and URL/host
+  * grouping. All per-document work is pure Column expressions
+  * (codegen'd, shuffle-free); the one corpus-level operator
+  * (dropDuplicatedParagraphs) shuffles only (id, pos, hash) — document
+  * text never moves, which is the property that keeps it viable at
+  * 100 TB.
+  *
+  * Every regex here stays inside the shared Java-regex/RE2 subset (no
+  * lookaround, no backreferences, ASCII classes) so the DuckDB oracles
+  * run the literally identical pattern.
+  */
+object Curation {
+
+  // ---- PII redaction (C4/CCNet-style pre-training scrub) ----
+
+  /** (kind, pattern, replacement). Order matters: emails first (their
+    * host part must not be half-eaten by the IP rule), then IPs, then
+    * phones (which require a leading '+' so they never overlap the
+    * other two).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9][0-9 ()./-]{6,}[0-9]", "<PHONE>"))
+
+  /** Per-kind match counts on the RAW text (counted before redaction so
+    * kinds don't see each other's replacement tags).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (kind, re, _) =>
+      s"n_$kind" -> size(regexp_extract_all(text, lit(re), lit(0)))
+    }
+
+  /** Text with all PII spans replaced by typed tags. */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  // ---- Gopher-style repetition / structural features ----
+
+  /** Non-blank trimmed lines. */
+  def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  /** Repetition and symbol features from the Gopher quality-filter
+    * family (Rae et al. 2021, public): duplicate-line fraction,
+    * fraction of characters in duplicate lines, bullet-line fraction,
+    * ellipsis-line fraction, symbol-to-word ratio. All ratios are
+    * integer ppm (×1e6, integer division) for float-free oracle parity.
+    *
+    * dup chars are counted against first occurrences via
+    * `array_distinct` (which keeps firsts) — no index juggling, one
+    * pass, same trick on the DuckDB side.
+    */
+  def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val ls = docLines(text)
+    val n = size(ls).cast("long")
+    val nDup = (size(ls) - size(array_distinct(ls))).cast("long")
+    val chars = aggregate(ls, lit(0L), (a, x) => a + length(x).cast("long"))
+    val firstChars = aggregate(array_distinct(ls), lit(0L),
+      (a, x) => a + length(x).cast("long"))
+    val dupChars = chars - firstChars
+    val bullets = size(filter(ls, l => l.rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(ls, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val hashes = (length(text) - length(regexp_replace(text, "#", "")))
+      .cast("long")
+    val ellipses = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+      .cast("long")
+    val toks = TextAnalysis.tokenCount(text).cast("long")
+    // integer ppm, same formula as q19 (long multiply, cast-truncated
+    // divide — exact below 2^53, matches DuckDB's // on non-negatives)
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, (num * 1000000L) / den).otherwise(lit(0L)).cast("long")
+    Seq(
+      "n_lines" -> n,
+      "dup_line_ppm" -> ppm(nDup, n),
+      "dup_char_ppm" -> ppm(dupChars, chars),
+      "bullet_ppm" -> ppm(bullets, n),
+      "ellipsis_ppm" -> ppm(ellipsisLines, n),
+      "symbol_ppm" -> ppm(hashes + ellipses, toks))
+  }
+
+  // ---- corpus-level duplicated-paragraph removal (RefinedWeb-style) ----
+
+  /** Non-blank trimmed paragraphs (split on blank lines). */
+  def paragraphs(text: Column): Column =
+    filter(transform(split(text, "\\n{2,}"), p => trim(p)), p => p =!= "")
+
+  /** Remove paragraphs that appear (by exact md5) in >= `minDocs`
+    * distinct documents — the standard "boilerplate paragraph" scrub
+    * run corpus-wide after per-page extraction.
+    *
+    * Scale shape: paragraphs are hashed in the same projection that
+    * explodes them, so the only shuffled rows are (id, pos, hash) and
+    * the per-doc drop-position sets — document text itself never
+    * shuffles. The duplicate-hash table is produced by a partial-agg
+    * groupBy on the hash; the drop sets rejoin on the (already
+    * partitioned) id.
+    *
+    * Returns the input plus `n_paras`, `n_dropped`, `clean_text`.
+    */
+  def dropDuplicatedParagraphs(df: DataFrame, idCol: String,
+      textCol: String, minDocs: Int = 2): DataFrame = {
+    val withP = df.withColumn("_paras", paragraphs(col(textCol)))
+    val thin = withP
+      .select(col(idCol), posexplode(col("_paras")).as(Seq("_pos", "_para")))
+      .select(col(idCol), col("_pos"), md5(col("_para")).as("_ph"))
+    val dup = thin.groupBy(col("_ph"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_ph"))
+    val dropPos = thin.join(dup, "_ph")
+      .groupBy(col(idCol)).agg(collect_set(col("_pos")).as("_drop"))
+    withP.join(dropPos, Seq(idCol), "left")
+      .withColumn("_drop",
+        coalesce(col("_drop"), array().cast("array<int>")))
+      .withColumn("clean_paras",
+        filter(col("_paras"), (p, i) => !array_contains(col("_drop"), i)))
+      .withColumn("n_paras", size(col("_paras")))
+      .withColumn("n_dropped", size(col("_drop")))
+      .withColumn("clean_text", array_join(col("clean_paras"), "\n\n"))
+      .drop("_paras", "_drop", "clean_paras")
+  }
+
+  // ---- URL / host operators ----
+
+  /** Host part of an URL (empty string when the shape doesn't match —
+    * deterministic, never null).
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+}

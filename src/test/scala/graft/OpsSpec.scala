@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -306,5 +306,63 @@ class OpsSpec extends AnyFunSuite {
     val df = (Seq.fill(100)("hot") ++ Seq("a", "b")).toDF("k")
     val hot = Skew.hotKeys(df, col("k"), 50).collect()
     assert(hot.length === 1 && hot(0).getString(0) === "hot")
+  }
+
+  test("pii redaction: counts and typed tags, kinds don't collide") {
+    import spark.implicits._
+    val txt = "mail a.b+c@ex-1.org or x@y.io, ip 10.0.255.3, " +
+      "call +41 (0)44 123-45 67 end"
+    val df = Seq(txt).toDF("t")
+    val counts = Curation.piiCounts(col("t"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .select("n_email", "n_ip", "n_phone").head()
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) ===
+      ((2, 1, 1)))
+    val red = df.select(Curation.piiRedact(col("t"))).head().getString(0)
+    assert(red === "mail <EMAIL> or <EMAIL>, ip <IP>, call <PHONE> end")
+  }
+
+  test("repetition features: dup lines, dup chars, bullets, symbols") {
+    import spark.implicits._
+    val txt = Seq("aaaa", "bbbb", "aaaa", "- item", "read on...", "")
+      .mkString("\n")
+    val df = Seq(txt).toDF("t")
+    val f = Curation.repetitionFeatures(col("t"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }.head()
+    def g(n: String) = f.getLong(f.fieldIndex(n))
+    assert(g("n_lines") === 5) // blank line dropped
+    assert(g("dup_line_ppm") === 1000000L / 5) // one dup of five
+    // dup chars: second "aaaa" = 4 of 28 non-blank line chars
+    assert(g("dup_char_ppm") === 4L * 1000000L / 28L)
+    assert(g("bullet_ppm") === 1000000L / 5)
+    assert(g("ellipsis_ppm") === 1000000L / 5)
+    assert(g("symbol_ppm") > 0) // "..." counted against 8 tokens
+  }
+
+  test("paragraph dedup: corpus-wide boilerplate stripped, order kept") {
+    import spark.implicits._
+    val boiler = "subscribe now"
+    val df = Seq(
+      (1L, s"$boiler\n\nunique one\n\nmiddle"),
+      (2L, s"unique two\n\n$boiler"),
+      (3L, s"also unique\n\nno boilerplate here")
+    ).toDF("id", "text")
+    val cleaned = Curation.dropDuplicatedParagraphs(df, "id", "text", 2)
+      .orderBy("id")
+      .select("id", "n_paras", "n_dropped", "clean_text").collect()
+    assert(cleaned(0).getInt(1) === 3 && cleaned(0).getInt(2) === 1)
+    assert(cleaned(0).getString(3) === "unique one\n\nmiddle")
+    assert(cleaned(1).getString(3) === "unique two")
+    assert(cleaned(2).getInt(2) === 0)
+    assert(cleaned(2).getString(3) === "also unique\n\nno boilerplate here")
+  }
+
+  test("hostOf extracts the authority; garbage yields empty") {
+    import spark.implicits._
+    val df = Seq("https://a.b.example.com/x?q=1", "ftp://h0st:8080/p",
+      "not a url").toDF("u")
+    val hosts = df.select(Curation.hostOf(col("u"))).collect()
+      .map(_.getString(0))
+    assert(hosts === Array("a.b.example.com", "h0st:8080", ""))
   }
 }
