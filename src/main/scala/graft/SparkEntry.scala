@@ -405,9 +405,15 @@ object SparkEntry {
           max(col("frame_idx")).as("max_frame_idx"))
         .orderBy("kind")),
     // dedup: MinHash-LSH candidate pairs (banded; rows-only)
+    // dedup: minhash-LSH candidate pairs. Token-unigram shingles over
+    // shared-vocabulary text are the DEGENERATE configuration (most
+    // docs collide into a few buckets → quadratic within-bucket join:
+    // measured 250+ s at sf0.1 uncapped) — exactly what maxBucket is
+    // for, so this query runs it capped and the oracle verifies the
+    // cap semantics, not just the happy path.
     "q28_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 16, bands = 8, minEstJaccard = 0.25)
+        k = 16, bands = 8, minEstJaccard = 0.25, maxBucket = 64)
         .orderBy(col("est_jaccard").desc, col("a"), col("b"))
         .limit(50)),
     // dedup: embedding-cosine near-dup pairs (LSH-bucketed; rows-only)
@@ -676,9 +682,19 @@ object SparkEntry {
     * with columns (a, b, est_jaccard). shingleN mirrors the Spark
     * parameter (1 = unigram tokens).
     */
-  private def lshPairsCtesOver(shingleN: Int): String = {
+  /** Shared CTE chain for minhash-LSH pair oracles. `maxBucket > 0`
+    * replicates Dedup.minhashLshPairs' big-bucket cap (a window count
+    * per (band, bucket), oversized buckets contribute no pairs) so the
+    * cap itself is oracle-verified, not just unit-tested.
+    */
+  private def lshPairsCtesOver(shingleN: Int, maxBucket: Int = 0): String = {
     val units = if (shingleN <= 1) toksSql else shingleSql(shingleN)
     val sigArr = (0 until 16).map(i => s"m$i").mkString("[", ", ", "]")
+    val capCte =
+      if (maxBucket <= 0) "capped AS (SELECT * FROM banded)"
+      else s"""capped AS (SELECT id, sig, band, bucket FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+          FROM banded) WHERE bsz <= $maxBucket)"""
     s"""sig0 AS (SELECT doc_id AS id, ${minhashSqlColsOver(16, units)} FROM documents),
       sig AS (SELECT id, $sigArr AS sig FROM sig0),
       banded AS (
@@ -687,12 +703,13 @@ object SparkEntry {
             sig[r.range*2+1 : r.range*2+2], x -> CAST(x AS VARCHAR)), ','))
             AS bucket
         FROM sig CROSS JOIN range(8) r),
+      $capCte,
       pairs AS (
         SELECT DISTINCT l.id AS a, r.id AS b,
           CAST(list_sum(list_transform(generate_series(1, 16),
             i -> CASE WHEN l.sig[i] = r.sig[i] THEN 1 ELSE 0 END))
             AS DOUBLE) / 16 AS est_jaccard
-        FROM banded l JOIN banded r
+        FROM capped l JOIN capped r
           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)"""
   }
 
@@ -1133,7 +1150,7 @@ object SparkEntry {
         COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1""",
     "q28_minhash_lsh" ->
-      s"""WITH $lshPairsCtes
+      s"""WITH ${lshPairsCtesOver(1, maxBucket = 64)}
         SELECT a, b, est_jaccard FROM pairs WHERE est_jaccard >= 0.25
         ORDER BY est_jaccard DESC, a, b LIMIT 50""",
     "q29_embed_neardup" -> embedNearDupSql(4, 64, 0.2),

@@ -268,7 +268,14 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint() // eager: pair generation runs exactly once
-    val initial = df.select(col(idCol).as("id"))
+    // The fixpoint iterates ONLY over vertices that appear in a
+    // candidate edge. Docs with no near-dup pair are their own
+    // canonical by definition, so carrying them through every
+    // iteration (join + checkpoint per step) multiplies each step's
+    // state by corpus/|candidates| for nothing — at 100 TB that is
+    // 10^12 rows of dead weight per iteration. They rejoin via one
+    // left join at the end.
+    val initial = edges.select(col("a").as("id")).distinct()
       .withColumn("canonical_id", col("id"))
       .localCheckpoint()
     var labels = initial
@@ -306,7 +313,13 @@ object Dedup {
     if (!converged)
       System.err.println(
         s"[graft] canonicalize: not converged after $maxIter iterations")
-    labels
+    // singleton docs (no candidate edge) rejoin as their own canonical:
+    // one shuffle over the corpus, instead of maxIter of them
+    df.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("canonical_id", "_c"),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_c"), col("id")).as("canonical_id"))
   }
 
   /** Release the RDD blocks behind a localCheckpoint'ed frame. Safe only

@@ -27,13 +27,13 @@ object BenchProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names) {
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warm
+      val rows = fn(spark, sfDir).count() // warm
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-22s min=${ts.min}%.3f  samples=${ts.map(t => f"$t%.3f").mkString(",")}")
+      println(f"$name%-22s min=${ts.min}%.3f  rows=$rows  samples=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }
