@@ -302,6 +302,16 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     }),
+    // simsearch: IVF-Flat ANN (sampled-centroid inverted file) — the
+    // clustered-corpus scale path; fully oracle-checked (sampling,
+    // assignment, probing, scoring are all relational)
+    "q42_ann_ivf" -> ((s, d) => {
+      val v = t(s, d, "embeddings")
+      SimSearch.ivfTopK(v, v.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, nCells = 16, nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
     // text analysis: quality features as exact integer ppm
     "q19_quality" -> ((s, d) => {
       val txt = col("text")
@@ -1352,6 +1362,42 @@ object SparkEntry {
         SELECT doc_id, n_paras, n_dropped,
           CAST(length(ct) AS BIGINT) AS clean_len, md5(ct) AS clean_md5
         FROM fin ORDER BY doc_id""",
+    "q42_ann_ivf" -> {
+      def cos(ae: String, be: String): String =
+        s"""list_sum(list_transform(generate_series(1, len($ae)),
+            i -> $ae[i] * $be[i])) /
+          (sqrt(list_sum(list_transform(generate_series(1, len($ae)),
+            i -> $ae[i] * $ae[i]))) *
+           sqrt(list_sum(list_transform(generate_series(1, len($be)),
+            i -> $be[i] * $be[i]))))"""
+      s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        cents AS (SELECT ci, e FROM (
+          SELECT row_number() OVER (
+              ORDER BY md5(concat(CAST(vec_id AS VARCHAR), ':42')),
+                CAST(vec_id AS VARCHAR)) - 1 AS ci, e
+          FROM v) WHERE ci < 16),
+        sims AS (SELECT v.vec_id, c.ci, ${cos("v.e", "c.e")} AS s
+          FROM v CROSS JOIN cents c),
+        cell AS (SELECT vec_id, min(ci) AS cell FROM (
+          SELECT *, max(s) OVER (PARTITION BY vec_id) AS mx FROM sims)
+          WHERE s = mx GROUP BY vec_id),
+        qp AS (SELECT vec_id AS query_id, ci AS cell FROM (
+          SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+            ORDER BY s DESC, ci) AS pr FROM sims WHERE vec_id < 10)
+          WHERE pr <= 4),
+        sc AS (SELECT qp.query_id, cl.vec_id AS corpus_id,
+          ${cos("vq.e", "vc.e")} AS cosine
+          FROM qp JOIN cell cl ON cl.cell = qp.cell
+          JOIN v vq ON vq.vec_id = qp.query_id
+          JOIN v vc ON vc.vec_id = cl.vec_id
+          WHERE qp.query_id != cl.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, corpus_id) AS rank FROM sc)
+        SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     "q41_host_stats" ->
       """WITH u AS (SELECT *, concat('https://', source, '-',
           CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR),

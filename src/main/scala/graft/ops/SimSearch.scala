@@ -115,4 +115,85 @@ object SimSearch {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
+
+  // ---- IVF-Flat (inverted-file) index ----
+
+  /** Deterministically sampled IVF centroids: the `nCells` corpus
+    * vectors with smallest md5(id:seed) — the standard random-sample
+    * initialization, made seeded and engine-reproducible (the same
+    * ORDER BY md5 ... LIMIT runs in the DuckDB oracle). The collect is
+    * the index-build bootstrap: nCells rows (16-4096), driver-side by
+    * design, exactly like loading a trained coarse quantizer.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    corpus
+      .select(col(idCol).cast("string").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("_r", md5(concat(col("id"), lit(":" + seed))))
+      .orderBy(col("_r"), col("id"))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Double](1).toIndexedSeq)
+
+  /** Cell id for a vector: index of the max-cosine centroid, smallest
+    * index on ties (when-chain order; the oracle's min(ci) WHERE s = mx
+    * picks the same).
+    */
+  def ivfCell(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val sims = cents.map(c => cosine(v, array(c.map(lit): _*)))
+    val mx = greatest(sims: _*)
+    sims.zipWithIndex.foldRight(lit(0)) { case ((s, i), els) =>
+      when(s === mx, lit(i)).otherwise(els)
+    }
+  }
+
+  /** IVF-Flat ANN: assign corpus vectors to their nearest sampled
+    * centroid, probe each query's `nProbe` closest cells, score only
+    * within probed cells.
+    *
+    * Scale shape: the corpus shuffles once on the cell id (or zero
+    * times if the index table is stored bucketed by cell); queries are
+    * replicated nProbe times and joined on the cell key — per-query
+    * work is the probed cells' population, ~nProbe/nCells of the
+    * corpus. IVF pays off when the corpus is clustered (cells capture
+    * neighborhoods); on adversarially uniform vectors the same scan
+    * fraction is better spent on multi-probe LSH (lshTopK) — both are
+    * provided for that reason.
+    *
+    * Unlike the LSH path this is fully oracle-checkable: centroid
+    * sampling, assignment, probing and scoring are all deterministic
+    * SQL-expressible relational steps (q42).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, seed)
+    val c = corpus
+      .select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", ivfCell(col("cv"), cents))
+    val q0 = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+    // top-nProbe cells per query: sort (negated sim, index) structs —
+    // sim desc, index asc — and take the first nProbe indices
+    val probeArr = array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
+      struct((-cosine(col("qv"), array(cv.map(lit): _*))).as("d"),
+        lit(i).as("i"))
+    }: _*))
+    val q = q0
+      .withColumn("cell",
+        explode(slice(transform(probeArr, s => s("i")), 1, nProbe)))
+    // corpus vectors live in exactly one cell and probed cells are
+    // distinct, so candidates are already unique per (query, corpus)
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
 }

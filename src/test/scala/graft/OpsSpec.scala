@@ -357,6 +357,31 @@ class OpsSpec extends AnyFunSuite {
     assert(cleaned(2).getString(3) === "also unique\n\nno boilerplate here")
   }
 
+  test("IVF ANN: on clustered vectors recall vs brute force is high") {
+    import spark.implicits._
+    // 4 well-separated clusters × 30 vectors, deterministic jitter
+    val dim = 8
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 30
+    } yield {
+      val v = Array.tabulate(dim) { j =>
+        val base = if (j == c * 2) 1.0f else 0.0f
+        base + ((i * 31 + j * 17) % 7 - 3) * 0.01f
+      }
+      ((c * 30 + i).toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") % 30 === 0) // one query per cluster
+    val brute = SimSearch.bruteForceTopK(df, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimSearch.ivfTopK(df, qs, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 on clustered data")
+  }
+
   test("hostOf extracts the authority; garbage yields empty") {
     import spark.implicits._
     val df = Seq("https://a.b.example.com/x?q=1", "ftp://h0st:8080/p",
