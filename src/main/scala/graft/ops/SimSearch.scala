@@ -136,17 +136,26 @@ object SimSearch {
       .collect()
       .map(_.getSeq[Double](1).toIndexedSeq)
 
-  /** Cell id for a vector: index of the max-cosine centroid, smallest
-    * index on ties (when-chain order; the oracle's min(ci) WHERE s = mx
-    * picks the same).
+  /** Centroid indices ranked by similarity (best first, smallest index
+    * on ties — the oracle's `ORDER BY s DESC, ci` / `min(ci) WHERE
+    * s = mx` picks the same). One struct-array expression: each
+    * centroid similarity is evaluated exactly ONCE per row (a
+    * greatest+when-chain form re-evaluates the interpreted HOF
+    * aggregates per branch — measured 6.7 s vs 0.9 s at sf0.1).
+    * Similarity is dot(v,c)/|c|: the row's own norm is a constant
+    * positive factor across centroids, so dropping it cannot change
+    * the ranking (the oracle ranks by full cosine — same order).
     */
-  def ivfCell(v: Column, cents: Seq[Seq[Double]]): Column = {
-    val sims = cents.map(c => cosine(v, array(c.map(lit): _*)))
-    val mx = greatest(sims: _*)
-    sims.zipWithIndex.foldRight(lit(0)) { case ((s, i), els) =>
-      when(s === mx, lit(i)).otherwise(els)
-    }
-  }
+  def ivfCellRanking(v: Column, cents: Seq[Seq[Double]]): Column =
+    array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((-(dot(v, array(c.map(lit): _*)) / lit(cn))).as("d"),
+        lit(i).as("i"))
+    }: _*))
+
+  /** Cell id for a vector: index of the max-similarity centroid. */
+  def ivfCell(v: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(ivfCellRanking(v, cents), 1)("i")
 
   /** IVF-Flat ANN: assign corpus vectors to their nearest sampled
     * centroid, probe each query's `nProbe` closest cells, score only
@@ -176,15 +185,11 @@ object SimSearch {
     val q0 = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-    // top-nProbe cells per query: sort (negated sim, index) structs —
-    // sim desc, index asc — and take the first nProbe indices
-    val probeArr = array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
-      struct((-cosine(col("qv"), array(cv.map(lit): _*))).as("d"),
-        lit(i).as("i"))
-    }: _*))
+    // top-nProbe cells per query: first nProbe of the ranked centroids
     val q = q0
       .withColumn("cell",
-        explode(slice(transform(probeArr, s => s("i")), 1, nProbe)))
+        explode(slice(transform(ivfCellRanking(col("qv"), cents),
+          s => s("i")), 1, nProbe)))
     // corpus vectors live in exactly one cell and probed cells are
     // distinct, so candidates are already unique per (query, corpus)
     val scored = c.join(q, Seq("cell"))
