@@ -55,7 +55,7 @@ object Bench {
       "q12_segment", "q14_minhash", "q15_simhash", "q17_cosine_topk",
       "q20_langid", "q24_sessionize", "q25_salted_agg", "q28_minhash_lsh",
       "q31_route_records", "q32_dedup_cluster", "q22_pipeline_extract",
-      "q38_pii", "q40_para_dedup", "q42_ann_ivf")
+      "q38_pii", "q40_para_dedup", "q42_ann_ivf", "q43_curate")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

@@ -648,6 +648,49 @@ object SparkEntry {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     }),
+    // curation: the COMPOSED end-to-end pipeline (quality gate → PII
+    // redact → corpus paragraph dedup → exact dedup → minhash near-dup
+    // dedup) over a corpus synthesized to exercise every stage:
+    // repetition-spam docs (%17), exact-dup pairs (%10<2), near-dup
+    // pairs (%10∈{4,5}), shared boilerplate paragraphs and per-doc PII
+    // lines that become identical — and droppable — only after
+    // redaction. Fully oracle-checked, including the recursive
+    // component fold.
+    "q43_curate" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val promoLine = "Click here to read more about this offer now"
+      val promoDoc = Seq.fill(8)(promoLine).mkString("\n")
+      // the group token is INTERLEAVED through the bodies (not a
+      // suffix) so different groups share almost no shingles —
+      // otherwise every group lands in the same LSH buckets and the
+      // within-bucket join goes quadratic (the q28 degenerate case)
+      val gt = concat(lit("g"), expr("CAST(doc_id AS BIGINT) DIV 10")
+        .cast("string"))
+      val body = when(pmod(did, lit(17)) === 0, lit(promoDoc))
+        .when(pmod(did, lit(10)) < 2,
+          concat(lit("the shared body "), gt, lit(" of group "), gt,
+            lit(" is exactly "), gt, lit(" the same here "), gt))
+        .when(pmod(did, lit(10)).isin(4, 5),
+          concat(lit("the near duplicate body "), gt, lit(" one two "),
+            gt, lit(" three four "), gt, lit(" five six "), gt, lit(" "),
+            when(pmod(did, lit(10)) === 4, lit("alpha"))
+              .otherwise(lit("beta"))))
+        .otherwise(col("text"))
+      val pii = concat(lit("Contact user"), pmod(did, lit(7)).cast("string"),
+        lit("@example.com from "), pmod(did, lit(256)).cast("string"),
+        lit(".0.0.1"))
+      val aug = concat_ws("\n\n",
+        when(pmod(did, lit(3)) === 0,
+          lit("Subscribe to our newsletter for updates.")),
+        body, pii,
+        when(pmod(did, lit(5)) === 0,
+          lit("All rights reserved. Terms of use apply.")))
+      val docs = t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+      Curation.curate(docs, "doc_id", "aug")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -697,7 +740,8 @@ object SparkEntry {
     * per (band, bucket), oversized buckets contribute no pairs) so the
     * cap itself is oracle-verified, not just unit-tested.
     */
-  private def lshPairsCtesOver(shingleN: Int, maxBucket: Int = 0): String = {
+  private def lshPairsCtesOver(shingleN: Int, maxBucket: Int = 0,
+      src: String = "documents"): String = {
     val units = if (shingleN <= 1) toksSql else shingleSql(shingleN)
     val sigArr = (0 until 16).map(i => s"m$i").mkString("[", ", ", "]")
     val capCte =
@@ -705,7 +749,7 @@ object SparkEntry {
       else s"""capped AS (SELECT id, sig, band, bucket FROM (
           SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
           FROM banded) WHERE bsz <= $maxBucket)"""
-    s"""sig0 AS (SELECT doc_id AS id, ${minhashSqlColsOver(16, units)} FROM documents),
+    s"""sig0 AS (SELECT doc_id AS id, ${minhashSqlColsOver(16, units)} FROM $src),
       sig AS (SELECT id, $sigArr AS sig FROM sig0),
       banded AS (
         SELECT id, sig, r.range AS band,
@@ -1397,6 +1441,82 @@ object SparkEntry {
           ORDER BY cosine DESC, corpus_id) AS rank FROM sc)
         SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+    "q43_curate" -> {
+      val (scCols, langCase) = langIdSqlParts
+      val piiRed = graft.ops.Curation.PiiPatterns
+        .foldLeft("text") { case (acc, (_, re, tag)) =>
+          s"regexp_replace($acc, '$re', '$tag', 'g')"
+        }
+      val lsSql = """list_filter(list_transform(string_split(text,
+        chr(10)), x -> trim(x)), x -> x != '')"""
+      val dlpSql = s"""CAST(CASE WHEN len($lsSql) > 0
+        THEN ((len($lsSql) - len(list_distinct($lsSql))) * 1000000)
+          // len($lsSql) ELSE 0 END AS BIGINT)"""
+      val promo = "Click here to read more about this offer now"
+      s"""WITH RECURSIVE
+        b0 AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS did,
+          text AS orig FROM documents),
+        synth AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+          CASE WHEN did % 3 = 0
+            THEN 'Subscribe to our newsletter for updates.' END,
+          CASE WHEN did % 17 = 0
+            THEN repeat('$promo' || chr(10), 7) || '$promo'
+          WHEN did % 10 < 2 THEN concat('the shared body ',
+            'g' || CAST(did // 10 AS VARCHAR), ' of group ',
+            'g' || CAST(did // 10 AS VARCHAR), ' is exactly ',
+            'g' || CAST(did // 10 AS VARCHAR), ' the same here ',
+            'g' || CAST(did // 10 AS VARCHAR))
+          WHEN did % 10 IN (4, 5) THEN concat('the near duplicate body ',
+            'g' || CAST(did // 10 AS VARCHAR), ' one two ',
+            'g' || CAST(did // 10 AS VARCHAR), ' three four ',
+            'g' || CAST(did // 10 AS VARCHAR), ' five six ',
+            'g' || CAST(did // 10 AS VARCHAR), ' ',
+            CASE WHEN did % 10 = 4 THEN 'alpha' ELSE 'beta' END)
+          ELSE orig END,
+          concat('Contact user', CAST(did % 7 AS VARCHAR),
+            '@example.com from ', CAST(did % 256 AS VARCHAR), '.0.0.1'),
+          CASE WHEN did % 5 = 0
+            THEN 'All rights reserved. Terms of use apply.' END) AS text
+          FROM b0),
+        scx AS (SELECT doc_id, text, $scCols FROM synth),
+        lg AS (SELECT doc_id, text, $langCase AS lang FROM scx),
+        gate0 AS (SELECT doc_id, lang, text FROM lg
+          WHERE lang != 'und' AND len($toksSql) >= 10
+            AND $dlpSql <= 300000),
+        gate AS (SELECT doc_id, lang, $piiRed AS text FROM gate0),
+        p0 AS (SELECT doc_id, lang,
+          list_filter(list_transform(regexp_split_to_array(text, '\n{2,}'),
+            p -> trim(p)), p -> p != '') AS paras FROM gate),
+        th AS (SELECT doc_id,
+          unnest(list_transform(paras, p -> md5(p))) AS ph,
+          unnest(range(1, len(paras) + 1)) AS pos FROM p0),
+        dup AS (SELECT ph FROM th GROUP BY ph
+          HAVING count(DISTINCT doc_id) >= 3),
+        dr AS (SELECT doc_id, list(pos) AS dp
+          FROM th JOIN dup USING (ph) GROUP BY doc_id),
+        clx AS (SELECT p0.doc_id, lang, array_to_string(list_filter(paras,
+          (p, i) -> NOT list_contains(
+            coalesce(dp, CAST([] AS BIGINT[])), i)),
+          chr(10)||chr(10)) AS ct
+          FROM p0 LEFT JOIN dr ON p0.doc_id = dr.doc_id),
+        ex AS (SELECT doc_id, lang, ct FROM (SELECT *, row_number()
+          OVER (PARTITION BY md5(ct) ORDER BY doc_id) AS rn FROM clx)
+          WHERE rn = 1),
+        dd AS (SELECT doc_id, lang, ct AS text FROM ex),
+        ${lshPairsCtesOver(3, 0, "dd")},
+        edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
+          UNION SELECT b, a FROM pairs WHERE est_jaccard >= 0.5),
+        comp(id, canon) AS (
+          SELECT doc_id, doc_id FROM dd
+          UNION
+          SELECT e.a, c.canon FROM edges e JOIN comp c ON c.id = e.b),
+        cn AS (SELECT id, MIN(canon) AS canonical FROM comp GROUP BY 1)
+        SELECT d.doc_id, d.lang,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          md5(d.text) AS clean_md5
+        FROM dd d JOIN cn ON cn.id = d.doc_id AND cn.canonical = d.doc_id
+        ORDER BY doc_id"""
     },
     "q41_host_stats" ->
       """WITH u AS (SELECT *, concat('https://', source, '-',

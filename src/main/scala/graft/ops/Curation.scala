@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline needs
@@ -128,6 +129,73 @@ object Curation {
       .withColumn("n_dropped", size(col("_drop")))
       .withColumn("clean_text", array_join(col("clean_paras"), "\n\n"))
       .drop("_paras", "_drop", "clean_paras")
+  }
+
+  // ---- composed curation pipeline ----
+
+  /** The full training-corpus curation chain, one call:
+    *
+    *   1. quality gate — language identified (drop "und"), token floor,
+    *      duplicate-line ceiling (Gopher-style repetition filter);
+    *   2. PII redaction (typed tags);
+    *   3. corpus-level duplicated-paragraph removal (boilerplate);
+    *   4. exact dedup on the cleaned text (md5 fingerprint, min-id
+    *      survivor);
+    *   5. MinHash-LSH near-dup dedup + connected-component
+    *      canonicalization (min-id survivor per cluster).
+    *
+    * Returns (idCol, lang, n_tokens, clean_text) for surviving docs.
+    *
+    * Scale shape is the sum of its parts, all documented on the
+    * individual operators: per-doc stages are pure Column projections;
+    * the corpus-level stages shuffle only hashes/ids ((id,pos,hash)
+    * for paragraphs, (band,bucket) for MinHash, (id,label) for the
+    * component fixpoint) — full text is shuffled exactly once, by the
+    * exact-dedup fingerprint window (replaceable with a groupBy on the
+    * fingerprint carrying only (fp, min-id) if even that is too much at
+    * 100 TB; kept as the window form for plan clarity).
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, maxDupLinePpm: Long = 300000L,
+      paraMinDocs: Int = 3, shingleN: Int = 3,
+      minEstJaccard: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    val txt = col(textCol)
+    val rep = repetitionFeatures(txt).toMap
+    // The gate (langId + repetition features + redaction) is the
+    // expensive per-doc scan, and the stages below fan out over it
+    // (paragraph explode + rejoin, LSH pairs, component fixpoint) —
+    // without materialization every downstream action re-runs it
+    // (measured 59 s vs 8 s at sf0.1). localCheckpoint, not persist,
+    // for the same plan-equality-cache reason as Dedup.canonicalize;
+    // on a real cluster this is the checkpoint/intermediate-table
+    // boundary a 100 TB curation job would write anyway.
+    val gated = df
+      .withColumn("lang", TextAnalysis.langId(txt))
+      .withColumn("_toks", TextAnalysis.tokenCount(txt).cast("long"))
+      .withColumn("_dlp", rep("dup_line_ppm"))
+      .filter(col("lang") =!= "und" && col("_toks") >= minTokens &&
+        col("_dlp") <= maxDupLinePpm)
+      .withColumn("_red", piiRedact(txt))
+      .localCheckpoint()
+    val deboiled = dropDuplicatedParagraphs(gated, idCol, "_red",
+      paraMinDocs)
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    val exact = deboiled
+      .withColumn("_fp", md5(col("clean_text")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .localCheckpoint()
+    val pairs = Dedup.minhashLshPairs(exact, idCol, "clean_text",
+      k = 16, bands = 8, minEstJaccard = minEstJaccard,
+      shingleN = shingleN, maxBucket = maxBucket)
+    val survivors = Dedup.canonicalize(exact, idCol, pairs)
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id").as(idCol))
+    exact.join(survivors, Seq(idCol))
+      .select(col(idCol), col("lang"),
+        TextAnalysis.tokenCount(col("clean_text")).cast("long")
+          .as("n_tokens"),
+        col("clean_text"))
   }
 
   // ---- URL / host operators ----

@@ -60,12 +60,19 @@ object Dedup {
         .withColumn("_units",
           filter(shinglesOf(col("_toks"), shingleN), s => length(s) > 0))
         .drop("_toks")
-    minhashParams(k, seed).zipWithIndex.foldLeft(withUnits) {
+    // hash each unit ONCE: the md5-based tokHash is the expensive part,
+    // and referencing it from all k signature columns (rather than
+    // re-evaluating it inside each one) cuts the md5 count by k×
+    // (measured 3.5 s → 1 s for the sf0.1 pair generation)
+    val withHashes = withUnits
+      .withColumn("_uh", transform(col("_units"), t => tokHash(t)))
+      .drop("_units")
+    minhashParams(k, seed).zipWithIndex.foldLeft(withHashes) {
       case (acc, ((a, b), i)) =>
         acc.withColumn(s"m$i",
-          array_min(transform(col("_units"),
-            t => (lit(a) * tokHash(t) + lit(b)) % lit(MinhashP))))
-    }.drop("_units")
+          array_min(transform(col("_uh"),
+            h => (lit(a) * h + lit(b)) % lit(MinhashP))))
+    }.drop("_uh")
   }
 
   /** MinHash-LSH candidate pairs: k perms split into `bands` bands; docs
@@ -264,10 +271,14 @@ object Dedup {
     // on a real cluster (which a 100 TB run would use for the same
     // lineage-truncation reason).
     //
-    // undirected: propagate labels both ways
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // undirected: propagate labels both ways. The checkpoint sits on
+    // the DIRECTED pairs, before the union: checkpointing the union
+    // would evaluate the (expensive) pair generation once per branch;
+    // deriving the union lazily from the materialized pairs makes it a
+    // cheap double scan of the checkpointed blocks.
+    val p = pairs.select(col("a"), col("b"))
       .localCheckpoint() // eager: pair generation runs exactly once
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
     // The fixpoint iterates ONLY over vertices that appear in a
     // candidate edge. Docs with no near-dup pair are their own
     // canonical by definition, so carrying them through every
@@ -309,7 +320,7 @@ object Dedup {
       labels = updated.drop("_changed")
       iter += 1
     }
-    unpersistCheckpoint(edges) // labels no longer re-derives from edges
+    unpersistCheckpoint(p) // labels no longer re-derives from the pairs
     if (!converged)
       System.err.println(
         s"[graft] canonicalize: not converged after $maxIter iterations")

@@ -382,6 +382,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9 on clustered data")
   }
 
+  test("curate: spam filtered, boilerplate stripped, dups collapsed") {
+    import spark.implicits._
+    val boiler = "subscribe to the newsletter"
+    val spam = Seq.fill(6)("the offer is here").mkString("\n")
+    def doc(body: String) = s"$boiler\n\n$body"
+    val df = Seq(
+      (1L, doc("the first article is about spark catalyst plans and codegen")),
+      (2L, doc("a completely different text on boilerplate removal in web pages")),
+      (3L, doc("the shared duplicate body that is exactly the same")),
+      (4L, doc("the shared duplicate body that is exactly the same")),
+      (5L, doc("the near duplicate body one two three four five six alpha")),
+      (6L, doc("the near duplicate body one two three four five six beta")),
+      (7L, spam) // repetition spam: dup_line_ppm >> ceiling
+    ).toDF("id", "text")
+    val out = Curation.curate(df, "id", "text", minTokens = 5,
+      paraMinDocs = 3, minEstJaccard = 0.5).orderBy("id")
+      .select("id", "clean_text").collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(!ids.contains(7L), "spam doc must be filtered")
+    assert(ids.contains(3L) && !ids.contains(4L), "exact dup keeps min id")
+    assert(ids.contains(5L) && !ids.contains(6L), "near dup keeps min id")
+    assert(ids.contains(1L) && ids.contains(2L))
+    assert(out.forall(r => !r.getString(1).contains(boiler)),
+      "boilerplate paragraph (6 docs) must be stripped")
+  }
+
   test("hostOf extracts the authority; garbage yields empty") {
     import spark.implicits._
     val df = Seq("https://a.b.example.com/x?q=1", "ftp://h0st:8080/p",
