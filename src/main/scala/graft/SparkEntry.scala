@@ -691,6 +691,18 @@ object SparkEntry {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     }),
+    // curation: deterministic hash-based train/val/test split + sample
+    // (stable across runs/partitionings/engines, unlike rand())
+    "q44_hash_split" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("split", Curation.hashSplit(col("doc_id"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+        .withColumn("sampled",
+          Curation.sampledByHash(col("doc_id"), 0.25))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("split", "lang")),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -1406,6 +1418,19 @@ object SparkEntry {
         SELECT doc_id, n_paras, n_dropped,
           CAST(length(ct) AS BIGINT) AS clean_len, md5(ct) AS clean_md5
         FROM fin ORDER BY doc_id""",
+    "q44_hash_split" ->
+      """WITH s AS (SELECT lang,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+            1, 8)) AS BIGINT) % 10000 AS slot,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+            1, 8)) AS BIGINT) % 10000 AS sslot
+          FROM documents)
+        SELECT CASE WHEN slot < 8000 THEN 'train'
+            WHEN slot < 9000 THEN 'val' ELSE 'test' END AS split,
+          lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN sslot < 2500 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sampled
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q42_ann_ivf" -> {
       def cos(ae: String, be: String): String =
         s"""list_sum(list_transform(generate_series(1, len($ae)),

@@ -159,32 +159,97 @@ object Curation {
       minTokens: Int = 10, maxDupLinePpm: Long = 300000L,
       paraMinDocs: Int = 3, shingleN: Int = 3,
       minEstJaccard: Double = 0.5, maxBucket: Int = 0): DataFrame = {
-    val txt = col(textCol)
-    val rep = repetitionFeatures(txt).toMap
     // The gate (langId + repetition features + redaction) is the
     // expensive per-doc scan, and the stages below fan out over it
     // (paragraph explode + rejoin, LSH pairs, component fixpoint) —
     // without materialization every downstream action re-runs it
     // (measured 59 s vs 8 s at sf0.1). localCheckpoint, not persist,
     // for the same plan-equality-cache reason as Dedup.canonicalize;
-    // on a real cluster this is the checkpoint/intermediate-table
-    // boundary a 100 TB curation job would write anyway.
-    val gated = df
-      .withColumn("lang", TextAnalysis.langId(txt))
+    // curateStaged is the same chain with durable parquet stages
+    // instead — the form a resumable 100 TB job runs.
+    val gate = gateStage(df, idCol, textCol, minTokens, maxDupLinePpm)
+      .localCheckpoint()
+    val exact = exactStage(deboilStage(gate, idCol, paraMinDocs), idCol)
+      .localCheckpoint()
+    nearDupStage(exact, idCol, shingleN, minEstJaccard, maxBucket)
+  }
+
+  /** `curate` with STAGE-level checkpoint/resume (io.StagedJob): each
+    * of the four stages commits its output as a parquet table + atomic
+    * marker under `out`; a rerun after a kill reuses every committed
+    * stage and recomputes only from the first uncommitted one. The
+    * bucket-wave resume of TableIO.runResumable does not apply here —
+    * paragraph dedup and near-dup clustering are corpus-global, so the
+    * stage is the natural commit unit.
+    *
+    * @param failAfterStage TEST HOOK: throw (like a kill) after this
+    *                       many stages have committed (-1 = never)
+    */
+  def curateStaged(df: DataFrame, idCol: String, textCol: String,
+      out: String, minTokens: Int = 10, maxDupLinePpm: Long = 300000L,
+      paraMinDocs: Int = 3, shingleN: Int = 3,
+      minEstJaccard: Double = 0.5, maxBucket: Int = 0,
+      failAfterStage: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    def guard(done: Int): Unit =
+      if (failAfterStage == done)
+        throw new RuntimeException(s"injected failure after stage $done")
+    val gate = graft.io.StagedJob.stage(spark, out, "1_gate") {
+      gateStage(df, idCol, textCol, minTokens, maxDupLinePpm)
+    }
+    guard(1)
+    val deboiled = graft.io.StagedJob.stage(spark, out, "2_deboil") {
+      deboilStage(gate, idCol, paraMinDocs)
+    }
+    guard(2)
+    val exact = graft.io.StagedJob.stage(spark, out, "3_exact") {
+      exactStage(deboiled, idCol)
+    }
+    guard(3)
+    val curated = graft.io.StagedJob.stage(spark, out, "4_neardup") {
+      nearDupStage(exact, idCol, shingleN, minEstJaccard, maxBucket)
+    }
+    guard(4)
+    curated
+  }
+
+  /** Stage 1: language + repetition gate, then PII redaction.
+    * Output: (idCol, lang, _red).
+    */
+  private def gateStage(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, maxDupLinePpm: Long): DataFrame = {
+    val txt = col(textCol)
+    val rep = repetitionFeatures(txt).toMap
+    df.withColumn("lang", TextAnalysis.langId(txt))
       .withColumn("_toks", TextAnalysis.tokenCount(txt).cast("long"))
       .withColumn("_dlp", rep("dup_line_ppm"))
       .filter(col("lang") =!= "und" && col("_toks") >= minTokens &&
         col("_dlp") <= maxDupLinePpm)
-      .withColumn("_red", piiRedact(txt))
-      .localCheckpoint()
-    val deboiled = dropDuplicatedParagraphs(gated, idCol, "_red",
-      paraMinDocs)
+      .select(col(idCol), col("lang"), piiRedact(txt).as("_red"))
+  }
+
+  /** Stage 2: corpus-level boilerplate-paragraph removal.
+    * Output: (idCol, lang, clean_text).
+    */
+  private def deboilStage(gate: DataFrame, idCol: String,
+      paraMinDocs: Int): DataFrame =
+    dropDuplicatedParagraphs(gate, idCol, "_red", paraMinDocs)
+      .select(col(idCol), col("lang"), col("clean_text"))
+
+  /** Stage 3: exact dedup, min-id survivor per md5 fingerprint. */
+  private def exactStage(deb: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
-    val exact = deboiled
-      .withColumn("_fp", md5(col("clean_text")))
+    deb.withColumn("_fp", md5(col("clean_text")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .localCheckpoint()
+      .select(col(idCol), col("lang"), col("clean_text"))
+  }
+
+  /** Stage 4: minhash near-dup clustering, min-id survivor per
+    * component. Output: (idCol, lang, n_tokens, clean_text).
+    */
+  private def nearDupStage(exact: DataFrame, idCol: String,
+      shingleN: Int, minEstJaccard: Double, maxBucket: Int): DataFrame = {
     val pairs = Dedup.minhashLshPairs(exact, idCol, "clean_text",
       k = 16, bands = 8, minEstJaccard = minEstJaccard,
       shingleN = shingleN, maxBucket = maxBucket)
@@ -197,6 +262,42 @@ object Curation {
           .as("n_tokens"),
         col("clean_text"))
   }
+
+  // ---- deterministic splits & sampling ----
+
+  /** Slot in [0, 10000) from the md5 of id:salt — the
+    * engine-portable hash every split/sample decision derives from.
+    * Changing the salt re-draws all assignments; keeping it pins them
+    * forever (stable across runs, partitionings and engines — the
+    * property a train/val/test split must have).
+    */
+  def hashSlot(id: Column, salt: String): Column =
+    pmod(graft.functions.Md5Prefix32(
+      concat(id.cast("string"), lit(":" + salt))), lit(10000))
+
+  /** Named split assignment by integer weights, e.g.
+    * Seq("train" -> 8, "val" -> 1, "test" -> 1): slots are carved into
+    * cumulative ranges of weight/total each.
+    */
+  def hashSplit(id: Column, weights: Seq[(String, Int)],
+      salt: String = "split"): Column = {
+    val total = weights.map(_._2).sum
+    val slot = hashSlot(id, salt)
+    val cuts = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }
+    weights.zip(cuts.tail).init.foldRight(
+      lit(weights.last._1)) { case (((name, _), cut), els) =>
+      when(slot < lit(cut * 10000 / total), lit(name)).otherwise(els)
+    }
+  }
+
+  /** Deterministic Bernoulli-by-hash sample: keep ~fraction of rows,
+    * stable under reruns and engine changes (unlike rand()-based
+    * sampling, which is neither). Use a different salt than the split
+    * so sampling is independent of split assignment.
+    */
+  def sampledByHash(id: Column, fraction: Double,
+      salt: String = "sample"): Column =
+    hashSlot(id, salt) < lit(math.round(fraction * 10000).toInt)
 
   // ---- URL / host operators ----
 

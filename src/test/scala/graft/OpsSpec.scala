@@ -408,6 +408,25 @@ class OpsSpec extends AnyFunSuite {
       "boilerplate paragraph (6 docs) must be stripped")
   }
 
+  test("hashSplit: total cover, stable, roughly weighted; sample independent") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val counts = df.withColumn("s", Curation.hashSplit(col("id"), splits))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1500 && counts("train") < 1700, counts)
+    assert(counts("val") > 120 && counts("val") < 280, counts)
+    // stability: same assignment on re-evaluation and under repartition
+    val a = df.withColumn("s", Curation.hashSplit(col("id"), splits))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = df.repartition(7).withColumn("s", Curation.hashSplit(col("id"), splits))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    val frac = df.filter(Curation.sampledByHash(col("id"), 0.25)).count()
+    assert(frac > 400 && frac < 600, s"sample count $frac")
+  }
+
   test("hostOf extracts the authority; garbage yields empty") {
     import spark.implicits._
     val df = Seq("https://a.b.example.com/x?q=1", "ftp://h0st:8080/p",

@@ -108,4 +108,59 @@ class ResumeSpec extends AnyFunSuite {
     // and a re-run is a no-op
     assert(TableIO.runResumable(pages, out, buckets = 4) === 0)
   }
+
+  test("staged curation: kill between stages → resume reuses committed stages") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val boiler = "subscribe to the newsletter"
+    val docs = (0L until 80L).map { i =>
+      val body =
+        if (i % 7 == 0) Seq.fill(6)("the offer is here").mkString("\n")
+        else if (i % 10 < 2) s"the shared body of pair ${i / 10} is the same"
+        else s"the document $i is about topic ${i % 13} with words " +
+          s"alpha${i} beta gamma delta epsilon"
+      (i, s"$boiler\n\n$body\n\nContact user$i@example.com")
+    }.toDF("id", "text")
+
+    val cleanDir = Files.createTempDirectory("graft_cur_clean").toString
+    val resumeDir = Files.createTempDirectory("graft_cur_resume").toString
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id", "lang", "n_tokens", "clean_text")
+        .collect().map(_.toString).toSeq.sorted
+
+    val ref = canon(graft.ops.Curation.curateStaged(
+      docs, "id", "text", cleanDir, minTokens = 5, paraMinDocs = 3))
+
+    // staged result == the in-memory composition
+    val inMem = canon(graft.ops.Curation.curate(
+      docs, "id", "text", minTokens = 5, paraMinDocs = 3))
+    assert(ref === inMem)
+
+    // kill after 2 of 4 stages
+    val thrown = intercept[RuntimeException] {
+      graft.ops.Curation.curateStaged(docs, "id", "text", resumeDir,
+        minTokens = 5, paraMinDocs = 3, failAfterStage = 2)
+    }
+    assert(thrown.getMessage.contains("injected failure"))
+    assert(graft.io.StagedJob.committed(resumeDir, "1_gate"))
+    assert(graft.io.StagedJob.committed(resumeDir, "2_deboil"))
+    assert(!graft.io.StagedJob.committed(resumeDir, "3_exact"))
+
+    // resume must NOT rewrite committed stages: pin their markers' mtime
+    val m1 = Files.getLastModifiedTime(
+      graft.io.StagedJob.markerPath(resumeDir, "1_gate"))
+    val m2 = Files.getLastModifiedTime(
+      graft.io.StagedJob.markerPath(resumeDir, "2_deboil"))
+    val resumed = canon(graft.ops.Curation.curateStaged(
+      docs, "id", "text", resumeDir, minTokens = 5, paraMinDocs = 3))
+    assert(resumed === ref)
+    assert(Files.getLastModifiedTime(
+      graft.io.StagedJob.markerPath(resumeDir, "1_gate")) === m1)
+    assert(Files.getLastModifiedTime(
+      graft.io.StagedJob.markerPath(resumeDir, "2_deboil")) === m2)
+    // stage row accounting exposed via markers
+    assert(graft.io.StagedJob.readRows(resumeDir, "4_neardup")
+      .contains(resumed.size.toLong))
+  }
 }
