@@ -1,0 +1,62 @@
+package graft
+
+import graft.io.StagedJob
+import graft.ops.Curation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point for the corpus-curation pipeline (the
+  * GraftApp counterpart for the training-data side).
+  *
+  * Usage:
+  *   spark-submit --class graft.CurateApp <jar> \
+  *     --input <documents parquet> --output <dir> \
+  *     [--id doc_id] [--text text] [--min-tokens 10] [--para-min-docs 3]
+  *
+  * Runs Curation.curateStaged (4 stage-checkpointed corpus-global
+  * stages; a killed run resumes from the first uncommitted stage), then
+  * lands the curated corpus under $output/curated partitioned by the
+  * deterministic train/val/test hash split. Re-invoking on a complete
+  * output is a no-op apart from the final write.
+  */
+object CurateApp {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val input = opts.getOrElse("input", "/root/testdata/sf0.01/documents.parquet")
+    val output = opts.getOrElse("output", "/tmp/graft_curate_out")
+    val idCol = opts.getOrElse("id", "doc_id")
+    val textCol = opts.getOrElse("text", "text")
+
+    val spark = SparkSession.builder()
+      .config("spark.master",
+        sys.props.getOrElse("spark.master",
+          sys.env.getOrElse("SPARK_MASTER", "local[*]")))
+      .appName("graft-curate")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(input)
+    val t0 = System.nanoTime()
+    val curated = Curation.curateStaged(docs, idCol, textCol, output,
+      minTokens = opts.getOrElse("min-tokens", "10").toInt,
+      paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt)
+    curated
+      .withColumn("split", Curation.hashSplit(col(idCol),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+      .write.mode("overwrite").partitionBy("split")
+      .parquet(s"$output/curated")
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val in = docs.count()
+    val outN = spark.read.parquet(s"$output/curated").count()
+    val stages = Seq("1_gate", "2_deboil", "3_exact", "4_neardup")
+      .map(s => s""""$s":${StagedJob.readRows(output, s).getOrElse(-1L)}""")
+      .mkString("{", ",", "}")
+    println(f"""{"rows_in":$in,"rows_out":$outN,"stages":$stages,"sec":$sec%.2f}""")
+    spark.stop()
+  }
+}

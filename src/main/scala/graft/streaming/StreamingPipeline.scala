@@ -109,6 +109,33 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** Streaming curation ingest: the per-document half of
+    * Curation.curate (language + repetition gate, PII redaction) is
+    * stateless, so it runs unchanged on a stream — the shape of a
+    * live-crawl ingest front end. The corpus-global stages (paragraph
+    * dedup, near-dup clustering) are inherently batch barriers and run
+    * downstream over the landed table (curateStaged); the one streaming
+    * dedup that IS possible online — exact content dedup with bounded
+    * state — composes here via `dedupStream`'s watermark contract.
+    */
+  def curationGateStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts", minTokens: Int = 10,
+      maxDupLinePpm: Long = 300000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.ops.{Curation, TextAnalysis}
+    val txt = col(textCol)
+    val rep = Curation.repetitionFeatures(txt).toMap
+    val gated = docs
+      .withColumn("lang", TextAnalysis.langId(txt))
+      .withColumn("_toks", TextAnalysis.tokenCount(txt).cast("long"))
+      .withColumn("_dlp", rep("dup_line_ppm"))
+      .filter(col("lang") =!= "und" && col("_toks") >= minTokens &&
+        col("_dlp") <= maxDupLinePpm)
+      .withColumn("red_text", Curation.piiRedact(txt))
+    dedupStream(gated, tsCol, "red_text", watermarkDelay)
+      .select(col(idCol), col(tsCol), col("lang"), col("red_text"))
+  }
+
   /** Convenience: run a streaming query to completion over a bounded
     * source (test/demo helper).
     */

@@ -100,4 +100,32 @@ class StreamingSpec extends AnyFunSuite {
     // watermark window; 1, 2, 5 survive
     assert(kept === Seq(1L, 2L, 5L))
   }
+
+  test("curation gate stream: gate + redact + exact-dedup on a live feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingPipeline
+      .curationGateStream(df, "doc_id", "text", minTokens = 5)
+      .writeStream.format("memory").queryName("cur_gate_out")
+      .outputMode(OutputMode.Append).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val good = "the quick brown fox jumps over the lazy dog today"
+    val spammy = Seq.fill(6)("the offer is here").mkString("\n")
+    stream.addData(
+      (ts(1), 1L, s"$good mail me at a@b.org"),
+      (ts(1), 2L, spammy), // dup-line ppm over ceiling → gated out
+      (ts(1), 3L, "xqz qrp zzz vvv qqq www eee rrr"), // no stopwords → und
+      (ts(2), 4L, s"$good mail me at a@b.org")) // exact dup of 1 (post-redact)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cur_gate_out")
+      .select("doc_id", "lang", "red_text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1) === Seq(1L))
+    assert(rows.head._2 === "en")
+    assert(rows.head._3 === s"$good mail me at <EMAIL>")
+  }
 }
