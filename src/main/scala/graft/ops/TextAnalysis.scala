@@ -23,7 +23,7 @@ object TextAnalysis {
   /** Stopword-list hits for a language: whitespace-tokenize once, count
     * list membership. One split per row regardless of list size — the
     * per-word regex-scan form costs |words| regex passes over the full
-    * text per language, which at 7 languages × 15 words is 105 scans
+    * text per language, which at 12 languages × 15 words is 180 scans
     * per row (a 100 TB job killer); membership over the token array is
     * one pass plus hash lookups, and stays engine-portable for the
     * DuckDB oracle (list_filter + IN).
@@ -32,8 +32,9 @@ object TextAnalysis {
     size(filter(split(text, "\\s+"), t => t.isin(words: _*)))
 
   // 15 high-frequency unaccented stopwords per language (public
-  // frequency lists); tie-break priority en > de > fr > es > it > pt >
-  // nl. Cross-language shared forms ("de", "que", "en") score for every
+  // frequency lists); tie-break priority follows StopLists order
+  // (en > de > fr > es > it > pt > nl > pl > sv > da > id > tr).
+  // Cross-language shared forms ("de", "que", "en") score for every
   // list containing them — a heuristic, resolved by the tie order.
   val StopEn = Seq("the", "and", "of", "to", "a", "is", "in", "that",
     "it", "for", "was", "with", "on", "as", "are")
@@ -49,10 +50,21 @@ object TextAnalysis {
     "dos", "das", "mais", "como", "foi", "ao", "sua")
   val StopNl = Seq("de", "het", "een", "van", "en", "niet", "met", "op",
     "voor", "aan", "zijn", "dat", "er", "ook", "bij")
+  val StopPl = Seq("i", "w", "nie", "na", "z", "do", "to", "jest", "po",
+    "jak", "o", "ale", "co", "ma", "od")
+  val StopSv = Seq("och", "att", "det", "som", "en", "av", "med", "den",
+    "till", "inte", "om", "har", "ett", "han", "men")
+  val StopDa = Seq("og", "i", "at", "det", "en", "den", "til", "er",
+    "som", "af", "med", "for", "ikke", "der", "har")
+  val StopId = Seq("yang", "dan", "di", "itu", "dengan", "untuk",
+    "tidak", "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke")
+  val StopTr = Seq("bir", "ve", "bu", "da", "ne", "ile", "mi", "ama",
+    "ben", "o", "daha", "gibi", "kadar", "sen", "biz")
 
   val StopLists: Seq[(String, Seq[String])] = Seq(
     "en" -> StopEn, "de" -> StopDe, "fr" -> StopFr, "es" -> StopEs,
-    "it" -> StopIt, "pt" -> StopPt, "nl" -> StopNl)
+    "it" -> StopIt, "pt" -> StopPt, "nl" -> StopNl, "pl" -> StopPl,
+    "sv" -> StopSv, "da" -> StopDa, "id" -> StopId, "tr" -> StopTr)
 
   /** Unicode script blocks used for non-Latin language ID. Plain BMP
     * codepoint ranges in \x{…} syntax — identical semantics in Java

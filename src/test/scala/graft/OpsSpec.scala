@@ -229,9 +229,15 @@ class OpsSpec extends AnyFunSuite {
       "il gatto non sono un cane che vive nel giardino",
       "um gato para os amigos com mais alegria do que nunca",
       "de hond en het paard zijn niet bij de boer",
+      "nie ma to jak jest po pracy w domu od rana",
+      "han har ett hus och att bo som den inte om",
+      "der er ikke og at det den til har af en hund",
+      "yang dan di itu dengan untuk tidak ini dari dalam",
+      "bir ve bu ile ama ben daha gibi kadar sen biz",
       "xyzzy plugh").toDF("t")
       .select(TextAnalysis.langId(col("t"))).as[String].collect()
-    assert(r.toSeq === Seq("en", "de", "fr", "es", "it", "pt", "nl", "und"))
+    assert(r.toSeq === Seq("en", "de", "fr", "es", "it", "pt", "nl",
+      "pl", "sv", "da", "id", "tr", "und"))
   }
 
   test("quality score and token counts behave") {
