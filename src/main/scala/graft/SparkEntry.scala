@@ -625,6 +625,7 @@ object SparkEntry {
       val base = t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
       Curation.repetitionFeatures(col("aug"))
         .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+        .withColumn("top2gram_ppm", Curation.topNgramCharPpm(col("aug"), 2))
         .drop("aug")
         .orderBy("doc_id")
     }),
@@ -1373,7 +1374,15 @@ object SparkEntry {
             AS BIGINT) AS hashes,
           CAST(len(regexp_extract_all(aug, '\.\.\.')) AS BIGINT) AS ells,
           CAST(len(list_filter(regexp_split_to_array(trim(aug), '\s+'),
-            t -> t != '')) AS BIGINT) AS toks FROM l)
+            t -> t != '')) AS BIGINT) AS toks FROM l),
+        gr AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 1, 0)),
+            i -> array_to_string(tk[i:i+1], ' '))) AS g
+          FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+            lower(trim(aug)), '\s+'), t -> t != '') AS tk FROM f)),
+        bt AS (SELECT doc_id, max(cnt * length(g)) AS best FROM
+          (SELECT doc_id, g, count(*) AS cnt FROM gr GROUP BY 1, 2)
+          GROUP BY 1)
         SELECT doc_id, n AS n_lines,
           CAST(CASE WHEN n > 0 THEN (ndup * 1000000) // n ELSE 0 END
             AS BIGINT) AS dup_line_ppm,
@@ -1386,8 +1395,11 @@ object SparkEntry {
             AS BIGINT) AS ellipsis_ppm,
           CAST(CASE WHEN toks > 0
             THEN ((hashes + ells) * 1000000) // toks ELSE 0 END
-            AS BIGINT) AS symbol_ppm
-        FROM m ORDER BY doc_id""",
+            AS BIGINT) AS symbol_ppm,
+          CAST(CASE WHEN length(aug) > 0
+            THEN (coalesce(best, 0) * 1000000) // length(aug) ELSE 0 END
+            AS BIGINT) AS top2gram_ppm
+        FROM m LEFT JOIN bt USING (doc_id) ORDER BY doc_id""",
     "q40_para_dedup" ->
       """WITH f AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
           CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0

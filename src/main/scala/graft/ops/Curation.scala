@@ -89,6 +89,36 @@ object Curation {
       "symbol_ppm" -> ppm(hashes + ellipses, toks))
   }
 
+  /** Fraction (integer ppm) of the document's characters covered by
+    * occurrences of its most frequent word n-gram — the remaining
+    * Gopher repetition signal (top-2/3/4-gram char fraction). Computed
+    * per row with no shuffle: sort the gram array, then a run-length
+    * fold tracks the best (occurrences × gram length). The oracle
+    * computes the same value relationally (unnest → count → max) —
+    * same number, different shape, which is fine: oracles check
+    * results, not plans.
+    */
+  def topNgramCharPpm(text: Column, n: Int = 2): Column = {
+    val toks = Dedup.tokens(text)
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    val best = aggregate(array_sort(grams), zero,
+      (s, g) => {
+        val run = when(g === s.getField("prev"), s.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run * length(g).cast("long"))
+            .as("best"))
+      },
+      s => s.getField("best"))
+    when(length(text) > 0, (best * 1000000L) / length(text))
+      .otherwise(lit(0L)).cast("long")
+  }
+
   // ---- corpus-level duplicated-paragraph removal (RefinedWeb-style) ----
 
   /** Non-blank trimmed paragraphs (split on blank lines). */

@@ -345,6 +345,15 @@ class OpsSpec extends AnyFunSuite {
     assert(g("symbol_ppm") > 0) // "..." counted against 8 tokens
   }
 
+  test("topNgramCharPpm: run-length fold finds the dominant 2-gram") {
+    import spark.implicits._
+    val df = Seq("a b a b a b", "one two three", "solo", "").toDF("t")
+    val r = df.select(Curation.topNgramCharPpm(col("t"), 2))
+      .collect().map(_.getLong(0)).toSeq
+    // "a b" occurs 3x, len 3 → 9 chars of 11; "two three" 1x, len 9
+    assert(r === Seq(9L * 1000000L / 11L, 9L * 1000000L / 13L, 0L, 0L))
+  }
+
   test("paragraph dedup: corpus-wide boilerplate stripped, order kept") {
     import spark.implicits._
     val boiler = "subscribe now"
