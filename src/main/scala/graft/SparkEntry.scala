@@ -294,7 +294,8 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     }),
-    // simsearch: LSH-bucketed ANN (scale path; rows-only check)
+    // simsearch: LSH-bucketed ANN (scale path); oracle = the full
+    // multi-table multi-probe candidate generation + cosine rank as SQL
     "q18_ann_lsh" -> ((s, d) => {
       val v = t(s, d, "embeddings")
       SimSearch.lshTopK(v, v.filter(col("vec_id") < 10), "vec_id",
@@ -879,6 +880,59 @@ object SparkEntry {
         ORDER BY cosine DESC, a, b LIMIT 50"""
   }
 
+  /** q18 oracle CTEs: the full multi-table multi-probe LSH ANN as
+    * relational SQL — `tables` plane sets (seeds seed..seed+tables-1,
+    * the SAME driver-side constants SimSearch.lshTopK embeds), corpus
+    * bucket per (id, table), query buckets expanded by every probe mask
+    * with popcount <= probeHamming, DISTINCT candidates, cosine rank.
+    * Bucket sign bits use the left-to-right list_reduce fold
+    * (bit-identical to Spark's aggregate() fold — a sign flip has no
+    * rounding tolerance); the final cosine reuses the proven q17 twin.
+    */
+  private def annLshSql(tables: Int, nPlanes: Int, dim: Int, seed: Long,
+      probeHamming: Int, k: Int): String = {
+    val planeRows = (for {
+      l <- 0 until tables
+      (p, i) <- SimSearch.planes(nPlanes, dim, seed + l).zipWithIndex
+    } yield s"($l, $i, ${planeListSql(p)})").mkString(", ")
+    val maskRows = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+      .map(m => s"($m)").mkString(", ")
+    s"""WITH v AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        planes(t, pi, pv) AS (VALUES $planeRows),
+        dots AS (SELECT v.id, p.t, p.pi,
+          list_reduce(list_transform(generate_series(1, $dim),
+            i -> v.e[i] * p.pv[i]), (acc, x) -> acc + x) AS dot
+          FROM v CROSS JOIN planes p),
+        b AS (SELECT id, t,
+          CAST(SUM(CASE WHEN dot > 0 THEN (1 << pi) ELSE 0 END) AS BIGINT)
+            AS bucket
+          FROM dots GROUP BY id, t),
+        masks(m) AS (VALUES $maskRows),
+        qb AS (SELECT id AS query_id, t,
+            xor(bucket, CAST(m AS BIGINT)) AS bucket
+          FROM b CROSS JOIN masks WHERE id < 10),
+        cand AS (SELECT DISTINCT qb.query_id, cb.id AS corpus_id
+          FROM qb JOIN b cb ON cb.t = qb.t AND cb.bucket = qb.bucket
+          WHERE cb.id != qb.query_id),
+        s AS (SELECT cand.query_id, cand.corpus_id,
+          list_sum(list_transform(generate_series(1, $dim),
+            i -> q.e[i] * c.e[i])) /
+          (sqrt(list_sum(list_transform(generate_series(1, $dim),
+            i -> q.e[i] * q.e[i]))) *
+           sqrt(list_sum(list_transform(generate_series(1, $dim),
+            i -> c.e[i] * c.e[i])))) AS cosine
+          FROM cand
+          JOIN v q ON q.id = cand.query_id
+          JOIN v c ON c.id = cand.corpus_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+        SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
+        FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   // ---- q36 oracle SQL (DuckDB twins of the validator kernels) ----
 
   private def pickSql(vals: Seq[String], shift: Int): String = {
@@ -1220,6 +1274,8 @@ object SparkEntry {
       s"""WITH ${lshPairsCtesOver(1, maxBucket = 64)}
         SELECT a, b, est_jaccard FROM pairs WHERE est_jaccard >= 0.25
         ORDER BY est_jaccard DESC, a, b LIMIT 50""",
+    "q18_ann_lsh" -> annLshSql(tables = 4, nPlanes = 4, dim = 64,
+      seed = 42L, probeHamming = 1, k = 5),
     "q29_embed_neardup" -> embedNearDupSql(4, 64, 0.2),
     "q36_validate" -> q36Sql,
     "q31_route_records" -> {
