@@ -705,6 +705,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
         .orderBy("split", "lang")),
+    // curation: benchmark decontamination — n-gram overlap of every
+    // corpus doc against a synthesized eval set. Contamination is
+    // PLANTED deterministically (docs %11==3 get eval item id%10
+    // appended); the digit-interleaved phrases cannot occur in the
+    // synthetic word-salad text, so expected hits are exactly the
+    // planted spans. Fully oracle-checked.
+    "q45_decontam" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      def item(i: Column): Column = concat(
+        lit("evaluation benchmark item "), i.cast("string"),
+        lit(" the quick brown fox number "), i.cast("string"),
+        lit(" jumps over the lazy dog "), i.cast("string"))
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), item(col("doc_id")).as("btext"))
+      val corpus = docs.select(col("doc_id"),
+        when(pmod(did, lit(11)) === 3,
+          concat(col("text"), lit(" "), item(pmod(did, lit(10)))))
+          .otherwise(col("text")).as("text"))
+      Curation.contaminationStats(corpus, bench, "doc_id", "text",
+        "btext", n = 8)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          col("contamination_ppm"))
+        .orderBy("doc_id")
+    }),
+    // curation: sequence packing — concat-then-chunk assignment of
+    // every doc to (shard, seq, offset) training-sequence slots
+    "q46_pack" -> ((s, d) =>
+      Curation.packSequences(t(s, d, "documents"), "doc_id", "text",
+        seqLen = 512, shards = 8)
+        .orderBy("doc_id")),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -1499,6 +1530,61 @@ object SparkEntry {
           CAST(sum(CASE WHEN sslot < 2500 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_sampled
         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q45: same planted-benchmark construction, same shingle unit as
+    // the Spark side (distinct word 8-grams, md5-prefix-32 hashed),
+    // overlap counted over DISTINCT grams per doc
+    "q45_decontam" -> {
+      def itemSql(i: String): String =
+        s"""'evaluation benchmark item ' || $i ||
+          ' the quick brown fox number ' || $i ||
+          ' jumps over the lazy dog ' || $i"""
+      s"""WITH bench AS (SELECT
+          ${itemSql("CAST(doc_id AS VARCHAR)")} AS text
+          FROM documents WHERE doc_id < 10),
+        bg AS (SELECT DISTINCT
+            CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS gh
+          FROM (SELECT unnest(${shingleSql(8)}) AS g FROM bench)),
+        corpus AS (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3
+            THEN text || ' ' || (${itemSql("CAST(doc_id % 10 AS VARCHAR)")})
+            ELSE text END AS text
+          FROM documents),
+        cg AS (SELECT doc_id, ${shingleSql(8)} AS grams FROM corpus),
+        ex AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, unnest(grams) AS g FROM cg)),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+          FROM ex JOIN bg USING (gh) GROUP BY doc_id)
+        SELECT cg.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+          CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+          CAST(CASE WHEN len(grams) > 0
+            THEN (COALESCE(n_hit, 0) * 1000000) // len(grams)
+            ELSE 0 END AS BIGINT) AS contamination_ppm
+        FROM cg LEFT JOIN hits ON cg.doc_id = hits.doc_id
+        ORDER BY cg.doc_id"""
+    },
+    // q46: per-shard running token offset (separator-inclusive), cut
+    // into 512-token sequences; // is DuckDB's integer DIV twin
+    "q46_pack" ->
+      """WITH thin AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'),
+            1, 8)) AS BIGINT) % 8 AS shard,
+          md5(CAST(doc_id AS VARCHAR) || ':pack:o') AS ord,
+          CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+            t -> t != '')) AS BIGINT) + 1 AS sz
+          FROM documents),
+        c AS (SELECT doc_id, shard, sz,
+          CAST(SUM(sz) OVER (PARTITION BY shard ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+          FROM thin)
+        SELECT doc_id, shard, CAST(sz - 1 AS BIGINT) AS n_tokens,
+          CAST(cum - sz AS BIGINT) AS start_offset,
+          CAST((cum - sz) // 512 AS BIGINT) AS first_seq,
+          CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
+          CAST((cum - 1) // 512 - (cum - sz) // 512 + 1 AS BIGINT)
+            AS n_chunks
+        FROM c ORDER BY doc_id""",
     "q42_ann_ivf" -> {
       def cos(ae: String, be: String): String =
         s"""list_sum(list_transform(generate_series(1, len($ae)),

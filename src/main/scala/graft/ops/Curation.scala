@@ -293,6 +293,107 @@ object Curation {
         col("clean_text"))
   }
 
+  // ---- benchmark decontamination (n-gram overlap scrub) ----
+
+  /** Distinct word n-gram shingles (empty-gram filtered) — the overlap
+    * unit both decontamination sides hash.
+    */
+  private def gramsOf(toks: Column, n: Int): Column =
+    filter(Dedup.shinglesOf(toks, n), g => length(g) > 0)
+
+  /** Per-document word n-gram overlap against a benchmark/eval corpus —
+    * the pre-training decontamination pass (GPT-3 / PaLM style: a
+    * training document is contaminated when it shares long word n-grams
+    * with a benchmark item; the caller thresholds `contamination_ppm`,
+    * or treats any `n_hit > 0` as a hit for strict scrubbing).
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT 8-byte gram
+    * hashes — eval suites are thousands of items, tiny next to the
+    * corpus — and is broadcast, so the corpus is never shuffled: the
+    * thin (id, hash) explode joins map-side and the per-doc count
+    * re-aggregates with partial aggregation. For a benchmark too big to
+    * broadcast set broadcastBench = false: the join becomes a shuffle
+    * on the 8-byte hash (still no text movement).
+    *
+    * Returns the input plus `n_grams` (distinct grams in the doc),
+    * `n_hit` (of those, how many appear anywhere in the benchmark) and
+    * `contamination_ppm` (integer ppm, float-free oracle parity).
+    */
+  def contaminationStats(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 8, broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = bench
+      .withColumn("_btoks", Dedup.tokens(col(benchTextCol)))
+      .select(explode(gramsOf(col("_btoks"), n)).as("_g"))
+      .select(Dedup.tokHash(col("_g")).as("_gh"))
+      .distinct()
+    val bSide = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val withG = corpus
+      .withColumn("_toks", Dedup.tokens(col(textCol)))
+      .withColumn("_grams", gramsOf(col("_toks"), n))
+    val hits = withG
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .select(col(idCol), Dedup.tokHash(col("_g")).as("_gh"))
+      .join(bSide, "_gh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nh"))
+    withG
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_grams", size(col("_grams")).cast("long"))
+      .withColumn("n_hit", coalesce(col("_nh"), lit(0L)))
+      .withColumn("contamination_ppm",
+        when(col("n_grams") > 0, (col("n_hit") * 1000000L) / col("n_grams"))
+          .otherwise(lit(0L)).cast("long"))
+      .drop("_toks", "_grams", "_nh")
+  }
+
+  // ---- sequence packing (concatenate-then-chunk within shards) ----
+
+  /** Deterministic concatenate-then-chunk sequence packing: documents
+    * are dealt into `shards` by id hash, pseudo-randomly ordered within
+    * their shard by a second md5 (the global "shuffle" a training
+    * pipeline wants before packing), laid end-to-end with `sepTokens`
+    * separator tokens after each document (the EOS/document-boundary
+    * token), and cut into fixed `seqLen`-token training sequences —
+    * every assignment pure arithmetic over a per-shard running offset.
+    *
+    * Scale shape: the only shuffle is the per-shard window over thin
+    * rows (id, shard, size) — text never moves; the packed text itself
+    * is assembled later by joining this assignment table back on id,
+    * co-partitioned by shard. `shards` bounds the window width: size it
+    * so corpus/shards fits one task (at 10^12 docs, shards = 2^20
+    * leaves ~10^6 thin rows per shard). Shards pack independently —
+    * exactly how a real tokenizer-output pipeline shards — so the
+    * global sequence identity is (shard, seq).
+    *
+    * Returns (idCol, shard, n_tokens, start_offset, first_seq,
+    * last_seq, n_chunks): a document overlapping a cut contributes one
+    * chunk to each sequence it spans.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, shards: Int = 64, sepTokens: Int = 1,
+      salt: String = "pack"): DataFrame = {
+    require(seqLen > 0 && shards > 0)
+    val id = col(idCol)
+    val shard = pmod(graft.functions.Md5Prefix32(
+      concat(id.cast("string"), lit(":" + salt))), lit(shards))
+    val ord = md5(concat(id.cast("string"), lit(":" + salt + ":o")))
+    val sz = TextAnalysis.tokenCount(col(textCol)).cast("long") +
+      lit(sepTokens.toLong)
+    val thin = df.select(id, shard.as("shard"), ord.as("_ord"),
+      sz.as("_sz"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_ord"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    thin.withColumn("_cum", sum(col("_sz")).over(w))
+      .withColumn("start_offset", col("_cum") - col("_sz"))
+      .withColumn("n_tokens", col("_sz") - lit(sepTokens.toLong))
+      // integer DIV (exact on longs; DuckDB twin is //)
+      .withColumn("first_seq", expr(s"start_offset DIV $seqLen"))
+      .withColumn("last_seq", expr(s"(_cum - 1) DIV $seqLen"))
+      .withColumn("n_chunks", col("last_seq") - col("first_seq") + 1L)
+      .select(id, col("shard"), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"), col("n_chunks"))
+  }
+
   // ---- deterministic splits & sampling ----
 
   /** Slot in [0, 10000) from the md5 of id:salt — the

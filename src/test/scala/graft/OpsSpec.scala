@@ -442,6 +442,62 @@ class OpsSpec extends AnyFunSuite {
     assert(frac > 400 && frac < 600, s"sample count $frac")
   }
 
+  test("contaminationStats: planted benchmark overlap detected, clean docs zero") {
+    import spark.implicits._
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val corpus = Seq(
+      (0L, s"prefix words here $benchText suffix words"), // contains bench 8-grams
+      (1L, "totally unrelated content one two three four five six seven eight nine"),
+      (2L, benchText) // the benchmark item verbatim
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, benchText)).toDF("bid", "btext")
+    val out = Curation.contaminationStats(corpus, bench, "doc_id", "text",
+      "btext", n = 8).orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_hit", "contamination_ppm").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bench has 9 tokens → 2 distinct 8-grams
+    assert(byId(2L) === ((2L, 2L, 1000000L)), byId(2L))
+    assert(byId(0L)._2 === 2L, "embedded span shares both bench 8-grams")
+    assert(byId(1L)._2 === 0L && byId(1L)._3 === 0L, "clean doc has zero hits")
+    // broadcast off takes the shuffle-join path; results identical
+    val shuffled = Curation.contaminationStats(corpus, bench, "doc_id",
+      "text", "btext", n = 8, broadcastBench = false).orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_hit", "contamination_ppm").collect()
+    assert(shuffled.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
+  test("packSequences: offsets tile each shard exactly, chunk counts consistent") {
+    import spark.implicits._
+    val df = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 37).toInt + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.packSequences(df, "doc_id", "text",
+      seqLen = 16, shards = 4).collect()
+    assert(out.length === 200)
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    byShard.foreach { case (_, rows) =>
+      // within a shard the (start_offset, n_tokens+sep) intervals tile [0, total)
+      val iv = rows.map(r => (r.getAs[Long]("start_offset"),
+        r.getAs[Long]("n_tokens") + 1L)).sortBy(_._1)
+      iv.foldLeft(0L) { case (expect, (start, sz)) =>
+        assert(start === expect, s"gap/overlap at $start"); start + sz
+      }
+    }
+    out.foreach { r =>
+      val (s0, s1, nc) = (r.getAs[Long]("first_seq"),
+        r.getAs[Long]("last_seq"), r.getAs[Long]("n_chunks"))
+      assert(nc === s1 - s0 + 1)
+      assert(r.getAs[Long]("start_offset") / 16 === s0)
+    }
+    // determinism under repartition
+    val again = Curation.packSequences(df.repartition(7), "doc_id", "text",
+      seqLen = 16, shards = 4).collect()
+    assert(again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq ===
+      out.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq)
+  }
+
   test("hostOf extracts the authority; garbage yields empty") {
     import spark.implicits._
     val df = Seq("https://a.b.example.com/x?q=1", "ftp://h0st:8080/p",
