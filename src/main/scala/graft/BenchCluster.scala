@@ -59,6 +59,11 @@ object BenchCluster {
       .config("spark.local.dir", ShmLocalDir)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // OFF: alias-substitution in constraint propagation goes
+      // exponential on deep multi-referenced text-feature projections
+      // (e.g. the curation gate) and we never benefit from inferred
+      // filters; see Curation.curate scaladoc
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -132,6 +137,11 @@ object BenchCluster {
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "localhost")
+        // OFF: alias-substitution in constraint propagation goes
+        // exponential on deep multi-referenced text-feature projections
+        // (e.g. the curation gate) and we never benefit from inferred
+        // filters; see Curation.curate scaladoc
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       import org.apache.spark.sql.functions._

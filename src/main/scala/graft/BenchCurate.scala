@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage timing probe for the composed curation pipeline
+  * (diagnosis tool, same role as BenchStages for extraction).
+  * Usage: runMain graft.BenchCurate <cpus> <sfDir>
+  */
+object BenchCurate {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val sfDir = args(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      // OFF: alias-substitution in constraint propagation goes
+      // exponential on deep multi-referenced text-feature projections
+      // (e.g. the curation gate) and we never benefit from inferred
+      // filters; see Curation.curate scaladoc
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+    }
+    val docs = SparkEntry.queries("q43_curate") // just to force class load
+    val did = col("doc_id").cast("long")
+    val promoLine = "Click here to read more about this offer now"
+    val promoDoc = Seq.fill(8)(promoLine).mkString("\n")
+    val gt = concat(lit("g"), expr("CAST(doc_id AS BIGINT) DIV 10").cast("string"))
+    val body = when(pmod(did, lit(17)) === 0, lit(promoDoc))
+      .when(pmod(did, lit(10)) < 2,
+        concat(lit("the shared body "), gt, lit(" of group "), gt,
+          lit(" is exactly "), gt, lit(" the same here "), gt))
+      .when(pmod(did, lit(10)).isin(4, 5),
+        concat(lit("the near duplicate body "), gt, lit(" one two "),
+          gt, lit(" three four "), gt, lit(" five six "), gt, lit(" "),
+          when(pmod(did, lit(10)) === 4, lit("alpha")).otherwise(lit("beta"))))
+      .otherwise(col("text"))
+    val pii = concat(lit("Contact user"), pmod(did, lit(7)).cast("string"),
+      lit("@example.com from "), pmod(did, lit(256)).cast("string"), lit(".0.0.1"))
+    val aug = concat_ws("\n\n",
+      when(pmod(did, lit(3)) === 0, lit("Subscribe to our newsletter for updates.")),
+      body, pii,
+      when(pmod(did, lit(5)) === 0, lit("All rights reserved. Terms of use apply.")))
+    val in = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), aug.as("aug"))
+
+    time("input count")(in.count())
+    val txt = col("aug")
+    val rep = Curation.repetitionFeatures(txt).toMap
+    time("langId inline-Column form")(in.select(TextAnalysis.langId(txt).as("l")).filter(col("l").isNotNull).count())
+    time("langId materialized form")(TextAnalysis.withLangId(in, "aug").filter(col("lang").isNotNull).count())
+    time("dup_line_ppm only")(in.select(rep("dup_line_ppm").as("d")).agg(sum("d")).collect())
+    time("tokenCount only")(in.select(TextAnalysis.tokenCount(txt).as("t")).agg(sum("t")).collect())
+    time("piiRedact only")(in.select(length(Curation.piiRedact(txt)).as("l")).agg(sum("l")).collect())
+    val gate = Curation.gateStage(in, "doc_id", "aug", 10, 300000L)
+    time("gate stage (all of the above)")(gate.count())
+    val gateC = gate.localCheckpoint()
+    time("gate localCheckpoint")(gateC.count())
+    val deb = Curation.deboilStage(gateC, "doc_id", 3)
+    time("deboil stage (count-pruned)")(deb.count())
+    val exact = Curation.exactStage(deb, "doc_id")
+    time("exact stage (incl deboil clean_text)")(exact.count())
+    val exactC = exact.localCheckpoint()
+    time("exact localCheckpoint")(exactC.count())
+    val pairs = Dedup.minhashLshPairs(exactC, "doc_id", "clean_text",
+      k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3, maxBucket = 0)
+    time("lsh pairs")(pairs.count())
+    val surv = Dedup.canonicalize(exactC, "doc_id", pairs)
+      .filter(col("id") === col("canonical_id"))
+    time("canonicalize fixpoint")(surv.count())
+    time("full curate (end to end, fresh)")(
+      Curation.curate(in, "doc_id", "aug").count())
+    spark.stop()
+  }
+}

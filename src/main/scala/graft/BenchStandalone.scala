@@ -210,6 +210,11 @@ object BenchStandalone {
         // all executors must be up before the first measured pass
         .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
         .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        // OFF: alias-substitution in constraint propagation goes
+        // exponential on deep multi-referenced text-feature projections
+        // (e.g. the curation gate) and we never benefit from inferred
+        // filters; see Curation.curate scaladoc
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       try {

@@ -36,6 +36,11 @@ object CurateApp {
       .appName("graft-curate")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // OFF: alias-substitution in constraint propagation goes
+      // exponential on deep multi-referenced text-feature projections
+      // (e.g. the curation gate) and we never benefit from inferred
+      // filters; see Curation.curate scaladoc
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,6 +14,11 @@ object ExplainProbe {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // OFF: alias-substitution in constraint propagation goes
+      // exponential on deep multi-referenced text-feature projections
+      // (e.g. the curation gate) and we never benefit from inferred
+      // filters; see Curation.curate scaladoc
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val which = if (args.nonEmpty) args(0) else "pipeline"

@@ -41,6 +41,11 @@ object GraftApp {
       .appName("graft-extract")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // OFF: alias-substitution in constraint propagation goes
+      // exponential on deep multi-referenced text-feature projections
+      // (e.g. the curation gate) and we never benefit from inferred
+      // filters; see Curation.curate scaladoc
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

