@@ -149,10 +149,23 @@ object Curation {
     * Returns the input plus `n_paras`, `n_dropped`, `clean_text`.
     */
   def dropDuplicatedParagraphs(df: DataFrame, idCol: String,
-      textCol: String, minDocs: Int = 2): DataFrame = {
-    val withP = df.withColumn("_paras", paragraphs(col(textCol)))
+      textCol: String, minDocs: Int = 2): DataFrame =
+    dropDuplicatedParagraphsFromParas(
+      df.withColumn("_paras", paragraphs(col(textCol))), idCol, "_paras",
+      minDocs).drop("_paras")
+
+  /** [[dropDuplicatedParagraphs]] over an ALREADY-SPLIT paragraph-array
+    * column. The operator's plan references its input twice (the thin
+    * (id,pos,hash) branch and the join-back branch), so when the input
+    * is an unmaterialized projection the paragraph split of the full
+    * text runs twice; feeding a materialized array (e.g. from the
+    * curation gate's checkpoint) makes both branches a cheap attribute
+    * read. Returns the input plus `n_paras`, `n_dropped`, `clean_text`.
+    */
+  def dropDuplicatedParagraphsFromParas(withP: DataFrame, idCol: String,
+      parasCol: String, minDocs: Int = 2): DataFrame = {
     val thin = withP
-      .select(col(idCol), posexplode(col("_paras")).as(Seq("_pos", "_para")))
+      .select(col(idCol), posexplode(col(parasCol)).as(Seq("_pos", "_para")))
       .select(col(idCol), col("_pos"), md5(col("_para")).as("_ph"))
     val dup = thin.groupBy(col("_ph"))
       .agg(countDistinct(col(idCol)).as("_nd"))
@@ -164,11 +177,11 @@ object Curation {
       .withColumn("_drop",
         coalesce(col("_drop"), array().cast("array<int>")))
       .withColumn("clean_paras",
-        filter(col("_paras"), (p, i) => !array_contains(col("_drop"), i)))
-      .withColumn("n_paras", size(col("_paras")))
+        filter(col(parasCol), (p, i) => !array_contains(col("_drop"), i)))
+      .withColumn("n_paras", size(col(parasCol)))
       .withColumn("n_dropped", size(col("_drop")))
       .withColumn("clean_text", array_join(col("clean_paras"), "\n\n"))
-      .drop("_paras", "_drop", "clean_paras")
+      .drop("_drop", "clean_paras")
   }
 
   // ---- composed curation pipeline ----
@@ -264,7 +277,7 @@ object Curation {
   }
 
   /** Stage 1: language + repetition gate, then PII redaction.
-    * Output: (idCol, lang, _red).
+    * Output: (idCol, lang, _paras) — redacted text as a paragraph array.
     *
     * The scan is the per-doc hot loop of the whole curation chain, so
     * every text-derived array is materialized exactly once per row:
@@ -287,7 +300,13 @@ object Curation {
       .withColumn("_dlp", dupLinePpm(col("_glines")))
       .filter(col("lang") =!= "und" && col("_toks") >= minTokens &&
         col("_dlp") <= maxDupLinePpm)
-      .select(col(idCol), col("lang"), piiRedact(txt).as("_red"))
+      // emit the redacted text ALREADY paragraph-split: the next stage
+      // (corpus paragraph dedup) reads its input twice, and an
+      // unmaterialized split would run twice — checkpointing the array
+      // makes both reads an attribute fetch (same bytes stored either
+      // way; the join string is fixed, so no information is lost)
+      .select(col(idCol), col("lang"),
+        paragraphs(piiRedact(txt)).as("_paras"))
   }
 
   /** Stage 2: corpus-level boilerplate-paragraph removal.
@@ -295,7 +314,7 @@ object Curation {
     */
   private[graft] def deboilStage(gate: DataFrame, idCol: String,
       paraMinDocs: Int): DataFrame =
-    dropDuplicatedParagraphs(gate, idCol, "_red", paraMinDocs)
+    dropDuplicatedParagraphsFromParas(gate, idCol, "_paras", paraMinDocs)
       .select(col(idCol), col("lang"), col("clean_text"))
 
   /** Stage 3: exact dedup, min-id survivor per md5 fingerprint. */
