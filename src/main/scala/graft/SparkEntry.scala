@@ -736,6 +736,17 @@ object SparkEntry {
       Curation.packSequences(t(s, d, "documents"), "doc_id", "text",
         seqLen = 512, shards = 8)
         .orderBy("doc_id")),
+    // curation: deterministic per-language token-budget sampling (the
+    // data-mixing step: each language contributes at most N tokens,
+    // chosen as a stable hash-order prefix)
+    "q47_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetAssign(
+        t(s, d, "documents").withColumn("n_toks",
+          TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "lang", "n_toks",
+        budgets = Map("en" -> 3000L, "zh" -> 800L),
+        defaultBudget = 1000L)
+        .orderBy("doc_id")),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -1584,6 +1595,22 @@ object SparkEntry {
           CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
           CAST((cum - 1) // 512 - (cum - sz) // 512 + 1 AS BIGINT)
             AS n_chunks
+        FROM c ORDER BY doc_id""",
+    // q47: per-language cumulative token offsets in md5(id:budget)
+    // order; kept = the budgeted hash-order prefix (incl. straddler)
+    "q47_token_budget" ->
+      s"""WITH thin AS (SELECT doc_id, lang,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          md5(CAST(doc_id AS VARCHAR) || ':budget') AS ord
+          FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens AS BIGINT) AS start_tok
+          FROM thin)
+        SELECT doc_id, lang, n_tokens, start_tok,
+          start_tok < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 800
+            ELSE 1000 END) AS kept
         FROM c ORDER BY doc_id""",
     "q42_ann_ivf" -> {
       def cos(ae: String, be: String): String =

@@ -472,6 +472,47 @@ object Curation {
     }
   }
 
+  /** Deterministic per-stratum token-budget sampling — the data-mixing
+    * step of a pre-training pipeline ("this corpus contributes at most
+    * N_lang tokens"): documents are pseudo-randomly ordered within
+    * their stratum by md5(id:salt) (the same engine-portable hash as
+    * hashSplit, so the prefix is stable across runs, partitionings and
+    * engines), laid out cumulatively, and kept while their START
+    * offset is below the stratum's budget — i.e. the prefix of the
+    * hash order whose total reaches the budget, including the one
+    * straddling document (so the kept set is never empty when the
+    * budget is > 0 and always overshoots by < one document).
+    *
+    * Scale shape: identical to packSequences — the window runs over
+    * thin (id, stratum, n_tokens, ord) rows only; the caller joins
+    * `kept` back on id, so document text never enters the shuffle.
+    * Strata are typically languages or sources (100s–1000s), each fits
+    * a window partition trivially at any corpus size since rows are
+    * ~40 bytes.
+    *
+    * Returns (idCol, strataCol, n_tokens, start_tok, kept).
+    */
+  def tokenBudgetAssign(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L, salt: String = "budget"): DataFrame = {
+    val id = col(idCol)
+    val ord = md5(concat(id.cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_ord"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // when-chain over the stratum name: budgets is a small driver-side
+    // map (one literal branch per stratum), evaluated on thin rows
+    val budgetCol = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBudget)) { case (els, (k, v)) =>
+        when(col(strataCol) === k, lit(v)).otherwise(els)
+      }
+    df.select(id, col(strataCol),
+        col(tokensCol).cast("long").as("n_tokens"), ord.as("_ord"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("_cum") - col("n_tokens"))
+      .withColumn("kept", col("start_tok") < budgetCol)
+      .drop("_ord", "_cum")
+  }
+
   /** Deterministic Bernoulli-by-hash sample: keep ~fraction of rows,
     * stable under reruns and engine changes (unlike rand()-based
     * sampling, which is neither). Use a different salt than the split

@@ -498,6 +498,42 @@ class OpsSpec extends AnyFunSuite {
       out.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq)
   }
 
+  test("tokenBudgetAssign: kept is the budgeted hash-order prefix per stratum") {
+    import spark.implicits._
+    val df = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "en" else "xx", (i % 23) + 1))
+      .toDF("doc_id", "lang", "n_toks")
+    val budgets = Map("en" -> 200L)
+    val out = Curation.tokenBudgetAssign(df, "doc_id", "lang", "n_toks",
+      budgets, defaultBudget = 100L).collect()
+    assert(out.length === 300)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val budget = budgets.getOrElse(lang, 100L)
+      val sorted = rows.sortBy(_.getAs[Long]("start_tok"))
+      // offsets tile [0, total): no gaps or overlaps in the layout
+      sorted.foldLeft(0L) { case (expect, r) =>
+        assert(r.getAs[Long]("start_tok") === expect)
+        expect + r.getAs[Long]("n_tokens")
+      }
+      // kept <=> start_tok < budget (a prefix of the hash order)
+      sorted.foreach { r =>
+        assert(r.getAs[Boolean]("kept") ===
+          (r.getAs[Long]("start_tok") < budget))
+      }
+      // the prefix reaches the budget and overshoots by < one document
+      val keptRows = sorted.takeWhile(_.getAs[Boolean]("kept"))
+      val keptTok = keptRows.map(_.getAs[Long]("n_tokens")).sum
+      assert(keptTok >= math.min(budget,
+        rows.map(_.getAs[Long]("n_tokens")).sum))
+      assert(keptTok - keptRows.last.getAs[Long]("n_tokens") < budget)
+    }
+    // determinism under repartition
+    val again = Curation.tokenBudgetAssign(df.repartition(7), "doc_id",
+      "lang", "n_toks", budgets, defaultBudget = 100L).collect()
+    assert(again.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq ===
+      out.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq)
+  }
+
   test("hostOf extracts the authority; garbage yields empty") {
     import spark.implicits._
     val df = Seq("https://a.b.example.com/x?q=1", "ftp://h0st:8080/p",
