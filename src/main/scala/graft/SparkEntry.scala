@@ -747,6 +747,31 @@ object SparkEntry {
         budgets = Map("en" -> 3000L, "zh" -> 800L),
         defaultBudget = 1000L)
         .orderBy("doc_id")),
+    // curation: URL canonicalization + URL-level dedup (tracking-param
+    // strip, scheme/host case, default ports, param sort; rep = min
+    // doc_id per canonical group)
+    "q48_url_canon" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val scheme = when(pmod(did, lit(2)) === 0, lit("HTTP://"))
+        .otherwise(lit("https://"))
+      val port = when(pmod(did, lit(4)) === 0, lit(":80"))
+        .when(pmod(did, lit(4)) === 1, lit(":8080"))
+        .otherwise(lit(""))
+      val query = when(pmod(did, lit(3)) === 0,
+          lit("?utm_source=feed&z=1&a=2"))
+        .when(pmod(did, lit(3)) === 1, lit("?fbclid=XYZ"))
+        .otherwise(lit(""))
+      val frag = when(pmod(did, lit(5)) === 0, lit("#Section2"))
+        .otherwise(lit(""))
+      val url = concat(scheme, lit("WWW"), pmod(did, lit(5)).cast("string"),
+        lit(".Example"), pmod(did, lit(3)).cast("string"), lit(".COM"),
+        port, lit("/Doc/"), pmod(did, lit(25)).cast("string"), query, frag)
+      val w = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("canon_url", Curation.canonicalUrl(col("url")))
+        .withColumn("is_rep", row_number().over(w) === 1)
+        .orderBy("doc_id")
+    }),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -1595,6 +1620,50 @@ object SparkEntry {
           CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
           CAST((cum - 1) // 512 - (cum - sz) // 512 + 1 AS BIGINT)
             AS n_chunks
+        FROM c ORDER BY doc_id""",
+    // q48: literally the same regexes/cases as Curation.canonicalUrl
+    "q48_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+          || 'WWW' || CAST(doc_id % 5 AS VARCHAR) || '.Example'
+          || CAST(doc_id % 3 AS VARCHAR) || '.COM'
+          || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+              WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+          || '/Doc/' || CAST(doc_id % 25 AS VARCHAR)
+          || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&z=1&a=2'
+              WHEN doc_id % 3 = 1 THEN '?fbclid=XYZ' ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN '#Section2' ELSE '' END)
+            AS url
+          FROM documents),
+        p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '')
+            AS nofrag FROM u),
+        q AS (SELECT doc_id, url, nofrag,
+          lower(regexp_extract(nofrag,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_extract(nofrag,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+          regexp_extract(nofrag,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+          COALESCE(array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+            pp -> pp != '' AND NOT regexp_matches(pp,
+              '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)')
+            )), '&'), '') AS cq
+          FROM p),
+        c AS (SELECT doc_id, url,
+          CASE WHEN scheme = '' THEN url ELSE scheme || '://' ||
+            (CASE WHEN scheme = 'http'
+              THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END) ||
+            (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+            (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) END
+            AS canon_url
+          FROM q)
+        SELECT doc_id, url, canon_url,
+          (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
+            = 1) AS is_rep
         FROM c ORDER BY doc_id""",
     // q47: per-language cumulative token offsets in md5(id:budget)
     // order; kept = the budgeted hash-order prefix (incl. straddler)

@@ -529,4 +529,44 @@ object Curation {
     */
   def hostOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Query parameters stripped during URL canonicalization: tracking
+    * identifiers that vary per click but never change the resource —
+    * the standard strip list for crawl URL dedup.
+    */
+  val TrackingParams =
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
+
+  /** Canonical form of a crawl URL, the key URL-level dedup groups on:
+    * fragment removed; scheme and host lowercased; default port
+    * stripped (:80 for http, :443 for https); empty path → "/" (path
+    * case is PRESERVED — paths are case-sensitive); tracking query
+    * parameters ([[TrackingParams]]) removed and the survivors sorted
+    * (param order is transport noise); "?" dropped when the query
+    * empties. A string without a scheme comes back unchanged
+    * (deterministic fallback, never null).
+    *
+    * Pure regex/array Columns in the shared Java-regex/RE2 subset, so
+    * the DuckDB oracle runs the literally identical patterns.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path0 = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query0 = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val keptParams = array_sort(filter(split(query0, "&"),
+      p => p =!= "" && !p.rlike(TrackingParams)))
+    val canonQ = array_join(keptParams, "&")
+    when(scheme === "", url).otherwise(concat(scheme, lit("://"), host,
+      path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
+  }
 }

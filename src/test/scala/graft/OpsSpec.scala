@@ -534,6 +534,27 @@ class OpsSpec extends AnyFunSuite {
       out.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq)
   }
 
+  test("canonicalUrl: case/port/fragment/tracking-param normalization") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercased, default port stripped, empty path -> /
+      "HTTPS://WWW.Example.COM:443" -> "https://www.example.com/",
+      // :80 stripped for http only
+      "http://h.com:80/a" -> "http://h.com/a",
+      "https://h.com:80/a" -> "https://h.com:80/a",
+      // tracking params out, survivors sorted, path case preserved
+      "http://h.com/A/B?z=1&utm_source=x&a=2#frag" -> "http://h.com/A/B?a=2&z=1",
+      // query empties -> no '?'
+      "http://h.com/p?utm_campaign=c&fbclid=z" -> "http://h.com/p",
+      // bare param without '=' kept unless tracking
+      "http://h.com/p?ref&keep" -> "http://h.com/p?keep",
+      // no scheme -> unchanged
+      "not a url" -> "not a url")
+    val out = cases.map(_._1).toDF("u")
+      .select(Curation.canonicalUrl(col("u"))).as[String].collect()
+    assert(out.toSeq === cases.map(_._2))
+  }
+
   test("hostOf extracts the authority; garbage yields empty") {
     import spark.implicits._
     val df = Seq("https://a.b.example.com/x?q=1", "ftp://h0st:8080/p",
