@@ -747,6 +747,15 @@ object SparkEntry {
         budgets = Map("en" -> 3000L, "zh" -> 800L),
         defaultBudget = 1000L)
         .orderBy("doc_id")),
+    // curation: temperature-scaled language rebalancing (share^0.5
+    // mixing rule, integer-quantized weights for engine-exact parity)
+    "q49_temp_resample" -> ((s, d) =>
+      Curation.temperatureResample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.5, keepFraction = 0.5)
+        .select(col("doc_id"), col("lang"), col("keep_slots"),
+          col("kept"))
+        .orderBy("doc_id")),
     // curation: URL canonicalization + URL-level dedup (tracking-param
     // strip, scheme/host case, default ports, param sort; rep = min
     // doc_id per canonical group)
@@ -1681,6 +1690,27 @@ object SparkEntry {
           start_tok < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 800
             ELSE 1000 END) AS kept
         FROM c ORDER BY doc_id""",
+    // q49: same fixed float expression tree as temperatureResample —
+    // integer-quantized weights keep the cross-stratum sum exact in
+    // any accumulation order
+    "q49_temp_resample" ->
+      """WITH h AS (SELECT lang, count(*) AS n FROM documents
+          GROUP BY lang),
+        c AS (SELECT lang, n,
+          CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)
+            AS wq FROM h),
+        tot AS (SELECT lang, n, wq, SUM(wq) OVER () AS w_tot,
+          SUM(n) OVER () AS n_tot FROM c),
+        cut AS (SELECT lang, CAST(floor(least(1.0,
+            (0.5 * (CAST(wq AS DOUBLE) / CAST(w_tot AS DOUBLE)))
+            * (CAST(n_tot AS DOUBLE) / CAST(n AS DOUBLE)))
+            * 10000.0) AS BIGINT) AS keep_slots
+          FROM tot)
+        SELECT d.doc_id, d.lang, cut.keep_slots,
+          (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+            || ':resample'), 1, 8)) AS BIGINT) % 10000)
+            < cut.keep_slots AS kept
+        FROM documents d JOIN cut USING (lang) ORDER BY d.doc_id""",
     "q42_ann_ivf" -> {
       def cos(ae: String, be: String): String =
         s"""list_sum(list_transform(generate_series(1, len($ae)),

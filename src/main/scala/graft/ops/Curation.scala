@@ -513,6 +513,71 @@ object Curation {
       .drop("_ord", "_cum")
   }
 
+  /** Temperature-scaled stratum resampling — the multilingual
+    * rebalancing step (sample languages ∝ share^alpha, alpha < 1
+    * upweighting low-resource strata; the standard mC4/XLM-R mixing
+    * rule). Per-stratum keep probability
+    *
+    *   p_l = min(1, keepFraction · (w_l / Σw) / share_l),
+    *   w_l = share_l^alpha,  share_l = n_l / N
+    *
+    * quantized to `floor(p·10000)` hash slots, so the keep decision is
+    * the same deterministic hashSlot comparison as [[sampledByHash]] —
+    * stable across runs, partitionings and engines.
+    *
+    * Determinism: the one cross-stratum reduction (Σ of the weights) is
+    * over weights PRE-QUANTIZED to integers (floor(n^alpha · 2^20)), so
+    * the sum is exact in any accumulation order — a float Σ of
+    * irrational weights would pick up last-ulp noise from Spark's
+    * nondeterministic aggregation order (and differ from the oracle
+    * engine's). The remaining float ops are a fixed expression tree of
+    * individually correctly-rounded operations (sqrt, two divides, two
+    * multiplies), identical bit-for-bit in any IEEE-754 engine for
+    * alpha ∈ {1.0, 0.5}; other alphas go through pow, where the last
+    * ulp is libm-dependent (fine in production, not oracle-pinned).
+    * floor (not round) keeps the slot quantization tie-free.
+    *
+    * Scale shape: one partial-agg groupBy over thin (stratum) rows for
+    * the histogram (strata counts are tiny — languages/sources), the
+    * per-stratum cut broadcast-joined back; text never shuffles.
+    *
+    * Returns the input plus `keep_slots` (the per-stratum cut in
+    * [0, 10000]) and `kept`.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double = 0.5, keepFraction: Double = 0.5,
+      salt: String = "resample"): DataFrame = {
+    val powA: Column => Column =
+      if (alpha == 1.0) identity
+      else if (alpha == 0.5) sqrt
+      else x => pow(x, alpha)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_n"))
+    // quantized weight: n^alpha ≤ 2^31 here, ×2^20 stays ≤ 2^51 —
+    // exact in a double, exact as a long
+    val wq = floor(powA(col("_n").cast("double")) * 1048576.0)
+      .cast("long")
+    // the histogram is a handful of rows: the unpartitioned window
+    // below runs in one task over it, never over the corpus (and sums
+    // longs, so it is exact regardless of order)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // NB distinct names even under case-insensitive resolution: a
+    // withColumn("_N", ...) would silently REPLACE "_n"
+    val cuts = counts
+      .withColumn("_wq", wq)
+      .withColumn("_wtot", sum(col("_wq")).over(wAll))
+      .withColumn("_ntot", sum(col("_n")).over(wAll))
+      .withColumn("_p", least(lit(1.0),
+        lit(keepFraction)
+          * (col("_wq").cast("double") / col("_wtot").cast("double"))
+          * (col("_ntot").cast("double") / col("_n").cast("double"))))
+      .select(col(strataCol), floor(col("_p") * 10000.0).cast("long")
+        .as("keep_slots"))
+    df.join(broadcast(cuts), Seq(strataCol))
+      .withColumn("kept", hashSlot(col(idCol), salt) < col("keep_slots"))
+  }
+
   /** Deterministic Bernoulli-by-hash sample: keep ~fraction of rows,
     * stable under reruns and engine changes (unlike rand()-based
     * sampling, which is neither). Use a different salt than the split

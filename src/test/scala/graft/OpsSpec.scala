@@ -534,6 +534,33 @@ class OpsSpec extends AnyFunSuite {
       out.map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq)
   }
 
+  test("temperatureResample: minority strata upweighted, p capped, stable") {
+    import spark.implicits._
+    // 900 docs of "big", 90 of "mid", 10 of "rare"
+    val df = ((0L until 900L).map((_, "big")) ++
+      (900L until 990L).map((_, "mid")) ++
+      (990L until 1000L).map((_, "rare"))).toDF("id", "lang")
+    val out = Curation.temperatureResample(df, "id", "lang",
+      alpha = 0.5, keepFraction = 0.5)
+    val cuts = out.select("lang", "keep_slots").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cuts.size === 3)
+    // alpha < 1: keep probability increases as share shrinks; both
+    // minority strata hit the p=1 cap here (0.5·t/share > 1)
+    assert(cuts("big") < cuts("mid"))
+    assert(cuts("mid") === 10000L && cuts("rare") === 10000L)
+    assert(cuts("big") === 3907L) // floor(0.5·(⌊√900·2^20⌋/Σwq)·(1000/900)·1e4)
+    // kept is exactly the hashSlot decision at the published cut
+    val bad = out.withColumn("slot", Curation.hashSlot(col("id"), "resample"))
+      .filter(col("kept") =!= (col("slot") < col("keep_slots"))).count()
+    assert(bad === 0L)
+    // determinism under repartition
+    val again = Curation.temperatureResample(df.repartition(7), "id",
+      "lang", alpha = 0.5, keepFraction = 0.5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(again === out.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("canonicalUrl: case/port/fragment/tracking-param normalization") {
     import spark.implicits._
     val cases = Seq(
