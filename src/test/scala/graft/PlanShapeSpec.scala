@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the SCALE-CRITICAL plan properties the
+  * operator scaladocs promise — that document text stays out of every
+  * shuffle in the thin-row operators, and that histogram-sized sides
+  * broadcast. These are the properties that decide whether a job
+  * survives 100 TB; asserting them here keeps a future refactor from
+  * silently reintroducing a text shuffle.
+  *
+  * AQE is disabled per-assertion so the inspected plan contains the
+  * planner's ShuffleExchange nodes (AQE only ever downgrades a shuffle
+  * to a broadcast, i.e. strictly fewer text movements than asserted).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def withPlainPlan[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Names of attributes carried by each shuffle exchange in the plan. */
+  private def shuffledNames(df: DataFrame): Seq[Set[String]] = {
+    val plan: SparkPlan = df.queryExecution.executedPlan
+    plan.collect { case e: ShuffleExchangeExec =>
+      e.output.map(_.name.toLowerCase).toSet
+    }
+  }
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 64L)
+      .map(i => (i, s"w$i " * ((i % 19).toInt + 1),
+        if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("packSequences: no shuffle carries the text column") {
+    withPlainPlan {
+      val out = Curation.packSequences(docs, "doc_id", "text", seqLen = 16,
+        shards = 4)
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty, "expected the per-shard window shuffle")
+      shuffles.foreach(s => assert(!s.contains("text"), s"text shuffled: $s"))
+    }
+  }
+
+  test("tokenBudgetAssign: no shuffle carries the text column") {
+    withPlainPlan {
+      val withToks = docs.withColumn("n_toks",
+        graft.ops.TextAnalysis.tokenCount(col("text")))
+      val out = Curation.tokenBudgetAssign(withToks, "doc_id", "lang",
+        "n_toks", Map("en" -> 100L), defaultBudget = 50L)
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty)
+      shuffles.foreach(s => assert(!s.contains("text"), s"text shuffled: $s"))
+    }
+  }
+
+  test("contaminationStats (broadcast): corpus text never shuffles") {
+    import spark.implicits._
+    withPlainPlan {
+      val bench = Seq("a b c d e f g h i").toDF("btext")
+      val out = Curation.contaminationStats(docs, bench, "doc_id", "text",
+        "btext", n = 8, broadcastBench = true)
+      shuffledNames(out).foreach { s =>
+        assert(!s.contains("text") && !s.contains("btext"),
+          s"text shuffled: $s")
+      }
+    }
+  }
+
+  test("temperatureResample: histogram cuts join is broadcast") {
+    withPlainPlan {
+      val out = Curation.temperatureResample(docs.drop("text"), "doc_id",
+        "lang")
+      val bhj = out.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, "expected a broadcast join for the cuts table")
+    }
+  }
+
+  test("dropDuplicatedParagraphsFromParas: hash branch shuffles thin rows") {
+    withPlainPlan {
+      val withP = docs.withColumn("_paras",
+        Curation.paragraphs(col("text"))).drop("text")
+      val out = Curation.dropDuplicatedParagraphsFromParas(withP, "doc_id",
+        "_paras", minDocs = 2)
+      // the duplicate-hash aggregation branch must move only
+      // (id, pos, hash) — the paragraph arrays may appear only in the
+      // final join-back of the drop sets
+      val thinShuffles = shuffledNames(out)
+        .filter(s => s.contains("_ph") || s.contains("_pos"))
+      assert(thinShuffles.nonEmpty)
+      thinShuffles.foreach(s =>
+        assert(!s.contains("_paras"), s"paragraphs in hash shuffle: $s"))
+    }
+  }
+}
