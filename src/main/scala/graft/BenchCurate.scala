@@ -65,10 +65,12 @@ object BenchCurate {
     time("gate stage (all of the above)")(gate.count())
     val gateC = gate.localCheckpoint()
     time("gate localCheckpoint")(gateC.count())
-    val deb = Curation.deboilStage(gateC, "doc_id", 3)
-    time("deboil stage (count-pruned)")(deb.count())
+    val deb0 = Curation.deboilStage(gateC, "doc_id", 3)
+    time("deboil stage (count-pruned)")(deb0.count())
+    val deb = deb0.localCheckpoint()
+    time("deboil localCheckpoint")(deb.count())
     val exact = Curation.exactStage(deb, "doc_id")
-    time("exact stage (incl deboil clean_text)")(exact.count())
+    time("exact stage (thin fp + semi-join)")(exact.count())
     val exactC = exact.localCheckpoint()
     time("exact localCheckpoint")(exactC.count())
     val pairs = Dedup.minhashLshPairs(exactC, "doc_id", "clean_text",

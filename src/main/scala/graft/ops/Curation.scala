@@ -212,11 +212,12 @@ object Curation {
     * Scale shape is the sum of its parts, all documented on the
     * individual operators: per-doc stages are pure Column projections;
     * the corpus-level stages shuffle only hashes/ids ((id,pos,hash)
-    * for paragraphs, (band,bucket) for MinHash, (id,label) for the
-    * component fixpoint) — full text is shuffled exactly once, by the
-    * exact-dedup fingerprint window (replaceable with a groupBy on the
-    * fingerprint carrying only (fp, min-id) if even that is too much at
-    * 100 TB; kept as the window form for plan clarity).
+    * for paragraphs, (fp,id) for exact dedup, (band,bucket) for
+    * MinHash, (id,label) for the component fixpoint). Full text moves
+    * at most once: the deboil drop-set join partitions the corpus by
+    * id, and every later corpus-side join (exact-dedup semi-join,
+    * near-dup survivor join) joins on that same id partitioning with a
+    * thin build side.
     */
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 10, maxDupLinePpm: Long = 300000L,
@@ -232,6 +233,12 @@ object Curation {
     // instead — the form a resumable 100 TB job runs.
     val gate = gateStage(df, idCol, textCol, minTokens, maxDupLinePpm)
       .localCheckpoint()
+    // deboil is NOT checkpointed: exactStage references it twice (thin
+    // fingerprint branch + corpus branch), but ReuseExchange dedupes
+    // the recomputed branches' identical shuffles, the deboil join's
+    // id-partitioning is statically visible to the semi-join (no text
+    // shuffle), and skipping the eager materialization barrier beats
+    // paying it (only a map-side clean_text projection is recomputed)
     val exact = exactStage(deboilStage(gate, idCol, paraMinDocs), idCol)
       .localCheckpoint()
     nearDupStage(exact, idCol, shingleN, minEstJaccard, maxBucket)
@@ -317,12 +324,22 @@ object Curation {
     dropDuplicatedParagraphsFromParas(gate, idCol, "_paras", paraMinDocs)
       .select(col(idCol), col("lang"), col("clean_text"))
 
-  /** Stage 3: exact dedup, min-id survivor per md5 fingerprint. */
+  /** Stage 3: exact dedup, min-id survivor per md5 fingerprint.
+    *
+    * Shape: a window over `_fp` would shuffle the full text by
+    * fingerprint; instead the fingerprint groupBy runs on thin
+    * (fp, id) rows and the survivors semi-join back on id — when `deb`
+    * is materialized partitioned by id (the in-memory curate
+    * checkpoints it; a parquet stage re-shuffles once), the corpus
+    * side of the join needs no exchange, so exact dedup moves no text
+    * at all. Identical survivors to the window form (min id per
+    * fingerprint group, null fingerprints grouping together).
+    */
   private[graft] def exactStage(deb: DataFrame, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
-    deb.withColumn("_fp", md5(col("clean_text")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    val keep = deb.select(col(idCol), md5(col("clean_text")).as("_fp"))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    deb.join(keep, Seq(idCol), "leftsemi")
       .select(col(idCol), col("lang"), col("clean_text"))
   }
 

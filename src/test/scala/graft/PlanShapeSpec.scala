@@ -89,6 +89,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("exactStage over id-partitioned input: no shuffle carries clean_text") {
+    import spark.implicits._
+    withPlainPlan {
+      // materialized partitioned-by-id, as curate's deboil checkpoint is
+      val deb = (0L until 64L)
+        .map(i => (i, "en", s"body ${i % 8}"))
+        .toDF("doc_id", "lang", "clean_text")
+        .repartition(col("doc_id"))
+        .localCheckpoint()
+      val out = Curation.exactStage(deb, "doc_id")
+      val shuffles = shuffledNames(out)
+      // thin (fp,id) shuffles exist; the corpus side reuses the id
+      // partitioning, so text never moves
+      shuffles.foreach(s =>
+        assert(!s.contains("clean_text"), s"text shuffled: $s"))
+      assert(out.count() === 8L)
+    }
+  }
+
   test("dropDuplicatedParagraphsFromParas: hash branch shuffles thin rows") {
     withPlainPlan {
       val withP = docs.withColumn("_paras",
