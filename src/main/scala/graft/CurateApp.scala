@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   spark-submit --class graft.CurateApp <jar> \
   *     --input <documents parquet> --output <dir> \
-  *     [--id doc_id] [--text text] [--min-tokens 10] [--para-min-docs 3]
+  *     [--id doc_id] [--text text] [--min-tokens 10] [--para-min-docs 3] \
+  *     [--resample-keep 0.5 [--resample-alpha 0.5]] [--seq-len 2048 [--shards 64]]
   *
   * Runs Curation.curateStaged (4 stage-checkpointed corpus-global
   * stages; a killed run resumes from the first uncommitted stage), then
-  * lands the curated corpus under $output/curated partitioned by the
-  * deterministic train/val/test hash split. Re-invoking on a complete
-  * output is a no-op apart from the final write.
+  * optionally temperature-resamples languages (--resample-keep), lands
+  * the corpus under $output/curated partitioned by the deterministic
+  * train/val/test hash split, and (--seq-len) packs the train split
+  * into fixed-length training sequences, landing the thin assignment
+  * table under $output/packed. Re-invoking on a complete output is a
+  * no-op apart from the final writes — the full corpus → training-
+  * sequences pipeline in one submit.
   */
 object CurateApp {
   def main(args: Array[String]): Unit = {
@@ -49,11 +54,27 @@ object CurateApp {
     val curated = Curation.curateStaged(docs, idCol, textCol, output,
       minTokens = opts.getOrElse("min-tokens", "10").toInt,
       paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt)
-    curated
+    val resampled = opts.get("resample-keep") match {
+      case Some(f) => Curation.temperatureResample(curated, idCol, "lang",
+          alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
+          keepFraction = f.toDouble)
+        .filter(col("kept")).drop("keep_slots", "kept")
+      case None => curated
+    }
+    resampled
       .withColumn("split", Curation.hashSplit(col(idCol),
         Seq("train" -> 8, "val" -> 1, "test" -> 1)))
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$output/curated")
+    val packedN = opts.get("seq-len").map { sl =>
+      Curation.packSequences(
+        spark.read.parquet(s"$output/curated")
+          .filter(col("split") === "train"),
+        idCol, "clean_text", seqLen = sl.toInt,
+        shards = opts.getOrElse("shards", "64").toInt)
+        .write.mode("overwrite").parquet(s"$output/packed")
+      spark.read.parquet(s"$output/packed").count()
+    }
     val sec = (System.nanoTime() - t0) / 1e9
 
     val in = docs.count()
@@ -61,7 +82,8 @@ object CurateApp {
     val stages = Seq("1_gate", "2_deboil", "3_exact", "4_neardup")
       .map(s => s""""$s":${StagedJob.readRows(output, s).getOrElse(-1L)}""")
       .mkString("{", ",", "}")
-    println(f"""{"rows_in":$in,"rows_out":$outN,"stages":$stages,"sec":$sec%.2f}""")
+    println(f"""{"rows_in":$in,"rows_out":$outN,"rows_packed":${
+      packedN.getOrElse(-1L)},"stages":$stages,"sec":$sec%.2f}""")
     spark.stop()
   }
 }
