@@ -781,6 +781,14 @@ object SparkEntry {
         .withColumn("is_rep", row_number().over(w) === 1)
         .orderBy("doc_id")
     }),
+    // curation: per-language token-count distribution profile (exact
+    // rank-based percentiles over thin rows — the monitoring table)
+    "q50_profile" -> ((s, d) =>
+      Curation.corpusProfile(
+        t(s, d, "documents").withColumn("n_toks",
+          TextAnalysis.tokenCount(col("text"))),
+        "lang", "n_toks")
+        .orderBy("lang")),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -1690,6 +1698,23 @@ object SparkEntry {
           start_tok < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 800
             ELSE 1000 END) AS kept
         FROM c ORDER BY doc_id""",
+    // q50: identical integer rank arithmetic; value-at-rank is
+    // deterministic under ties
+    "q50_profile" ->
+      s"""WITH thin AS (SELECT lang,
+          CAST(len($toksSql) AS BIGINT) AS v FROM documents),
+        r AS (SELECT lang, v,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY v)
+            AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM thin)
+        SELECT lang, max(n) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS total,
+          min(v) AS v_min, max(v) AS v_max,
+          max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN v END) AS p50,
+          max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN v END) AS p90,
+          max(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN v END) AS p99
+        FROM r GROUP BY lang ORDER BY lang""",
     // q49: same fixed float expression tree as temperatureResample —
     // integer-quantized weights keep the cross-stratum sum exact in
     // any accumulation order

@@ -604,6 +604,45 @@ object Curation {
       salt: String = "sample"): Column =
     hashSlot(id, salt) < lit(math.round(fraction * 10000).toInt)
 
+  // ---- corpus profiling ----
+
+  /** Per-stratum distribution profile of an integer metric (token
+    * counts, doc lengths, quality scores in ppm): count, sum, min/max,
+    * and EXACT rank-based percentiles — p = value at 1-based rank
+    * ⌊p·(n−1)/100⌋+1 of the ascending sort ("lower" interpolation,
+    * integer arithmetic only, so every engine computes the identical
+    * rank). The value at a rank is deterministic even with ties (equal
+    * values straddle any tie order).
+    *
+    * The monitoring table every curation run ships with. Scale shape:
+    * one window + one groupBy over thin (stratum, value) rows; with
+    * strata ~ languages/sources the window partitions are corpus-sized
+    * but rows are 16 bytes — a p99 over 10^9 docs/stratum sorts thin
+    * longs, never text. (True hyperscale would swap in a fixed-width
+    * histogram; exact ranks keep this oracle-checkable.)
+    */
+  def corpusProfile(df: DataFrame, strataCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col(strataCol))
+    // Column `/` is double division even on longs; floor recovers the
+    // integer quotient (exact here: the true quotient is ≥ 1/100 away
+    // from any integer unless it IS one, far beyond double rounding)
+    def rankOf(pNum: Int): Column =
+      floor((lit(pNum.toLong) * (col("_n") - 1L)) / 100L) + 1L
+    def pick(pNum: Int): Column =
+      max(when(col("_rn") === rankOf(pNum), col("_v")))
+    df.select(col(strataCol), col(valueCol).cast("long").as("_v"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .groupBy(col(strataCol))
+      .agg(max(col("_n")).as("n_rows"),
+        sum(col("_v")).as("total"),
+        min(col("_v")).as("v_min"),
+        max(col("_v")).as("v_max"),
+        pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
+  }
+
   // ---- URL / host operators ----
 
   /** Host part of an URL (empty string when the shape doesn't match —

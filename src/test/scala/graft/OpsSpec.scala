@@ -561,6 +561,24 @@ class OpsSpec extends AnyFunSuite {
     assert(again === out.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("corpusProfile: exact rank-based percentiles, stable under repartition") {
+    import spark.implicits._
+    val df = ((0L until 100L).map(v => ("a", v)) ++ Seq(("b", 7L)))
+      .toDF("lang", "v")
+    val out = Curation.corpusProfile(df.repartition(5), "lang", "v")
+      .orderBy("lang").collect()
+    // a: 0..99 -> rank formula ⌊p·99/100⌋+1, value = rank-1
+    val a = out(0)
+    assert(a.getAs[Long]("n_rows") === 100L && a.getAs[Long]("total") === 4950L)
+    assert(a.getAs[Long]("v_min") === 0L && a.getAs[Long]("v_max") === 99L)
+    assert(a.getAs[Long]("p50") === 49L)
+    assert(a.getAs[Long]("p90") === 89L)
+    assert(a.getAs[Long]("p99") === 98L)
+    // singleton stratum: every percentile is the single value
+    val b = out(1)
+    assert(b.getAs[Long]("p50") === 7L && b.getAs[Long]("p99") === 7L)
+  }
+
   test("canonicalUrl: case/port/fragment/tracking-param normalization") {
     import spark.implicits._
     val cases = Seq(
