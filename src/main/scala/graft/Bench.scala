@@ -127,11 +127,20 @@ object Bench {
     val ts = BenchCluster.pairedTrials(path, execN, threads, heap, young,
       pairs)
 
+    // Part 3: curation-job scaling (same job, two parallelism levels,
+    // fresh pinned JVMs, time-adjacent pairs) — BenchCurateScale. The
+    // corpus-global stages make the disjoint-slice fleet protocol
+    // inapplicable; see BenchCurateScale scaladoc.
+    val curateDocs = sys.env.getOrElse("SPARK_GRAFT_CURATE_DOCS", "60000").toLong
+    val curatePairs = sys.env.getOrElse("SPARK_GRAFT_CURATE_PAIRS", "2").toInt
+    val (cps, kept) = BenchCurateScale.pairedRuns(curateDocs, curatePairs)
+    val curateScaling = BenchCurateScale.scalingJson(curateDocs, cps, kept)
+
     val qs = results.map { case (k, v) => "\"" + k + f""""""" + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scaling = BenchCluster.scalingJson(nPages, boost, execN, threads, ts)
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ann_recall":${f"$annRecall%.3f"},"extraction_scaling":$scaling}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ann_recall":${f"$annRecall%.3f"},"extraction_scaling":$scaling,"curation_scaling":$curateScaling}""")
   }
 }

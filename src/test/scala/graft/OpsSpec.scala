@@ -579,6 +579,28 @@ class OpsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("p50") === 7L && b.getAs[Long]("p99") === 7L)
   }
 
+  test("DocsGen: deterministic, planted structure present, salads distinct") {
+    import org.apache.spark.sql.functions.md5
+    val a = graft.gen.DocsGen.docs(spark, 300).orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val b = graft.gen.DocsGen.docs(spark, 300).repartition(7)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    val texts = a.map(_(1).asInstanceOf[String])
+    // exact-dup decade groups share their body line
+    assert(texts(10).contains("the shared body g1 ") &&
+      texts(11).contains("the shared body g1 "))
+    // near-dup pairs differ by the one trailing token
+    assert(texts(14).contains("alpha") && texts(15).contains("beta"))
+    // word salads are NOT shifted copies of each other: no two salad
+    // docs share a text (and their md5s are unique)
+    val salads = a.map(_(0).asInstanceOf[Long]).zip(texts)
+      .filter { case (id, _) =>
+        id % 17 != 0 && id % 10 >= 2 && !Seq(4L, 5L).contains(id % 10) }
+      .map(_._2)
+    assert(salads.distinct.length === salads.length)
+  }
+
   test("canonicalUrl: case/port/fragment/tracking-param normalization") {
     import spark.implicits._
     val cases = Seq(
