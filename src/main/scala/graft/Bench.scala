@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *     4N-executor criterion; see also BenchStandalone for the
   *     real-cluster variant);
   *  3. ANN quality: recall@5 of the multi-probe LSH path vs the exact
-  *     brute-force baseline on the sf embeddings.
+  *     brute-force baseline on the sf embeddings;
+  *  4. curation-job scaling: the composed curation pipeline at two
+  *     parallelism levels in fresh pinned JVMs (BenchCurateScale —
+  *     corpus-global stages rule out the disjoint-slice protocol);
+  *     skip with SPARK_GRAFT_CURATE_PAIRS=0.
   */
 object Bench {
 
@@ -127,14 +131,18 @@ object Bench {
     val ts = BenchCluster.pairedTrials(path, execN, threads, heap, young,
       pairs)
 
-    // Part 3: curation-job scaling (same job, two parallelism levels,
+    // Part 4: curation-job scaling (same job, two parallelism levels,
     // fresh pinned JVMs, time-adjacent pairs) — BenchCurateScale. The
     // corpus-global stages make the disjoint-slice fleet protocol
     // inapplicable; see BenchCurateScale scaladoc.
     val curateDocs = sys.env.getOrElse("SPARK_GRAFT_CURATE_DOCS", "60000").toLong
     val curatePairs = sys.env.getOrElse("SPARK_GRAFT_CURATE_PAIRS", "2").toInt
-    val (cps, kept) = BenchCurateScale.pairedRuns(curateDocs, curatePairs)
-    val curateScaling = BenchCurateScale.scalingJson(curateDocs, cps, kept)
+    val curateScaling =
+      if (curatePairs <= 0) """{"skipped":true}"""
+      else {
+        val (cps, kept) = BenchCurateScale.pairedRuns(curateDocs, curatePairs)
+        BenchCurateScale.scalingJson(curateDocs, cps, kept)
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + f""""""" + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")

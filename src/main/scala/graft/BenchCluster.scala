@@ -304,25 +304,35 @@ object BenchCluster {
     */
   val UtilFloor = 0.5
 
-  /** Scaling JSON: headline efficiency = the best CREDIBLE pair. A pair
-    * is credible when (a) eff ≤ 1.0 — eff > 1 is not superlinear
-    * scaling, it means the N-side measurement landed in a degraded host
-    * window — and (b) BOTH sides show cpu utilization ≥ [[UtilFloor]]
-    * (the fleets actually received their cores). If no pair passes the
-    * util floor the filter falls back to eff-only, then to
-    * closest-to-1. The median and every pair's numbers are reported
+  /** Shared credibility selection for a set of N-vs-4N pairs (used by
+    * this harness, BenchStandalone, and BenchCurateScale so all
+    * headline scaling numbers in one Bench line obey the SAME rules):
+    * best = the max-efficiency pair with (a) eff ≤ 1.0 — eff > 1 is
+    * not superlinear scaling, it means the N-side measurement landed
+    * in a degraded host window — and (b) BOTH sides' cpu utilization ≥
+    * [[UtilFloor]] (the fleets actually received their cores). If no
+    * pair passes the util floor the filter falls back to eff-only,
+    * then to closest-to-1.
+    */
+  def selectBest[A](xs: Seq[A])(eff: A => Double, utilN: A => Double,
+      util4N: A => Double): A = {
+    require(xs.nonEmpty, "no scaling pairs measured")
+    val utilOk = xs.filter(x => eff(x) <= 1.0 &&
+      utilN(x) >= UtilFloor && util4N(x) >= UtilFloor)
+    val credible = if (utilOk.nonEmpty) utilOk else xs.filter(eff(_) <= 1.0)
+    if (credible.nonEmpty) credible.maxBy(eff)
+    else xs.minBy(x => math.abs(math.log(eff(x))))
+  }
+
+  /** Scaling JSON: headline efficiency = the best CREDIBLE pair per
+    * [[selectBest]]. The median and every pair's numbers are reported
     * alongside, with a `pinned` flag recording whether the fleets were
     * taskset-pinned to disjoint cpusets.
     */
   def scalingJson(nPages: Long, boost: Int, execN: Int, threads: Int,
       ts: Seq[Trial]): String = {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val utilOk = ts.filter(t => t.eff <= 1.0 &&
-      t.utilN >= UtilFloor && t.util4N >= UtilFloor)
-    val credible = if (utilOk.nonEmpty) utilOk else ts.filter(_.eff <= 1.0)
-    val best =
-      if (credible.nonEmpty) credible.maxBy(_.eff)
-      else ts.minBy(t => math.abs(math.log(t.eff)))
+    val best = selectBest(ts)(_.eff, _.utilN, _.util4N)
     val pinned = canPinFleet(execN * 4, threads, 0) &&
       canPinFleet(execN, threads, execN * 4 * threads)
     val trialsJson = ts.map(t =>

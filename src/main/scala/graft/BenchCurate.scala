@@ -30,26 +30,9 @@ object BenchCurate {
       val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
-    val docs = SparkEntry.queries("q43_curate") // just to force class load
-    val did = col("doc_id").cast("long")
-    val promoLine = "Click here to read more about this offer now"
-    val promoDoc = Seq.fill(8)(promoLine).mkString("\n")
-    val gt = concat(lit("g"), expr("CAST(doc_id AS BIGINT) DIV 10").cast("string"))
-    val body = when(pmod(did, lit(17)) === 0, lit(promoDoc))
-      .when(pmod(did, lit(10)) < 2,
-        concat(lit("the shared body "), gt, lit(" of group "), gt,
-          lit(" is exactly "), gt, lit(" the same here "), gt))
-      .when(pmod(did, lit(10)).isin(4, 5),
-        concat(lit("the near duplicate body "), gt, lit(" one two "),
-          gt, lit(" three four "), gt, lit(" five six "), gt, lit(" "),
-          when(pmod(did, lit(10)) === 4, lit("alpha")).otherwise(lit("beta"))))
-      .otherwise(col("text"))
-    val pii = concat(lit("Contact user"), pmod(did, lit(7)).cast("string"),
-      lit("@example.com from "), pmod(did, lit(256)).cast("string"), lit(".0.0.1"))
-    val aug = concat_ws("\n\n",
-      when(pmod(did, lit(3)) === 0, lit("Subscribe to our newsletter for updates.")),
-      body, pii,
-      when(pmod(did, lit(5)) === 0, lit("All rights reserved. Terms of use apply.")))
+    // same planted workload shape as the scaling bench's generator
+    val aug = graft.gen.DocsGen.plantedText(
+      col("doc_id").cast("long"), col("text"))
     val in = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), aug.as("aug"))
 

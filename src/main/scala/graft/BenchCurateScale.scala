@@ -132,12 +132,7 @@ object BenchCurateScale {
 
   def scalingJson(nDocs: Long, ps: Seq[Pair], kept: Long): String = {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val utilOk = ps.filter(p => p.eff <= 1.0 &&
-      p.utilN >= BenchCluster.UtilFloor && p.util4N >= BenchCluster.UtilFloor)
-    val credible = if (utilOk.nonEmpty) utilOk else ps.filter(_.eff <= 1.0)
-    val best =
-      if (credible.nonEmpty) credible.maxBy(_.eff)
-      else ps.minBy(p => math.abs(math.log(p.eff)))
+    val best = BenchCluster.selectBest(ps)(_.eff, _.utilN, _.util4N)
     val trials = ps.map(p =>
       f"""{"sec_N":${p.tN}%.3f,"sec_4N":${p.t4N}%.3f,"cpu_util_N":${p.utilN}%.2f,"cpu_util_4N":${p.util4N}%.2f,"efficiency":${p.eff}%.3f}""")
       .mkString("[", ",", "]")

@@ -285,13 +285,10 @@ object BenchStandalone {
             f"eff=${tr.eff}%.3f rowsN=${pN.rows} rows4N=${p4N.rows}")
         tr
       }
-    // same credibility rule as BenchCluster.scalingJson: eff > 1.0 means
-    // the N side landed in a degraded host window, not superlinear
-    // scaling — never headline such a trial
-    val credible = ts.filter(_.eff <= 1.0)
-    val best =
-      if (credible.nonEmpty) credible.maxBy(_.eff)
-      else ts.minBy(t => math.abs(math.log(t.eff)))
+    // shared credibility rule (eff ≤ 1 + util floor; see
+    // BenchCluster.selectBest): eff > 1.0 means the N side landed in a
+    // degraded host window, not superlinear scaling — never headline it
+    val best = BenchCluster.selectBest(ts)(_.eff, _.utilN, _.util4N)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val trialsJson = ts.map(t =>
       f"""{"sec_N":${t.tN}%.3f,"sec_4N":${t.t4N}%.3f,"cpu_util_N":${t.utilN}%.2f,"cpu_util_4N":${t.util4N}%.2f,"efficiency":${t.eff}%.3f}""")

@@ -1,6 +1,6 @@
 package graft.gen
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic synthetic documents corpus for curation benchmarks —
@@ -43,8 +43,20 @@ object DocsGen {
             element_at(stops, pmod(did + i, lit(15L)).cast("int") + 1))
           .otherwise(concat(lit("w"), wordIdx(i).cast("string")))),
       " ")
-    // Column `/` is double division — DIV keeps the decade id integral
-    val gt = concat(lit("g"), expr("doc_id DIV 10").cast("string"))
+    df.select(did, plantedText(did, salad).as("text"))
+  }
+
+  /** The planted-structure wrapper around a base body: promo docs
+    * (did%17), exact-dup decade groups (did%10<2), near-dup pairs
+    * (did%10∈{4,5}, one-token difference), a PII contact line, and
+    * shared boilerplate paragraphs. Shared by [[docs]] and the
+    * stage-timing profiler (BenchCurate) so both measure the same
+    * workload shape; q43's inline twin is the oracle-pinned spec.
+    */
+  def plantedText(did: Column, base: Column): Column = {
+    // floor() keeps the decade id integral (Column `/` is double
+    // division; exact for ids below 2^52)
+    val gt = concat(lit("g"), floor(did / 10L).cast("long").cast("string"))
     val promoLine = "Click here to read more about this offer now"
     val promoDoc = Seq.fill(8)(promoLine).mkString("\n")
     val body = when(pmod(did, lit(17)) === 0, lit(promoDoc))
@@ -56,16 +68,15 @@ object DocsGen {
           gt, lit(" three four "), gt, lit(" five six "), gt, lit(" "),
           when(pmod(did, lit(10)) === 4, lit("alpha"))
             .otherwise(lit("beta"))))
-      .otherwise(salad)
+      .otherwise(base)
     val pii = concat(lit("Contact user"), pmod(did, lit(7)).cast("string"),
       lit("@example.com from "), pmod(did, lit(256)).cast("string"),
       lit(".0.0.1"))
-    val text = concat_ws("\n\n",
+    concat_ws("\n\n",
       when(pmod(did, lit(3)) === 0,
         lit("Subscribe to our newsletter for updates.")),
       body, pii,
       when(pmod(did, lit(5)) === 0,
         lit("All rights reserved. Terms of use apply.")))
-    df.select(did, text.as("text"))
   }
 }

@@ -35,11 +35,31 @@ object StagedJob {
     * stage is not yet committed. Returns the stage's table, always read
     * back from disk so downstream stages depend on the committed bytes,
     * not on in-memory lineage.
+    *
+    * @param requiredCols columns the CURRENT code expects in this
+    *                     stage's output. A committed table missing any
+    *                     of them was written by an older pipeline
+    *                     version (e.g. the gate's `_red` → `_paras`
+    *                     format change) — reusing it would fail many
+    *                     stages later with an unresolved-column error,
+    *                     so the stale commit is invalidated and the
+    *                     stage recomputed instead.
     */
-  def stage(spark: SparkSession, out: String, name: String)
+  def stage(spark: SparkSession, out: String, name: String,
+      requiredCols: Seq[String] = Nil)
       (f: => DataFrame): DataFrame = {
     val dir = s"$out/stage_$name"
     val marker = markerPath(out, name)
+    if (Files.exists(marker) && requiredCols.nonEmpty) {
+      val cols = spark.read.parquet(dir).columns.toSet
+      val missing = requiredCols.filterNot(cols.contains)
+      if (missing.nonEmpty) {
+        System.err.println(s"[graft] stage $name was committed by an " +
+          s"older pipeline version (missing ${missing.mkString(", ")}); " +
+          "recomputing")
+        Files.delete(marker)
+      }
+    }
     if (!Files.exists(marker)) {
       val t0 = System.currentTimeMillis()
       f.write.mode(SaveMode.Overwrite).parquet(dir)

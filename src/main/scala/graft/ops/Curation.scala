@@ -186,6 +186,21 @@ object Curation {
 
   // ---- composed curation pipeline ----
 
+  /** The conf every entry point in this repo sets (see curate's
+    * scaladoc); a user embedding the library in their own session can
+    * miss it, and the failure mode is a driver OOM minutes later with
+    * no pointer back to the cause — so the pipeline checks and warns
+    * loudly up front.
+    */
+  private def warnIfConstraintPropagation(df: DataFrame): Unit =
+    if (df.sparkSession.conf
+        .get("spark.sql.constraintPropagation.enabled", "true") == "true")
+      System.err.println(
+        "[graft] WARNING: spark.sql.constraintPropagation.enabled is " +
+          "true; the curation gate's multi-level feature projections " +
+          "make constraint capture exponential (driver OOM at corpus " +
+          "scale). Set it to false — see Curation.curate scaladoc.")
+
   /** The full training-corpus curation chain, one call:
     *
     *   1. quality gate — language identified (drop "und"), token floor,
@@ -231,6 +246,7 @@ object Curation {
     // for the same plan-equality-cache reason as Dedup.canonicalize;
     // curateStaged is the same chain with durable parquet stages
     // instead — the form a resumable 100 TB job runs.
+    warnIfConstraintPropagation(df)
     val gate = gateStage(df, idCol, textCol, minTokens, maxDupLinePpm)
       .localCheckpoint()
     // deboil is NOT checkpointed: exactStage references it twice (thin
@@ -264,11 +280,14 @@ object Curation {
     def guard(done: Int): Unit =
       if (failAfterStage == done)
         throw new RuntimeException(s"injected failure after stage $done")
-    val gate = graft.io.StagedJob.stage(spark, out, "1_gate") {
+    warnIfConstraintPropagation(df)
+    val gate = graft.io.StagedJob.stage(spark, out, "1_gate",
+        requiredCols = Seq(idCol, "lang", "_paras")) {
       gateStage(df, idCol, textCol, minTokens, maxDupLinePpm)
     }
     guard(1)
-    val deboiled = graft.io.StagedJob.stage(spark, out, "2_deboil") {
+    val deboiled = graft.io.StagedJob.stage(spark, out, "2_deboil",
+        requiredCols = Seq(idCol, "lang", "clean_text")) {
       deboilStage(gate, idCol, paraMinDocs)
     }
     guard(2)
@@ -591,7 +610,12 @@ object Curation {
           * (col("_ntot").cast("double") / col("_n").cast("double"))))
       .select(col(strataCol), floor(col("_p") * 10000.0).cast("long")
         .as("keep_slots"))
-    df.join(broadcast(cuts), Seq(strataCol))
+    // null-SAFE join: a null stratum is its own group to groupBy, and
+    // its documents must come back out (an equi-join would silently
+    // drop them — neither kept nor rejected)
+    val cutsR = cuts.withColumnRenamed(strataCol, "_tr_stratum")
+    df.join(broadcast(cutsR), col(strataCol) <=> col("_tr_stratum"), "left")
+      .drop("_tr_stratum")
       .withColumn("kept", hashSlot(col(idCol), salt) < col("keep_slots"))
   }
 
@@ -632,7 +656,13 @@ object Curation {
       floor((lit(pNum.toLong) * (col("_n") - 1L)) / 100L) + 1L
     def pick(pNum: Int): Column =
       max(when(col("_rn") === rankOf(pNum), col("_v")))
+    // null metric values are excluded up front: min/max/sum ignore
+    // nulls anyway, and Spark sorts nulls FIRST while other engines
+    // (DuckDB) sort them LAST — ranking over them would make the
+    // percentiles engine-dependent (or null). n_rows therefore counts
+    // non-null values.
     df.select(col(strataCol), col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
       .withColumn("_rn", row_number().over(w).cast("long"))
       .withColumn("_n", count(lit(1)).over(wAll))
       .groupBy(col(strataCol))
