@@ -163,4 +163,30 @@ class ResumeSpec extends AnyFunSuite {
     assert(graft.io.StagedJob.readRows(resumeDir, "4_neardup")
       .contains(resumed.size.toLong))
   }
+
+  test("staged curation: a stage committed by an older format is recomputed") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"the document $i has words alpha$i beta gamma " +
+        "delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    val dir = Files.createTempDirectory("graft_cur_upgrade").toString
+    // simulate a stage_1_gate committed by the pre-_paras pipeline:
+    // same marker protocol, old column set (id, lang, _red)
+    graft.io.StagedJob.stage(spark, dir, "1_gate") {
+      import org.apache.spark.sql.functions._
+      docs.select(col("id"), lit("en").as("lang"),
+        col("text").as("_red"))
+    }
+    assert(graft.io.StagedJob.committed(dir, "1_gate"))
+    // the current pipeline requires _paras: the stale commit must be
+    // invalidated and recomputed, then the run completes end to end
+    val out = graft.ops.Curation.curateStaged(docs, "id", "text", dir,
+      minTokens = 5, paraMinDocs = 3)
+    val expect = graft.ops.Curation.curate(docs, "id", "text",
+      minTokens = 5, paraMinDocs = 3).count()
+    assert(out.count() === expect && expect > 0)
+    val gate = spark.read.parquet(s"$dir/stage_1_gate")
+    assert(gate.columns.contains("_paras"))
+  }
 }
