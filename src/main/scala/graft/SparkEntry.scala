@@ -31,6 +31,35 @@ object SparkEntry {
     ExtractionPipeline.records(PagesGen.pages(spark, 200, 42, 8))
 
   // ---- shared SQL fragments (DuckDB) ----
+  /** DuckDB cosine over two double-list expressions. */
+  private def cosSql(ae: String, be: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($ae)),
+        i -> $ae[i] * $be[i])) /
+      (sqrt(list_sum(list_transform(generate_series(1, len($ae)),
+        i -> $ae[i] * $ae[i]))) *
+       sqrt(list_sum(list_transform(generate_series(1, len($be)),
+        i -> $be[i] * $be[i]))))"""
+
+  /** Shared IVF CTE chain (q42/q51): v = double embeddings, cents = 16
+    * deterministically sampled centroids, sims = all cosines, cell =
+    * the argmax-cosine assignment (min index on ties — same rule as
+    * SimSearch.ivfCellRanking).
+    */
+  private lazy val ivfCellSqlCtes: String =
+    s"""v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      cents AS (SELECT ci, e FROM (
+        SELECT row_number() OVER (
+            ORDER BY md5(concat(CAST(vec_id AS VARCHAR), ':42')),
+              CAST(vec_id AS VARCHAR)) - 1 AS ci, e
+        FROM v) WHERE ci < 16),
+      sims AS (SELECT v.vec_id, c.ci, ${cosSql("v.e", "c.e")} AS s
+        FROM v CROSS JOIN cents c),
+      cell AS (SELECT vec_id, min(ci) AS cell FROM (
+        SELECT *, max(s) OVER (PARTITION BY vec_id) AS mx FROM sims)
+        WHERE s = mx GROUP BY vec_id)"""
+
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '')"""
   private def tokHashSql(width: Int) =
@@ -780,6 +809,17 @@ object SparkEntry {
         .withColumn("canon_url", Curation.canonicalUrl(col("url")))
         .withColumn("is_rep", row_number().over(w) === 1)
         .orderBy("doc_id")
+    }),
+    // ANN: one exact distributed Lloyd refinement pass over the IVF
+    // coarse quantizer (decimal-exact component sums -> refined
+    // centroid means, the quantizer-training step)
+    "q51_ivf_refine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimSearch.ivfCentroids(emb, "vec_id", "embedding", 16)
+      SimSearch.ivfRefineSums(emb, "embedding", cents)
+        .withColumn("cell", col("cell").cast("long"))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("cell", "pos")
     }),
     // curation: per-language token-count distribution profile (exact
     // rank-based percentiles over thin rows — the monitoring table)
@@ -1736,33 +1776,25 @@ object SparkEntry {
             || ':resample'), 1, 8)) AS BIGINT) % 10000)
             < cut.keep_slots AS kept
         FROM documents d JOIN cut USING (lang) ORDER BY d.doc_id""",
+    "q51_ivf_refine" ->
+      s"""WITH $ivfCellSqlCtes,
+        ex AS (SELECT cl.cell, unnest(vv.e) AS x,
+            unnest(generate_series(1, len(vv.e))) AS gi
+          FROM cell cl JOIN v vv ON vv.vec_id = cl.vec_id),
+        sums AS (SELECT cell, CAST(gi - 1 AS BIGINT) AS pos,
+            COUNT(*) AS n, SUM(CAST(x AS DECIMAL(30,12))) AS s
+          FROM ex GROUP BY 1, 2)
+        SELECT cell, pos, CAST(n AS BIGINT) AS n_vecs,
+          round(CAST(s AS DOUBLE) / n, 6) AS c
+        FROM sums ORDER BY cell, pos""",
     "q42_ann_ivf" -> {
-      def cos(ae: String, be: String): String =
-        s"""list_sum(list_transform(generate_series(1, len($ae)),
-            i -> $ae[i] * $be[i])) /
-          (sqrt(list_sum(list_transform(generate_series(1, len($ae)),
-            i -> $ae[i] * $ae[i]))) *
-           sqrt(list_sum(list_transform(generate_series(1, len($be)),
-            i -> $be[i] * $be[i]))))"""
-      s"""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          FROM embeddings),
-        cents AS (SELECT ci, e FROM (
-          SELECT row_number() OVER (
-              ORDER BY md5(concat(CAST(vec_id AS VARCHAR), ':42')),
-                CAST(vec_id AS VARCHAR)) - 1 AS ci, e
-          FROM v) WHERE ci < 16),
-        sims AS (SELECT v.vec_id, c.ci, ${cos("v.e", "c.e")} AS s
-          FROM v CROSS JOIN cents c),
-        cell AS (SELECT vec_id, min(ci) AS cell FROM (
-          SELECT *, max(s) OVER (PARTITION BY vec_id) AS mx FROM sims)
-          WHERE s = mx GROUP BY vec_id),
+      s"""WITH $ivfCellSqlCtes,
         qp AS (SELECT vec_id AS query_id, ci AS cell FROM (
           SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
             ORDER BY s DESC, ci) AS pr FROM sims WHERE vec_id < 10)
           WHERE pr <= 4),
         sc AS (SELECT qp.query_id, cl.vec_id AS corpus_id,
-          ${cos("vq.e", "vc.e")} AS cosine
+          ${cosSql("vq.e", "vc.e")} AS cosine
           FROM qp JOIN cell cl ON cl.cell = qp.cell
           JOIN v vq ON vq.vec_id = qp.query_id
           JOIN v vc ON vc.vec_id = cl.vec_id

@@ -201,4 +201,53 @@ object SimSearch {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
+
+  /** One Lloyd (k-means) refinement pass over the IVF coarse
+    * quantizer, as a distributed aggregate: assign every corpus vector
+    * to its nearest current centroid, then emit per (cell, component)
+    * the assignment count and the mean — i.e. the refined centroid
+    * components. This is the quantizer-training step a real IVF index
+    * runs between sampling and serving; iterate by feeding
+    * [[centroidsFrom]] back in.
+    *
+    * Determinism at scale: component sums are accumulated in
+    * decimal(30,12) — exact and order-independent — because a double
+    * sum picks up Spark's nondeterministic aggregation order (and
+    * would differ from any oracle engine's order). The mean is the
+    * exact decimal sum cast to double, divided by the count, rounded
+    * to 6 dp (one ulp-insensitive rounding at the very end, same
+    * policy as the cosine queries). Shuffle carries only
+    * (cell, pos, decimal, count) — nCells×dim groups; vectors
+    * themselves never shuffle (the assignment is a map-side argmax
+    * against broadcast-literal centroids).
+    *
+    * Cells with no assigned vectors are absent from the output (keep
+    * their old centroid when iterating — standard empty-cell policy).
+    *
+    * Returns (cell, pos, n_vecs, c) sorted nowhere — caller orders.
+    */
+  def ivfRefineSums(corpus: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame =
+    corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", ivfCell(col("v"), cents))
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("x").cast("decimal(30,12)")).as("_s"))
+      .withColumn("c",
+        round(col("_s").cast("double") / col("n_vecs"), 6))
+      .drop("_s")
+
+  /** Collect a refine pass into centroid vectors; cells that lost all
+    * vectors keep their previous centroid.
+    */
+  def centroidsFrom(sums: DataFrame, prev: Seq[Seq[Double]])
+      : Seq[Seq[Double]] = {
+    val byCell = sums.select("cell", "pos", "c").collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    prev.indices.map(i => byCell.getOrElse(i, prev(i)))
+  }
 }

@@ -579,6 +579,29 @@ class OpsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("p50") === 7L && b.getAs[Long]("p99") === 7L)
   }
 
+  test("ivfRefineSums: exact per-cell component means; empty cells keep prev") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(1.0f, 0.1f)), (1L, Seq(1.0f, 0.3f)),
+      (2L, Seq(0.1f, 1.0f)), (3L, Seq(0.3f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // third centroid attracts nothing (opposite direction)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, -1.0))
+    val out = SimSearch.ivfRefineSums(df, "embedding", cents)
+      .orderBy("cell", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0, 0, 2L, 1.0), (0, 1, 2L, 0.2),
+      (1, 0, 2L, 0.2), (1, 1, 2L, 1.0)))
+    val refined = SimSearch.centroidsFrom(
+      SimSearch.ivfRefineSums(df, "embedding", cents), cents)
+    assert(refined(0) === Seq(1.0, 0.2) && refined(1) === Seq(0.2, 1.0))
+    assert(refined(2) === Seq(-1.0, -1.0), "empty cell keeps its centroid")
+    // stable under repartition (decimal sums are order-exact)
+    val again = SimSearch.ivfRefineSums(df.repartition(3), "embedding",
+      cents).orderBy("cell", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("DocsGen: deterministic, planted structure present, salads distinct") {
     import org.apache.spark.sql.functions.md5
     val a = graft.gen.DocsGen.docs(spark, 300).orderBy("doc_id")
