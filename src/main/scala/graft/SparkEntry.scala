@@ -821,6 +821,12 @@ object SparkEntry {
         .withColumn("pos", col("pos").cast("long"))
         .orderBy("cell", "pos")
     }),
+    // curation: sliding-window passage chunking (embedding/RAG
+    // preprocessing; 64-token windows, 48-token stride)
+    "q52_chunk" -> ((s, d) =>
+      Curation.chunkPassages(t(s, d, "documents"), "doc_id", "text",
+        winTokens = 64, stepTokens = 48)
+        .orderBy("doc_id", "chunk_id")),
     // curation: per-language token-count distribution profile (exact
     // rank-based percentiles over thin rows — the monitoring table)
     "q50_profile" -> ((s, d) =>
@@ -1738,6 +1744,24 @@ object SparkEntry {
           start_tok < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 800
             ELSE 1000 END) AS kept
         FROM c ORDER BY doc_id""",
+    // q52: identical integer window arithmetic; both engines' list
+    // slices are clamp-at-end
+    "q52_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        nc AS (SELECT doc_id, toks,
+          CASE WHEN len(toks) <= 64 THEN 1
+            ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+          FROM t),
+        ex AS (SELECT doc_id, toks,
+          unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+          FROM nc)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          CAST(len(toks[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT)
+            AS n_chunk_tokens,
+          COALESCE(array_to_string(
+            toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' '), '')
+            AS chunk_text
+        FROM ex ORDER BY doc_id, chunk_id""",
     // q50: identical integer rank arithmetic; value-at-rank is
     // deterministic under ties
     "q50_profile" ->

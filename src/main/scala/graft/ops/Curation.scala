@@ -481,6 +481,45 @@ object Curation {
         col("first_seq"), col("last_seq"), col("n_chunks"))
   }
 
+  // ---- passage chunking (embedding / retrieval preprocessing) ----
+
+  /** Sliding-window passage chunking: windows of `size` tokens
+    * advancing by `step` (step < size → overlapping context, the
+    * standard embedding/RAG preprocessing). Chunk count =
+    * max(1, ⌈(n − size)/step⌉ + 1) — a document shorter than one
+    * window yields exactly one chunk, and the last window may be
+    * shorter (it is never dropped: retrieval must cover the tail).
+    *
+    * Pure per-row Columns: tokenize once (materialized), slice per
+    * window — NO shuffle at all; the explode multiplies rows ~n/step×,
+    * which is the intended output (one row per passage to embed).
+    * Integer window arithmetic only, so the DuckDB oracle computes
+    * identical chunk boundaries.
+    *
+    * Returns (idCol, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+      winTokens: Int, stepTokens: Int): DataFrame = {
+    require(winTokens > 0 && stepTokens > 0)
+    val withToks = df.withColumn("_ctoks", Dedup.tokens(col(textCol)))
+    val n = size(col("_ctoks"))
+    // ⌈(n-win)/step⌉ + 1 via integer arithmetic (Column `/` is double
+    // division; floor recovers the exact quotient)
+    val nChunks = when(n <= winTokens, lit(1L)).otherwise(
+      floor((n - lit(winTokens) + lit(stepTokens) - 1).cast("long")
+        / lit(stepTokens.toLong)) + 1L)
+    withToks
+      .select(col(idCol), col("_ctoks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .withColumn("_chunk",
+        slice(col("_ctoks"),
+          (col("chunk_id") * stepTokens + 1L).cast("int"),
+          lit(winTokens)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   // ---- deterministic splits & sampling ----
 
   /** Slot in [0, 10000) from the md5 of id:salt — the

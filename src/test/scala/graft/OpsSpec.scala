@@ -602,6 +602,31 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("chunkPassages: window/stride tiling, short docs, tail coverage") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, mk(10)), (2L, mk(16)), (3L, mk(33)), (4L, ""))
+      .toDF("id", "text")
+    val out = Curation.chunkPassages(df, "id", "text", winTokens = 16,
+      stepTokens = 8).orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // 10 tokens < window -> one chunk of 10
+    assert(out.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 10L, mk(10))))
+    // exactly one window -> one chunk
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 16L, mk(16))))
+    // 33 tokens: ceil((33-16)/8)+1 = 4 chunks; tail covers token 33
+    val c3 = out.filter(_._1 == 3L)
+    assert(c3.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(c3.map(_._3).toSeq === Seq(16L, 16L, 16L, 9L))
+    assert(c3.last._4.endsWith("t33") &&
+      c3.last._4.startsWith("t25"))
+    // every token position appears in some chunk (coverage)
+    assert(c3.flatMap(_._4.split(" ")).toSet.size === 33)
+    // empty text -> one empty chunk
+    assert(out.filter(_._1 == 4L).toSeq === Seq((4L, 0L, 0L, "")))
+  }
+
   test("DocsGen: deterministic, planted structure present, salads distinct") {
     import org.apache.spark.sql.functions.md5
     val a = graft.gen.DocsGen.docs(spark, 300).orderBy("doc_id")
