@@ -64,7 +64,9 @@ object Bench {
       "q12_segment", "q14_minhash", "q15_simhash", "q17_cosine_topk",
       "q20_langid", "q24_sessionize", "q25_salted_agg", "q28_minhash_lsh",
       "q31_route_records", "q32_dedup_cluster", "q22_pipeline_extract",
-      "q38_pii", "q40_para_dedup", "q42_ann_ivf", "q43_curate")
+      "q38_pii", "q40_para_dedup", "q42_ann_ivf", "q43_curate",
+      "q45_decontam", "q47_token_budget", "q48_url_canon",
+      "q49_temp_resample", "q50_profile", "q51_ivf_refine", "q52_chunk")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")
