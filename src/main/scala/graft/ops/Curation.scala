@@ -167,8 +167,12 @@ object Curation {
     val thin = withP
       .select(col(idCol), posexplode(col(parasCol)).as(Seq("_pos", "_para")))
       .select(col(idCol), col("_pos"), md5(col("_para")).as("_ph"))
-    val dup = thin.groupBy(col("_ph"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
+    // skew-safe exact distinct count: a viral paragraph (footer text
+    // shared by a large fraction of the corpus) is the canonical hot
+    // key here — Skew.saltedDistinctCount spreads it over 64 reducers
+    val dup = Skew.saltedDistinctCount(thin, col("_ph"), col(idCol),
+        buckets = 64, out = "_nd")
+      .withColumnRenamed("_k", "_ph")
       .filter(col("_nd") >= minDocs)
       .select(col("_ph"))
     val dropPos = thin.join(dup, "_ph")

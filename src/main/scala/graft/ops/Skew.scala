@@ -33,6 +33,21 @@ object Skew {
       .agg(sum(col("_partial")).as(out), sum(col("_pn")).as(s"${out}_n"))
   }
 
+  /** EXACT distinct-id count per key under hot keys: salt by a hash of
+    * the id ITSELF, so every distinct id lands in exactly one
+    * (key, salt) bucket and the per-bucket distinct counts SUM exactly
+    * (unlike a random salt, which would double-count ids split across
+    * buckets). A viral key — one boilerplate paragraph shared by 10^9
+    * documents — spreads its distinct-count work over `buckets`
+    * reducers instead of melting one. Output: (_k, `out`).
+    */
+  def saltedDistinctCount(df: DataFrame, key: Column, id: Column,
+      buckets: Int, out: String): DataFrame =
+    df.groupBy(key.as("_k"), pmod(xxhash64(id), lit(buckets)).as("_b"))
+      .agg(countDistinct(id).as("_d"))
+      .groupBy(col("_k"))
+      .agg(sum(col("_d")).as(out))
+
   /** Host extraction from a url (for host-level skew statistics). */
   def hostOf(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/]+)/", 1)

@@ -602,6 +602,21 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("saltedDistinctCount: exact under a hot key, equals countDistinct") {
+    import spark.implicits._
+    // one viral key with 5000 rows over 900 distinct ids + long tail
+    val rows = (0 until 5000).map(i => ("viral", (i % 900).toLong)) ++
+      (0 until 200).map(i => (s"k$i", i.toLong))
+    val df = rows.toDF("key", "id").repartition(7)
+    val got = graft.ops.Skew.saltedDistinctCount(df, col("key"),
+      col("id"), buckets = 16, out = "nd")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = df.groupBy("key").agg(countDistinct(col("id")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    assert(got("viral") === 900L)
+  }
+
   test("chunkPassages: window/stride tiling, short docs, tail coverage") {
     import spark.implicits._
     val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
