@@ -139,6 +139,50 @@ object StreamingPipeline {
       .select(col(idCol), col(tsCol), col("lang"), col("red_text"))
   }
 
+  /** Streaming benchmark decontamination: flag incoming documents that
+    * share word n-grams with a STATIC eval corpus — a stream-static
+    * join, the Structured Streaming shape for "check the live ingest
+    * against a fixed reference table". The benchmark side reduces to
+    * distinct 8-byte gram hashes exactly as the batch operator does
+    * (Curation.contaminationStats) and is joined per micro-batch; at
+    * scale Spark broadcasts it once per batch, so the stream is never
+    * shuffled.
+    *
+    * The doc's gram hashes explode into a thin (id, ts, hash) frame,
+    * left-join the benchmark, and re-aggregate per (id, ts) — the
+    * watermark bounds the streaming aggregation state. (Folding the
+    * membership test into a per-row Column would need the benchmark as
+    * a literal array — fine for toy sets, not for a real eval suite;
+    * the join form scales with the benchmark.)
+    *
+    * Returns (idCol, tsCol, n_hit) in update mode semantics; compose
+    * with a `n_hit === 0` filter for strict scrubbing.
+    */
+  def decontamStream(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, benchTextCol: String, tsCol: String = "ts",
+      n: Int = 8, watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.ops.Dedup
+    val benchGrams = bench
+      .withColumn("_btoks", Dedup.tokens(col(benchTextCol)))
+      .select(explode(filter(Dedup.shinglesOf(col("_btoks"), n),
+        g => length(g) > 0)).as("_g"))
+      .select(Dedup.tokHash(col("_g")).as("_gh"))
+      .distinct()
+    val thin = docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("_toks", Dedup.tokens(col(textCol)))
+      .select(col(idCol), col(tsCol),
+        explode_outer(transform(
+          filter(Dedup.shinglesOf(col("_toks"), n), g => length(g) > 0),
+          g => Dedup.tokHash(g))).as("_gh"))
+    thin
+      .join(broadcast(benchGrams.withColumnRenamed("_gh", "_bh")),
+        col("_gh") === col("_bh"), "left")
+      .groupBy(col(idCol), col(tsCol))
+      .agg(sum(when(col("_bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+  }
+
   /** Convenience: run a streaming query to completion over a bounded
     * source (test/demo helper).
     */

@@ -101,6 +101,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Seq(1L, 2L, 5L))
   }
 
+  test("stream-static decontamination flags planted benchmark overlap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchPhrase = "one two three four five six seven eight"
+    val bench = Seq(s"item about $benchPhrase indeed").toDF("btext")
+    val clean = (1 to 12).map(i => s"w$i").mkString(" ")
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingPipeline.decontamStream(df, bench, "doc_id", "text",
+        "btext")
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode(OutputMode.Update).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData(
+      (ts(1), 1L, clean),
+      (ts(1), 2L, s"prefix text then $benchPhrase and more"),
+      (ts(2), 3L, ""))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("decontam_out")
+      .select("doc_id", "n_hit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(1L) === 0L, "clean doc has no benchmark grams")
+    assert(hits(2L) >= 1L, "planted 8-gram overlap is flagged")
+    assert(hits(3L) === 0L, "empty doc passes with zero hits")
+    // streaming verdicts match the batch operator on the same data
+    val batch = graft.ops.Curation.contaminationStats(
+      Seq((1L, clean), (2L, s"prefix text then $benchPhrase and more"),
+        (3L, "")).toDF("doc_id", "text"),
+      bench, "doc_id", "text", "btext", n = 8)
+      .select("doc_id", "n_hit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits === batch)
+  }
+
   test("curation gate stream: gate + redact + exact-dedup on a live feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
