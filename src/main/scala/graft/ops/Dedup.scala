@@ -119,7 +119,7 @@ object Dedup {
   /** Banded (band, bucket) signature table shared by minhashLshPairs
     * and the big-bucket accounting.
     */
-  private def bandedSignatures(df: DataFrame, idCol: String,
+  private[graft] def bandedSignatures(df: DataFrame, idCol: String,
       textCol: String, k: Int, bands: Int, seed: Long,
       shingleN: Int): DataFrame = {
     val rowsPerBand = k / bands

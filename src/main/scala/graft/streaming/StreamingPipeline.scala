@@ -183,6 +183,95 @@ object StreamingPipeline {
       .agg(sum(when(col("_bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
   }
 
+  /** Streaming NEAR-dup detection — the online counterpart of the
+    * batch MinHash-LSH dedup, with keyed state instead of a self-join:
+    * arrivals are minhash-signed (pure Columns, no UDFs), exploded to
+    * their (band, bucket) LSH keys, and each bucket's group keeps the
+    * signatures of the SURVIVORS seen so far in flatMapGroupsWithState;
+    * an arrival whose estimated Jaccard vs any stored survivor ≥
+    * `minEstJaccard` is flagged with that survivor's id (first-seen
+    * survivor wins, matching the batch min-id canonical when docs
+    * arrive in id order).
+    *
+    * Bounded-state contract (the 100 TB requirement): at most
+    * `maxState` survivor signatures per bucket (oldest dropped — the
+    * streaming analogue of the batch `maxBucket` guard), and buckets
+    * idle past the event-time watermark + `stateRetentionMs` are
+    * evicted — the same watermark retention contract as dedupStream.
+    * (Event-time, NOT processing-time, timeouts: processing-time
+    * timers make the engine trigger continuous no-data batches to
+    * check them, which livelocks processAllAvailable and burns a core
+    * re-planning an idle stream.)
+    *
+    * Emits one verdict row PER BAND: (band, doc_id, dup_of nullable).
+    * A document is a near-dup when ANY band flagged it — fold
+    * downstream (e.g. per micro-batch: groupBy(doc_id).agg(min over
+    * non-null dup_of)). Chains (a~b, b~c but a≁c) differ from the
+    * batch connected-component fold by design: streaming compares
+    * against survivors only — the standard online-dedup semantics.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String = "ts", k: Int = 16, bands: Int = 8,
+      seed: Long = 42L, shingleN: Int = 3, minEstJaccard: Double = 0.5,
+      maxState: Int = 64, watermarkDelay: String = "10 minutes",
+      stateRetentionMs: Long = 10L * 60 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import graft.ops.Dedup
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val rowsPerBand = k / bands
+    val banded = Dedup.withMinhash(
+        docs.select(col(idCol).cast("long").as("_id"),
+          col(tsCol).cast("timestamp").as("_ts"), col(textCol).as("_t")),
+        col("_t"), k, seed, shingleN)
+      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
+      .withWatermark("_ts", watermarkDelay)
+      .select(col("_id"), col("_ts"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", transform(
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              x => x.cast("string")))).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("_id"), col("_ts"), col("sig"), col("bb.band"),
+        col("bb.bucket"))
+      .as[(Long, java.sql.Timestamp, Seq[Long], Int, String)]
+    def est(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / k
+    banded
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], (Int, Long, Option[Long])](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var survivors = state.getOption.getOrElse(Nil)
+            // sort within the micro-batch for a deterministic verdict
+            // order (group iterators are unordered)
+            val rows = it.toSeq.sortBy(_._1)
+            val out = rows.map { case (id, _, sig, _, _) =>
+              val hit = survivors.reverseIterator
+                .find { case (_, s) => est(sig, s) >= minEstJaccard }
+              if (hit.isEmpty)
+                survivors = ((id, sig) :: survivors).take(maxState)
+              (band, id, hit.map(_._1))
+            }
+            state.update(survivors)
+            // retention anchored on the batch's max EVENT time, not the
+            // current watermark: the watermark lags a batch behind, and
+            // watermark(after batch) can already exceed
+            // watermark(before) + retention — which would evict the
+            // bucket immediately after its first batch
+            val maxTs = rows.iterator.map(_._2.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + stateRetentionMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("band", "doc_id", "dup_of")
+  }
+
   /** Convenience: run a streaming query to completion over a bounded
     * source (test/demo helper).
     */

@@ -136,6 +136,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits === batch)
   }
 
+  test("stateful streaming near-dup: LSH bucket state flags later arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "again and again and once more for good measure"
+    def doc(tail: String) = s"$base $tail"
+    def distinct(i: Int) = (1 to 18).map(j => s"u${i}x$j").mkString(" ")
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingPipeline.nearDupCandidatesStream(df, "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((ts(1), 1L, doc("alpha")), (ts(1), 2L, doc("beta")),
+      (ts(1), 3L, distinct(3)))
+    q.processAllAvailable()
+    // a later micro-batch still sees doc 1's signatures in state
+    stream.addData((ts(2), 4L, doc("gamma")), (ts(2), 5L, distinct(5)))
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions.{col, min}
+    val verdicts = spark.table("neardup_out")
+      .groupBy("doc_id")
+      .agg(min(col("dup_of")).as("dup_of"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(verdicts(1L).isEmpty, "first arrival is the survivor")
+    assert(verdicts(2L).contains(1L), "same-batch near-dup flagged")
+    assert(verdicts(3L).isEmpty)
+    assert(verdicts(4L).contains(1L), "cross-batch near-dup flagged via state")
+    assert(verdicts(5L).isEmpty)
+  }
+
   test("curation gate stream: gate + redact + exact-dedup on a live feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
