@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   spark-submit --class graft.CurateApp <jar> \
-  *     --input <documents parquet> --output <dir> \
+  *     --input <documents parquet | pages:<pages parquet> | pages:synth:N> \
+  *     --output <dir> \
   *     [--id doc_id] [--text text] [--min-tokens 10] [--para-min-docs 3] \
   *     [--resample-keep 0.5 [--resample-alpha 0.5]] [--seq-len 2048 [--shards 64]]
+  *
+  * The `pages:` input forms run the HTML boilerplate-strip extraction
+  * front end first (ExtractionPipeline.pageTexts) and curate its
+  * main_text — raw crawl HTML → curated, packed training sequences in
+  * one submit.
   *
   * Runs Curation.curateStaged (4 stage-checkpointed corpus-global
   * stages; a killed run resumes from the first uncommitted stage), then
@@ -49,20 +55,34 @@ object CurateApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(input)
+    val (docs, idCol0, textCol0) =
+      if (input.startsWith("pages:")) {
+        import spark.implicits._
+        val src = input.stripPrefix("pages:")
+        val pages =
+          if (src.startsWith("synth:"))
+            graft.gen.PagesGen.pages(spark, src.stripPrefix("synth:").toLong)
+          else spark.read.parquet(src).as[graft.model.Page]
+        // extraction front end: boilerplate-stripped main text; doc id
+        // = the portable 32-bit url hash (stable, engine-reproducible)
+        val texts = graft.pipeline.ExtractionPipeline.pageTexts(pages)
+          .select(graft.functions.Md5Prefix32(col("url")).as("doc_id"),
+            col("lang"), col("main_text").as("text"))
+        (texts.toDF(), "doc_id", "text")
+      } else (spark.read.parquet(input), idCol, textCol)
     val t0 = System.nanoTime()
-    val curated = Curation.curateStaged(docs, idCol, textCol, output,
+    val curated = Curation.curateStaged(docs, idCol0, textCol0, output,
       minTokens = opts.getOrElse("min-tokens", "10").toInt,
       paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt)
     val resampled = opts.get("resample-keep") match {
-      case Some(f) => Curation.temperatureResample(curated, idCol, "lang",
+      case Some(f) => Curation.temperatureResample(curated, idCol0, "lang",
           alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
           keepFraction = f.toDouble)
         .filter(col("kept")).drop("keep_slots", "kept")
       case None => curated
     }
     resampled
-      .withColumn("split", Curation.hashSplit(col(idCol),
+      .withColumn("split", Curation.hashSplit(col(idCol0),
         Seq("train" -> 8, "val" -> 1, "test" -> 1)))
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$output/curated")
@@ -70,7 +90,7 @@ object CurateApp {
       Curation.packSequences(
         spark.read.parquet(s"$output/curated")
           .filter(col("split") === "train"),
-        idCol, "clean_text", seqLen = sl.toInt,
+        idCol0, "clean_text", seqLen = sl.toInt,
         shards = opts.getOrElse("shards", "64").toInt)
         .write.mode("overwrite").parquet(s"$output/packed")
       spark.read.parquet(s"$output/packed").count()
