@@ -821,6 +821,11 @@ object SparkEntry {
         .withColumn("pos", col("pos").cast("long"))
         .orderBy("cell", "pos")
     }),
+    // curation: corpus token document frequencies + per-doc rare-token
+    // ratio (OOV/garble profiling; text never shuffles, hashes do)
+    "q53_token_df" -> ((s, d) =>
+      Curation.tokenDfStats(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // curation: sliding-window passage chunking (embedding/RAG
     // preprocessing; 64-token windows, 48-token stride)
     "q52_chunk" -> ((s, d) =>
@@ -1744,6 +1749,21 @@ object SparkEntry {
           start_tok < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 800
             ELSE 1000 END) AS kept
         FROM c ORDER BY doc_id""",
+    // q53: same md5-prefix token hash both sides, so even
+    // hash-collision merges reproduce
+    "q53_token_df" ->
+      s"""WITH thin AS (SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS th
+          FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS tk
+            FROM documents)),
+        dft AS (SELECT th, COUNT(*) AS df FROM thin GROUP BY th)
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+          CAST(SUM(df) AS BIGINT) AS sum_df,
+          CAST(CASE WHEN COUNT(*) > 0
+            THEN (SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) * 1000000)
+              // COUNT(*) ELSE 0 END AS BIGINT) AS rare_ppm
+        FROM thin t JOIN dft USING (th)
+        GROUP BY t.doc_id ORDER BY t.doc_id""",
     // q52: identical integer window arithmetic; both engines' list
     // slices are clamp-at-end
     "q52_chunk" ->

@@ -485,6 +485,44 @@ object Curation {
         col("first_seq"), col("last_seq"), col("n_chunks"))
   }
 
+  // ---- corpus token statistics (rarity / OOV profiling) ----
+
+  /** Corpus-global token document frequencies joined back per document:
+    * `n_distinct_tokens`, `sum_df` (Σ over the doc's distinct tokens of
+    * the number of docs containing that token) and `rare_ppm` (integer
+    * ppm of distinct tokens appearing in ≤ `rareMaxDf` documents) — the
+    * rare-token/OOV-ratio quality signal a corpus profile feeds on
+    * (high rare fraction ⇒ garbled text, boilerplate code, or a
+    * language the corpus barely covers).
+    *
+    * Scale shape: documents explode to thin (id, tokenHash) rows —
+    * 8-byte hashes, text never shuffles; the DF table is a partial-agg
+    * groupBy on the hash; the join back re-aggregates per id. All
+    * counters integer-exact (no float agg-order noise), and the token
+    * hash is the engine-portable md5 prefix, so the DuckDB oracle
+    * reproduces every value including hash-collision merges.
+    */
+  def tokenDfStats(df: DataFrame, idCol: String, textCol: String,
+      rareMaxDf: Int = 2): DataFrame = {
+    val thin = df
+      .withColumn("_dtoks", array_distinct(Dedup.tokens(col(textCol))))
+      .select(col(idCol), explode(col("_dtoks")).as("_t"))
+      .select(col(idCol), Dedup.tokHash(col("_t")).as("_th"))
+      .distinct() // hash collisions inside one doc collapse, like SQL
+    val dfTable = thin.groupBy(col("_th"))
+      .agg(count(lit(1)).as("_df"))
+    thin.join(dfTable, "_th")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(col("_df")).as("sum_df"),
+        sum(when(col("_df") <= rareMaxDf, 1L).otherwise(0L)).as("_nr"))
+      .withColumn("rare_ppm",
+        when(col("n_distinct_tokens") > 0,
+          (col("_nr") * 1000000L) / col("n_distinct_tokens"))
+          .otherwise(lit(0L)).cast("long"))
+      .drop("_nr")
+  }
+
   // ---- passage chunking (embedding / retrieval preprocessing) ----
 
   /** Sliding-window passage chunking: windows of `size` tokens

@@ -617,6 +617,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got("viral") === 900L)
   }
 
+  test("tokenDfStats: document frequencies and rare-token ratio") {
+    import spark.implicits._
+    // "common" in all 3 docs; "pair" in 2; each doc one unique token
+    val df = Seq((1L, "common pair only1"), (2L, "common pair only2"),
+      (3L, "common only3 only3")).toDF("id", "text")
+    val out = Curation.tokenDfStats(df, "id", "text", rareMaxDf = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: tokens common(df3) pair(df2) only1(df1) -> sum 6, rare 2/3
+    assert(out(0) === ((1L, 3L, 6L, 666666L)))
+    assert(out(1) === ((2L, 3L, 6L, 666666L)))
+    // doc3: common(3) only3(1) -> distinct 2, sum 4, rare 1/2
+    assert(out(2) === ((3L, 2L, 4L, 500000L)))
+  }
+
   test("chunkPassages: window/stride tiling, short docs, tail coverage") {
     import spark.implicits._
     val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
