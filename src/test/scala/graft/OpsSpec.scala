@@ -700,6 +700,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq === cases.map(_._2))
   }
 
+  test("canonicalUrl is idempotent over a combinatorial messy-URL corpus") {
+    import spark.implicits._
+    val urls = for {
+      scheme <- Seq("http://", "HTTPS://", "ftp://", "")
+      host <- Seq("Example.COM", "sub.Example.com:443", "h.io:8080")
+      path <- Seq("", "/A/b", "/x%20y/")
+      query <- Seq("", "?utm_source=a", "?b=2&a=1&fbclid=x", "?ref&z")
+      frag <- Seq("", "#Sec")
+    } yield s"$scheme$host$path$query$frag"
+    val df = urls.toDF("u")
+      .withColumn("c1", Curation.canonicalUrl(col("u")))
+    val bad = df.withColumn("c2", Curation.canonicalUrl(col("c1")))
+      .filter(col("c1") =!= col("c2"))
+      .collect()
+    assert(bad.isEmpty, s"non-idempotent: ${bad.take(3).mkString(";")}")
+    assert(urls.size === 288)
+  }
+
   test("hostOf extracts the authority; garbage yields empty") {
     import spark.implicits._
     val df = Seq("https://a.b.example.com/x?q=1", "ftp://h0st:8080/p",
