@@ -108,6 +108,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("extraction pipeline: no shuffle carries raw html or page text") {
+    withPlainPlan {
+      val pages = graft.gen.PagesGen.pages(spark, 50, 42, 2)
+      val out = graft.pipeline.ExtractionPipeline.records(pages,
+        partitions = 0) // partitions=0: no input repartition, so any
+                        // html in a shuffle would be a pipeline leak
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty, "expected the segmentation window shuffle")
+      shuffles.foreach { s =>
+        assert(!s.contains("html") && !s.contains("page_md") &&
+          !s.contains("main_text"), s"page bytes shuffled: $s")
+      }
+    }
+  }
+
   test("dropDuplicatedParagraphsFromParas: hash branch shuffles thin rows") {
     withPlainPlan {
       val withP = docs.withColumn("_paras",
