@@ -42,6 +42,11 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("SQL registration works") {
+    // the config-driven twin of register(): applying the extensions
+    // class to a fresh SparkSessionExtensions must inject cleanly
+    // (resolution through a real session is covered by register below,
+    // which shares the expression constructors)
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT isin_valid('US0378331005'), md5_prefix32('hello')").collect()(0)
