@@ -821,6 +821,10 @@ object SparkEntry {
         .withColumn("pos", col("pos").cast("long"))
         .orderBy("cell", "pos")
     }),
+    // curation: top-50 word 2-grams by document frequency (vocabulary
+    // induction / boilerplate-phrase report; deterministic tie-break)
+    "q54_vocab" -> ((s, d) =>
+      Curation.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50)),
     // curation: corpus token document frequencies + per-doc rare-token
     // ratio (OOV/garble profiling; text never shuffles, hashes do)
     "q53_token_df" -> ((s, d) =>
@@ -1749,6 +1753,12 @@ object SparkEntry {
           start_tok < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 800
             ELSE 1000 END) AS kept
         FROM c ORDER BY doc_id""",
+    // q54: same distinct-shingle unit as the dedup family
+    "q54_vocab" ->
+      s"""SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+          SELECT doc_id, unnest(${shingleSql(2)}) AS gram
+          FROM documents)
+        GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 50""",
     // q53: same md5-prefix token hash both sides, so even
     // hash-collision merges reproduce
     "q53_token_df" ->

@@ -523,6 +523,29 @@ object Curation {
       .drop("_nr")
   }
 
+  /** Corpus top-k word n-grams by document frequency — the vocabulary
+    * induction / merge-candidate table a tokenizer-training pipeline
+    * starts from (and the "most common boilerplate phrases" report).
+    * Count unit = documents containing the gram (not occurrences):
+    * dedup per doc via the distinct shingle set, so one spammy page
+    * cannot dominate the vocabulary.
+    *
+    * Scale shape: per-doc distinct grams explode (gram strings are
+    * short; the corpus text itself never shuffles), partial-agg
+    * groupBy, then a global top-k (TakeOrdered — no full sort). Ties
+    * break by gram ascending, so the table is deterministic.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2,
+      k: Int = 50): DataFrame = {
+    val grams = filter(Dedup.shinglesOf(Dedup.tokens(col(textCol)), n),
+      g => length(g) > 0)
+    df.select(explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
+  }
+
   // ---- passage chunking (embedding / retrieval preprocessing) ----
 
   /** Sliding-window passage chunking: windows of `size` tokens

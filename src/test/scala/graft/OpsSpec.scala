@@ -617,6 +617,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got("viral") === 900L)
   }
 
+  test("topNgrams: per-doc dedup, deterministic tie-break, top-k cut") {
+    import spark.implicits._
+    // "a b" in 3 docs (doc 3 repeats it -- counted once); "c d" in 2
+    val df = Seq((1L, "a b x"), (2L, "a b y"), (3L, "a b q a b"),
+      (4L, "c d z"), (5L, "c d w")).toDF("id", "text")
+    val out = Curation.topNgrams(df, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out(0) === (("a b", 3L)))
+    assert(out(1) === (("c d", 2L)))
+    // third place is a df=1 gram; ties break by gram ascending
+    assert(out(2)._2 === 1L && out.length === 3)
+  }
+
   test("tokenDfStats: document frequencies and rare-token ratio") {
     import spark.implicits._
     // "common" in all 3 docs; "pair" in 2; each doc one unique token
