@@ -66,7 +66,8 @@ object Bench {
       "q31_route_records", "q32_dedup_cluster", "q22_pipeline_extract",
       "q38_pii", "q40_para_dedup", "q42_ann_ivf", "q43_curate",
       "q45_decontam", "q47_token_budget", "q48_url_canon",
-      "q49_temp_resample", "q50_profile", "q51_ivf_refine", "q52_chunk")
+      "q49_temp_resample", "q50_profile", "q51_ivf_refine", "q52_chunk",
+      "q53_token_df", "q54_vocab")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

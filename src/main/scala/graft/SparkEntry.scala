@@ -824,7 +824,8 @@ object SparkEntry {
     // curation: top-50 word 2-grams by document frequency (vocabulary
     // induction / boilerplate-phrase report; deterministic tie-break)
     "q54_vocab" -> ((s, d) =>
-      Curation.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50)),
+      Curation.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50,
+        hashPrefilter = true)),
     // curation: corpus token document frequencies + per-doc rare-token
     // ratio (OOV/garble profiling; text never shuffles, hashes do)
     "q53_token_df" -> ((s, d) =>

@@ -528,22 +528,64 @@ object Curation {
     * starts from (and the "most common boilerplate phrases" report).
     * Count unit = documents containing the gram (not occurrences):
     * dedup per doc via the distinct shingle set, so one spammy page
-    * cannot dominate the vocabulary.
+    * cannot dominate the vocabulary. Ties break by gram ascending, so
+    * the table is deterministic.
     *
-    * Scale shape: per-doc distinct grams explode (gram strings are
-    * short; the corpus text itself never shuffles), partial-agg
-    * groupBy, then a global top-k (TakeOrdered — no full sort). Ties
-    * break by gram ascending, so the table is deterministic.
+    * Two plans, identical results:
+    *  - hashPrefilter=false: per-doc distinct gram STRINGS explode →
+    *    partial-agg groupBy → global top-k (TakeOrdered). Simple, but
+    *    materializes and shuffles every distinct gram string in the
+    *    corpus.
+    *  - hashPrefilter=true (the 100 TB shape): phase 1 counts 8-byte
+    *    xxhash64 gram hashes — gram strings stay map-side, only hashes
+    *    shuffle — and keeps the top k·margin candidate hashes
+    *    (collisions only inflate a hash's count, so every true top-k
+    *    gram's hash survives the cut unless > k·(margin−1) hashes tie
+    *    past it); phase 2 rebuilds strings ONLY at positions whose
+    *    hash is in the broadcast candidate set and recounts them
+    *    exactly, making collisions and the prefilter margin harmless.
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int = 2,
-      k: Int = 50): DataFrame = {
-    val grams = filter(Dedup.shinglesOf(Dedup.tokens(col(textCol)), n),
-      g => length(g) > 0)
-    df.select(explode(grams).as("gram"))
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("gram"))
-      .limit(k)
+      k: Int = 50, hashPrefilter: Boolean = false,
+      margin: Int = 4): DataFrame = {
+    if (!hashPrefilter) {
+      val grams = filter(Dedup.shinglesOf(Dedup.tokens(col(textCol)), n),
+        g => length(g) > 0)
+      df.select(explode(grams).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(k)
+    } else {
+      // shared position/string builders so both phases see the same
+      // gram set (incl. the sub-n gram a short doc produces)
+      val withToks = df
+        .withColumn("_vtoks", Dedup.tokens(col(textCol)))
+        .withColumn("_vpos",
+          sequence(lit(1), greatest(size(col("_vtoks")) - (n - 1), lit(1))))
+      def gramAt(i: Column): Column =
+        array_join(slice(col("_vtoks"), i, lit(n)), " ")
+      // per-doc distinct non-empty gram strings as (pos kept by first
+      // occurrence isn't needed — hash the string for exact parity
+      // with the string path, xxhash64(str) is one native call)
+      val gramArr = array_distinct(filter(
+        transform(col("_vpos"), i => gramAt(i)), g => length(g) > 0))
+      val hashed = withToks.withColumn("_vgrams", gramArr)
+      val cand = hashed
+        .select(explode(transform(col("_vgrams"), g => xxhash64(g)))
+          .as("_gh"))
+        .groupBy(col("_gh")).agg(count(lit(1)).as("_hc"))
+        .orderBy(col("_hc").desc, col("_gh"))
+        .limit(k * margin)
+        .select("_gh").collect().map(_.getLong(0))
+      hashed
+        .select(explode(filter(col("_vgrams"),
+          g => xxhash64(g).isin(cand.toIndexedSeq: _*))).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(k)
+    }
   }
 
   // ---- passage chunking (embedding / retrieval preprocessing) ----

@@ -628,6 +628,11 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1) === (("c d", 2L)))
     // third place is a df=1 gram; ties break by gram ascending
     assert(out(2)._2 === 1L && out.length === 3)
+    // the hash-prefiltered scale path returns the identical table
+    val pre = Curation.topNgrams(df, "text", n = 2, k = 3,
+      hashPrefilter = true).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(pre.toSeq === out.toSeq)
   }
 
   test("tokenDfStats: document frequencies and rare-token ratio") {
