@@ -861,8 +861,54 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("host")
+    }),
+    // curation: corpus-level exact-substring scrub — tokens covered by
+    // a cross-document duplicated word 8-gram are removed (Lee et al.
+    // 2022 at n-gram granularity). Two boilerplate sentences are
+    // PLANTED (appended for doc_id%7==2, prepended for %13==5); the
+    // word-salad context makes boundary-straddling grams unique, so
+    // the expected removal is exactly the planted spans.
+    "q55_span_dedup" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val aug = concat_ws(" ",
+        when(pmod(did, lit(13)) === 5, lit(PlantCookie)),
+        col("text"),
+        when(pmod(did, lit(7)) === 2, lit(PlantSubscribe)))
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        aug.as("text"))
+      Curation.dropDuplicatedSpans(docs, "doc_id", "text",
+        n = 8, minDocs = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("removed_ppm"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+    // curation: within-document repeated-line removal (first occurrence
+    // kept) — the intra-doc half of a RefinedWeb-style line dedup.
+    // Nav/cookie lines are planted to repeat inside the synthesized doc.
+    "q56_line_dedup" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val nav = lit("home about contact navigation")
+      val aug = concat_ws("\n",
+        nav,
+        substring(col("text"), 1, 80),
+        when(pmod(did, lit(3)) === 0, nav),
+        substring(col("text"), 81, 80),
+        when(pmod(did, lit(4)) === 1, lit("accept cookies")),
+        when(pmod(did, lit(4)) === 1, lit("accept cookies")))
+      Curation.dedupLinesWithinDoc(
+        t(s, d, "documents").select(col("doc_id"), aug.as("text")),
+        "text")
+        .select(col("doc_id"), col("n_lines"), col("n_line_dupes"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Boilerplate sentences planted by q55 (shared with its oracle). */
+  private val PlantSubscribe = "please subscribe to our channel " +
+    "newsletter and enable notifications today thank you"
+  private val PlantCookie = "this website uses cookies to improve " +
+    "your experience accept all cookies to continue"
 
   // ---- DuckDB oracles ----
 
@@ -1949,6 +1995,65 @@ object SparkEntry {
             AS BIGINT) AS total_tokens,
           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
           CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM u GROUP BY 1 ORDER BY 1"""
+        FROM u GROUP BY 1 ORDER BY 1""",
+    // q55: same planted spans, same 8-gram unit and md5-prefix hash as
+    // the Spark side; covered-token mask recomputed with list lambdas
+    "q55_span_dedup" ->
+      s"""WITH corpus AS (SELECT doc_id,
+          (CASE WHEN CAST(doc_id AS BIGINT) % 13 = 5
+            THEN '$PlantCookie ' ELSE '' END) || text ||
+          (CASE WHEN CAST(doc_id AS BIGINT) % 7 = 2
+            THEN ' $PlantSubscribe' ELSE '' END) AS text
+          FROM documents),
+        t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+        g AS (SELECT doc_id, i - 1 AS pos,
+            CAST(('0x' || substr(md5(array_to_string(toks[i : i + 7],
+              ' ')), 1, 8)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 7)) AS i
+            FROM t WHERE len(toks) >= 8)),
+        dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS c
+            FROM g GROUP BY gh) WHERE c >= 2),
+        fp AS (SELECT doc_id, list(pos) AS fps
+          FROM g JOIN dup USING (gh) GROUP BY doc_id),
+        k AS (SELECT t.doc_id, toks,
+            list_filter(range(0, len(toks)), j -> len(list_filter(
+              coalesce(fps, CAST([] AS BIGINT[])),
+              p -> p <= j AND j < p + 8)) = 0) AS keep
+          FROM t LEFT JOIN fp ON t.doc_id = fp.doc_id)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(toks) - len(keep) AS BIGINT) AS n_removed,
+          CAST(CASE WHEN len(toks) > 0
+            THEN ((len(toks) - len(keep)) * 1000000) // len(toks)
+            ELSE 0 END AS BIGINT) AS removed_ppm,
+          md5(coalesce(array_to_string(list_transform(keep,
+            j -> toks[j + 1]), ' '), '')) AS clean_md5
+        FROM k ORDER BY doc_id""",
+    // q56: identical synthesized lines; keep = first occurrence of the
+    // trimmed line (1-based list_position == own position)
+    "q56_line_dedup" ->
+      """WITH aug AS (SELECT doc_id,
+          'home about contact navigation' || chr(10) ||
+          substr(text, 1, 80) || chr(10) ||
+          (CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+            THEN 'home about contact navigation' || chr(10)
+            ELSE '' END) ||
+          substr(text, 81, 80) ||
+          (CASE WHEN CAST(doc_id AS BIGINT) % 4 = 1
+            THEN chr(10) || 'accept cookies' || chr(10) ||
+              'accept cookies' ELSE '' END) AS text
+          FROM documents),
+        lx AS (SELECT doc_id, list_filter(list_transform(
+            string_split(text, chr(10)), x -> trim(x)), x -> x != '')
+            AS lines FROM aug),
+        k AS (SELECT doc_id, lines,
+            list_filter(range(0, len(lines)),
+              i -> list_position(lines, lines[i + 1]) = i + 1) AS keep
+          FROM lx)
+        SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(lines) - len(keep) AS BIGINT) AS n_line_dupes,
+          md5(coalesce(array_to_string(list_transform(keep,
+            i -> lines[i + 1]), chr(10)), '')) AS clean_md5
+        FROM k ORDER BY doc_id"""
   )
 }

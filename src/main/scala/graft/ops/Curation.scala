@@ -188,6 +188,97 @@ object Curation {
       .drop("_drop", "clean_paras")
   }
 
+  // ---- exact-substring scrub (duplicated n-gram span removal) ----
+
+  /** Remove every token covered by a word n-gram occurring in
+    * >= `minDocs` distinct documents — the corpus-level exact-substring
+    * scrub (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"), relaxed from suffix-array substrings to
+    * n-gram granularity: any duplicated run of >= n tokens is the union
+    * of duplicated n-grams, so the scrub removes exactly the tokens
+    * inside cross-document repeated spans while grams straddling a
+    * span boundary stay unique and keep the surrounding text intact.
+    * This is the standard scalable relaxation — a distributed suffix
+    * array orders 100 TB of text globally; gram hashing is one narrow
+    * pass.
+    *
+    * Scale shape mirrors [[dropDuplicatedParagraphs]]: gram hashes are
+    * computed in the same per-row projection that explodes them, so
+    * only thin (id, pos, hash) rows shuffle — text never moves; the
+    * duplicated-gram table is a skew-salted distinct-doc count (a
+    * viral boilerplate sentence is the canonical hot key); per-doc
+    * flagged-start sets rejoin on id and the covered-token mask is
+    * pure per-row array arithmetic.
+    *
+    * Returns the input plus `n_tokens`, `n_removed`, `removed_ppm`
+    * (integer ppm) and `clean_text`.
+    */
+  def dropDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs > 1)
+    val withT = df.withColumn("_stoks", Dedup.tokens(col(textCol)))
+    val len = size(col("_stoks"))
+    // 0-based gram start positions; a doc shorter than n has none
+    val posSeq = when(len >= n, sequence(lit(0), len - n))
+      .otherwise(array().cast("array<int>"))
+    // hash in the same projection that explodes: text stays put
+    val ghArr = transform(posSeq, i =>
+      Dedup.tokHash(array_join(slice(col("_stoks"), i + 1, lit(n)), " ")))
+    val thin = withT.withColumn("_ghs", ghArr)
+      .select(col(idCol), posexplode(col("_ghs")).as(Seq("_pos", "_gh")))
+    val dup = Skew.saltedDistinctCount(thin, col("_gh"), col(idCol),
+        buckets = 64, out = "_nd")
+      .withColumnRenamed("_k", "_gh")
+      .filter(col("_nd") >= minDocs)
+      .select(col("_gh"))
+    val dropPos = thin.join(dup, "_gh")
+      .groupBy(col(idCol)).agg(collect_set(col("_pos")).as("_fp"))
+    val idx = when(len > 0, sequence(lit(0), len - 1))
+      .otherwise(array().cast("array<int>"))
+    withT.join(dropPos, Seq(idCol), "left")
+      .withColumn("_fp",
+        coalesce(col("_fp"), array().cast("array<int>")))
+      // token j is covered iff some flagged gram start p has p<=j<p+n
+      .withColumn("_keep", filter(idx,
+        j => !exists(col("_fp"), p => p <= j && j < p + n)))
+      .withColumn("n_tokens", len.cast("long"))
+      .withColumn("n_removed", (len - size(col("_keep"))).cast("long"))
+      .withColumn("removed_ppm",
+        when(col("n_tokens") > 0,
+          (col("n_removed") * 1000000L) / col("n_tokens"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("clean_text", array_join(
+        transform(col("_keep"), j => element_at(col("_stoks"), j + 1)),
+        " "))
+      .drop("_stoks", "_ghs", "_fp", "_keep")
+  }
+
+  /** Within-document repeated-line removal, first occurrence kept —
+    * the intra-doc half of a RefinedWeb-style line dedup (navigation
+    * menus and cookie banners repeat VERBATIM inside one page long
+    * before they repeat across pages). Pure per-row array Columns:
+    * no shuffle, no state; line j survives iff it is the first
+    * occurrence of its trimmed text.
+    *
+    * Returns (n_lines, n_line_dupes, clean_text) appended to the input.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame = {
+    val ls = docLines(col(textCol))
+    val dl = df.withColumn("_ls", ls)
+    val nl = size(col("_ls"))
+    val idx = when(nl > 0, sequence(lit(0), nl - 1))
+      .otherwise(array().cast("array<int>"))
+    // array_position = 1-based FIRST index of the value
+    val keep = filter(idx, i =>
+      array_position(col("_ls"), element_at(col("_ls"), i + 1)) === (i + 1).cast("long"))
+    dl.withColumn("_kl", keep)
+      .withColumn("n_lines", nl.cast("long"))
+      .withColumn("n_line_dupes", (nl - size(col("_kl"))).cast("long"))
+      .withColumn("clean_text", array_join(
+        transform(col("_kl"), i => element_at(col("_ls"), i + 1)), "\n"))
+      .drop("_ls", "_kl")
+  }
+
   // ---- composed curation pipeline ----
 
   /** The conf every entry point in this repo sets (see curate's

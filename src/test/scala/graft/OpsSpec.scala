@@ -372,6 +372,44 @@ class OpsSpec extends AnyFunSuite {
     assert(cleaned(2).getString(3) === "also unique\n\nno boilerplate here")
   }
 
+  test("span dedup: cross-doc duplicated 8-gram spans removed exactly") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight nine ten" // 10 toks
+    val df = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"zeta eta theta iota kappa $span"),
+      (3L, "totally unrelated words live here for a while longer today"),
+      (4L, "short doc") // shorter than n: no grams, nothing removed
+    ).toDF("id", "text")
+    val r = Curation.dropDuplicatedSpans(df, "id", "text", n = 8,
+        minDocs = 2)
+      .orderBy("id")
+      .select("id", "n_tokens", "n_removed", "clean_text").collect()
+    assert(r(0).getLong(1) === 15L && r(0).getLong(2) === 10L)
+    assert(r(0).getString(3) === "alpha beta gamma delta epsilon")
+    assert(r(1).getLong(2) === 10L)
+    assert(r(1).getString(3) === "zeta eta theta iota kappa")
+    assert(r(2).getLong(2) === 0L)
+    assert(r(3).getLong(1) === 2L && r(3).getLong(2) === 0L)
+    assert(r(3).getString(3) === "short doc")
+  }
+
+  test("line dedup within doc: first occurrence kept, blanks dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "nav menu\ncontent a\nnav menu\n\n  \ncontent b\nnav menu"),
+      (2L, "only unique\nlines here"),
+      (3L, "")
+    ).toDF("id", "text")
+    val r = Curation.dedupLinesWithinDoc(df, "text")
+      .orderBy("id")
+      .select("id", "n_lines", "n_line_dupes", "clean_text").collect()
+    assert(r(0).getLong(1) === 5L && r(0).getLong(2) === 2L)
+    assert(r(0).getString(3) === "nav menu\ncontent a\ncontent b")
+    assert(r(1).getLong(2) === 0L)
+    assert(r(2).getLong(1) === 0L && r(2).getString(3) === "")
+  }
+
   test("IVF ANN: on clustered vectors recall vs brute force is high") {
     import spark.implicits._
     // 4 well-separated clusters × 30 vectors, deterministic jitter
