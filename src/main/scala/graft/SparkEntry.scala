@@ -901,8 +901,55 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_line_dupes"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+    // curation: hashed bag-of-tokens linear classifier — TRAINED
+    // relationally on the hash-split train docs (weak label:
+    // lang == 'en'), then scores the whole corpus. The fastText/CCNet
+    // quality-model pattern with integer-ppm document-frequency odds
+    // as weights, so training AND serving are engine-exact.
+    "q57_token_clf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs
+        .withColumn("_split", Curation.hashSplit(col("doc_id"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+        .filter(col("_split") === "train")
+        .withColumn("label", col("lang") === "en")
+      val w = Curation.tokenClassWeights(train, "doc_id", "text",
+        "label", buckets = 1 << 16)
+      Curation.scoreByTokenWeights(docs, w, "doc_id", "text",
+        buckets = 1 << 16)
+        .select(col("doc_id"), col("n_tokens_scored"), col("score_sum"),
+          col("score_mean_ppm"), col("pred"))
+        .orderBy("doc_id")
+    }),
+    // curation: domain-blocklist URL filtering — an entry blocks the
+    // domain and every subdomain via the bounded host-suffix set (no
+    // endsWith theta-join). Both the zero-shuffle literal path and the
+    // blocklist-table join path are emitted; the oracle pins both.
+    "q58_blocklist" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val url = concat(lit("https://"), col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example"),
+        pmod(did, lit(3)).cast("string"), lit(".com/doc/"),
+        col("doc_id").cast("string"))
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        url.as("url"))
+      import s.implicits._
+      Curation.markBlockedByDomainList(
+        docs.withColumn("blocked_lit",
+          Curation.blockedByDomains(col("url"), BlockedDomains)),
+        "doc_id", "url", BlockedDomains.toDF("domain"))
+        .select(col("doc_id"), col("url"), col("blocked_lit"),
+          col("blocked"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Blocklist used by q58 (shared with its oracle): one whole-domain
+    * entry and one exact-host entry.
+    */
+  private val BlockedDomains =
+    Seq("example0.com", "src3-2.example1.com")
 
   /** Boilerplate sentences planted by q55 (shared with its oracle). */
   private val PlantSubscribe = "please subscribe to our channel " +
@@ -2054,6 +2101,58 @@ object SparkEntry {
           CAST(len(lines) - len(keep) AS BIGINT) AS n_line_dupes,
           md5(coalesce(array_to_string(list_transform(keep,
             i -> lines[i + 1]), chr(10)), '')) AS clean_md5
-        FROM k ORDER BY doc_id"""
+        FROM k ORDER BY doc_id""",
+    // q57: identical split slot, bucket hash, integer-ppm DF odds and
+    // neutral-500000 scoring; // == Spark DIV on these non-negatives
+    "q57_token_clf" ->
+      s"""WITH tr AS (SELECT doc_id, lang = 'en' AS lb, text
+          FROM documents
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || ':split'), 1, 8)) AS BIGINT) % 10000 < 8000
+            AND lang IS NOT NULL),
+        thin AS (SELECT DISTINCT doc_id, lb,
+            CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 65536
+              AS bucket
+          FROM (SELECT doc_id, lb, unnest(list_distinct($toksSql)) AS tk
+            FROM tr)),
+        wt AS (SELECT bucket,
+            (SUM(CASE WHEN lb THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+              AS w
+          FROM thin GROUP BY bucket),
+        sc AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 65536
+              AS bucket
+          FROM (SELECT doc_id, unnest($toksSql) AS tk FROM documents)),
+        agg AS (SELECT sc.doc_id, COUNT(*) AS n,
+            SUM(COALESCE(w, 500000)) AS ss
+          FROM sc LEFT JOIN wt USING (bucket) GROUP BY sc.doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens_scored,
+          CAST(COALESCE(ss, 0) AS BIGINT) AS score_sum,
+          CAST(CASE WHEN COALESCE(n, 0) > 0 THEN ss // n ELSE 0 END
+            AS BIGINT) AS score_mean_ppm,
+          COALESCE(CASE WHEN COALESCE(n, 0) > 0 THEN ss // n ELSE 0 END
+            > 500000, FALSE) AS pred
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        ORDER BY d.doc_id""",
+    // q58: same synthesized URLs; blocked = any host suffix in the
+    // blocklist (both output columns pin both Spark paths)
+    "q58_blocklist" -> {
+      val inList = BlockedDomains.map(x => s"'$x'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id, 'https://' || source || '-' ||
+          CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR) || '.example' ||
+          CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR) || '.com/doc/' ||
+          CAST(doc_id AS VARCHAR) AS url FROM documents),
+        h AS (SELECT doc_id, url, lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host FROM u),
+        b AS (SELECT doc_id, url,
+            len(list_filter(list_transform(
+              generate_series(1, len(string_split(host, '.'))),
+              i -> array_to_string(string_split(host, '.')[i:], '.')),
+              sfx -> sfx IN ($inList))) > 0 AS blocked
+          FROM h)
+        SELECT doc_id, url, blocked AS blocked_lit, blocked
+        FROM b ORDER BY doc_id"""
+    }
   )
 }

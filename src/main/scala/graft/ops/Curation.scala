@@ -910,6 +910,75 @@ object Curation {
         pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
   }
 
+  // ---- hashed bag-of-tokens classifier (quality / language model) ----
+
+  /** Train per-bucket token weights from weakly-labeled documents —
+    * the distributed twin of training a fastText/CCNet-style linear
+    * quality classifier: tokens hash into `buckets` (the hashing
+    * trick, no vocabulary build), and a bucket's weight is the
+    * document-frequency odds of the positive class, as integer ppm:
+    *
+    *   w_b = ppm( #pos docs containing a token in b / #docs containing b )
+    *
+    * Document frequency (not term frequency) so one spammy page cannot
+    * skew a bucket; integer arithmetic so training is exact in any
+    * aggregation order and engine. 500000 is the neutral weight.
+    *
+    * Scale shape: one narrow pass — docs explode to DISTINCT
+    * (id, label, bucket) thin rows, one partial-agg groupBy on the
+    * bucket; the weight table is at most `buckets` rows (fits memory /
+    * broadcast by construction).
+    */
+  def tokenClassWeights(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 1 << 18): DataFrame = {
+    require(buckets > 0)
+    val thin = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).cast("boolean").as("_lb"),
+        explode(array_distinct(Dedup.tokens(col(textCol)))).as("_t"))
+      .select(col(idCol), col("_lb"),
+        pmod(Dedup.tokHash(col("_t")), lit(buckets)).as("bucket"))
+      .distinct() // collisions inside one doc collapse, like the oracle
+    thin.groupBy(col("bucket"))
+      .agg(sum(when(col("_lb"), 1L).otherwise(0L)).as("_pos"),
+        count(lit(1)).as("_n"))
+      .select(col("bucket"),
+        ((col("_pos") * 1000000L) / col("_n")).cast("long").as("w"))
+  }
+
+  /** Score documents with a [[tokenClassWeights]] table: mean bucket
+    * weight over every token occurrence (bag of words), unseen buckets
+    * scored neutral (500000). `pred` = mean > 500000. All integer, so
+    * serving is engine-exact too.
+    *
+    * Scale shape: thin (id, bucket) rows join the weight table —
+    * broadcast by default (≤ buckets rows); per-doc sums re-aggregate
+    * with partial aggregation. Text never shuffles.
+    */
+  def scoreByTokenWeights(df: DataFrame, weights: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 1 << 18,
+      broadcastWeights: Boolean = true): DataFrame = {
+    val w = if (broadcastWeights) broadcast(weights) else weights
+    val thin = df
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("_t"))
+      .select(col(idCol),
+        pmod(Dedup.tokHash(col("_t")), lit(buckets)).as("bucket"))
+    val scored = thin.join(w, Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_ns"),
+        sum(coalesce(col("w"), lit(500000L))).as("_ss"))
+    df.join(scored, Seq(idCol), "left")
+      .withColumn("n_tokens_scored", coalesce(col("_ns"), lit(0L)))
+      .withColumn("score_sum", coalesce(col("_ss"), lit(0L)))
+      // non-negative operands: Spark DIV (trunc) == DuckDB // (floor)
+      .withColumn("score_mean_ppm",
+        when(col("n_tokens_scored") > 0,
+          expr("score_sum DIV n_tokens_scored"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("pred", col("score_mean_ppm") > 500000L)
+      .drop("_ns", "_ss")
+  }
+
   // ---- URL / host operators ----
 
   /** Host part of an URL (empty string when the shape doesn't match —
@@ -917,6 +986,49 @@ object Curation {
     */
   def hostOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Suffix set of a host — "a.b.example.com" yields itself and every
+    * parent domain down to the TLD. The unit a domain blocklist matches
+    * on: an entry blocks the domain and every subdomain, which is
+    * exactly equi-join/containment on this set — no per-pair
+    * `endsWith` theta-join (a BroadcastNestedLoop at scale), and the
+    * explode is bounded by the label count (≤ ~10).
+    */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** Blocked iff the URL's host or any parent domain is in `blocklist`
+    * — the crawl URL-filtering gate (UT1-style domain blocklists).
+    * Literal form: zero shuffle, zero join — real blocklists (a few
+    * hundred thousand entries) fit a broadcast literal comfortably;
+    * for larger lists use [[markBlockedByDomainList]].
+    */
+  def blockedByDomains(url: Column, blocklist: Seq[String]): Column =
+    arrays_overlap(hostSuffixes(lower(hostOf(url))),
+      lit(blocklist.map(_.toLowerCase).toArray))
+
+  /** DataFrame form of [[blockedByDomains]] for blocklists maintained
+    * as a table: the bounded host-suffix set explodes to thin
+    * (id, suffix) rows and equi-joins the blocklist (broadcast by
+    * default). Returns the input plus `blocked`.
+    */
+  def markBlockedByDomainList(df: DataFrame, idCol: String,
+      urlCol: String, blocklist: DataFrame, domainCol: String = "domain",
+      broadcastList: Boolean = true): DataFrame = {
+    val bl = blocklist.select(lower(col(domainCol)).as("_dom")).distinct()
+    val b = if (broadcastList) broadcast(bl) else bl
+    val hit = df.select(col(idCol),
+        explode(hostSuffixes(lower(hostOf(col(urlCol))))).as("_dom"))
+      .join(b, "_dom")
+      .select(col(idCol)).distinct()
+      .withColumn("_blk", lit(true))
+    df.join(hit, Seq(idCol), "left")
+      .withColumn("blocked", coalesce(col("_blk"), lit(false)))
+      .drop("_blk")
+  }
 
   /** Query parameters stripped during URL canonicalization: tracking
     * identifiers that vary per click but never change the resource —

@@ -410,6 +410,48 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2).getLong(1) === 0L && r(2).getString(3) === "")
   }
 
+  test("token classifier: separates vocabularies, scores held-out docs") {
+    import spark.implicits._
+    val pos = (0 until 8).map(i =>
+      (i.toLong, s"spark scala engine query plan p$i", true))
+    val neg = (8 until 16).map(i =>
+      (i.toLong, s"cuisine recette fromage baguette vin n$i", false))
+    val df = (pos ++ neg).toDF("id", "text", "label")
+    val w = Curation.tokenClassWeights(df, "id", "text", "label",
+      buckets = 1 << 12)
+    val held = Seq((100L, "spark query engine"),
+      (101L, "recette fromage baguette"),
+      (102L, "")).toDF("id", "text")
+    val r = Curation.scoreByTokenWeights(held, w, "id", "text",
+        buckets = 1 << 12)
+      .orderBy("id")
+      .select("id", "pred", "score_mean_ppm", "n_tokens_scored").collect()
+    assert(r(0).getBoolean(1) === true)   // pure positive vocabulary
+    assert(r(1).getBoolean(1) === false)  // pure negative vocabulary
+    assert(r(2).getLong(3) === 0L && r(2).getBoolean(1) === false)
+  }
+
+  test("domain blocklist: blocks domain + subdomains, both paths agree") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://ads.tracker.net/x"),
+      (2L, "https://sub.ads.tracker.net/y"),
+      (3L, "https://tracker.net/z"), // parent of an entry: NOT blocked
+      (4L, "https://good.example.org/a"),
+      (5L, "not a url")
+    ).toDF("id", "url")
+    val bl = Seq("ads.tracker.net")
+    val viaLit = df
+      .withColumn("b", Curation.blockedByDomains(col("url"), bl))
+      .orderBy("id").select("b").collect().map(_.getBoolean(0)).toSeq
+    assert(viaLit === Seq(true, true, false, false, false))
+    val viaJoin = Curation.markBlockedByDomainList(df, "id", "url",
+        bl.toDF("domain"))
+      .orderBy("id").select("blocked").collect()
+      .map(_.getBoolean(0)).toSeq
+    assert(viaJoin === viaLit)
+  }
+
   test("IVF ANN: on clustered vectors recall vs brute force is high") {
     import spark.implicits._
     // 4 well-separated clusters × 30 vectors, deterministic jitter
