@@ -741,22 +741,23 @@ object SparkEntry {
     // synthetic word-salad text, so expected hits are exactly the
     // planted spans. Fully oracle-checked.
     "q45_decontam" -> ((s, d) => {
-      val did = col("doc_id").cast("long")
-      def item(i: Column): Column = concat(
-        lit("evaluation benchmark item "), i.cast("string"),
-        lit(" the quick brown fox number "), i.cast("string"),
-        lit(" jumps over the lazy dog "), i.cast("string"))
-      val docs = t(s, d, "documents")
-      val bench = docs.filter(col("doc_id") < 10)
-        .select(col("doc_id"), item(col("doc_id")).as("btext"))
-      val corpus = docs.select(col("doc_id"),
-        when(pmod(did, lit(11)) === 3,
-          concat(col("text"), lit(" "), item(pmod(did, lit(10)))))
-          .otherwise(col("text")).as("text"))
+      val (corpus, bench) = decontamInput(s, d)
       Curation.contaminationStats(corpus, bench, "doc_id", "text",
         "btext", n = 8)
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           col("contamination_ppm"))
+        .orderBy("doc_id")
+    }),
+    // curation: the 100 TB decontamination shape — the benchmark gram
+    // set compressed to a driver-built Bloom filter evaluated MAP-SIDE
+    // on every corpus gram (pure-Column bit probes, no UDF), exact
+    // broadcast-join confirm removes false positives. Same planted
+    // contamination as q45; the oracle pins the output to the exact
+    // semantics, proving the prefilter costs nothing.
+    "q59_bloom_decontam" -> ((s, d) => {
+      val (corpus, bench) = decontamInput(s, d)
+      Curation.decontaminateExact(corpus, bench, "doc_id", "text",
+        "btext", n = 8, bloomBits = 1 << 16)
         .orderBy("doc_id")
     }),
     // curation: sequence packing — concat-then-chunk assignment of
@@ -942,6 +943,25 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("blocked_lit"),
           col("blocked"))
         .orderBy("doc_id")
+    }),
+    // curation: per-URL latest-snapshot (as-of) selection — the
+    // keep-newest-crawl dedup over multi-snapshot web corpora, with a
+    // historical cutoff (point-in-time reconstruction). Snapshots are
+    // synthesized: 50 URL keys × pseudo-random crawl hours; cutoff at
+    // hour 800 (boundary inclusive); ties break by ascending doc_id.
+    "q60_snapshot" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val key = concat(lit("https://example.com/page/"),
+        pmod(did, lit(50)).cast("string"))
+      val ts = timestamp_seconds(
+        lit(1600000000L) + pmod(did * 37L, lit(1000L)) * 3600L)
+      val snaps = t(s, d, "documents")
+        .select(col("doc_id"), key.as("url_key"), ts.as("warc_ts"))
+      Curation.latestSnapshotAsOf(snaps, "url_key", "warc_ts",
+        timestamp_seconds(lit(1600000000L + 800L * 3600L)), "doc_id")
+        .select(col("doc_id"), col("url_key"),
+          unix_micros(col("warc_ts")).as("ts_us"))
+        .orderBy("url_key", "doc_id")
     })
   )
 
@@ -950,6 +970,28 @@ object SparkEntry {
     */
   private val BlockedDomains =
     Seq("example0.com", "src3-2.example1.com")
+
+  /** Shared planted-contamination input for q45/q59: docs %11==3 get
+    * eval item id%10 appended; the digit-interleaved phrases cannot
+    * occur in the synthetic word-salad text, so expected hits are
+    * exactly the planted spans.
+    */
+  private def decontamInput(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val did = col("doc_id").cast("long")
+    def item(i: Column): Column = concat(
+      lit("evaluation benchmark item "), i.cast("string"),
+      lit(" the quick brown fox number "), i.cast("string"),
+      lit(" jumps over the lazy dog "), i.cast("string"))
+    val docs = t(s, d, "documents")
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), item(col("doc_id")).as("btext"))
+    val corpus = docs.select(col("doc_id"),
+      when(pmod(did, lit(11)) === 3,
+        concat(col("text"), lit(" "), item(pmod(did, lit(10)))))
+        .otherwise(col("text")).as("text"))
+    (corpus, bench)
+  }
 
   /** Boilerplate sentences planted by q55 (shared with its oracle). */
   private val PlantSubscribe = "please subscribe to our channel " +
@@ -2153,6 +2195,50 @@ object SparkEntry {
           FROM h)
         SELECT doc_id, url, blocked AS blocked_lit, blocked
         FROM b ORDER BY doc_id"""
-    }
+    },
+    // q59: EXACT decontamination semantics (same CTEs as q45) — the
+    // Bloom prefilter on the Spark side must not change the output
+    "q59_bloom_decontam" -> {
+      def itemSql(i: String): String =
+        s"""'evaluation benchmark item ' || $i ||
+          ' the quick brown fox number ' || $i ||
+          ' jumps over the lazy dog ' || $i"""
+      s"""WITH bench AS (SELECT
+          ${itemSql("CAST(doc_id AS VARCHAR)")} AS text
+          FROM documents WHERE doc_id < 10),
+        bg AS (SELECT DISTINCT
+            CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS gh
+          FROM (SELECT unnest(${shingleSql(8)}) AS g FROM bench)),
+        corpus AS (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3
+            THEN text || ' ' || (${itemSql("CAST(doc_id % 10 AS VARCHAR)")})
+            ELSE text END AS text
+          FROM documents),
+        cg AS (SELECT doc_id, ${shingleSql(8)} AS grams FROM corpus),
+        ex AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, unnest(grams) AS g FROM cg)),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+          FROM ex JOIN bg USING (gh) GROUP BY doc_id)
+        SELECT cg.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+          CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+          COALESCE(n_hit, 0) > 0 AS contaminated
+        FROM cg LEFT JOIN hits ON cg.doc_id = hits.doc_id
+        ORDER BY cg.doc_id"""
+    },
+    // q60: identical integer hour arithmetic; cutoff boundary included;
+    // micros computed arithmetically (no engine timestamp conversion)
+    "q60_snapshot" ->
+      """WITH t AS (SELECT doc_id,
+          'https://example.com/page/'
+            || CAST(CAST(doc_id AS BIGINT) % 50 AS VARCHAR) AS url_key,
+          (CAST(doc_id AS BIGINT) * 37) % 1000 AS h
+          FROM documents),
+        f AS (SELECT *, row_number() OVER (
+            PARTITION BY url_key ORDER BY h DESC, doc_id) AS rn
+          FROM t WHERE h <= 800)
+        SELECT doc_id, url_key,
+          CAST((1600000000 + h * 3600) * 1000000 AS BIGINT) AS ts_us
+        FROM f WHERE rn = 1 ORDER BY url_key, doc_id"""
   )
 }

@@ -528,6 +528,93 @@ object Curation {
       .drop("_toks", "_grams", "_nh")
   }
 
+  /** Deterministic two-probe Bloom filter over 32-bit gram hashes,
+    * built driver-side. `bits` must be a power of two. Probe positions
+    * (identical arithmetic on the Column side — signed-64 overflow
+    * wraps the same in the JVM and in Spark's codegen):
+    *   p1 = h & (bits-1),  p2 = ((h * 40503) >>> 13) & (bits-1)
+    * (40503 = Fibonacci-hash constant small enough that h < 2^32 never
+    * overflows a signed 64-bit product — ANSI mode rejects wrap-around)
+    */
+  def bloomBuild(hashes: Iterator[Long], bits: Int): Array[Long] = {
+    require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be 2^k")
+    val words = new Array[Long](bits / 64)
+    val mask = (bits - 1).toLong
+    def set(p: Long): Unit =
+      words((p >>> 6).toInt) |= (1L << (p & 63L))
+    hashes.foreach { h =>
+      set(h & mask)
+      set(((h * 40503L) >>> 13) & mask)
+    }
+    words
+  }
+
+  /** Pure-Column Bloom membership test against a [[bloomBuild]] array
+    * (no UDF: the bitset rides the plan as an array literal and the
+    * probes are integer Column ops inside whole-stage codegen).
+    */
+  def bloomMightContain(words: Array[Long], bits: Int,
+      gh: Column): Column = {
+    val w = typedLit(words.toSeq)
+    val mask = lit((bits - 1).toLong)
+    // variable-distance shift: the SQL shiftright accepts a Column
+    // distance (the Scala functions.shiftright wrapper does not)
+    def test(p: Column): Column =
+      call_function("shiftright",
+        element_at(w, (shiftright(p, 6) + 1L).cast("int")),
+        p.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) =!= 0L
+    test(gh.bitwiseAND(mask)) &&
+      test(shiftrightunsigned(gh * lit(40503L), 13)
+        .bitwiseAND(mask))
+  }
+
+  /** [[contaminationStats]] with a Bloom prefilter — the 100 TB shape
+    * of decontamination: the benchmark's gram hashes compress to a
+    * `bloomBits`-bit filter evaluated MAP-SIDE on every corpus gram, so
+    * only grams that might hit the benchmark enter the join at all
+    * (true hits + the filter's false-positive rate); the exact
+    * broadcast-join confirm then removes false positives, making the
+    * OUTPUT identical to the exact operator — the filter buys shuffle
+    * volume, never correctness. Returns (idCol, n_grams, n_hit,
+    * contaminated).
+    *
+    * Sizing: fpr ≈ (2·k_grams/bits)^2 for the two probes; 2^27 bits
+    * (16 MB, broadcast once per executor) holds ~10M benchmark grams
+    * at fpr < 1%.
+    */
+  def decontaminateExact(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 8, bloomBits: Int = 1 << 20): DataFrame = {
+    val benchGrams = bench
+      .withColumn("_btoks", Dedup.tokens(col(benchTextCol)))
+      .select(explode(gramsOf(col("_btoks"), n)).as("_g"))
+      .select(Dedup.tokHash(col("_g")).as("_gh"))
+      .distinct()
+    // the bench side is small by contract (eval suites): collect once
+    // for the driver-built filter; the exact confirm broadcasts the
+    // same frame
+    val words = bloomBuild(
+      benchGrams.collect().iterator.map(_.getLong(0)), bloomBits)
+    val exact = broadcast(benchGrams)
+    val withG = corpus
+      .withColumn("_toks", Dedup.tokens(col(textCol)))
+      .withColumn("_grams", gramsOf(col("_toks"), n))
+    val hits = withG
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .select(col(idCol), Dedup.tokHash(col("_g")).as("_gh"))
+      .filter(bloomMightContain(words, bloomBits, col("_gh"))) // map-side
+      .join(exact, "_gh") // removes Bloom false positives
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nh"))
+    withG
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_grams", size(col("_grams")).cast("long"))
+      .withColumn("n_hit", coalesce(col("_nh"), lit(0L)))
+      .withColumn("contaminated", col("n_hit") > 0L)
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        col("contaminated"))
+  }
+
   // ---- sequence packing (concatenate-then-chunk within shards) ----
 
   /** Deterministic concatenate-then-chunk sequence packing: documents
@@ -986,6 +1073,28 @@ object Curation {
     */
   def hostOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Per-key latest-snapshot (as-of) selection: of all crawl snapshots
+    * of the same (canonical) URL with `tsCol` <= `cutoff`, keep the one
+    * with the greatest timestamp, ties broken by ascending `tieCol` —
+    * the keep-newest-crawl dedup every multi-snapshot web corpus runs
+    * before anything else (and, with a historical cutoff, the
+    * point-in-time corpus reconstruction).
+    *
+    * Scale shape: one window over thin rows partitioned by the key —
+    * snapshots of one URL are few, so partitions are tiny; the shuffle
+    * carries only the columns the caller selected. Deterministic under
+    * ties by construction.
+    */
+  def latestSnapshotAsOf(df: DataFrame, keyCol: String, tsCol: String,
+      cutoff: Column, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol))
+    df.filter(col(tsCol) <= cutoff)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
 
   /** Suffix set of a host — "a.b.example.com" yields itself and every
     * parent domain down to the TLD. The unit a domain blocklist matches

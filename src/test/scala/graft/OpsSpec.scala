@@ -452,6 +452,45 @@ class OpsSpec extends AnyFunSuite {
     assert(viaJoin === viaLit)
   }
 
+  test("bloom decontamination: output identical to exact path, even " +
+      "with a tiny filter full of false positives") {
+    import spark.implicits._
+    val bench = Seq((1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (10L, "xx alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa yy"),
+      (11L, "totally clean words that never appear in the benchmark " +
+        "text here"),
+      (12L, "short")
+    ).toDF("id", "text")
+    val exact = Curation.contaminationStats(corpus, bench, "id", "text",
+        "btext", n = 8)
+      .orderBy("id").select("id", "n_grams", "n_hit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (bits <- Seq(1 << 12, 64)) { // 64 bits ⇒ false positives galore
+      val viaBloom = Curation.decontaminateExact(corpus, bench, "id",
+          "text", "btext", n = 8, bloomBits = bits)
+        .orderBy("id").select("id", "n_grams", "n_hit").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(viaBloom === exact, s"bits=$bits")
+    }
+  }
+
+  test("latest snapshot as-of: newest <= cutoff kept per key, tie by id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u1", 100L), (2L, "u1", 200L), (3L, "u1", 900L), // 900>cutoff
+      (4L, "u2", 50L), (5L, "u2", 50L) // exact tie → min id survives
+    ).toDF("id", "key", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Curation.latestSnapshotAsOf(df, "key", "ts",
+        timestamp_seconds(lit(500L)), "id")
+      .orderBy("key").select("id").collect().map(_.getLong(0)).toSeq
+    assert(r === Seq(2L, 4L))
+  }
+
   test("IVF ANN: on clustered vectors recall vs brute force is high") {
     import spark.implicits._
     // 4 well-separated clusters × 30 vectors, deterministic jitter
