@@ -67,7 +67,9 @@ object Bench {
       "q38_pii", "q40_para_dedup", "q42_ann_ivf", "q43_curate",
       "q45_decontam", "q47_token_budget", "q48_url_canon",
       "q49_temp_resample", "q50_profile", "q51_ivf_refine", "q52_chunk",
-      "q53_token_df", "q54_vocab")
+      "q53_token_df", "q54_vocab", "q55_span_dedup", "q56_line_dedup",
+      "q57_token_clf", "q58_blocklist", "q59_bloom_decontam",
+      "q60_snapshot")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

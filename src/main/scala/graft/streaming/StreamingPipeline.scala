@@ -183,6 +183,48 @@ object StreamingPipeline {
       .agg(sum(when(col("_bh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
   }
 
+  /** Streaming quality-model serving: score the live ingest with a
+    * STATIC [[graft.ops.Curation.tokenClassWeights]] table — the
+    * deploy shape of the trained hashed linear classifier (train
+    * offline in batch, gate the stream with the frozen weights).
+    * Same stream-static join pattern as [[decontamStream]]: tokens
+    * explode to thin (id, ts, bucket) rows, the weight table
+    * broadcasts per micro-batch, and the watermark bounds the per-doc
+    * aggregation state. Scoring semantics are identical to the batch
+    * [[graft.ops.Curation.scoreByTokenWeights]] (unseen buckets score
+    * neutral 500000; integer mean; pred = mean > 500000).
+    *
+    * Returns (idCol, tsCol, n_tokens_scored, score_sum,
+    * score_mean_ppm, pred) in update-mode semantics.
+    */
+  def classifierGateStream(docs: DataFrame, weights: DataFrame,
+      idCol: String, textCol: String, tsCol: String = "ts",
+      buckets: Int = 1 << 18,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.ops.Dedup
+    val thin = docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol),
+        explode_outer(transform(Dedup.tokens(col(textCol)),
+          t => pmod(Dedup.tokHash(t), lit(buckets)))).as("_bk"))
+    thin
+      .join(broadcast(weights.select(col("bucket").as("_bk"),
+        col("w").as("_w"))), Seq("_bk"), "left")
+      .groupBy(col(idCol), col(tsCol))
+      .agg(
+        sum(when(col("_bk").isNotNull, 1L).otherwise(0L))
+          .as("n_tokens_scored"),
+        sum(when(col("_bk").isNotNull,
+          coalesce(col("_w"), lit(500000L))).otherwise(0L))
+          .as("score_sum"))
+      .withColumn("score_mean_ppm",
+        when(col("n_tokens_scored") > 0,
+          expr("score_sum DIV n_tokens_scored"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("pred", col("score_mean_ppm") > 500000L)
+  }
+
   /** Streaming NEAR-dup detection — the online counterpart of the
     * batch MinHash-LSH dedup, with keyed state instead of a self-join:
     * arrivals are minhash-signed (pure Columns, no UDFs), exploded to

@@ -78,6 +78,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dropDuplicatedSpans: no shuffle carries text or token arrays") {
+    withPlainPlan {
+      val out = Curation.dropDuplicatedSpans(docs, "doc_id", "text",
+        n = 4, minDocs = 2)
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty, "expected the gram-hash count shuffles")
+      shuffles.foreach { s =>
+        assert(!s.contains("text") && !s.exists(_.contains("stoks")),
+          s"text shuffled: $s")
+      }
+    }
+  }
+
+  test("scoreByTokenWeights: weights join broadcast, text never shuffles") {
+    import spark.implicits._
+    withPlainPlan {
+      val w = Seq((1L, 700000L), (2L, 300000L)).toDF("bucket", "w")
+      val out = Curation.scoreByTokenWeights(docs, w, "doc_id", "text",
+        buckets = 1 << 12)
+      shuffledNames(out).foreach(s =>
+        assert(!s.contains("text"), s"text shuffled: $s"))
+      val bhj = out.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, "expected the weight table to broadcast")
+    }
+  }
+
+  test("decontaminateExact: corpus text never shuffles") {
+    import spark.implicits._
+    withPlainPlan {
+      val bench = Seq("a b c d e f g h i").toDF("btext")
+      val out = graft.ops.Curation.decontaminateExact(docs, bench,
+        "doc_id", "text", "btext", n = 8, bloomBits = 1 << 12)
+      shuffledNames(out).foreach { s =>
+        assert(!s.contains("text") && !s.contains("btext"),
+          s"text shuffled: $s")
+      }
+    }
+  }
+
   test("temperatureResample: histogram cuts join is broadcast") {
     withPlainPlan {
       val out = Curation.temperatureResample(docs.drop("text"), "doc_id",

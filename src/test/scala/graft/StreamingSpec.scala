@@ -136,6 +136,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits === batch)
   }
 
+  test("classifier gate stream: frozen weights score the feed == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train offline in batch (the deploy pattern), gate the stream
+    val labeled = ((0 until 6).map(i =>
+      (i.toLong, s"spark scala engine query plan p$i", true)) ++
+      (6 until 12).map(i =>
+        (i.toLong, s"cuisine recette fromage baguette vin n$i", false)))
+      .toDF("id", "text", "label")
+    val w = graft.ops.Curation.tokenClassWeights(labeled, "id", "text",
+      "label", buckets = 1 << 12)
+    val feed = Seq(
+      (100L, "spark query engine plan"),
+      (101L, "recette fromage baguette"),
+      (102L, ""))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingPipeline.classifierGateStream(df, w, "doc_id",
+        "text", buckets = 1 << 12)
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode(OutputMode.Update).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData(feed.map { case (id, t) => (ts(1), id, t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clf_out")
+      .select("doc_id", "n_tokens_scored", "score_sum", "pred").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(100L)._3 === true && got(101L)._3 === false)
+    val batch = graft.ops.Curation.scoreByTokenWeights(
+        feed.toDF("doc_id", "text"), w, "doc_id", "text",
+        buckets = 1 << 12)
+      .select("doc_id", "n_tokens_scored", "score_sum", "pred").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === batch)
+  }
+
   test("stateful streaming near-dup: LSH bucket state flags later arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
