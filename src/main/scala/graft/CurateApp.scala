@@ -73,7 +73,9 @@ object CurateApp {
     val t0 = System.nanoTime()
     val curated = Curation.curateStaged(docs, idCol0, textCol0, output,
       minTokens = opts.getOrElse("min-tokens", "10").toInt,
-      paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt)
+      paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt,
+      // --span-scrub-n 8: corpus-level exact-substring scrub stage
+      spanScrubN = opts.getOrElse("span-scrub-n", "0").toInt)
     val resampled = opts.get("resample-keep") match {
       case Some(f) => Curation.temperatureResample(curated, idCol0, "lang",
           alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,

@@ -332,7 +332,8 @@ object Curation {
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 10, maxDupLinePpm: Long = 300000L,
       paraMinDocs: Int = 3, shingleN: Int = 3,
-      minEstJaccard: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+      minEstJaccard: Double = 0.5, maxBucket: Int = 0,
+      spanScrubN: Int = 0): DataFrame = {
     // The gate (langId + repetition features + redaction) is the
     // expensive per-doc scan, and the stages below fan out over it
     // (paragraph explode + rejoin, LSH pairs, component fixpoint) —
@@ -350,10 +351,26 @@ object Curation {
     // id-partitioning is statically visible to the semi-join (no text
     // shuffle), and skipping the eager materialization barrier beats
     // paying it (only a map-side clean_text projection is recomputed)
-    val exact = exactStage(deboilStage(gate, idCol, paraMinDocs), idCol)
+    val exact = exactStage(
+        spanScrubStage(deboilStage(gate, idCol, paraMinDocs), idCol,
+          spanScrubN),
+        idCol)
       .localCheckpoint()
     nearDupStage(exact, idCol, shingleN, minEstJaccard, maxBucket)
   }
+
+  /** Optional stage 2b: corpus-level exact-substring scrub between the
+    * paragraph dedup and the exact dedup (spanScrubN = 0 disables it,
+    * the default — it subsumes neither: paragraphs catch whole-block
+    * boilerplate cheaper, spans catch sub-paragraph repetition the
+    * block hash misses). Runs on the deboiled clean_text so already-
+    * removed boilerplate can't re-flag its surroundings.
+    */
+  private[graft] def spanScrubStage(deb: DataFrame, idCol: String,
+      spanScrubN: Int): DataFrame =
+    if (spanScrubN <= 0) deb
+    else dropDuplicatedSpans(deb, idCol, "clean_text", n = spanScrubN)
+      .select(col(idCol), col("lang"), col("clean_text"))
 
   /** `curate` with STAGE-level checkpoint/resume (io.StagedJob): each
     * of the four stages commits its output as a parquet table + atomic
@@ -370,7 +387,7 @@ object Curation {
       out: String, minTokens: Int = 10, maxDupLinePpm: Long = 300000L,
       paraMinDocs: Int = 3, shingleN: Int = 3,
       minEstJaccard: Double = 0.5, maxBucket: Int = 0,
-      failAfterStage: Int = -1): DataFrame = {
+      failAfterStage: Int = -1, spanScrubN: Int = 0): DataFrame = {
     val spark = df.sparkSession
     def guard(done: Int): Unit =
       if (failAfterStage == done)
@@ -386,8 +403,16 @@ object Curation {
       deboilStage(gate, idCol, paraMinDocs)
     }
     guard(2)
+    // optional stage keeps its own marker so a rerun with the same
+    // spanScrubN resumes past it; disabled = the stage never exists
+    val scrubbed =
+      if (spanScrubN <= 0) deboiled
+      else graft.io.StagedJob.stage(spark, out, "2b_spanscrub",
+          requiredCols = Seq(idCol, "lang", "clean_text")) {
+        spanScrubStage(deboiled, idCol, spanScrubN)
+      }
     val exact = graft.io.StagedJob.stage(spark, out, "3_exact") {
-      exactStage(deboiled, idCol)
+      exactStage(scrubbed, idCol)
     }
     guard(3)
     val curated = graft.io.StagedJob.stage(spark, out, "4_neardup") {

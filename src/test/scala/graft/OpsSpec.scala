@@ -542,6 +542,30 @@ class OpsSpec extends AnyFunSuite {
       "boilerplate paragraph (6 docs) must be stripped")
   }
 
+  test("curate with span scrub: duplicated sub-paragraph spans removed") {
+    import spark.implicits._
+    val planted = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"the first article is about spark catalyst plans $planted " +
+        "and more of the tail words here"),
+      (2L, s"a different piece on the boilerplate removal $planted " +
+        "with other trailing content today"),
+      (3L, "an unrelated document that mentions nothing of the " +
+        "repeated span at all beyond itself")
+    ).toDF("id", "text")
+    val plain = Curation.curate(df, "id", "text", minTokens = 5,
+        paraMinDocs = 3)
+      .select("clean_text").collect().map(_.getString(0))
+    assert(plain.exists(_.contains(planted)),
+      "without the scrub stage the duplicated span survives")
+    val scrubbed = Curation.curate(df, "id", "text", minTokens = 5,
+        paraMinDocs = 3, spanScrubN = 8)
+      .orderBy("id").select("id", "clean_text").collect()
+    assert(scrubbed.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(scrubbed.forall(r => !r.getString(1).contains(planted)),
+      "the scrub stage removes the cross-doc duplicated span")
+  }
+
   test("hashSplit: total cover, stable, roughly weighted; sample independent") {
     import spark.implicits._
     val df = (0L until 2000L).toDF("id")

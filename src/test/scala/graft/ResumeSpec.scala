@@ -164,6 +164,35 @@ class ResumeSpec extends AnyFunSuite {
       .contains(resumed.size.toLong))
   }
 
+  test("staged curation with span-scrub stage: resume matches in-memory") {
+    import spark.implicits._
+    val planted = "one two three four five six seven eight nine ten"
+    val docs = (0L until 40L).map { i =>
+      val span = if (i % 4 == 0) s" $planted" else ""
+      (i, s"the document $i is about the topic ${i % 13} with words " +
+        s"alpha$i beta gamma delta epsilon$span")
+    }.toDF("id", "text")
+    val dir = Files.createTempDirectory("graft_cur_scrub").toString
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id", "lang", "n_tokens", "clean_text")
+        .collect().map(_.toString).toSeq.sorted
+    // kill after deboil: the optional 2b stage is among the resumed work
+    intercept[RuntimeException] {
+      graft.ops.Curation.curateStaged(docs, "id", "text", dir,
+        minTokens = 5, paraMinDocs = 3, spanScrubN = 8,
+        failAfterStage = 2)
+    }
+    assert(!graft.io.StagedJob.committed(dir, "2b_spanscrub"))
+    val resumed = canon(graft.ops.Curation.curateStaged(docs, "id",
+      "text", dir, minTokens = 5, paraMinDocs = 3, spanScrubN = 8))
+    assert(graft.io.StagedJob.committed(dir, "2b_spanscrub"))
+    val inMem = canon(graft.ops.Curation.curate(docs, "id", "text",
+      minTokens = 5, paraMinDocs = 3, spanScrubN = 8))
+    assert(resumed === inMem)
+    assert(resumed.forall(!_.contains(planted)),
+      "resumed staged output is scrubbed too")
+  }
+
   test("staged curation: a stage committed by an older format is recomputed") {
     import spark.implicits._
     val docs = (0L until 40L)
