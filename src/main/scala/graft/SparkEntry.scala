@@ -944,6 +944,42 @@ object SparkEntry {
           col("blocked"))
         .orderBy("doc_id")
     }),
+    // curation: ADAPTIVE host blocklist — the production URL-filter
+    // maintenance loop in one relational plan. Spam vocabulary is
+    // PLANTED on five sources; only two are seed-labeled bad in
+    // training; the classifier learns the spam tokens from the seeds,
+    // its scores GENERALIZE to the other three spammy sources, and
+    // host-mean scoring induces a blocklist covering all five (the
+    // host mean averages per-doc boundary noise away). The oracle
+    // retrains, rescores and re-derives the blocklist in SQL.
+    "q61_host_blocklist" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val corpus = t(s, d, "documents").select(col("doc_id"),
+        col("source"),
+        when(col("source").isin(SpamSources: _*),
+          concat(col("text"), lit(" " + SpamPhrase)))
+          .otherwise(col("text")).as("text"))
+      val train = corpus
+        .withColumn("_split", Curation.hashSplit(col("doc_id"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+        .filter(col("_split") === "train")
+        .withColumn("label", col("source").isin(SeedBadSources: _*))
+      val w = Curation.tokenClassWeights(train, "doc_id", "text",
+        "label", buckets = 1 << 16)
+      val url = concat(lit("https://"), col("source"), lit("-"),
+        pmod(did, lit(3)).cast("string"), lit(".example.com/doc/"),
+        col("doc_id").cast("string"))
+      val scored = Curation.scoreByTokenWeights(corpus, w, "doc_id",
+          "text", buckets = 1 << 16)
+        .withColumn("url", url)
+      val bl = Curation.induceHostBlocklistByScore(scored, "url",
+        col("score_mean_ppm"), minDocs = 3L, minMeanPpm = BlockMeanPpm)
+      Curation.markBlockedByDomainList(scored, "doc_id", "url",
+        bl.select(col("domain")))
+        .select(col("doc_id"), Curation.hostOf(col("url")).as("host"),
+          col("score_mean_ppm"), col("blocked"))
+        .orderBy("doc_id")
+    }),
     // curation: per-URL latest-snapshot (as-of) selection — the
     // keep-newest-crawl dedup over multi-snapshot web corpora, with a
     // historical cutoff (point-in-time reconstruction). Snapshots are
@@ -970,6 +1006,17 @@ object SparkEntry {
     */
   private val BlockedDomains =
     Seq("example0.com", "src3-2.example1.com")
+
+  /** q61's planted-spam construction (shared with its oracle): spam
+    * vocabulary (digit-interleaved, cannot occur in the word salad) on
+    * five sources, seed bad labels on two, host-mean block threshold
+    * between the clean baseline (~500k ppm) and the spam lift.
+    */
+  private val SpamSources = Seq("src0", "src1", "src2", "src3", "src4")
+  private val SeedBadSources = Seq("src0", "src1")
+  private val SpamPhrase =
+    "caszino b0nus fr3e p1lls w1nner jackp0t 0ffer cl1ck"
+  private val BlockMeanPpm = 515000L
 
   /** Shared planted-contamination input for q45/q59: docs %11==3 get
     * eval item id%10 appended; the digit-interleaved phrases cannot
@@ -1006,6 +1053,40 @@ object SparkEntry {
       s"list_min(list_transform($toksSql, t -> ($a * ${tokHashSql(8)} + $b) % ${Dedup.MinhashP}))" +
         s" AS m$i"
     }.mkString(", ")
+
+  /** Shared CTE chain for the hashed-token-classifier oracles
+    * (q57/q61): train on the hash-split train docs of `src` with weak
+    * label `labelSql`, prior-centered clamped weights, score every
+    * document of `src`. Yields CTE `agg(doc_id, n, ss)` — token count
+    * and neutral-filled weight sum per doc.
+    */
+  private def clfSqlCtesOver(src: String, labelSql: String): String =
+    s"""tr AS (SELECT doc_id, $labelSql AS lb, text
+        FROM $src
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+            || ':split'), 1, 8)) AS BIGINT) % 10000 < 8000
+          AND ($labelSql) IS NOT NULL),
+      prior AS (SELECT (SUM(CASE WHEN lb THEN 1 ELSE 0 END) * 1000000)
+          // COUNT(*) AS pp FROM tr),
+      thin AS (SELECT DISTINCT doc_id, lb,
+          CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 65536
+            AS bucket
+        FROM (SELECT doc_id, lb, unnest(list_distinct($toksSql)) AS tk
+          FROM tr)),
+      wt AS (SELECT bucket, GREATEST(0, LEAST(1000000,
+          (SUM(CASE WHEN lb THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            + 500000 - pp)) AS w
+        FROM thin, prior GROUP BY bucket, pp),
+      sc AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 65536
+            AS bucket
+        FROM (SELECT doc_id, unnest($toksSql) AS tk FROM $src)),
+      agg AS (SELECT sc.doc_id, COUNT(*) AS n,
+          SUM(COALESCE(w, 500000)) AS ss
+        FROM sc LEFT JOIN wt USING (bucket) GROUP BY sc.doc_id)"""
+
+  private lazy val clfSqlCtes: String =
+    clfSqlCtesOver("documents", "lang = 'en'")
 
   /** Shingle-array SQL (mirrors Dedup.shingles + empty filter). */
   private def shingleSql(n: Int): String =
@@ -2147,27 +2228,7 @@ object SparkEntry {
     // q57: identical split slot, bucket hash, integer-ppm DF odds and
     // neutral-500000 scoring; // == Spark DIV on these non-negatives
     "q57_token_clf" ->
-      s"""WITH tr AS (SELECT doc_id, lang = 'en' AS lb, text
-          FROM documents
-          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-              || ':split'), 1, 8)) AS BIGINT) % 10000 < 8000
-            AND lang IS NOT NULL),
-        thin AS (SELECT DISTINCT doc_id, lb,
-            CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 65536
-              AS bucket
-          FROM (SELECT doc_id, lb, unnest(list_distinct($toksSql)) AS tk
-            FROM tr)),
-        wt AS (SELECT bucket,
-            (SUM(CASE WHEN lb THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
-              AS w
-          FROM thin GROUP BY bucket),
-        sc AS (SELECT doc_id,
-            CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 65536
-              AS bucket
-          FROM (SELECT doc_id, unnest($toksSql) AS tk FROM documents)),
-        agg AS (SELECT sc.doc_id, COUNT(*) AS n,
-            SUM(COALESCE(w, 500000)) AS ss
-          FROM sc LEFT JOIN wt USING (bucket) GROUP BY sc.doc_id)
+      s"""WITH $clfSqlCtes
         SELECT d.doc_id,
           CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens_scored,
           CAST(COALESCE(ss, 0) AS BIGINT) AS score_sum,
@@ -2225,6 +2286,34 @@ object SparkEntry {
           COALESCE(n_hit, 0) > 0 AS contaminated
         FROM cg LEFT JOIN hits ON cg.doc_id = hits.doc_id
         ORDER BY cg.doc_id"""
+    },
+    // q61: same planted spam; retrain + rescore via the shared
+    // classifier CTEs over the planted corpus, re-derive the host-mean
+    // blocklist; the synthesized hosts are never suffixes of each
+    // other, so the Spark side's suffix semantics reduce to equality
+    "q61_host_blocklist" -> {
+      val srcIn = SpamSources.map(x => s"'$x'").mkString(", ")
+      val seedIn = SeedBadSources.map(x => s"'$x'").mkString(", ")
+      s"""WITH corpus AS (SELECT doc_id, source,
+          CASE WHEN source IN ($srcIn)
+            THEN text || ' $SpamPhrase' ELSE text END AS text
+          FROM documents),
+        ${clfSqlCtesOver("corpus", s"source IN ($seedIn)")},
+        scored AS (SELECT c.doc_id, c.source,
+            CAST(CASE WHEN COALESCE(n, 0) > 0 THEN ss // n ELSE 0 END
+              AS BIGINT) AS smp
+          FROM corpus c LEFT JOIN agg ON c.doc_id = agg.doc_id),
+        u AS (SELECT doc_id, smp,
+            source || '-' || CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR)
+              || '.example.com' AS host
+          FROM scored),
+        bl AS (SELECT host FROM (
+            SELECT host, COUNT(*) AS nd, SUM(smp) AS ssum
+            FROM u GROUP BY host)
+          WHERE nd >= 3 AND ssum // nd >= $BlockMeanPpm)
+        SELECT u.doc_id, u.host, u.smp AS score_mean_ppm,
+          (bl.host IS NOT NULL) AS blocked
+        FROM u LEFT JOIN bl USING (host) ORDER BY u.doc_id"""
     },
     // q60: identical integer hour arithmetic; cutoff boundary included;
     // micros computed arithmetically (no engine timestamp conversion)

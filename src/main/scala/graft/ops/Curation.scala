@@ -1028,24 +1028,36 @@ object Curation {
     * the distributed twin of training a fastText/CCNet-style linear
     * quality classifier: tokens hash into `buckets` (the hashing
     * trick, no vocabulary build), and a bucket's weight is the
-    * document-frequency odds of the positive class, as integer ppm:
+    * document-frequency odds of the positive class CENTERED ON THE
+    * TRAINING PRIOR, as integer ppm:
     *
-    *   w_b = ppm( #pos docs containing a token in b / #docs containing b )
+    *   w_b = clamp[0,1e6]( ppm(#pos docs with b / #docs with b)
+    *                       + 500000 − ppm(#pos docs / #docs) )
     *
-    * Document frequency (not term frequency) so one spammy page cannot
-    * skew a bucket; integer arithmetic so training is exact in any
-    * aggregation order and engine. 500000 is the neutral weight.
+    * so 500000 always means "this token carries no label information"
+    * regardless of class balance, and a document's mean weight reads
+    * as "more/less positive-indicative than baseline" — without the
+    * centering, any class imbalance shifts every uninformative token
+    * off neutral and the 500000 decision threshold becomes the class
+    * prior in disguise. Document frequency (not term frequency) so one
+    * spammy page cannot skew a bucket; integer arithmetic so training
+    * is exact in any aggregation order and engine.
     *
     * Scale shape: one narrow pass — docs explode to DISTINCT
     * (id, label, bucket) thin rows, one partial-agg groupBy on the
-    * bucket; the weight table is at most `buckets` rows (fits memory /
-    * broadcast by construction).
+    * bucket plus one scalar prior aggregate (crossJoin-broadcast); the
+    * weight table is at most `buckets` rows (fits memory / broadcast
+    * by construction).
     */
   def tokenClassWeights(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, buckets: Int = 1 << 18): DataFrame = {
     require(buckets > 0)
-    val thin = df
-      .filter(col(labelCol).isNotNull)
+    val labeled = df.filter(col(labelCol).isNotNull)
+    // non-negative longs: double-div + trunc == floor == DuckDB //
+    val prior = labeled.agg(
+      ((sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+        * 1000000L) / count(lit(1))).cast("long").as("_prior"))
+    val thin = labeled
       .select(col(idCol), col(labelCol).cast("boolean").as("_lb"),
         explode(array_distinct(Dedup.tokens(col(textCol)))).as("_t"))
       .select(col(idCol), col("_lb"),
@@ -1054,8 +1066,11 @@ object Curation {
     thin.groupBy(col("bucket"))
       .agg(sum(when(col("_lb"), 1L).otherwise(0L)).as("_pos"),
         count(lit(1)).as("_n"))
+      .crossJoin(broadcast(prior))
       .select(col("bucket"),
-        ((col("_pos") * 1000000L) / col("_n")).cast("long").as("w"))
+        greatest(lit(0L), least(lit(1000000L),
+          ((col("_pos") * 1000000L) / col("_n")).cast("long")
+            + 500000L - col("_prior"))).as("w"))
   }
 
   /** Score documents with a [[tokenClassWeights]] table: mean bucket
@@ -1163,6 +1178,53 @@ object Curation {
       .withColumn("blocked", coalesce(col("_blk"), lit(false)))
       .drop("_blk")
   }
+
+  /** Induce a domain blocklist from per-document quality verdicts —
+    * the adaptive host-level filtering loop (score documents, aggregate
+    * per host, block hosts whose bad fraction crosses the threshold;
+    * how production URL filters are maintained, vs. the static curated
+    * lists [[markBlockedByDomainList]] also serves). `bad` is any
+    * boolean Column over the input (classifier verdict, gate failure).
+    *
+    * Scale shape: thin (host, bad) rows partial-aggregate per host;
+    * the result is blocklist-sized (hosts, not documents) and feeds
+    * straight into [[markBlockedByDomainList]]'s broadcast side.
+    * Integer-ppm thresholding keeps induction engine-exact.
+    *
+    * Returns (domain, n_docs, bad_ppm) for blocked hosts only.
+    */
+  def induceHostBlocklist(df: DataFrame, urlCol: String, bad: Column,
+      minDocs: Long = 5L, minBadPpm: Long = 500000L): DataFrame =
+    df.select(hostOf(col(urlCol)).as("domain"),
+        bad.cast("boolean").as("_bad"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_bad"), 1L).otherwise(0L)).as("_nb"))
+      .withColumn("bad_ppm",
+        ((col("_nb") * 1000000L) / col("n_docs")).cast("long"))
+      .filter(col("n_docs") >= minDocs && col("bad_ppm") >= minBadPpm)
+      .select(col("domain"), col("n_docs"), col("bad_ppm"))
+
+  /** [[induceHostBlocklist]] over a numeric per-document score instead
+    * of a boolean verdict: block hosts whose MEAN score crosses
+    * `minMeanPpm`. Aggregating the raw score at the host level beats
+    * thresholding per document first — per-doc verdicts near the
+    * decision boundary are coin flips that the host mean averages away
+    * (≈1/√docs the noise). Returns (domain, n_docs, mean_score_ppm)
+    * for blocked hosts only.
+    */
+  def induceHostBlocklistByScore(df: DataFrame, urlCol: String,
+      score: Column, minDocs: Long = 5L,
+      minMeanPpm: Long = 520000L): DataFrame =
+    df.select(hostOf(col(urlCol)).as("domain"),
+        score.cast("long").as("_sc"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_sc")).as("_ss"))
+      .withColumn("mean_score_ppm",
+        ((col("_ss") * 1L) / col("n_docs")).cast("long"))
+      .filter(col("n_docs") >= minDocs &&
+        col("mean_score_ppm") >= minMeanPpm)
+      .select(col("domain"), col("n_docs"), col("mean_score_ppm"))
 
   /** Query parameters stripped during URL canonicalization: tracking
     * identifiers that vary per click but never change the resource —

@@ -542,6 +542,26 @@ class OpsSpec extends AnyFunSuite {
       "boilerplate paragraph (6 docs) must be stripped")
   }
 
+  test("host blocklist induction: threshold + floor, feeds the filter") {
+    import spark.implicits._
+    val rows =
+      (1 to 3).map(i => (i.toLong, "https://bad.example.com/" + i, true)) ++
+      (4 to 7).map(i => (i.toLong, "https://mixed.example.org/" + i, i == 4)) ++
+      (8 to 9).map(i => (i.toLong, "https://tiny.example.net/" + i, true))
+    val df = rows.toDF("id", "url", "is_bad")
+    val bl = Curation.induceHostBlocklist(df, "url", col("is_bad"),
+      minDocs = 3L, minBadPpm = 500000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(bl.keySet === Set("bad.example.com")) // mixed 25% < 50%; tiny < 3 docs
+    assert(bl("bad.example.com") === 1000000L)
+    val marked = Curation.markBlockedByDomainList(df, "id", "url",
+        Curation.induceHostBlocklist(df, "url", col("is_bad"),
+          minDocs = 3L, minBadPpm = 500000L).select("domain"))
+      .filter(col("blocked")).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(marked === Set(1L, 2L, 3L))
+  }
+
   test("curate with span scrub: duplicated sub-paragraph spans removed") {
     import spark.implicits._
     val planted = "one two three four five six seven eight nine ten"
