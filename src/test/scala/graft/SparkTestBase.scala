@@ -11,6 +11,9 @@ object SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.host", "localhost")
+    // bucketed-table tests (BucketingSpec) write managed tables here
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     // OFF: alias-substitution in constraint propagation goes
     // exponential on deep multi-referenced text-feature projections
     // (e.g. the curation gate) and we never benefit from inferred
