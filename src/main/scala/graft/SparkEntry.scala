@@ -529,6 +529,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // dedup clustering, star-contraction path: same components as q32
+    // through large-star/small-star rounds (O(log n) convergence on
+    // adversarial chain-shaped clusters vs label propagation's
+    // diameter rounds) — same recursive-CTE oracle pins equality
+    "q62_dedup_star" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
+      Dedup.canonicalizeStar(docs, "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // dedup at scale: exact n-gram Jaccard restricted to LSH candidates
     // (the composed operator — no all-pairs shingle self-join)
     "q34_jaccard_lsh" -> ((s, d) =>
@@ -1087,6 +1099,21 @@ object SparkEntry {
 
   private lazy val clfSqlCtes: String =
     clfSqlCtesOver("documents", "lang = 'en'")
+
+  /** Shared q32/q62 oracle: minhash-LSH pairs → recursive-CTE
+    * connected components → min-id canonical (both Spark component
+    * algorithms must produce this labeling).
+    */
+  private lazy val dedupClusterOracleSql: String =
+    s"""WITH RECURSIVE ${lshPairsCtesOver(3)},
+      edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
+        UNION SELECT b, a FROM pairs WHERE est_jaccard >= 0.5),
+      comp(id, canon) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, c.canon FROM edges e JOIN comp c ON c.id = e.b)
+      SELECT id AS doc_id, MIN(canon) AS canonical_id
+      FROM comp GROUP BY 1 ORDER BY 1"""
 
   /** Shingle-array SQL (mirrors Dedup.shingles + empty filter). */
   private def shingleSql(n: Int): String =
@@ -1669,16 +1696,10 @@ object SparkEntry {
           COUNT(*) AS n
         FROM routed GROUP BY 1, 2, 3 ORDER BY 1, 2"""
     },
-    "q32_dedup_cluster" ->
-      s"""WITH RECURSIVE ${lshPairsCtesOver(3)},
-        edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
-          UNION SELECT b, a FROM pairs WHERE est_jaccard >= 0.5),
-        comp(id, canon) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.a, c.canon FROM edges e JOIN comp c ON c.id = e.b)
-        SELECT id AS doc_id, MIN(canon) AS canonical_id
-        FROM comp GROUP BY 1 ORDER BY 1""",
+    "q32_dedup_cluster" -> dedupClusterOracleSql,
+    // q62: the star-contraction path must produce the identical
+    // component labeling — same oracle
+    "q62_dedup_star" -> dedupClusterOracleSql,
     "q34_jaccard_lsh" ->
       s"""WITH ${lshPairsCtesOver(3)},
         cand AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.25),

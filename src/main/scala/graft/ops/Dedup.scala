@@ -333,6 +333,79 @@ object Dedup {
         coalesce(col("_c"), col("id")).as("canonical_id"))
   }
 
+  /** [[canonicalize]] by large-star/small-star contraction (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond") — the
+    * scale path for ADVERSARIAL component shapes: label propagation
+    * needs diameter rounds (a chain of 10^4 near-identical docs — a
+    * crawler trap — needs 10^4 joins), star contraction converges in
+    * O(log n) rounds on any shape. Per round: large-star hooks every
+    * larger neighbor of a node to its minimum, small-star re-hooks the
+    * smaller neighbors; both are one groupBy + one join over the edge
+    * set only (never the corpus). Convergence = the edge set stops
+    * changing, checked EXACTLY with an anti-join on the (u,v) pairs —
+    * no probabilistic hash-sum shortcuts. Output contract identical to
+    * [[canonicalize]]: (id, canonical_id) for every row of `df`.
+    */
+  def canonicalizeStar(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 12): DataFrame = {
+    // canonical undirected edges (u < v), self-loops dropped
+    var edges = pairs
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var prev = edges
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star: around every center c, hook each LARGER neighbor to
+      // m = min(Γ(c) ∪ {c}); (c,m) itself is kept via the v>c emits of
+      // m's own star, so emitting only n>c loses no connectivity
+      val nbrs = edges.select(col("u").as("c"), col("v").as("n"))
+        .union(edges.select(col("v").as("c"), col("u").as("n")))
+      val mins = nbrs.groupBy(col("c"))
+        .agg(min(col("n")).as("_nm"))
+        .select(col("c"), least(col("_nm"), col("c")).as("m"))
+      val afterLarge = nbrs.join(mins, "c")
+        .filter(col("n") > col("c") && col("n") =!= col("m"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .distinct()
+      // small-star: orient (max→min), hook all smaller neighbors (and
+      // the center) to the minimum
+      val small = afterLarge
+        .select(col("v").as("c"), col("u").as("n")) // n < c always
+      val smins = small.groupBy(col("c")).agg(min(col("n")).as("m"))
+      val hooked = small.join(smins, "c")
+        .filter(col("n") =!= col("m"))
+        .select(col("m").as("u"), col("n").as("v"))
+      val centers = smins.select(col("m").as("u"), col("c").as("v"))
+      val next = hooked.union(centers)
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      // exact set equality: same count and no row outside the old set
+      converged = next.exceptAll(edges).isEmpty &&
+        edges.exceptAll(next).isEmpty
+      unpersistCheckpoint(prev)
+      prev = next
+      edges = next
+      iter += 1
+    }
+    if (!converged && iter >= maxIter)
+      System.err.println(
+        s"[graft] canonicalizeStar: not converged after $maxIter rounds")
+    // converged star forest: every edge is (root, member)
+    val canon = edges.select(col("v").as("id"), col("u").as("_c"))
+      .union(edges.select(col("u").as("id"), col("u").as("_c")))
+      .groupBy(col("id")).agg(min(col("_c")).as("_c"))
+    df.select(col(idCol).as("id"))
+      .join(canon, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("canonical_id"))
+  }
+
   /** Release the RDD blocks behind a localCheckpoint'ed frame. Safe only
     * once nothing downstream can re-read it (a truncated-lineage RDD
     * cannot be recomputed after unpersist).

@@ -452,6 +452,32 @@ class OpsSpec extends AnyFunSuite {
     assert(viaJoin === viaLit)
   }
 
+  test("star-contraction components == label propagation; converges in " +
+      "O(log n) rounds where label prop cannot") {
+    import spark.implicits._
+    // chain 0-..-9, star 20<-{21..25}, clique {30,31,32}, singletons
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++
+      (21L to 25L).map(i => (20L, i)) ++
+      Seq((30L, 31L), (31L, 32L), (30L, 32L))).toDF("a", "b")
+    val nodes = ((0L to 9L) ++ (20L to 25L) ++ (30L to 32L) ++
+      Seq(77L, 88L)).toDF("id")
+    val lp = Dedup.canonicalize(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = Dedup.canonicalizeStar(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st === lp)
+    assert(st(9L) === 0L && st(25L) === 20L && st(32L) === 30L)
+    assert(st(77L) === 77L && st(88L) === 88L)
+    // adversarial diameter: an 80-chain (crawler-trap shape). Label
+    // propagation needs 80 rounds; star contraction lands inside 12.
+    val chain = (0L until 79L).map(i => (i, i + 1)).toDF("a", "b")
+    val cnodes = (0L until 80L).toDF("id")
+    val cst = Dedup.canonicalizeStar(cnodes, "id", chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 80L).forall(i => cst(i) === 0L),
+      "star contraction resolves the 80-chain to one component")
+  }
+
   test("bloom decontamination: output identical to exact path, even " +
       "with a tiny filter full of false positives") {
     import spark.implicits._
