@@ -101,7 +101,11 @@ object CurateApp {
 
     val in = docs.count()
     val outN = spark.read.parquet(s"$output/curated").count()
-    val stages = Seq("1_gate", "2_deboil", "3_exact", "4_neardup")
+    val stageNames =
+      if (opts.getOrElse("span-scrub-n", "0").toInt > 0)
+        Seq("1_gate", "2_deboil", "2b_spanscrub", "3_exact", "4_neardup")
+      else Seq("1_gate", "2_deboil", "3_exact", "4_neardup")
+    val stages = stageNames
       .map(s => s""""$s":${StagedJob.readRows(output, s).getOrElse(-1L)}""")
       .mkString("{", ",", "}")
     println(f"""{"rows_in":$in,"rows_out":$outN,"rows_packed":${

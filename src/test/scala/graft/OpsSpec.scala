@@ -452,6 +452,35 @@ class OpsSpec extends AnyFunSuite {
     assert(viaJoin === viaLit)
   }
 
+  test("new ops are partitioning-invariant: span scrub, classifier " +
+      "training, host induction identical under repartition") {
+    import spark.implicits._
+    val df = (0L until 60L).map { i =>
+      val span = if (i % 5 == 0)
+        " dup span one two three four five six seven eight" else ""
+      (i, s"w${i % 9} x${i % 7} y$i of the common tail words$span",
+        i % 3 == 0,
+        s"https://h${i % 6}.example.com/$i")
+    }.toDF("id", "text", "label", "url")
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).toSeq.sorted
+    val shuffled = df.repartition(7)
+    assert(
+      canon(Curation.dropDuplicatedSpans(df, "id", "text", n = 8)
+        .select("id", "n_removed", "clean_text")) ===
+      canon(Curation.dropDuplicatedSpans(shuffled, "id", "text", n = 8)
+        .select("id", "n_removed", "clean_text")))
+    assert(
+      canon(Curation.tokenClassWeights(df, "id", "text", "label", 1 << 12)) ===
+      canon(Curation.tokenClassWeights(shuffled, "id", "text", "label",
+        1 << 12)))
+    assert(
+      canon(Curation.induceHostBlocklist(df, "url", col("label"),
+        minDocs = 2L, minBadPpm = 200000L)) ===
+      canon(Curation.induceHostBlocklist(shuffled, "url", col("label"),
+        minDocs = 2L, minBadPpm = 200000L)))
+  }
+
   test("star-contraction components == label propagation; converges in " +
       "O(log n) rounds where label prop cannot") {
     import spark.implicits._
