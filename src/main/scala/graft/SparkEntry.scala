@@ -772,6 +772,17 @@ object SparkEntry {
         "btext", n = 8, bloomBits = 1 << 16)
         .orderBy("doc_id")
     }),
+    // curation: surgical decontamination — the planted benchmark spans
+    // are REMOVED in place (doc kept), boundary-straddling grams stay
+    // because they never occur in the benchmark itself
+    "q63_scrub_contam" -> ((s, d) => {
+      val (corpus, bench) = decontamInput(s, d)
+      Curation.removeBenchmarkSpans(corpus, bench, "doc_id", "text",
+        "btext", n = 8, bloomBits = 1 << 16)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("removed_ppm"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
     // curation: sequence packing — concat-then-chunk assignment of
     // every doc to (shard, seq, offset) training-sequence slots
     "q46_pack" -> ((s, d) =>
@@ -2335,6 +2346,47 @@ object SparkEntry {
         SELECT u.doc_id, u.host, u.smp AS score_mean_ppm,
           (bl.host IS NOT NULL) AS blocked
         FROM u LEFT JOIN bl USING (host) ORDER BY u.doc_id"""
+    },
+    // q63: benchmark gram hashes (as q59) flag gram starts; the q55
+    // coverage mask recomputes the scrubbed text
+    "q63_scrub_contam" -> {
+      def itemSql(i: String): String =
+        s"""'evaluation benchmark item ' || $i ||
+          ' the quick brown fox number ' || $i ||
+          ' jumps over the lazy dog ' || $i"""
+      s"""WITH bench AS (SELECT
+          ${itemSql("CAST(doc_id AS VARCHAR)")} AS text
+          FROM documents WHERE doc_id < 10),
+        bg AS (SELECT DISTINCT
+            CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS gh
+          FROM (SELECT unnest(${shingleSql(8)}) AS g FROM bench)),
+        corpus AS (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3
+            THEN text || ' ' || (${itemSql("CAST(doc_id % 10 AS VARCHAR)")})
+            ELSE text END AS text
+          FROM documents),
+        t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+        g AS (SELECT doc_id, i - 1 AS pos,
+            CAST(('0x' || substr(md5(array_to_string(toks[i : i + 7],
+              ' ')), 1, 8)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 7)) AS i
+            FROM t WHERE len(toks) >= 8)),
+        fp AS (SELECT doc_id, list(pos) AS fps
+          FROM g JOIN bg USING (gh) GROUP BY doc_id),
+        k AS (SELECT t.doc_id, toks,
+            list_filter(range(0, len(toks)), j -> len(list_filter(
+              coalesce(fps, CAST([] AS BIGINT[])),
+              p -> p <= j AND j < p + 8)) = 0) AS keep
+          FROM t LEFT JOIN fp ON t.doc_id = fp.doc_id)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(toks) - len(keep) AS BIGINT) AS n_removed,
+          CAST(CASE WHEN len(toks) > 0
+            THEN ((len(toks) - len(keep)) * 1000000) // len(toks)
+            ELSE 0 END AS BIGINT) AS removed_ppm,
+          md5(coalesce(array_to_string(list_transform(keep,
+            j -> toks[j + 1]), ' '), '')) AS clean_md5
+        FROM k ORDER BY doc_id"""
     },
     // q60: identical integer hour arithmetic; cutoff boundary included;
     // micros computed arithmetically (no engine timestamp conversion)

@@ -216,22 +216,44 @@ object Curation {
   def dropDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n > 0 && minDocs > 1)
-    val withT = df.withColumn("_stoks", Dedup.tokens(col(textCol)))
-    val len = size(col("_stoks"))
-    // 0-based gram start positions; a doc shorter than n has none
-    val posSeq = when(len >= n, sequence(lit(0), len - n))
-      .otherwise(array().cast("array<int>"))
-    // hash in the same projection that explodes: text stays put
-    val ghArr = transform(posSeq, i =>
-      Dedup.tokHash(array_join(slice(col("_stoks"), i + 1, lit(n)), " ")))
-    val thin = withT.withColumn("_ghs", ghArr)
-      .select(col(idCol), posexplode(col("_ghs")).as(Seq("_pos", "_gh")))
+    val (withT, thin) = gramStarts(df, idCol, textCol, n)
     val dup = Skew.saltedDistinctCount(thin, col("_gh"), col(idCol),
         buckets = 64, out = "_nd")
       .withColumnRenamed("_k", "_gh")
       .filter(col("_nd") >= minDocs)
       .select(col("_gh"))
-    val dropPos = thin.join(dup, "_gh")
+    scrubFlagged(withT, thin.join(dup, "_gh"), idCol, n)
+  }
+
+  /** Tokenize + enumerate 0-based gram start positions and their
+    * engine-portable hashes, hashed in the same per-row projection
+    * that explodes them (text never enters the thin frame). Returns
+    * (tokenized input, thin (idCol, _pos, _gh) frame).
+    */
+  private def gramStarts(df: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
+    val withT = df.withColumn("_stoks", Dedup.tokens(col(textCol)))
+    val len = size(col("_stoks"))
+    // a doc shorter than n has no grams
+    val posSeq = when(len >= n, sequence(lit(0), len - n))
+      .otherwise(array().cast("array<int>"))
+    val ghArr = transform(posSeq, i =>
+      Dedup.tokHash(array_join(slice(col("_stoks"), i + 1, lit(n)), " ")))
+    val thin = withT.withColumn("_ghs", ghArr)
+      .select(col(idCol), posexplode(col("_ghs")).as(Seq("_pos", "_gh")))
+    (withT, thin)
+  }
+
+  /** Remove every token covered by a flagged gram start: collect the
+    * per-doc flagged starts from `flaggedThin` (any subset of the thin
+    * frame), rejoin on id, and apply the coverage mask as pure per-row
+    * array arithmetic. Appends n_tokens / n_removed / removed_ppm /
+    * clean_text.
+    */
+  private def scrubFlagged(withT: DataFrame, flaggedThin: DataFrame,
+      idCol: String, n: Int): DataFrame = {
+    val len = size(col("_stoks"))
+    val dropPos = flaggedThin
       .groupBy(col(idCol)).agg(collect_set(col("_pos")).as("_fp"))
     val idx = when(len > 0, sequence(lit(0), len - 1))
       .otherwise(array().cast("array<int>"))
@@ -638,6 +660,36 @@ object Curation {
       .withColumn("contaminated", col("n_hit") > 0L)
       .select(col(idCol), col("n_grams"), col("n_hit"),
         col("contaminated"))
+  }
+
+  /** Surgical decontamination: REMOVE the tokens covered by a word
+    * n-gram that appears in the benchmark, instead of dropping the
+    * whole document ([[decontaminateExact]] flags; this scrubs — the
+    * right call when contamination is a quoted benchmark item inside
+    * an otherwise-good page). Same Bloom-prefilter + exact-confirm
+    * candidate path as decontaminateExact, same coverage-mask rewrite
+    * as [[dropDuplicatedSpans]].
+    *
+    * Returns the input's id plus n_tokens / n_removed / removed_ppm /
+    * clean_text.
+    */
+  def removeBenchmarkSpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 8, bloomBits: Int = 1 << 20): DataFrame = {
+    val benchGrams = bench
+      .withColumn("_btoks", Dedup.tokens(col(benchTextCol)))
+      .select(explode(gramsOf(col("_btoks"), n)).as("_g"))
+      .select(Dedup.tokHash(col("_g")).as("_gh"))
+      .distinct()
+    val words = bloomBuild(
+      benchGrams.collect().iterator.map(_.getLong(0)), bloomBits)
+    val (withT, thin) = gramStarts(corpus, idCol, textCol, n)
+    val flagged = thin
+      .filter(bloomMightContain(words, bloomBits, col("_gh"))) // map-side
+      .join(broadcast(benchGrams), "_gh") // exact confirm
+    scrubFlagged(withT, flagged, idCol, n)
+      .select(col(idCol), col("n_tokens"), col("n_removed"),
+        col("removed_ppm"), col("clean_text"))
   }
 
   // ---- sequence packing (concatenate-then-chunk within shards) ----

@@ -533,6 +533,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("benchmark span scrub: quoted item removed in place, doc kept") {
+    import spark.implicits._
+    val item = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((1L, item)).toDF("bid", "btext")
+    val corpus = Seq(
+      (10L, s"good prefix words here $item and a good suffix too"),
+      (11L, "a perfectly clean document with no benchmark overlap at all")
+    ).toDF("id", "text")
+    val r = Curation.removeBenchmarkSpans(corpus, bench, "id", "text",
+        "btext", n = 8, bloomBits = 1 << 12)
+      .orderBy("id").collect()
+    assert(r(0).getLong(2) === 10L) // exactly the quoted item's tokens
+    assert(r(0).getString(4) ===
+      "good prefix words here and a good suffix too")
+    assert(r(1).getLong(2) === 0L)
+  }
+
   test("latest snapshot as-of: newest <= cutoff kept per key, tie by id") {
     import spark.implicits._
     val df = Seq(
