@@ -1003,6 +1003,24 @@ object SparkEntry {
           col("score_mean_ppm"), col("blocked"))
         .orderBy("doc_id")
     }),
+    // curation: rank-based quality gate — keep the best 30% of each
+    // language by token count (the distribution-adaptive alternative
+    // to a hard score threshold); exact integer ranks, ties by id
+    "q64_top_quantile" -> ((s, d) =>
+      Curation.keepTopQuantile(
+        t(s, d, "documents")
+          .withColumn("n_toks",
+            TextAnalysis.tokenCount(col("text")).cast("long"))
+          .select(col("doc_id"), col("lang"), col("n_toks")),
+        "doc_id", "lang", "n_toks", keepPpm = 300000L)
+        .orderBy("doc_id")),
+    // curation: eval-integrity audit — MinHash-LSH near-dup pairs that
+    // straddle the train/val/test hash split (cross-split rows = test
+    // leakage the dedup-before-split discipline must eliminate)
+    "q65_split_leakage" -> ((s, d) =>
+      Curation.splitLeakageAudit(t(s, d, "documents"), "doc_id", "text",
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .orderBy("split_lo", "split_hi")),
     // curation: per-URL latest-snapshot (as-of) selection — the
     // keep-newest-crawl dedup over multi-snapshot web corpora, with a
     // historical cutoff (point-in-time reconstruction). Snapshots are
@@ -2387,6 +2405,39 @@ object SparkEntry {
           md5(coalesce(array_to_string(list_transform(keep,
             j -> toks[j + 1]), ' '), '')) AS clean_md5
         FROM k ORDER BY doc_id"""
+    },
+    // q64: identical integer rank inequality ((rank−1)·1e6 < ppm·n)
+    "q64_top_quantile" ->
+      s"""WITH thin AS (SELECT doc_id, lang,
+          CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+        r AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY n_toks DESC, doc_id) AS BIGINT)
+            AS stratum_rank,
+          CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS stratum_n
+          FROM thin)
+        SELECT doc_id, lang, n_toks, stratum_rank, stratum_n,
+          (stratum_rank - 1) * 1000000 < 300000 * stratum_n AS kept
+        FROM r ORDER BY doc_id""",
+    // q65: same LSH candidate pairs + split slots; cross-split rows
+    // are the leakage
+    "q65_split_leakage" -> {
+      def slotSql(e: String) =
+        s"""CAST(('0x' || substr(md5(CAST($e AS VARCHAR) || ':split'),
+          1, 8)) AS BIGINT) % 10000"""
+      s"""WITH ${lshPairsCtesOver(3)},
+        e AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5),
+        sl AS (SELECT a, b, ${slotSql("a")} AS qa, ${slotSql("b")} AS qb
+          FROM e),
+        sp AS (SELECT
+            (CASE WHEN qa < 8000 THEN 'train' WHEN qa < 9000 THEN 'val'
+              ELSE 'test' END) AS sa,
+            (CASE WHEN qb < 8000 THEN 'train' WHEN qb < 9000 THEN 'val'
+              ELSE 'test' END) AS sb
+          FROM sl)
+        SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          least(sa, sb) != greatest(sa, sb) AS leaks
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
     },
     // q60: identical integer hour arithmetic; cutoff boundary included;
     // micros computed arithmetically (no engine timestamp conversion)

@@ -1020,6 +1020,34 @@ object Curation {
       .withColumn("kept", hashSlot(col(idCol), salt) < col("keep_slots"))
   }
 
+  /** Split-leakage audit: count near-dup candidate pairs that straddle
+    * the train/val/test hash split — the eval-integrity check every
+    * pipeline should ship (a test document with a near-duplicate in
+    * train is leaked benchmark signal; the fix is dedup-BEFORE-split,
+    * and this table proves whether it happened). Pairs come from the
+    * same MinHash-LSH candidate generator as the dedup path, so "no
+    * cross-split pairs after curate" is checkable with the exact
+    * machinery that deduped.
+    *
+    * Returns (split_lo, split_hi, n_pairs, leaks) — rows with
+    * `leaks = true` are cross-split near-dup pair counts.
+    */
+  def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Int)], k: Int = 16, bands: Int = 8,
+      shingleN: Int = 3, minEstJaccard: Double = 0.5,
+      salt: String = "split"): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(df, idCol, textCol, k, bands,
+      minEstJaccard = minEstJaccard, shingleN = shingleN)
+    val sa = hashSplit(col("a"), splits, salt)
+    val sb = hashSplit(col("b"), splits, salt)
+    pairs
+      .select(least(sa, sb).as("split_lo"),
+        greatest(sa, sb).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_lo") =!= col("split_hi"))
+  }
+
   /** Deterministic Bernoulli-by-hash sample: keep ~fraction of rows,
     * stable under reruns and engine changes (unlike rand()-based
     * sampling, which is neither). Use a different salt than the split
@@ -1028,6 +1056,33 @@ object Curation {
   def sampledByHash(id: Column, fraction: Double,
       salt: String = "sample"): Column =
     hashSlot(id, salt) < lit(math.round(fraction * 10000).toInt)
+
+  /** Keep the best `keepPpm`/1e6 of each stratum by a numeric score —
+    * the rank-based quality gate (keep the top X% per language by
+    * classifier score) that adapts to the score distribution instead
+    * of hard-coding a threshold. Exact integer ranks (ties broken by
+    * ascending id, so the kept set is deterministic across runs,
+    * partitionings and engines): kept iff (rank−1)·1e6 < keepPpm·n —
+    * ceiling semantics, so a non-empty stratum keeps at least one
+    * document whenever keepPpm > 0 (floor semantics would silently
+    * wipe small strata).
+    *
+    * Scale shape: one window over thin (stratum, score, id) rows —
+    * same shape as [[tokenBudgetAssign]]; text never shuffles.
+    * Returns the input plus `stratum_rank`, `stratum_n`, `kept`.
+    */
+  def keepTopQuantile(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String, keepPpm: Long): DataFrame = {
+    require(keepPpm >= 0L && keepPpm <= 1000000L)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wAll = Window.partitionBy(col(strataCol))
+    df.withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .withColumn("stratum_n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("kept",
+        (col("stratum_rank") - 1L) * 1000000L <
+          lit(keepPpm) * col("stratum_n"))
+  }
 
   // ---- corpus profiling ----
 

@@ -658,6 +658,45 @@ class OpsSpec extends AnyFunSuite {
       "the scrub stage removes the cross-doc duplicated span")
   }
 
+  test("keepTopQuantile: exact per-stratum rank gate, ties by id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", 50L), (2L, "en", 90L), (3L, "en", 90L), (4L, "en", 10L),
+      (5L, "de", 70L)
+    ).toDF("id", "lang", "score")
+    val r = Curation.keepTopQuantile(df, "id", "lang", "score",
+        keepPpm = 500000L)
+      .orderBy("id").select("id", "stratum_rank", "kept").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    // en: ranks by (score desc, id asc) = 2,3,1,4 → top 50% of 4 = {2,3};
+    // de singleton: ceiling semantics keep it (rank-1 = 0 < 0.5·1e6)
+    assert(r.toSeq === Seq((1L, 3L, false), (2L, 1L, true),
+      (3L, 2L, true), (4L, 4L, false), (5L, 1L, true)))
+  }
+
+  test("splitLeakageAudit: planted cross-split near-dups are counted") {
+    import spark.implicits._
+    // find two ids in different hash splits, give them identical text
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val assign = (0L until 200L).toDF("id")
+      .withColumn("s", Curation.hashSplit(col("id"), splits))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = assign.collectFirst { case (i, "train") => i }.get
+    val testId = assign.collectFirst { case (i, "test") => i }.get
+    val dup = "the same long duplicated body one two three four five " +
+      "six seven eight nine ten"
+    val docs = Seq(
+      (trainId, dup), (testId, dup),
+      (999L, "a totally unrelated document about something else entirely")
+    ).toDF("id", "text")
+    val out = Curation.splitLeakageAudit(docs, "id", "text", splits,
+        minEstJaccard = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq(("test", "train", 1L, true)))
+  }
+
   test("hashSplit: total cover, stable, roughly weighted; sample independent") {
     import spark.implicits._
     val df = (0L until 2000L).toDF("id")
