@@ -1003,6 +1003,18 @@ object SparkEntry {
           col("score_mean_ppm"), col("blocked"))
         .orderBy("doc_id")
     }),
+    // dedup: incremental ingestion — classify the new batch (doc_id >=
+    // 400) against the existing corpus (< 400): planted shared bodies
+    // make 10 exact dups (%10==0) and 10 near dups (%10==1, one extra
+    // trailing clause); everything else is `new`
+    "q66_incr_dedup" -> ((s, d) => {
+      val corpus = incrCorpus(s, d)
+      val index = corpus.filter(col("doc_id") < 400)
+      val fresh = corpus.filter(col("doc_id") >= 400)
+      Dedup.dedupAgainstIndex(fresh, index, "doc_id", "text",
+        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
+        .orderBy("doc_id")
+    }),
     // curation: rank-based quality gate — keep the best 30% of each
     // language by token count (the distribution-adaptive alternative
     // to a hard score threshold); exact integer ranks, ties by id
@@ -1058,6 +1070,29 @@ object SparkEntry {
   private val SpamPhrase =
     "caszino b0nus fr3e p1lls w1nner jackp0t 0ffer cl1ck"
   private val BlockMeanPpm = 515000L
+
+  /** q66's synthesized incremental-ingestion corpus: index docs
+    * (doc_id < 400, every 40th) carry a shared archived body k; new
+    * docs (>= 400) replant body (did-400)/10 verbatim for %10==0
+    * (exact dups) and with an extra trailing clause for %10==1 (near
+    * dups). Everything else keeps its word-salad text.
+    */
+  private def incrCorpus(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("long")
+    def body(kc: Column): Column = concat(
+      lit("the archived corpus body "), kc.cast("string"),
+      lit(" alpha bravo charlie delta echo foxtrot golf hotel india" +
+        " juliet kilo lima mike november oscar papa"))
+    t(s, d, "documents").select(col("doc_id"),
+      when(did < 400 && pmod(did, lit(40)) === 0,
+        body(expr("CAST(doc_id AS BIGINT) DIV 40")))
+        .when(did >= 400 && pmod(did, lit(10)) === 0,
+          body(expr("(CAST(doc_id AS BIGINT) - 400) DIV 10")))
+        .when(did >= 400 && pmod(did, lit(10)) === 1,
+          concat(body(expr("(CAST(doc_id AS BIGINT) - 401) DIV 10")),
+            lit(" with one extra trailing clause appended here")))
+        .otherwise(col("text")).as("text"))
+  }
 
   /** Shared planted-contamination input for q45/q59: docs %11==3 get
     * eval item id%10 appended; the digit-interleaved phrases cannot
@@ -2405,6 +2440,41 @@ object SparkEntry {
           md5(coalesce(array_to_string(list_transform(keep,
             j -> toks[j + 1]), ' '), '')) AS clean_md5
         FROM k ORDER BY doc_id"""
+    },
+    // q66: same planted bodies; pairs from the shared LSH CTEs over the
+    // synthesized corpus, cross-side = (a < 400 <= b) since ids are
+    // disjoint and pairs are a < b; exact via fingerprint join
+    "q66_incr_dedup" -> {
+      def bodySql(k: String): String =
+        s"""'the archived corpus body ' || CAST($k AS VARCHAR) ||
+          ' alpha bravo charlie delta echo foxtrot golf hotel india' ||
+          ' juliet kilo lima mike november oscar papa'"""
+      s"""WITH corpus AS (SELECT doc_id, CASE
+          WHEN doc_id < 400 AND doc_id % 40 = 0
+            THEN ${bodySql("doc_id // 40")}
+          WHEN doc_id >= 400 AND doc_id % 10 = 0
+            THEN ${bodySql("(doc_id - 400) // 10")}
+          WHEN doc_id >= 400 AND doc_id % 10 = 1
+            THEN ${bodySql("(doc_id - 401) // 10")}
+              || ' with one extra trailing clause appended here'
+          ELSE text END AS text
+          FROM documents),
+        ${lshPairsCtesOver(3, 0, "corpus")},
+        cr AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
+          AND a < 400 AND b >= 400),
+        nr AS (SELECT b AS id, MIN(a) AS nd FROM cr GROUP BY b),
+        fps AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+        ex AS (SELECT n.doc_id AS id, MIN(i.doc_id) AS xd
+          FROM fps n JOIN fps i ON n.fp = i.fp
+          WHERE n.doc_id >= 400 AND i.doc_id < 400 GROUP BY 1)
+        SELECT d.doc_id,
+          CASE WHEN xd IS NOT NULL THEN 'exact'
+            WHEN nd IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+          COALESCE(xd, nd) AS dup_of
+        FROM (SELECT doc_id FROM corpus WHERE doc_id >= 400) d
+        LEFT JOIN ex ON d.doc_id = ex.id
+        LEFT JOIN nr ON d.doc_id = nr.id
+        ORDER BY d.doc_id"""
     },
     // q64: identical integer rank inequality ((rank−1)·1e6 < ppm·n)
     "q64_top_quantile" ->

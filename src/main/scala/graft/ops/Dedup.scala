@@ -406,6 +406,62 @@ object Dedup {
       .select(col("id"), coalesce(col("_c"), col("id")).as("canonical_id"))
   }
 
+  /** Incremental-ingestion dedup: classify every document of a NEW
+    * batch against an EXISTING corpus — `exact` (same md5 fingerprint
+    * as an index doc), `near` (MinHash-LSH estimated Jaccard ≥
+    * threshold vs an index doc) or `new`, with `dup_of` = the smallest
+    * matching index id. The production shape of "merge this week's
+    * crawl into the curated corpus": batch-internal dups are the
+    * existing operators' job; this answers "have we already got it".
+    *
+    * Scale shape: candidates come from the same banded-signature
+    * machinery as [[minhashLshPairs]] over the tagged union, so only
+    * (band, bucket) keys and signatures shuffle; cross-side pairs are
+    * kept (intra-side pairs drop). A real deployment persists the
+    * index side's (id, fp, m0..mk-1) once and reuses it per batch —
+    * the signature columns here are exactly that table, recomputed
+    * from text for a self-contained call. Ids must be unique across
+    * both frames (true of any monotone corpus id space).
+    *
+    * Returns (idCol, verdict, dup_of) for every new-batch row.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, bands: Int = 8,
+      minEstJaccard: Double = 0.5, shingleN: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    val tagged = index.select(col(idCol), col(textCol),
+        lit(true).as("_idx"))
+      .union(newDocs.select(col(idCol), col(textCol),
+        lit(false).as("_idx")))
+    val tags = tagged.select(col(idCol).as("_tid"), col("_idx"))
+    val pairs = minhashLshPairs(tagged, idCol, textCol, k, bands,
+      minEstJaccard = minEstJaccard, shingleN = shingleN,
+      maxBucket = maxBucket)
+    val cross = pairs
+      .join(tags.select(col("_tid").as("_ta"), col("_idx").as("_ia")),
+        col("a") === col("_ta"))
+      .join(tags.select(col("_tid").as("_tb"), col("_idx").as("_ib")),
+        col("b") === col("_tb"))
+      .filter(col("_ia") =!= col("_ib")) // cross-side only
+      .select(when(col("_ia"), col("a")).otherwise(col("b")).as("_iid"),
+        when(col("_ia"), col("b")).otherwise(col("a")).as("_nid"))
+    val near = cross.groupBy(col("_nid")).agg(min(col("_iid")).as("_nd"))
+    val idxFp = index.select(md5(col(textCol)).as("_fp"),
+      col(idCol).as("_iid"))
+    val exact = newDocs
+      .select(col(idCol).as("_xnid"), md5(col(textCol)).as("_fp"))
+      .join(idxFp, "_fp")
+      .groupBy(col("_xnid")).agg(min(col("_iid")).as("_xd"))
+    newDocs.select(col(idCol))
+      .join(exact, col(idCol) === col("_xnid"), "left")
+      .join(near, col(idCol) === col("_nid"), "left")
+      .select(col(idCol),
+        when(col("_xd").isNotNull, lit("exact"))
+          .when(col("_nd").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("_xd"), col("_nd")).as("dup_of"))
+  }
+
   /** Release the RDD blocks behind a localCheckpoint'ed frame. Safe only
     * once nothing downstream can re-read it (a truncated-lineage RDD
     * cannot be recomputed after unpersist).

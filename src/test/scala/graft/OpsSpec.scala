@@ -481,6 +481,27 @@ class OpsSpec extends AnyFunSuite {
         minDocs = 2L, minBadPpm = 200000L)))
   }
 
+  test("incremental dedup vs index: exact / near / new verdicts") {
+    import spark.implicits._
+    val body = "the archived body alpha bravo charlie delta echo " +
+      "foxtrot golf hotel india juliet kilo lima mike november"
+    val index = Seq(
+      (1L, body),
+      (2L, "some other indexed document about entirely different things")
+    ).toDF("id", "text")
+    val fresh = Seq(
+      (100L, body), // exact dup of 1
+      (101L, body + " with a small extra trailing clause"), // near dup
+      (102L, "a genuinely novel document nothing like the index at all")
+    ).toDF("id", "text")
+    val r = Dedup.dedupAgainstIndex(fresh, index, "id", "text")
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2)))
+    assert(r.toSeq === Seq((100L, "exact", 1L), (101L, "near", 1L),
+      (102L, "new", -1L)))
+  }
+
   test("star-contraction components == label propagation; converges in " +
       "O(log n) rounds where label prop cannot") {
     import spark.implicits._
