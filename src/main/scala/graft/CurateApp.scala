@@ -71,11 +71,14 @@ object CurateApp {
         (texts.toDF(), "doc_id", "text")
       } else (spark.read.parquet(input), idCol, textCol)
     val t0 = System.nanoTime()
+    // --span-scrub-n 8: corpus-level exact-substring scrub stage
+    // (single parse: the curateStaged call and the stage accounting
+    // below must agree on the stage names it implies)
+    val spanScrubN = opts.getOrElse("span-scrub-n", "0").toInt
     val curated = Curation.curateStaged(docs, idCol0, textCol0, output,
       minTokens = opts.getOrElse("min-tokens", "10").toInt,
       paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt,
-      // --span-scrub-n 8: corpus-level exact-substring scrub stage
-      spanScrubN = opts.getOrElse("span-scrub-n", "0").toInt)
+      spanScrubN = spanScrubN)
     val resampled = opts.get("resample-keep") match {
       case Some(f) => Curation.temperatureResample(curated, idCol0, "lang",
           alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
@@ -102,8 +105,9 @@ object CurateApp {
     val in = docs.count()
     val outN = spark.read.parquet(s"$output/curated").count()
     val stageNames =
-      if (opts.getOrElse("span-scrub-n", "0").toInt > 0)
-        Seq("1_gate", "2_deboil", "2b_spanscrub", "3_exact", "4_neardup")
+      if (spanScrubN > 0)
+        Seq("1_gate", "2_deboil", s"2b_spanscrub$spanScrubN",
+          s"3_exact_s$spanScrubN", s"4_neardup_s$spanScrubN")
       else Seq("1_gate", "2_deboil", "3_exact", "4_neardup")
     val stages = stageNames
       .map(s => s""""$s":${StagedJob.readRows(output, s).getOrElse(-1L)}""")

@@ -425,19 +425,24 @@ object Curation {
       deboilStage(gate, idCol, paraMinDocs)
     }
     guard(2)
-    // optional stage keeps its own marker so a rerun with the same
-    // spanScrubN resumes past it; disabled = the stage never exists
+    // the scrub config is CODED INTO the stage names (2b_spanscrub<N>,
+    // 3_exact_s<N>, 4_neardup_s<N>): re-running an already-complete
+    // output dir with a different --span-scrub-n must not reuse
+    // downstream stages built from differently-scrubbed input — with
+    // unsuffixed names the old 3_exact marker would silently win and
+    // the final corpus would not match the requested config
+    val sfx = if (spanScrubN <= 0) "" else s"_s$spanScrubN"
     val scrubbed =
       if (spanScrubN <= 0) deboiled
-      else graft.io.StagedJob.stage(spark, out, "2b_spanscrub",
+      else graft.io.StagedJob.stage(spark, out, s"2b_spanscrub$spanScrubN",
           requiredCols = Seq(idCol, "lang", "clean_text")) {
         spanScrubStage(deboiled, idCol, spanScrubN)
       }
-    val exact = graft.io.StagedJob.stage(spark, out, "3_exact") {
+    val exact = graft.io.StagedJob.stage(spark, out, s"3_exact$sfx") {
       exactStage(scrubbed, idCol)
     }
     guard(3)
-    val curated = graft.io.StagedJob.stage(spark, out, "4_neardup") {
+    val curated = graft.io.StagedJob.stage(spark, out, s"4_neardup$sfx") {
       nearDupStage(exact, idCol, shingleN, minEstJaccard, maxBucket)
     }
     guard(4)
@@ -584,7 +589,8 @@ object Curation {
     * overflows a signed 64-bit product — ANSI mode rejects wrap-around)
     */
   def bloomBuild(hashes: Iterator[Long], bits: Int): Array[Long] = {
-    require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be 2^k")
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      "bits must be 2^k and at least one 64-bit word")
     val words = new Array[Long](bits / 64)
     val mask = (bits - 1).toLong
     def set(p: Long): Unit =
@@ -630,19 +636,29 @@ object Curation {
     * (16 MB, broadcast once per executor) holds ~10M benchmark grams
     * at fpr < 1%.
     */
-  def decontaminateExact(corpus: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, benchTextCol: String,
-      n: Int = 8, bloomBits: Int = 1 << 20): DataFrame = {
+  /** Distinct benchmark gram hashes plus their driver-built Bloom
+    * filter — the shared candidate machinery of [[decontaminateExact]]
+    * and [[removeBenchmarkSpans]]. The bench side is small by contract
+    * (eval suites): collected once for the filter; the returned frame
+    * is broadcast for the exact confirm.
+    */
+  private def benchGramFilter(bench: DataFrame, benchTextCol: String,
+      n: Int, bloomBits: Int): (DataFrame, Array[Long]) = {
     val benchGrams = bench
       .withColumn("_btoks", Dedup.tokens(col(benchTextCol)))
       .select(explode(gramsOf(col("_btoks"), n)).as("_g"))
       .select(Dedup.tokHash(col("_g")).as("_gh"))
       .distinct()
-    // the bench side is small by contract (eval suites): collect once
-    // for the driver-built filter; the exact confirm broadcasts the
-    // same frame
     val words = bloomBuild(
       benchGrams.collect().iterator.map(_.getLong(0)), bloomBits)
+    (benchGrams, words)
+  }
+
+  def decontaminateExact(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 8, bloomBits: Int = 1 << 20): DataFrame = {
+    val (benchGrams, words) = benchGramFilter(bench, benchTextCol, n,
+      bloomBits)
     val exact = broadcast(benchGrams)
     val withG = corpus
       .withColumn("_toks", Dedup.tokens(col(textCol)))
@@ -676,13 +692,8 @@ object Curation {
   def removeBenchmarkSpans(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, benchTextCol: String,
       n: Int = 8, bloomBits: Int = 1 << 20): DataFrame = {
-    val benchGrams = bench
-      .withColumn("_btoks", Dedup.tokens(col(benchTextCol)))
-      .select(explode(gramsOf(col("_btoks"), n)).as("_g"))
-      .select(Dedup.tokHash(col("_g")).as("_gh"))
-      .distinct()
-    val words = bloomBuild(
-      benchGrams.collect().iterator.map(_.getLong(0)), bloomBits)
+    val (benchGrams, words) = benchGramFilter(bench, benchTextCol, n,
+      bloomBits)
     val (withT, thin) = gramStarts(corpus, idCol, textCol, n)
     val flagged = thin
       .filter(bloomMightContain(words, bloomBits, col("_gh"))) // map-side
@@ -1160,10 +1171,12 @@ object Curation {
       labelCol: String, buckets: Int = 1 << 18): DataFrame = {
     require(buckets > 0)
     val labeled = df.filter(col(labelCol).isNotNull)
-    // non-negative longs: double-div + trunc == floor == DuckDB //
+    // integral DIV (exact at any magnitude — a double-div-then-cast
+    // diverges from DuckDB's // once denominator x quotient > 2^53)
     val prior = labeled.agg(
-      ((sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
-        * 1000000L) / count(lit(1))).cast("long").as("_prior"))
+      call_function("div",
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          * 1000000L, count(lit(1))).as("_prior"))
     val thin = labeled
       .select(col(idCol), col(labelCol).cast("boolean").as("_lb"),
         explode(array_distinct(Dedup.tokens(col(textCol)))).as("_t"))
@@ -1176,7 +1189,7 @@ object Curation {
       .crossJoin(broadcast(prior))
       .select(col("bucket"),
         greatest(lit(0L), least(lit(1000000L),
-          ((col("_pos") * 1000000L) / col("_n")).cast("long")
+          call_function("div", col("_pos") * 1000000L, col("_n"))
             + 500000L - col("_prior"))).as("w"))
   }
 
@@ -1243,6 +1256,17 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Host normalized for domain matching: authority without port,
+    * lowercased, trailing dot (absolute FQDN form) stripped — without
+    * this, "ads.tracker.net:8080" or "ads.tracker.net." never equals a
+    * blocklist entry and the filter is evaded by any non-default port
+    * or trailing-dot spelling.
+    */
+  def matchHost(url: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(hostOf(url)), ":[0-9]+$", ""),
+      "\\.$", "")
+
   /** Suffix set of a host — "a.b.example.com" yields itself and every
     * parent domain down to the TLD. The unit a domain blocklist matches
     * on: an entry blocks the domain and every subdomain, which is
@@ -1263,7 +1287,7 @@ object Curation {
     * for larger lists use [[markBlockedByDomainList]].
     */
   def blockedByDomains(url: Column, blocklist: Seq[String]): Column =
-    arrays_overlap(hostSuffixes(lower(hostOf(url))),
+    arrays_overlap(hostSuffixes(matchHost(url)),
       lit(blocklist.map(_.toLowerCase).toArray))
 
   /** DataFrame form of [[blockedByDomains]] for blocklists maintained
@@ -1277,7 +1301,7 @@ object Curation {
     val bl = blocklist.select(lower(col(domainCol)).as("_dom")).distinct()
     val b = if (broadcastList) broadcast(bl) else bl
     val hit = df.select(col(idCol),
-        explode(hostSuffixes(lower(hostOf(col(urlCol))))).as("_dom"))
+        explode(hostSuffixes(matchHost(col(urlCol)))).as("_dom"))
       .join(b, "_dom")
       .select(col(idCol)).distinct()
       .withColumn("_blk", lit(true))
@@ -1302,13 +1326,14 @@ object Curation {
     */
   def induceHostBlocklist(df: DataFrame, urlCol: String, bad: Column,
       minDocs: Long = 5L, minBadPpm: Long = 500000L): DataFrame =
-    df.select(hostOf(col(urlCol)).as("domain"),
+    df.select(matchHost(col(urlCol)).as("domain"),
         bad.cast("boolean").as("_bad"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("_bad"), 1L).otherwise(0L)).as("_nb"))
+      // integral DIV, not double-div-then-cast: exact at ANY magnitude
       .withColumn("bad_ppm",
-        ((col("_nb") * 1000000L) / col("n_docs")).cast("long"))
+        call_function("div", col("_nb") * 1000000L, col("n_docs")))
       .filter(col("n_docs") >= minDocs && col("bad_ppm") >= minBadPpm)
       .select(col("domain"), col("n_docs"), col("bad_ppm"))
 
@@ -1323,12 +1348,12 @@ object Curation {
   def induceHostBlocklistByScore(df: DataFrame, urlCol: String,
       score: Column, minDocs: Long = 5L,
       minMeanPpm: Long = 520000L): DataFrame =
-    df.select(hostOf(col(urlCol)).as("domain"),
+    df.select(matchHost(col(urlCol)).as("domain"),
         score.cast("long").as("_sc"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_sc")).as("_ss"))
       .withColumn("mean_score_ppm",
-        ((col("_ss") * 1L) / col("n_docs")).cast("long"))
+        call_function("div", col("_ss"), col("n_docs")))
       .filter(col("n_docs") >= minDocs &&
         col("mean_score_ppm") >= minMeanPpm)
       .select(col("domain"), col("n_docs"), col("mean_score_ppm"))

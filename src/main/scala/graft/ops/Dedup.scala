@@ -386,9 +386,11 @@ object Dedup {
           greatest(col("u"), col("v")).as("v"))
         .distinct()
         .localCheckpoint()
-      // exact set equality: same count and no row outside the old set
-      converged = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      // exact set equality of two DISTINCT sets: equal cardinality plus
+      // no new row outside the old set (the count is a cheap scan of
+      // the just-checkpointed blocks — one anti-join instead of two)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
       unpersistCheckpoint(prev)
       prev = next
       edges = next

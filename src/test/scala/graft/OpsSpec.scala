@@ -438,13 +438,17 @@ class OpsSpec extends AnyFunSuite {
       (2L, "https://sub.ads.tracker.net/y"),
       (3L, "https://tracker.net/z"), // parent of an entry: NOT blocked
       (4L, "https://good.example.org/a"),
-      (5L, "not a url")
+      (5L, "not a url"),
+      (6L, "https://ads.tracker.net:8443/p"), // explicit port: blocked
+      (7L, "https://ads.tracker.net./q"), // trailing-dot FQDN: blocked
+      (8L, "HTTPS://ADS.TRACKER.NET/r") // case: blocked
     ).toDF("id", "url")
     val bl = Seq("ads.tracker.net")
     val viaLit = df
       .withColumn("b", Curation.blockedByDomains(col("url"), bl))
       .orderBy("id").select("b").collect().map(_.getBoolean(0)).toSeq
-    assert(viaLit === Seq(true, true, false, false, false))
+    assert(viaLit === Seq(true, true, false, false, false,
+      true, true, true))
     val viaJoin = Curation.markBlockedByDomainList(df, "id", "url",
         bl.toDF("domain"))
       .orderBy("id").select("blocked").collect()

@@ -182,10 +182,10 @@ class ResumeSpec extends AnyFunSuite {
         minTokens = 5, paraMinDocs = 3, spanScrubN = 8,
         failAfterStage = 2)
     }
-    assert(!graft.io.StagedJob.committed(dir, "2b_spanscrub"))
+    assert(!graft.io.StagedJob.committed(dir, "2b_spanscrub8"))
     val resumed = canon(graft.ops.Curation.curateStaged(docs, "id",
       "text", dir, minTokens = 5, paraMinDocs = 3, spanScrubN = 8))
-    assert(graft.io.StagedJob.committed(dir, "2b_spanscrub"))
+    assert(graft.io.StagedJob.committed(dir, "2b_spanscrub8"))
     val inMem = canon(graft.ops.Curation.curate(docs, "id", "text",
       minTokens = 5, paraMinDocs = 3, spanScrubN = 8))
     assert(resumed === inMem)
