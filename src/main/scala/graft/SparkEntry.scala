@@ -869,6 +869,15 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text"))),
         "lang", "n_toks")
         .orderBy("lang")),
+    // curation: log2-bucket distribution profile — the unbounded-domain
+    // monitoring variant (exact count/sum/min/max, percentile upper
+    // bounds with the ≤2× log-bucket guarantee)
+    "q67_profile_approx" -> ((s, d) =>
+      Curation.corpusProfileApprox(
+        t(s, d, "documents").withColumn("n_toks",
+          TextAnalysis.tokenCount(col("text"))),
+        "lang", "n_toks")
+        .orderBy("lang")),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -2110,6 +2119,36 @@ object SparkEntry {
           max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN v END) AS p50,
           max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN v END) AS p90,
           max(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN v END) AS p99
+        FROM r GROUP BY lang ORDER BY lang""",
+    // q67: same log2 bucketing (DuckDB's bin() length = bit length,
+    // so length(bin(v))-1 = floor(log2 v) with no float log), same
+    // integer rank arithmetic, same bucket upper bounds
+    "q67_profile_approx" ->
+      s"""WITH thin AS (SELECT lang,
+          CAST(len($toksSql) AS BIGINT) AS v FROM documents),
+        bk AS (SELECT lang, v,
+          CASE WHEN v < 0 THEN -2 WHEN v = 0 THEN -1
+            ELSE length(bin(v)) - 1 END AS b FROM thin),
+        h AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+          FROM bk GROUP BY 1, 2),
+        r AS (SELECT *,
+          CAST(SUM(c) OVER (PARTITION BY lang ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum,
+          CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+          CASE WHEN b = -2 THEN CAST(-1 AS BIGINT)
+            WHEN b = -1 THEN CAST(0 AS BIGINT)
+            ELSE (CAST(1 AS BIGINT) << CAST(b + 1 AS INT)) - 1 END AS ub
+          FROM h)
+        SELECT lang, max(n) AS n_rows, CAST(sum(s) AS BIGINT) AS total,
+          min(mn) AS v_min, max(mx) AS v_max,
+          min(CASE WHEN cum >= (50 * (n - 1)) // 100 + 1 THEN ub END)
+            AS p50_ub,
+          min(CASE WHEN cum >= (90 * (n - 1)) // 100 + 1 THEN ub END)
+            AS p90_ub,
+          min(CASE WHEN cum >= (99 * (n - 1)) // 100 + 1 THEN ub END)
+            AS p99_ub
         FROM r GROUP BY lang ORDER BY lang""",
     // q49: same fixed float expression tree as temperatureResample —
     // integer-quantized weights keep the cross-stratum sum exact in

@@ -931,34 +931,61 @@ object Curation {
     * straddling document (so the kept set is never empty when the
     * budget is > 0 and always overshoots by < one document).
     *
-    * Scale shape: identical to packSequences — the window runs over
-    * thin (id, stratum, n_tokens, ord) rows only; the caller joins
-    * `kept` back on id, so document text never enters the shuffle.
-    * Strata are typically languages or sources (100s–1000s), each fits
-    * a window partition trivially at any corpus size since rows are
-    * ~40 bytes.
+    * Scale shape: thin (id, stratum, n_tokens, ord) rows only — the
+    * caller joins `kept` back on id, so document text never enters a
+    * shuffle. A stratum is NEVER one window partition: because the
+    * order key is the uniform md5 hex string itself, its first
+    * `shardHexLen` characters are an order-consistent, evenly-loaded
+    * shard key (every row of shard "0a.." sorts before every row of
+    * shard "0b.."), so the running sum is computed per (stratum,
+    * shard) window — partitions of ~|stratum|/16^shardHexLen rows —
+    * plus broadcast-sized shard prefix offsets (one partial-agg
+    * groupBy → strata × 16^shardHexLen rows → tiny per-stratum
+    * window → join back). Same two-pass shape as [[packSequences]],
+    * with order-consistent shards instead of independent ones. The
+    * default 3 hex chars = 4096 shards keeps shards ≈ 2.4e8 thin rows
+    * even at 10^12 docs in ONE stratum; pass 4 (65536 shards) beyond.
     *
     * Returns (idCol, strataCol, n_tokens, start_tok, kept).
     */
   def tokenBudgetAssign(df: DataFrame, idCol: String, strataCol: String,
       tokensCol: String, budgets: Map[String, Long],
-      defaultBudget: Long = 0L, salt: String = "budget"): DataFrame = {
+      defaultBudget: Long = 0L, salt: String = "budget",
+      shardHexLen: Int = 3): DataFrame = {
+    require(shardHexLen >= 1 && shardHexLen <= 8)
     val id = col(idCol)
     val ord = md5(concat(id.cast("string"), lit(":" + salt)))
-    val w = Window.partitionBy(col(strataCol)).orderBy(col("_ord"), id)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // when-chain over the stratum name: budgets is a small driver-side
     // map (one literal branch per stratum), evaluated on thin rows
     val budgetCol = budgets.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultBudget)) { case (els, (k, v)) =>
         when(col(strataCol) === k, lit(v)).otherwise(els)
       }
-    df.select(id, col(strataCol),
+    val thin = df
+      .select(id, col(strataCol),
         col(tokensCol).cast("long").as("n_tokens"), ord.as("_ord"))
-      .withColumn("_cum", sum(col("n_tokens")).over(w))
-      .withColumn("start_tok", col("_cum") - col("n_tokens"))
+      .withColumn("_shard", substring(col("_ord"), 1, shardHexLen))
+    val w = Window.partitionBy(col(strataCol), col("_shard"))
+      .orderBy(col("_ord"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partials = thin.groupBy(col(strataCol), col("_shard"))
+      .agg(sum(col("n_tokens")).as("_ssum"))
+    val offW = Window.partitionBy(col(strataCol)).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // strata × shards rows: the per-stratum window here runs over the
+    // aggregated table, never the corpus
+    val offsets = partials
+      .withColumn("_off", sum(col("_ssum")).over(offW) - col("_ssum"))
+      .select(col(strataCol).as("_bo_s"), col("_shard").as("_bo_sh"),
+        col("_off"))
+    thin
+      .withColumn("_lcum", sum(col("n_tokens")).over(w))
+      .join(offsets, col(strataCol) <=> col("_bo_s") &&
+        col("_shard") === col("_bo_sh"))
+      .withColumn("start_tok", col("_off") + col("_lcum") - col("n_tokens"))
       .withColumn("kept", col("start_tok") < budgetCol)
-      .drop("_ord", "_cum")
+      .select(id, col(strataCol), col("n_tokens"), col("start_tok"),
+        col("kept"))
   }
 
   /** Temperature-scaled stratum resampling — the multilingual
@@ -1078,21 +1105,29 @@ object Curation {
     * document whenever keepPpm > 0 (floor semantics would silently
     * wipe small strata).
     *
-    * Scale shape: one window over thin (stratum, score, id) rows —
-    * same shape as [[tokenBudgetAssign]]; text never shuffles.
+    * Scale shape: the ranking runs on a thin (id, stratum, score)
+    * projection through [[ScaleWindow.shardedRank]] — order-consistent
+    * range shards, so no stratum is ever one window partition, and a
+    * degenerate constant-score stratum still shards evenly (the unique
+    * id tie-break makes every composite sort key distinct). Ranks join
+    * back on the (unique) id, so text moves through exactly one
+    * co-partitioning join and never through a window sort.
     * Returns the input plus `stratum_rank`, `stratum_n`, `kept`.
     */
   def keepTopQuantile(df: DataFrame, idCol: String, strataCol: String,
-      scoreCol: String, keepPpm: Long): DataFrame = {
+      scoreCol: String, keepPpm: Long, shards: Int = 0): DataFrame = {
     require(keepPpm >= 0L && keepPpm <= 1000000L)
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val wAll = Window.partitionBy(col(strataCol))
-    df.withColumn("stratum_rank", row_number().over(w).cast("long"))
-      .withColumn("stratum_n", count(lit(1)).over(wAll).cast("long"))
+    val ranked = ScaleWindow.shardedRank(
+      df.select(col(idCol), col(strataCol), col(scoreCol)),
+      Seq(strataCol), Seq(col(scoreCol).desc, col(idCol)),
+      "stratum_rank", "stratum_n", shards)
+      .select(col(idCol), col("stratum_rank"), col("stratum_n"))
+    df.join(ranked, Seq(idCol))
       .withColumn("kept",
         (col("stratum_rank") - 1L) * 1000000L <
           lit(keepPpm) * col("stratum_n"))
+      .select((df.columns.map(col) ++ Seq(col("stratum_rank"),
+        col("stratum_n"), col("kept"))): _*)
   }
 
   // ---- corpus profiling ----
@@ -1106,23 +1141,33 @@ object Curation {
     * values straddle any tie order).
     *
     * The monitoring table every curation run ships with. Scale shape:
-    * one window + one groupBy over thin (stratum, value) rows; with
-    * strata ~ languages/sources the window partitions are corpus-sized
-    * but rows are 16 bytes — a p99 over 10^9 docs/stratum sorts thin
-    * longs, never text. (True hyperscale would swap in a fixed-width
-    * histogram; exact ranks keep this oracle-checkable.)
+    * the corpus collapses to a per-stratum VALUE HISTOGRAM first — one
+    * partial-agg groupBy on (stratum, value), so hot values combine
+    * map-side and the shuffle carries at most |strata| ×
+    * |distinct values| thin rows. The exact percentile is then the
+    * smallest value whose cumulative count reaches the rank, read off
+    * a per-stratum window over the HISTOGRAM (partition size =
+    * distinct-value count, which for integer metrics — token counts,
+    * ppm scores — is bounded by the value domain, not the corpus; a
+    * 10^12-doc stratum of ppm scores is ≤ 10^6 histogram rows). For a
+    * genuinely unbounded metric use [[corpusProfileApprox]].
     */
   def corpusProfile(df: DataFrame, strataCol: String,
       valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(strataCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // Column `/` is double division even on longs; floor recovers the
     // integer quotient (exact here: the true quotient is ≥ 1/100 away
     // from any integer unless it IS one, far beyond double rounding)
     def rankOf(pNum: Int): Column =
       floor((lit(pNum.toLong) * (col("_n") - 1L)) / 100L) + 1L
+    // cumulative count is monotone in _v, so the value AT a rank is
+    // the min value whose cumulative count reaches it — deterministic
+    // under ties by construction (ties are one histogram row)
     def pick(pNum: Int): Column =
-      max(when(col("_rn") === rankOf(pNum), col("_v")))
+      min(when(col("_cum") >= rankOf(pNum), col("_v")))
     // null metric values are excluded up front: min/max/sum ignore
     // nulls anyway, and Spark sorts nulls FIRST while other engines
     // (DuckDB) sort them LAST — ranking over them would make the
@@ -1130,14 +1175,79 @@ object Curation {
     // non-null values.
     df.select(col(strataCol), col(valueCol).cast("long").as("_v"))
       .filter(col("_v").isNotNull)
-      .withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_n", count(lit(1)).over(wAll))
+      .groupBy(col(strataCol), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
       .groupBy(col(strataCol))
       .agg(max(col("_n")).as("n_rows"),
-        sum(col("_v")).as("total"),
+        sum(col("_v") * col("_c")).as("total"),
         min(col("_v")).as("v_min"),
         max(col("_v")).as("v_max"),
         pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
+  }
+
+  /** Approximate distribution profile for UNBOUNDED value domains — the
+    * true-hyperscale variant of [[corpusProfile]]: values collapse into
+    * fixed log2 buckets (bucket = floor(log2(v)) for v > 0; one bucket
+    * each for zero and negatives), so the shuffled state per stratum is
+    * ≤ 66 rows regardless of the value domain, and every percentile is
+    * answered from the bucket histogram with a bounded relative error
+    * (the reported percentile is the bucket's inclusive upper bound —
+    * at most 2× the true value for positive metrics, the classic
+    * HdrHistogram/log-bucket guarantee). count/sum/min/max stay EXACT;
+    * only the percentiles are bucketed. Integer arithmetic throughout,
+    * so the DuckDB oracle reproduces every value.
+    *
+    * Returns (strataCol, n_rows, total, v_min, v_max, p50_ub, p90_ub,
+    * p99_ub).
+    */
+  def corpusProfileApprox(df: DataFrame, strataCol: String,
+      valueCol: String): DataFrame = {
+    val v = col("_v")
+    // floor(log2(v)) as a 6-step binary search over shifts — pure
+    // integer Columns (no float log whose last ulp could flip a
+    // power-of-two boundary); bucket -1 = zero, -2 = negatives
+    def log2Floor(x: Column): Column = {
+      val steps = Seq(32, 16, 8, 4, 2, 1)
+      val (acc, _) = steps.foldLeft((lit(0L), x)) { case ((a, y), s) =>
+        val fits = y >= shiftleft(lit(1L), s)
+        (a + when(fits, lit(s.toLong)).otherwise(0L),
+          when(fits, shiftright(y, s)).otherwise(y))
+      }
+      acc
+    }
+    val b = when(v < 0L, lit(-2L)).when(v === 0L, lit(-1L))
+      .otherwise(log2Floor(v))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def rankOf(pNum: Int): Column =
+      floor((lit(pNum.toLong) * (col("_n") - 1L)) / 100L) + 1L
+    // inclusive upper bound of a log2 bucket: 2^(b+1) - 1 (0 for the
+    // zero bucket, -1 for the negative bucket = "some negative")
+    val ub = when(col("_b") === -2L, lit(-1L))
+      .when(col("_b") === -1L, lit(0L))
+      .otherwise(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(_b + 1 AS INT)) - 1"))
+    def pick(pNum: Int): Column =
+      min(when(col("_cum") >= rankOf(pNum), col("_ub")))
+    df.select(col(strataCol), col(valueCol).cast("long").as("_v"))
+      .filter(v.isNotNull)
+      .groupBy(col(strataCol), b.as("_b"))
+      .agg(count(lit(1)).as("_c"), sum(v).as("_s"),
+        min(v).as("_mn"), max(v).as("_mx"))
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_ub", ub)
+      .groupBy(col(strataCol))
+      .agg(max(col("_n")).as("n_rows"),
+        sum(col("_s")).as("total"),
+        min(col("_mn")).as("v_min"),
+        max(col("_mx")).as("v_max"),
+        pick(50).as("p50_ub"), pick(90).as("p90_ub"),
+        pick(99).as("p99_ub"))
   }
 
   // ---- hashed bag-of-tokens classifier (quality / language model) ----

@@ -341,13 +341,32 @@ object Dedup {
     * O(log n) rounds on any shape. Per round: large-star hooks every
     * larger neighbor of a node to its minimum, small-star re-hooks the
     * smaller neighbors; both are one groupBy + one join over the edge
-    * set only (never the corpus). Convergence = the edge set stops
-    * changing, checked EXACTLY with an anti-join on the (u,v) pairs —
-    * no probabilistic hash-sum shortcuts. Output contract identical to
-    * [[canonicalize]]: (id, canonical_id) for every row of `df`.
+    * set only (never the corpus).
+    *
+    * Convergence probe is FUSED into the hooking passes (the same
+    * ride-along trick as [[canonicalize]]'s `_changed`): an output
+    * edge is flagged dirty when it was produced by a rewire — a
+    * large-star hook with m ≠ c, or any small-star hook (a hooked
+    * edge (m,n) always differs from its source (n,c) since m ≤ n < c)
+    * — and center edges inherit their group's dirty bit so a
+    * large-pass rewire can't be laundered by the small pass. Every
+    * emitted edge is pointwise ≤ its source with equality exactly when
+    * nothing rewired, so "no dirty edge" ⟺ the edge set is a fixpoint
+    * — the same EXACT criterion as a set-equality check, at one cheap
+    * scan of the just-checkpointed blocks per round instead of two
+    * actions plus an exceptAll shuffle.
+    *
+    * Throws on non-convergence: star contraction halves component
+    * height per round (O(log n) rounds in the largest component size,
+    * so the default 32 covers any physical corpus); a truncated
+    * fixpoint would emit an inconsistent labeling — members mapped to
+    * intermediates, one component split into several — and silently
+    * keep duplicates downstream, which is strictly worse than failing
+    * loudly. Output contract identical to [[canonicalize]]:
+    * (id, canonical_id) for every row of `df`.
     */
   def canonicalizeStar(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 12): DataFrame = {
+      maxIter: Int = 32): DataFrame = {
     // canonical undirected edges (u < v), self-loops dropped
     var edges = pairs
       .filter(col("a") =!= col("b"))
@@ -367,38 +386,42 @@ object Dedup {
       val mins = nbrs.groupBy(col("c"))
         .agg(min(col("n")).as("_nm"))
         .select(col("c"), least(col("_nm"), col("c")).as("m"))
+      // dedup via groupBy(max) instead of distinct so the dirty bit
+      // survives edge merging
       val afterLarge = nbrs.join(mins, "c")
         .filter(col("n") > col("c") && col("n") =!= col("m"))
-        .select(col("m").as("u"), col("n").as("v"))
-        .distinct()
+        .groupBy(col("m").as("u"), col("n").as("v"))
+        .agg(max(col("m") =!= col("c")).as("_ch"))
       // small-star: orient (max→min), hook all smaller neighbors (and
       // the center) to the minimum
       val small = afterLarge
-        .select(col("v").as("c"), col("u").as("n")) // n < c always
-      val smins = small.groupBy(col("c")).agg(min(col("n")).as("m"))
+        .select(col("v").as("c"), col("u").as("n"), col("_ch")) // n < c
+      val smins = small.groupBy(col("c"))
+        .agg(min(col("n")).as("m"), max(col("_ch")).as("_anych"))
       val hooked = small.join(smins, "c")
         .filter(col("n") =!= col("m"))
-        .select(col("m").as("u"), col("n").as("v"))
-      val centers = smins.select(col("m").as("u"), col("c").as("v"))
+        .select(col("m").as("u"), col("n").as("v"),
+          lit(true).as("_ch")) // a small-star hook is always a rewire
+      val centers = smins.select(col("m").as("u"), col("c").as("v"),
+        col("_anych").as("_ch"))
       val next = hooked.union(centers)
         .filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"),
+        .groupBy(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
-        .distinct()
+        .agg(max(col("_ch")).as("_ch"))
         .localCheckpoint()
-      // exact set equality of two DISTINCT sets: equal cardinality plus
-      // no new row outside the old set (the count is a cheap scan of
-      // the just-checkpointed blocks — one anti-join instead of two)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // fused probe: one scan of the just-checkpointed blocks
+      converged = next.filter(col("_ch")).isEmpty
       unpersistCheckpoint(prev)
       prev = next
-      edges = next
+      edges = next.drop("_ch")
       iter += 1
     }
     if (!converged && iter >= maxIter)
-      System.err.println(
-        s"[graft] canonicalizeStar: not converged after $maxIter rounds")
+      throw new IllegalStateException(
+        s"canonicalizeStar: not converged after $maxIter rounds — a " +
+          "truncated edge set yields an inconsistent labeling " +
+          "(duplicates silently kept); raise maxIter")
     // converged star forest: every edge is (root, member)
     val canon = edges.select(col("v").as("id"), col("u").as("_c"))
       .union(edges.select(col("u").as("id"), col("u").as("_c")))

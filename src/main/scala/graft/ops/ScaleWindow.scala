@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe replacements for per-stratum analytic windows.
+  *
+  * A Spark window partition is processed by exactly one task, so
+  * `Window.partitionBy(stratum)` over corpus rows puts an entire
+  * stratum — at the 10^12-doc design scale, ~10^11 thin rows for the
+  * English stratum — into ONE task. The operators here compute the
+  * same exact results (global per-stratum ranks / running sums) from
+  * bounded-size window partitions:
+  *
+  *   1. split each stratum into order-consistent shards (every row of
+  *      shard i sorts before every row of shard i+1 within its
+  *      stratum),
+  *   2. run the window per (stratum, shard) — partitions of
+  *      ~|corpus|/shards rows,
+  *   3. compute per-(stratum, shard) partial counts/sums (one
+  *      partial-agg groupBy — tiny output: strata × shards rows),
+  *      turn them into prefix offsets with a window over that tiny
+  *      table, and join the offsets back.
+  *
+  * The same two-pass shape as [[Curation.packSequences]]'s hash shards,
+  * except the shards are order-consistent so cross-shard prefix sums
+  * and ranks are exact.
+  */
+object ScaleWindow {
+
+  /** Exact global per-stratum `row_number()` over an arbitrary sort
+    * order plus the stratum row count, with no corpus-sized window
+    * partition.
+    *
+    * Shards come from `repartitionByRange` on (strata ++ order): the
+    * range partitioner samples boundaries over the full composite key,
+    * so shards are order-consistent by construction and balanced even
+    * when the order column is wildly skewed (ties broken by a unique
+    * trailing key — e.g. the document id — give every row a distinct
+    * composite key, so even a constant score column range-partitions
+    * evenly). The shard id (`spark_partition_id`) is materialized with
+    * `localCheckpoint` because the per-row rank pass and the
+    * per-shard-offset pass MUST observe the same sampled boundaries —
+    * two independent executions of the range exchange may sample
+    * differently. On a real cluster the same seam is a reliable
+    * checkpoint / intermediate table (io.TableIO); the RESULT is
+    * boundary-independent either way, since offsets are derived from
+    * whatever boundaries were drawn.
+    *
+    * Appends `rnOut` (1-based global rank within the stratum, long) and
+    * `nOut` (stratum row count, long). Strata may be null (null-safe
+    * offset join). `shards` <= 0 uses spark.sql.shuffle.partitions.
+    */
+  def shardedRank(df: DataFrame, strataCols: Seq[String],
+      order: Seq[Column], rnOut: String, nOut: String,
+      shards: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (shards > 0) shards
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val strata = strataCols.map(col)
+    val ranged = df
+      .repartitionByRange(math.max(1, p), (strata ++ order): _*)
+      .withColumn("_sw_pid", spark_partition_id())
+      .localCheckpoint()
+    val keys = strata :+ col("_sw_pid")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val partials = ranged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("_sw_cnt"))
+    val offW = Window.partitionBy(strata: _*).orderBy(col("_sw_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(strata: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // offsets table: strata × shards rows; its windows partition by
+    // stratum but run over the AGGREGATED table (shards rows per
+    // stratum), never the corpus
+    val offsets0 = partials
+      .withColumn("_sw_off", sum(col("_sw_cnt")).over(offW) - col("_sw_cnt"))
+      .withColumn("_sw_n", sum(col("_sw_cnt")).over(totW))
+      .withColumnRenamed("_sw_pid", "_sw_opid")
+    val offsets = strataCols.zipWithIndex.foldLeft(offsets0) {
+      case (f, (c, i)) => f.withColumnRenamed(c, s"_sw_s$i")
+    }
+    val cond = strataCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"_sw_s$i") }
+      .foldLeft(col("_sw_pid") === col("_sw_opid"))(_ && _)
+    val dropCols = Seq("_sw_pid", "_sw_opid", "_sw_lrn", "_sw_cnt",
+      "_sw_off", "_sw_n") ++ strataCols.indices.map(i => s"_sw_s$i")
+    ranged
+      .withColumn("_sw_lrn", row_number().over(w).cast("long"))
+      .join(offsets, cond)
+      .withColumn(rnOut, col("_sw_off") + col("_sw_lrn"))
+      .withColumn(nOut, col("_sw_n"))
+      .drop(dropCols: _*)
+  }
+}

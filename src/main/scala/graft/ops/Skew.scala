@@ -10,22 +10,39 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt in [0, salt): a hash of the ROW CONTENT
+    * (all columns), never of a physical row position — the salt must be
+    * stable across runs, task retries and repartitionings, exactly like
+    * hashSplit/sampledByHash are (monotonically_increasing_id would
+    * re-draw on every retry). Rows identical in every column share a
+    * bucket, which is harmless for decomposable aggregates. Pass an
+    * explicit unique id column via the `stable` overloads where one
+    * exists — cheaper than hashing every column.
+    */
+  def rowSalt(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt))
+
   /** Salted repartition: spread each key over up to `salt` partitions.
     * Use before per-key heavy work when key cardinality is low/skewed.
+    * `stable` = a deterministic per-row column (e.g. the unique id) to
+    * salt on; defaults to the full-row hash.
     */
   def saltedRepartition(df: DataFrame, key: Column, salt: Int,
-      partitions: Int): DataFrame =
+      partitions: Int, stable: Option[Column] = None): DataFrame =
     df.repartition(partitions, key,
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+      stable.map(c => pmod(xxhash64(c), lit(salt)))
+        .getOrElse(rowSalt(df, salt)))
 
   /** Two-stage salted aggregation: partial agg on (key, salt), final agg
-    * on key. `aggs` are (partialExpr, finalExpr-from-partial) pairs over
-    * the named value column. Correct for decomposable aggregates.
+    * on key. Correct for decomposable aggregates, and deterministic:
+    * the salt derives from row content (or the `stable` id column), not
+    * from a physical position.
     */
   def saltedSum(df: DataFrame, key: Column, value: Column, salt: Int,
-      out: String): DataFrame = {
+      out: String, stable: Option[Column] = None): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+      stable.map(c => pmod(xxhash64(c), lit(salt)))
+        .getOrElse(rowSalt(df, salt)))
     salted
       .groupBy(key.as("_k"), col("_salt"))
       .agg(sum(value).as("_partial"), count(lit(1)).as("_pn"))
@@ -47,10 +64,6 @@ object Skew {
       .agg(countDistinct(id).as("_d"))
       .groupBy(col("_k"))
       .agg(sum(col("_d")).as(out))
-
-  /** Host extraction from a url (for host-level skew statistics). */
-  def hostOf(url: Column): Column =
-    regexp_extract(url, "^[a-z]+://([^/]+)/", 1)
 
   /** Hot-key report: keys whose row count exceeds `threshold`. */
   def hotKeys(df: DataFrame, key: Column, threshold: Long): DataFrame =

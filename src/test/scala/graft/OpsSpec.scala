@@ -307,6 +307,26 @@ class OpsSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("rowSalt is deterministic across repartitionings (unlike a " +
+      "physical-position salt)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i, i % 7)).toDF("id", "k")
+    val a = df.withColumn("s", Skew.rowSalt(df, 16))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getLong(2)))
+    val rep = df.repartition(13)
+    val b = rep.withColumn("s", Skew.rowSalt(rep, 16))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(a.toSeq === b.toSeq)
+    // stable-id overload: same guarantee through saltedSum's stage 1
+    val s1 = Skew.saltedSum(df, col("k"), col("id"), 8, "s",
+      stable = Some(col("id"))).orderBy("_k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val s2 = Skew.saltedSum(rep, col("k"), col("id"), 8, "s",
+      stable = Some(col("id"))).orderBy("_k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(s1.toSeq === s2.toSeq)
+  }
+
   test("hot key report") {
     import spark.implicits._
     val df = (Seq.fill(100)("hot") ++ Seq("a", "b")).toDF("k")
@@ -876,6 +896,36 @@ class OpsSpec extends AnyFunSuite {
     // singleton stratum: every percentile is the single value
     val b = out(1)
     assert(b.getAs[Long]("p50") === 7L && b.getAs[Long]("p99") === 7L)
+  }
+
+  test("corpusProfileApprox: exact count/sum/min/max, log2-bounded percentiles") {
+    import spark.implicits._
+    val df = ((0L until 100L).map(v => ("a", v)) ++
+      Seq(("b", 7L), ("c", 0L))).toDF("lang", "v")
+    val exact = Curation.corpusProfile(df, "lang", "v")
+      .orderBy("lang").collect()
+    val approx = Curation.corpusProfileApprox(df.repartition(5), "lang", "v")
+      .orderBy("lang").collect()
+    approx.zip(exact).foreach { case (ap, ex) =>
+      // count/sum/min/max are NOT approximated
+      assert(ap.getAs[Long]("n_rows") === ex.getAs[Long]("n_rows"))
+      assert(ap.getAs[Long]("total") === ex.getAs[Long]("total"))
+      assert(ap.getAs[Long]("v_min") === ex.getAs[Long]("v_min"))
+      assert(ap.getAs[Long]("v_max") === ex.getAs[Long]("v_max"))
+      // percentile upper bounds: exact p <= ub < 2*(p+1) (log2 bucket)
+      Seq(("p50_ub", "p50"), ("p90_ub", "p90"), ("p99_ub", "p99"))
+        .foreach { case (ubc, pc) =>
+          val ub = ap.getAs[Long](ubc); val p = ex.getAs[Long](pc)
+          assert(ub >= p, s"$ubc=$ub < exact $pc=$p")
+          assert(ub <= 2 * p + 1, s"$ubc=$ub > 2*$pc+1")
+        }
+    }
+    // zero-only stratum: zero bucket's upper bound is 0
+    assert(approx(2).getAs[Long]("p99_ub") === 0L)
+    // deterministic under repartition
+    val again = Curation.corpusProfileApprox(df.repartition(11), "lang", "v")
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(again === approx.map(_.toSeq).toSeq)
   }
 
   test("ivfRefineSums: exact per-cell component means; empty cells keep prev") {

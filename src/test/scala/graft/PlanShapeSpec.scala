@@ -164,6 +164,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("stratum gates: no corpus-sized single window partition") {
+    // a Window partition is one task; partitioning a corpus-sized frame
+    // by the stratum alone puts a whole language in one task at scale.
+    // Every window must either partition on (stratum, shard) or run
+    // over an already-aggregated (histogram/offsets-sized) input.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def check(df: DataFrame, name: String): Unit = {
+      val wins = df.queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$name: expected window nodes")
+      wins.foreach { w =>
+        val sharded = w.partitionSpec.size >= 2
+        val overAggregate = w.child.collect {
+          case a: BaseAggregateExec => a
+        }.nonEmpty
+        assert(sharded || overAggregate,
+          s"$name: corpus-sized window partitioned only on " +
+            s"${w.partitionSpec.map(_.sql)}")
+      }
+    }
+    withPlainPlan {
+      val withToks = docs.withColumn("n_toks",
+        graft.ops.TextAnalysis.tokenCount(col("text")))
+      check(Curation.tokenBudgetAssign(withToks, "doc_id", "lang",
+        "n_toks", Map("en" -> 100L), defaultBudget = 50L),
+        "tokenBudgetAssign")
+      check(Curation.keepTopQuantile(withToks.drop("text"), "doc_id",
+        "lang", "n_toks", keepPpm = 500000L), "keepTopQuantile")
+      check(Curation.corpusProfile(withToks, "lang", "n_toks"),
+        "corpusProfile")
+      check(Curation.corpusProfileApprox(withToks, "lang", "n_toks"),
+        "corpusProfileApprox")
+    }
+  }
+
   test("dropDuplicatedParagraphsFromParas: hash branch shuffles thin rows") {
     withPlainPlan {
       val withP = docs.withColumn("_paras",
