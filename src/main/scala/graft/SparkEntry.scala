@@ -143,6 +143,24 @@ object SparkEntry {
       when(pmod(did + shift, lit(vals.length)) === i, lit(v)).otherwise(els)
     }
 
+  /** q30 synthesized event-page inputs — mixes of valid and invalid
+    * shapes so the full event vocabulary (page events, route events
+    * incl. the fallback, every VAL_* code, stitch events) fires
+    * deterministically from `documents` rows. Trade/settle entries are
+    * all DD.MM.YYYY-SHAPED (the row-validity filter requires a shaped
+    * first cell) but mix calendar-valid and impossible dates; selected
+    * per row by (doc_id + shift) % len, identically in the Spark query
+    * and the generated oracle SQL (q30Sql).
+    */
+  private val EvTradeDates = Seq("15.03.2024", "29.02.2024", "30.02.2024",
+    "31.04.2023", "01.01.2024", "29.02.2023")
+  private val EvSettleDates = Seq("18.03.2024", "30.02.2024", "01.01.2020",
+    "29.02.2024", "31.12.2023")
+  private val EvCurrencies = Seq("USD", "EUR", "XBT", "usd", "CHF", "Fee",
+    "JPY")
+  private val EvNets = Seq("1'234.56", "(2'500.00)", "1'000'000'000'000.00",
+    "12.345", "abc", "999'999'999'999.99", "-42", "12 345.00")
+
   /** S8 sheet-name mapping (run_hard_core.py:47-54), section → sheet. */
   private val SheetNames = Seq(
     "Trade" -> "Trade", "Trade information" -> "Trade",
@@ -171,6 +189,40 @@ object SparkEntry {
       lit("| Balance |  |  |  |"),
       concat(lit("| 15.03.2024 | "), booking2,
         lit(" | EUR 900.00 | note text |")))
+  }
+
+  /** q30 synthesized page text: the five q31 routing families plus a
+    * Positions family whose continuation row exercises segment
+    * stitching; the two transaction rows mix the Ev* validation pools
+    * so every VAL_* code fires. The oracle twin (q30Sql) reconstructs
+    * the identical rows and re-derives classification, routing,
+    * extraction and validation in SQL.
+    */
+  private def eventPageCol(did: Column): Column = {
+    val fam = pmod(did, lit(6))
+    val header = when(fam === 0, lit("# Transaction list"))
+      .when(fam === 1, lit("# Trade information"))
+      .when(fam === 2, lit("# FX & TF"))
+      .when(fam === 3, lit("# Account summary")) // Others fallback
+      .when(fam === 4, lit("# Table of contents")) // excluded → Ignore
+      .otherwise(lit("# Statement of assets")) // Positions
+    def booking(shift: Int): Column =
+      RouteBookings.zipWithIndex.foldRight(lit("")) { case ((b, i), els) =>
+        when(pmod(did + shift, lit(RouteBookings.length)) === i, lit(b))
+          .otherwise(els)
+      }
+    val rowA = concat(lit("| "), pickCol(did, EvTradeDates, 0), lit(" | "),
+      booking(0), lit(" | "), pickCol(did, EvCurrencies, 2), lit(" "),
+      pickCol(did, EvNets, 3), lit(" | ISIN "), pickCol(did, ValIsins, 5),
+      lit(" due "), pickCol(did, EvSettleDates, 1), lit(" |"))
+    val rowC = concat(lit("| "), pickCol(did, EvTradeDates, 4), lit(" | "),
+      booking(3), lit(" | "), pickCol(did, EvCurrencies, 6), lit(" "),
+      pickCol(did, EvNets, 7), lit(" | note text |"))
+    val posPage = concat_ws("\n", header,
+      lit("| USD 100 Apple Inc ISIN US0378331005 | 250.00 | note |"),
+      lit("| quarterly continuation note |  |  |"))
+    when(fam === 5, posPage).otherwise(
+      concat_ws("\n", header, rowA, lit("| Balance |  |  |  |"), rowC))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -465,13 +517,25 @@ object SparkEntry {
         .limit(50)),
     // A3: error statistics by code/stage over the pipeline event log —
     // page + record (route/validate) + stitch events from ONE
-    // checkpointed extraction pass (eventLog)
-    "q30_event_stats" -> ((s, d) =>
-      ExtractionPipeline.eventLog(ExtractionPipeline.classifyPages(
-        ExtractionPipeline.pageTexts(PagesGen.pages(s, 600, 42, 8), 8)))
+    // checkpointed extraction pass (eventLog) over pages synthesized
+    // from `documents` rows; the oracle re-derives every count
+    // (classification, routing, extraction, the full VAL taxonomy,
+    // stitching) in SQL
+    "q30_event_stats" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val isEmptyPage = pmod(did, lit(7)) === 3
+      val pt = t(s, d, "documents").select(
+        concat(lit("doc://"), col("doc_id").cast("string")).as("url"),
+        when(isEmptyPage, lit("")).otherwise(eventPageCol(did))
+          .as("page_md"),
+        when(isEmptyPage, lit("empty")).otherwise(lit("html"))
+          .as("content_kind"),
+        lit("").as("error"))
+      ExtractionPipeline.eventLog(ExtractionPipeline.classifyPagesDf(pt))
         .groupBy(col("level"), col("code"), col("stage"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("level", "code", "stage")),
+        .orderBy("level", "code", "stage")
+    }),
     // C1+C3+C10+P1+S8 routing, oracle-checked: pages synthesized from
     // `documents` rows (identical construction in the oracle), classified
     // by the COMPILED rule chains incl. the Others fallback, pipe rows
@@ -1265,6 +1329,20 @@ object SparkEntry {
     s"CASE ${whens.mkString(" ")} ELSE '${sqlLit(rs.recordFallback._1)}' END"
   }
 
+  /** Record-classification CASE (txn_type side). The same priority-desc
+    * whens as [[recordGroupSql]], so one rule decides both fields —
+    * exactly like classifyRecordFromLower's single find.
+    */
+  private def recordTxnSql(rlExpr: String, rs: RuleSet): String = {
+    val whens = rs.sortedRecordRules.filterNot(_.fallback).map { r =>
+      val conds = r.matchAny
+        .map(k => s"contains($rlExpr, '${sqlLit(k.toLowerCase)}')")
+        .mkString(" OR ")
+      s"WHEN $conds THEN '${sqlLit(r.output)}'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${sqlLit(rs.recordFallback._2)}' END"
+  }
+
   private def sheetNameSql(sectionExpr: String): String = {
     val whens = SheetNames.map { case (from, to) =>
       s"WHEN $sectionExpr = '${sqlLit(from)}' THEN '${sqlLit(to)}'"
@@ -1438,6 +1516,128 @@ object SparkEntry {
     val inner1 = s"(CASE WHEN $negLead THEN substr($inner0, 2) ELSE $inner0 END)"
     (s"regexp_replace($inner1, '['',\\s]', '', 'g')",
       s"($paren != $negLead)")
+  }
+
+  /** q30 oracle: reconstructs the synthesized event pages' rows and
+    * re-derives every event count in SQL. Page types come from the
+    * SCALAR rule engine evaluated at SQL-generation time over the six
+    * header constants (classification reads only the '#' header
+    * lines, so it is a pure function of the family); routing reuses
+    * the q31 record-rule CASE twins over the reconstructed row text;
+    * extraction is modeled field-for-field (the settlement date is the
+    * second DD.MM.YYYY in row A's text and the first in row C's, the
+    * currency/amount split takes cell 3's leading alpha token, the
+    * ISIN verdict per pool entry is precomputed with the same Luhn
+    * kernel as q36); validation reuses the q36 validator twins.
+    */
+  private lazy val q30Sql: String = {
+    val rs = RuleSets.plugin
+    val headers = Seq("# Transaction list", "# Trade information",
+      "# FX & TF", "# Account summary", "# Table of contents",
+      "# Statement of assets")
+    val ptWhens = headers.zipWithIndex.map { case (h, i) =>
+      val p = graft.rules.ScalarRules.effectivePageType(h + "\n| x |", rs)
+      s"WHEN $i THEN '${sqlLit(p)}'"
+    }.mkString(" ")
+    val ptCase = s"(CASE (did % 6) $ptWhens ELSE '' END)"
+    val isinWhens = ValIsins.zipWithIndex.flatMap { case (v, i) =>
+      val extracted = if (v.matches("[A-Z0-9]{12}")) v else ""
+      val err =
+        if (extracted.isEmpty) None
+        else if (!extracted.matches("[A-Z]{2}[A-Z0-9]{9}[0-9]"))
+          Some("VAL_ISIN_SHAPE")
+        else if (!graft.functions.IsinValid.check(extracted))
+          Some("VAL_ISIN_CHECKSUM")
+        else None
+      err.map(e =>
+        s"WHEN (CAST(doc_id AS BIGINT) + 5) % ${ValIsins.length} = $i " +
+          s"THEN '$e'")
+    }
+    val isinErr =
+      if (isinWhens.isEmpty) "CAST(NULL AS VARCHAR)"
+      else s"(CASE ${isinWhens.mkString(" ")} END)"
+    val currList = graft.textops.TextOps.Currencies
+      .map(c => s"'${sqlLit(c)}'").mkString(", ")
+    val numOk = "'^[0-9]+([.][0-9]+)?$'"
+    val rangeOk = "'^[0-9]{1,12}([.][0-9]{1,2})?$'"
+    val (netClean, _) = cleanNumSql("net")
+    val rlA = s"lower(concat(${pickSql(EvTradeDates, 0)}, ' ', " +
+      s"${bookingSql(0)}, ' ', ${pickSql(EvCurrencies, 2)}, ' ', " +
+      s"${pickSql(EvNets, 3)}, ' ISIN ', ${pickSql(ValIsins, 5)}, " +
+      s"' due ', ${pickSql(EvSettleDates, 1)}))"
+    val rlC = s"lower(concat(${pickSql(EvTradeDates, 4)}, ' ', " +
+      s"${bookingSql(3)}, ' ', ${pickSql(EvCurrencies, 6)}, ' ', " +
+      s"${pickSql(EvNets, 7)}, ' note text'))"
+    s"""WITH f AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS did,
+        (CAST(doc_id AS BIGINT) % 7 = 3) AS isempty FROM documents),
+      pev AS (SELECT CASE WHEN isempty THEN 'WARN' ELSE 'INFO' END AS level,
+        CASE WHEN isempty THEN 'PAGE_EMPTY' ELSE 'PAGE_OK_HTML' END AS code,
+        'extract' AS stage FROM f),
+      pt AS (SELECT doc_id, did, $ptCase AS page_type FROM f
+        WHERE NOT isempty),
+      rowa AS (SELECT doc_id, did, page_type,
+          ${pickSql(EvTradeDates, 0)} AS td,
+          ${pickSql(EvSettleDates, 1)} AS sd,
+          ${pickSql(EvCurrencies, 2)} AS cur,
+          ${pickSql(EvNets, 3)} AS net,
+          $isinErr AS isin_err,
+          $rlA AS rl
+        FROM pt
+        WHERE page_type IN ('Transaction','Trade','FXTF','Others')),
+      rowc AS (SELECT doc_id, did, page_type,
+          ${pickSql(EvTradeDates, 4)} AS td,
+          ${pickSql(EvTradeDates, 4)} AS sd,
+          ${pickSql(EvCurrencies, 6)} AS cur,
+          ${pickSql(EvNets, 7)} AS net,
+          CAST(NULL AS VARCHAR) AS isin_err,
+          $rlC AS rl
+        FROM pt
+        WHERE page_type IN ('Transaction','Trade','FXTF','Others')),
+      recs AS (SELECT * FROM rowa UNION ALL SELECT * FROM rowc),
+      routed AS (SELECT *,
+          CASE WHEN page_type = 'Others' THEN 'Others'
+            ELSE ${recordGroupSql("rl", rs)} END AS section,
+          CASE WHEN page_type = 'Others' THEN 'Other'
+            ELSE ${recordTxnSql("rl", rs)} END AS txn
+        FROM recs),
+      rev AS (SELECT 'INFO' AS level,
+          CASE WHEN page_type IN ('Transaction','Trade','FXTF')
+            AND section = 'Others' AND txn = 'Other'
+            THEN 'REC_ROUTE_FALLBACK' ELSE 'REC_ROUTE_OK' END AS code,
+          'record_route' AS stage FROM routed
+        UNION ALL
+        SELECT 'INFO', 'REC_ROUTE_OK', 'record_route' FROM pt
+        WHERE page_type = 'Positions'),
+      vn AS (SELECT *,
+          $netClean AS net_clean,
+          ${normDateSql("td")} AS t_iso,
+          ${normDateSql("sd")} AS s_iso
+        FROM routed WHERE page_type IN ('Transaction','Trade','FXTF')),
+      v AS (SELECT *,
+          regexp_matches(net_clean, $numOk) AS net_ok,
+          ${calOkSql("t_iso")} AS t_ok,
+          ${calOkSql("s_iso")} AS s_ok
+        FROM vn),
+      vev AS (SELECT 'WARN' AS level, unnest(list_filter([
+          isin_err,
+          CASE WHEN net != '' AND NOT net_ok THEN 'VAL_NUM_NET' END,
+          CASE WHEN net_ok AND NOT regexp_matches(net_clean, $rangeOk)
+            THEN 'VAL_RANGE_NET' END,
+          CASE WHEN td != '' AND NOT t_ok THEN 'VAL_DATE_TRADE' END,
+          CASE WHEN sd != '' AND NOT s_ok THEN 'VAL_DATE_SETTLE' END,
+          CASE WHEN cur != '' AND cur NOT IN ($currList)
+            THEN 'VAL_CURR' END,
+          CASE WHEN t_ok AND s_ok AND s_iso < t_iso
+            THEN 'VAL_CONFLICT' END
+        ], x -> x IS NOT NULL)) AS code, 'validate' AS stage FROM v),
+      sev AS (SELECT 'INFO' AS level, 'REC_STITCH_MERGED' AS code,
+        'stitch' AS stage FROM pt WHERE page_type = 'Positions'),
+      ev AS (SELECT * FROM pev
+        UNION ALL SELECT level, code, stage FROM rev
+        UNION ALL SELECT * FROM vev
+        UNION ALL SELECT * FROM sev)
+      SELECT level, code, stage, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   }
 
   private def q36Sql: String = {
@@ -1734,6 +1934,7 @@ object SparkEntry {
       seed = 42L, probeHamming = 1, k = 5),
     "q29_embed_neardup" -> embedNearDupSql(4, 64, 0.2),
     "q36_validate" -> q36Sql,
+    "q30_event_stats" -> q30Sql,
     "q31_route_records" -> {
       val rs = RuleSets.plugin
       val hdrExpr = "lower(array_to_string(list_filter(" +

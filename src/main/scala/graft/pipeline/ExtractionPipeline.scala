@@ -61,7 +61,16 @@ object ExtractionPipeline {
   /** Stage 2: page-level classification + page-context extraction (G4:
     * computed BEFORE the row explode — broadcast-by-construction).
     */
-  def classifyPages(pt: Dataset[PageText], rs: RuleSet = RuleSets.plugin): DataFrame = {
+  def classifyPages(pt: Dataset[PageText], rs: RuleSet = RuleSets.plugin): DataFrame =
+    classifyPagesDf(pt.toDF(), rs)
+
+  /** [[classifyPages]] over an untyped frame — the seam for callers
+    * that enter the pipeline AFTER content extraction with synthesized
+    * page text (needs `url`, `page_md`, `content_kind`, `error`
+    * columns; e.g. the oracle-checked event-statistics query builds
+    * pages from `documents` rows).
+    */
+  def classifyPagesDf(pt: DataFrame, rs: RuleSet = RuleSets.plugin): DataFrame = {
     val md = col("page_md")
     // `_header` is materialized ONCE per row; the when-chain then only
     // touches the attribute (otherwise Catalyst would duplicate the
