@@ -75,10 +75,48 @@ object CurateApp {
     // (single parse: the curateStaged call and the stage accounting
     // below must agree on the stage names it implies)
     val spanScrubN = opts.getOrElse("span-scrub-n", "0").toInt
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    // --audit-leakage true: persist the near-dup stage's LSH pairs and
+    // run the split-leakage audit off them as a final committed stage
+    // (one candidate-generation pass serves dedup + audit)
+    val auditLeakage = opts.get("audit-leakage").exists(_.toBoolean)
     val curated = Curation.curateStaged(docs, idCol0, textCol0, output,
       minTokens = opts.getOrElse("min-tokens", "10").toInt,
       paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt,
-      spanScrubN = spanScrubN)
+      spanScrubN = spanScrubN,
+      auditSplits = if (auditLeakage) Some(splits) else None)
+    // --index <prior output dir>: incremental-ingestion mode — classify
+    // every curated batch doc against the PERSISTED corpus index
+    // signatures (exact / near / new), then merge only the new docs'
+    // signatures into this run's index. A run without --index
+    // bootstraps the index from its own curated corpus.
+    val verdictCounts = opts.get("index").map { idxPath =>
+      val sigs = spark.read.parquet(s"$idxPath/index_sigs")
+      graft.ops.Dedup.dedupAgainstIndexSigs(curated, idCol0,
+        "clean_text", sigs, k = 16, bands = 8, minEstJaccard = 0.5,
+        shingleN = 3)
+        .write.mode("overwrite").parquet(s"$output/index_verdicts")
+      spark.read.parquet(s"$output/index_verdicts")
+        .groupBy("verdict").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val acceptedSigs = {
+      val batchSigs = graft.ops.Dedup.signatureTable(
+        opts.get("index") match {
+          case Some(_) =>
+            curated.join(
+              spark.read.parquet(s"$output/index_verdicts")
+                .filter(col("verdict") === "new").select(idCol0),
+              Seq(idCol0))
+          case None => curated
+        }, idCol0, "clean_text", k = 16, shingleN = 3)
+      opts.get("index") match {
+        case Some(idxPath) =>
+          spark.read.parquet(s"$idxPath/index_sigs").unionByName(batchSigs)
+        case None => batchSigs
+      }
+    }
+    acceptedSigs.write.mode("overwrite").parquet(s"$output/index_sigs")
     val resampled = opts.get("resample-keep") match {
       case Some(f) => Curation.temperatureResample(curated, idCol0, "lang",
           alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
@@ -87,8 +125,7 @@ object CurateApp {
       case None => curated
     }
     resampled
-      .withColumn("split", Curation.hashSplit(col(idCol0),
-        Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+      .withColumn("split", Curation.hashSplit(col(idCol0), splits))
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$output/curated")
     val packedN = opts.get("seq-len").map { sl =>
@@ -112,8 +149,24 @@ object CurateApp {
     val stages = stageNames
       .map(s => s""""$s":${StagedJob.readRows(output, s).getOrElse(-1L)}""")
       .mkString("{", ",", "}")
+    val sfx = if (spanScrubN > 0) s"_s$spanScrubN" else ""
+    val leakJson =
+      if (!auditLeakage) ""
+      else {
+        val aud = spark.read.parquet(s"$output/stage_5_leakage$sfx")
+        def leaks(scope: String): Long = aud
+          .filter(col("scope") === scope && col("leaks"))
+          .agg(coalesce(sum("n_pairs"), lit(0L))).collect()(0).getLong(0)
+        s""","leakage":{"before_dedup":${leaks("before_dedup")},""" +
+          s""""after_dedup":${leaks("after_dedup")}}"""
+      }
+    val verdictJson = verdictCounts.map { m =>
+      s""","index_verdicts":{"exact":${m.getOrElse("exact", 0L)},""" +
+        s""""near":${m.getOrElse("near", 0L)},""" +
+        s""""new":${m.getOrElse("new", 0L)}}"""
+    }.getOrElse("")
     println(f"""{"rows_in":$in,"rows_out":$outN,"rows_packed":${
-      packedN.getOrElse(-1L)},"stages":$stages,"sec":$sec%.2f}""")
+      packedN.getOrElse(-1L)},"stages":$stages,"sec":$sec%.2f$leakJson$verdictJson}""")
     spark.stop()
   }
 }

@@ -409,7 +409,8 @@ object Curation {
       out: String, minTokens: Int = 10, maxDupLinePpm: Long = 300000L,
       paraMinDocs: Int = 3, shingleN: Int = 3,
       minEstJaccard: Double = 0.5, maxBucket: Int = 0,
-      failAfterStage: Int = -1, spanScrubN: Int = 0): DataFrame = {
+      failAfterStage: Int = -1, spanScrubN: Int = 0,
+      auditSplits: Option[Seq[(String, Int)]] = None): DataFrame = {
     val spark = df.sparkSession
     def guard(done: Int): Unit =
       if (failAfterStage == done)
@@ -442,10 +443,40 @@ object Curation {
       exactStage(scrubbed, idCol)
     }
     guard(3)
+    // with an audit requested, the LSH candidate pairs become their own
+    // committed stage so ONE candidate-generation pass serves both the
+    // near-dup dedup and the final leakage audit
+    val pairsOpt = auditSplits.map { _ =>
+      graft.io.StagedJob.stage(spark, out, s"4a_pairs$sfx") {
+        Dedup.minhashLshPairs(exact, idCol, "clean_text",
+          k = 16, bands = 8, minEstJaccard = minEstJaccard,
+          shingleN = shingleN, maxBucket = maxBucket)
+      }
+    }
     val curated = graft.io.StagedJob.stage(spark, out, s"4_neardup$sfx") {
-      nearDupStage(exact, idCol, shingleN, minEstJaccard, maxBucket)
+      nearDupStage(exact, idCol, shingleN, minEstJaccard, maxBucket,
+        pairsOpt)
     }
     guard(4)
+    // optional final stage: split-leakage audit from the SAME pairs —
+    // before_dedup = the raw exact-stage corpus (leakage the dedup must
+    // remove), after_dedup = pairs whose BOTH endpoints survived (must
+    // show zero cross-split rows if dedup-before-split worked)
+    auditSplits.foreach { splits =>
+      graft.io.StagedJob.stage(spark, out, s"5_leakage$sfx") {
+        val pairs = pairsOpt.get
+        val before = splitLeakageAuditFromPairs(pairs, splits)
+          .withColumn("scope", lit("before_dedup"))
+        val surviving = pairs
+          .join(curated.select(col(idCol).as("_la")),
+            col("a") === col("_la"), "leftsemi")
+          .join(curated.select(col(idCol).as("_lb")),
+            col("b") === col("_lb"), "leftsemi")
+        before.unionByName(
+          splitLeakageAuditFromPairs(surviving, splits)
+            .withColumn("scope", lit("after_dedup")))
+      }
+    }
     curated
   }
 
@@ -513,10 +544,12 @@ object Curation {
     * component. Output: (idCol, lang, n_tokens, clean_text).
     */
   private[graft] def nearDupStage(exact: DataFrame, idCol: String,
-      shingleN: Int, minEstJaccard: Double, maxBucket: Int): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(exact, idCol, "clean_text",
-      k = 16, bands = 8, minEstJaccard = minEstJaccard,
-      shingleN = shingleN, maxBucket = maxBucket)
+      shingleN: Int, minEstJaccard: Double, maxBucket: Int,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(
+      Dedup.minhashLshPairs(exact, idCol, "clean_text",
+        k = 16, bands = 8, minEstJaccard = minEstJaccard,
+        shingleN = shingleN, maxBucket = maxBucket))
     val survivors = Dedup.canonicalize(exact, idCol, pairs)
       .filter(col("id") === col("canonical_id"))
       .select(col("id").as(idCol))
@@ -1073,9 +1106,23 @@ object Curation {
   def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Int)], k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, minEstJaccard: Double = 0.5,
-      salt: String = "split"): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(df, idCol, textCol, k, bands,
-      minEstJaccard = minEstJaccard, shingleN = shingleN)
+      salt: String = "split"): DataFrame =
+    splitLeakageAuditFromPairs(
+      Dedup.minhashLshPairs(df, idCol, textCol, k, bands,
+        minEstJaccard = minEstJaccard, shingleN = shingleN),
+      splits, salt)
+
+  /** [[splitLeakageAudit]] over an ALREADY-GENERATED candidate-pair
+    * table (columns `a`, `b`) — the composed form: when a dedup pass
+    * just produced the LSH pairs, the audit reuses them instead of
+    * re-running candidate generation over the corpus (at 100 TB the
+    * pair generation is the expensive part; the audit itself is a
+    * groupBy over pair-count rows). [[curateStaged]] wires this in as
+    * an optional final stage fed by the near-dup stage's persisted
+    * pairs.
+    */
+  def splitLeakageAuditFromPairs(pairs: DataFrame,
+      splits: Seq[(String, Int)], salt: String = "split"): DataFrame = {
     val sa = hashSplit(col("a"), splits, salt)
     val sb = hashSplit(col("b"), splits, salt)
     pairs

@@ -122,20 +122,46 @@ object Dedup {
   private[graft] def bandedSignatures(df: DataFrame, idCol: String,
       textCol: String, k: Int, bands: Int, seed: Long,
       shingleN: Int): DataFrame = {
-    val rowsPerBand = k / bands
     val sig = withMinhash(df.select(col(idCol).as("id"), col(textCol).as("t")),
       col("t"), k, seed, shingleN)
       .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
       .select(col("id"), col("sig"))
-    sig.select(col("id"), col("sig"),
+    bandedFromSig(sig, k, bands)
+  }
+
+  /** Band/bucket explode over an already-computed (…, sig) frame —
+    * the seam that lets a PERSISTED signature table re-enter candidate
+    * generation without touching text. Keeps every input column.
+    */
+  private[graft] def bandedFromSig(sig: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    sig.withColumn("bb",
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws(",", transform(
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
             x => x.cast("string")))).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      }: _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bucket", col("bb.bucket"))
+      .drop("bb")
   }
+
+  /** The persistable incremental-dedup index: (id, fp, m0..m{k-1}) —
+    * the md5 fingerprint for the exact check plus the k minhash perms
+    * (the table [[dedupAgainstIndex]]'s scaladoc names). A deployment
+    * computes this ONCE per corpus (or maintains it incrementally with
+    * each accepted batch) and feeds it to [[dedupAgainstIndexSigs]]
+    * per ingestion batch — the index text never re-hashes.
+    */
+  def signatureTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, seed: Long = 42L, shingleN: Int = 3): DataFrame =
+    withMinhash(df.select(col(idCol).as("id"), col(textCol).as("t")),
+      col("t"), k, seed, shingleN)
+      .withColumn("fp", md5(col("t")))
+      .select((Seq(col("id"), col("fp")) ++
+        (0 until k).map(i => col(s"m$i"))): _*)
 
   /** The buckets a `maxBucket` cap would skip, with their sizes — the
     * no-silent-caps companion to minhashLshPairs: report what was
@@ -453,30 +479,56 @@ object Dedup {
   def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String, k: Int = 16, bands: Int = 8,
       minEstJaccard: Double = 0.5, shingleN: Int = 3,
-      maxBucket: Int = 0): DataFrame = {
-    val tagged = index.select(col(idCol), col(textCol),
-        lit(true).as("_idx"))
-      .union(newDocs.select(col(idCol), col(textCol),
-        lit(false).as("_idx")))
-    val tags = tagged.select(col(idCol).as("_tid"), col("_idx"))
-    val pairs = minhashLshPairs(tagged, idCol, textCol, k, bands,
-      minEstJaccard = minEstJaccard, shingleN = shingleN,
-      maxBucket = maxBucket)
-    val cross = pairs
-      .join(tags.select(col("_tid").as("_ta"), col("_idx").as("_ia")),
-        col("a") === col("_ta"))
-      .join(tags.select(col("_tid").as("_tb"), col("_idx").as("_ib")),
-        col("b") === col("_tb"))
-      .filter(col("_ia") =!= col("_ib")) // cross-side only
-      .select(when(col("_ia"), col("a")).otherwise(col("b")).as("_iid"),
-        when(col("_ia"), col("b")).otherwise(col("a")).as("_nid"))
+      maxBucket: Int = 0): DataFrame =
+    dedupAgainstIndexSigs(newDocs, idCol, textCol,
+      signatureTable(index, idCol, textCol, k, 42L, shingleN),
+      k, bands, 42L, minEstJaccard, shingleN, maxBucket)
+
+  /** [[dedupAgainstIndex]] against a PERSISTED index signature table
+    * (the (id, fp, m0..m{k-1}) shape of [[signatureTable]]) — the
+    * production incremental-ingestion form: only the NEW batch's text
+    * is tokenized/hashed; the corpus index re-enters candidate
+    * generation as stored 8-byte perms. Verdict semantics identical to
+    * the self-contained call (same banding, same cross-side pairing,
+    * same min-id dup_of). `k`, `seed` and `shingleN` must match the
+    * values the index was built with.
+    */
+  def dedupAgainstIndexSigs(newDocs: DataFrame, idCol: String,
+      textCol: String, indexSigs: DataFrame, k: Int = 16,
+      bands: Int = 8, seed: Long = 42L, minEstJaccard: Double = 0.5,
+      shingleN: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val newSigs = signatureTable(newDocs, idCol, textCol, k, seed,
+      shingleN)
+    val tagged = indexSigs.withColumn("_idx", lit(true))
+      .unionByName(newSigs.withColumn("_idx", lit(false)))
+    val sig = tagged.select(col("id"), col("_idx"), col("fp"),
+      array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val banded = bandedFromSig(sig, k, bands)
+      .select(col("id"), col("_idx"), col("sig"), col("band"),
+        col("bucket"))
+    val capped =
+      if (maxBucket <= 0) banded
+      else {
+        val w = Window.partitionBy(col("band"), col("bucket"))
+        banded.withColumn("_bsz", count(lit(1)).over(w))
+          .filter(col("_bsz") <= maxBucket).drop("_bsz")
+      }
+    val l = capped.filter(col("_idx")).as("l")
+    val r = capped.filter(!col("_idx")).as("r")
+    val cross = l.join(r, col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("_iid"), col("r.id").as("_nid"),
+        (aggregate(zip_with(col("l.sig"), col("r.sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k)
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
     val near = cross.groupBy(col("_nid")).agg(min(col("_iid")).as("_nd"))
-    val idxFp = index.select(md5(col(textCol)).as("_fp"),
-      col(idCol).as("_iid"))
-    val exact = newDocs
-      .select(col(idCol).as("_xnid"), md5(col(textCol)).as("_fp"))
-      .join(idxFp, "_fp")
-      .groupBy(col("_xnid")).agg(min(col("_iid")).as("_xd"))
+    val exact = newSigs
+      .select(col("id").as("_xnid"), col("fp"))
+      .join(indexSigs.select(col("fp"), col("id").as("_xiid")), "fp")
+      .groupBy(col("_xnid")).agg(min(col("_xiid")).as("_xd"))
     newDocs.select(col(idCol))
       .join(exact, col(idCol) === col("_xnid"), "left")
       .join(near, col(idCol) === col("_nid"), "left")

@@ -314,6 +314,62 @@ object StreamingPipeline {
       .toDF("band", "doc_id", "dup_of")
   }
 
+  /** Streaming incremental-ingestion dedup: classify a live ingest
+    * feed against the PERSISTED corpus index signature table
+    * ([[graft.ops.Dedup.signatureTable]]'s (id, fp, m0..m{k-1})) — the
+    * streaming twin of [[graft.ops.Dedup.dedupAgainstIndexSigs]] and
+    * of CurateApp's `--index` mode. The stream side computes its
+    * minhash signatures as pure Columns and explodes to (band,
+    * bucket); the static index side explodes once and joins per
+    * micro-batch (stream-static joins, broadcast — no state beyond the
+    * watermark-bounded per-doc aggregation). Verdict semantics
+    * identical to the batch operator: exact (md5 fingerprint match in
+    * the index), near (est. Jaccard ≥ threshold against any shared
+    * band bucket), else new; `dup_of` = min matching index id.
+    * `k`/`seed`/`shingleN` must match the index build. Update-mode
+    * output: (idCol, tsCol, verdict, dup_of).
+    */
+  def incrDedupStream(docs: DataFrame, indexSigs: DataFrame,
+      idCol: String, textCol: String, tsCol: String = "ts",
+      k: Int = 16, bands: Int = 8, seed: Long = 42L,
+      minEstJaccard: Double = 0.5, shingleN: Int = 3,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.ops.Dedup
+    val idxSig = indexSigs.select(col("id").as("_iid"),
+      col("fp").as("_ifp"),
+      array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val idxBanded = Dedup.bandedFromSig(idxSig, k, bands)
+      .select(col("_iid"), col("sig").as("_isig"),
+        col("band").as("_iband"), col("bucket").as("_ibucket"))
+    val idxFp = idxSig.groupBy(col("_ifp"))
+      .agg(min(col("_iid")).as("_xiid"))
+    val sig = Dedup.withMinhash(
+      docs.withColumn(tsCol, col(tsCol).cast("timestamp"))
+        .withWatermark(tsCol, watermarkDelay)
+        .select(col(idCol), col(tsCol), col(textCol).as("_t")),
+      col("_t"), k, seed, shingleN)
+      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
+      .withColumn("_fp", md5(col("_t")))
+      .select(col(idCol), col(tsCol), col("_fp"), col("sig"))
+    val est = aggregate(zip_with(col("sig"), col("_isig"),
+      (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / k
+    Dedup.bandedFromSig(sig, k, bands)
+      .join(broadcast(idxFp), col("_fp") === col("_ifp"), "left")
+      .join(broadcast(idxBanded),
+        col("band") === col("_iband") &&
+          col("bucket") === col("_ibucket"), "left")
+      .withColumn("_nd",
+        when(col("_iid").isNotNull && est >= minEstJaccard, col("_iid")))
+      .groupBy(col(idCol), col(tsCol))
+      .agg(min(col("_xiid")).as("_xd"), min(col("_nd")).as("_ndm"))
+      .select(col(idCol), col(tsCol),
+        when(col("_xd").isNotNull, lit("exact"))
+          .when(col("_ndm").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("_xd"), col("_ndm")).as("dup_of"))
+  }
+
   /** Convenience: run a streaming query to completion over a bounded
     * source (test/demo helper).
     */

@@ -526,6 +526,52 @@ class OpsSpec extends AnyFunSuite {
       (102L, "new", -1L)))
   }
 
+  test("dedupAgainstIndexSigs: verdicts identical through a PERSISTED " +
+      "signature table (parquet round-trip)") {
+    import spark.implicits._
+    val body = "the archived body alpha bravo charlie delta echo " +
+      "foxtrot golf hotel india juliet kilo lima mike november"
+    val index = Seq(
+      (1L, body),
+      (2L, "some other indexed document about entirely different things")
+    ).toDF("id", "text")
+    val fresh = Seq(
+      (100L, body),
+      (101L, body + " with a small extra trailing clause"),
+      (102L, "a genuinely novel document nothing like the index at all")
+    ).toDF("id", "text")
+    val expect = Dedup.dedupAgainstIndex(fresh, index, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    // the production shape: index signatures persisted once, reused
+    val dir = java.nio.file.Files
+      .createTempDirectory("sigs").toString + "/index_sigs"
+    Dedup.signatureTable(index, "id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val got = Dedup.dedupAgainstIndexSigs(fresh, "id", "text",
+      spark.read.parquet(dir))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === expect)
+  }
+
+  test("splitLeakageAuditFromPairs: identical verdicts to the text form " +
+      "from one shared pair generation") {
+    import spark.implicits._
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val dup = "the same long duplicated body one two three four five " +
+      "six seven eight nine ten"
+    val docs = (0L until 40L).map(i => (i, if (i % 4 == 0) dup
+      else s"unique text $i with filler words ${i * 7} and ${i * 13}"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text",
+      k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
+    val fromPairs = Curation.splitLeakageAuditFromPairs(pairs, splits)
+      .orderBy("split_lo", "split_hi").collect().map(_.toSeq).toSeq
+    val fromText = Curation.splitLeakageAudit(docs, "id", "text",
+      splits, minEstJaccard = 0.5)
+      .orderBy("split_lo", "split_hi").collect().map(_.toSeq).toSeq
+    assert(fromPairs === fromText && fromPairs.nonEmpty)
+  }
+
   test("star-contraction components == label propagation; converges in " +
       "O(log n) rounds where label prop cannot") {
     import spark.implicits._

@@ -136,6 +136,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits === batch)
   }
 
+  test("streaming incremental dedup vs static index == batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val body = "the archived body alpha bravo charlie delta echo " +
+      "foxtrot golf hotel india juliet kilo lima mike november"
+    val index = Seq(
+      (1L, body),
+      (2L, "some other indexed document about entirely different things")
+    ).toDF("id", "text")
+    // the deploy shape: index signatures persisted once, streamed-against
+    val sigs = graft.ops.Dedup.signatureTable(index, "id", "text")
+      .localCheckpoint()
+    val freshRows = Seq(
+      (100L, body),
+      (101L, body + " with a small extra trailing clause"),
+      (102L, "a genuinely novel document nothing like the index at all"))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "id", "text")
+    val q = StreamingPipeline.incrDedupStream(df, sigs, "id", "text")
+      .writeStream.format("memory").queryName("incr_dedup_out")
+      .outputMode(OutputMode.Update).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData(freshRows.map { case (i, t) => (ts(1), i, t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("incr_dedup_out")
+      .select("id", "verdict", "dup_of").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val batch = graft.ops.Dedup.dedupAgainstIndexSigs(
+      freshRows.toDF("id", "text"), "id", "text", sigs)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === batch)
+    assert(got === Seq((100L, "exact", 1L), (101L, "near", 1L),
+      (102L, "new", -1L)))
+  }
+
   test("classifier gate stream: frozen weights score the feed == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
