@@ -84,10 +84,16 @@ object Bench {
     // and the timed pass re-pays multi-second Janino compiles for the
     // wide-projection queries (q22 measured 10.7 s set-warmed vs 2 s
     // self-warmed).
-    val results: Seq[(String, Double)] = names.map { name =>
+    // Each query reports its FIRST timed pass (comparable with earlier
+    // rounds) and the min of 3 timed passes: on this drifting
+    // shared-hypervisor host the single-pass number mixes host noise
+    // into cross-round comparisons — min-of-3 is the repeatable signal
+    // (the protocol BASELINE.md already used for q22/q31 spot checks).
+    val results: Seq[(String, Double, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       fn(s1, sfDir).count() // warm: codegen, JIT, parquet footers
-      name -> time { fn(s1, sfDir).count() }
+      val probes = (1 to 3).map(_ => time { fn(s1, sfDir).count() })
+      (name, probes.head, probes.min)
     }
 
     // Part 3 (same session): multi-probe ANN recall vs brute force
@@ -106,10 +112,11 @@ object Bench {
       }
     s1.stop()
 
-    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("headline")) {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def queriesJson(pick: ((String, Double, Double)) => Double): String =
+      results.map { r => "\"" + r._1 + "\":" + f"${pick(r)}%.3f" }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ann_recall":${f"$annRecall%.3f"}}""")
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("headline")) {
+      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.3f"},"unit":"sec","queries":${queriesJson(_._2)},"queries_min3":${queriesJson(_._3)},"total_min3":${f"${results.map(_._3).sum}%.3f"},"sf":"$sfDir","ann_recall":${f"$annRecall%.3f"}}""")
       return
     }
 
@@ -151,11 +158,9 @@ object Bench {
         BenchCurateScale.scalingJson(curateDocs, cps, kept)
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + f""""""" + ":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scaling = BenchCluster.scalingJson(nPages, boost, execN, threads, ts)
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","ann_recall":${f"$annRecall%.3f"},"extraction_scaling":$scaling,"curation_scaling":$curateScaling}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${queriesJson(_._2)},"queries_min3":${queriesJson(_._3)},"total_min3":${f"${results.map(_._3).sum}%.3f"},"sf":"$sfDir","ann_recall":${f"$annRecall%.3f"},"extraction_scaling":$scaling,"curation_scaling":$curateScaling}""")
   }
 }

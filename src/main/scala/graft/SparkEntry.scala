@@ -2500,7 +2500,7 @@ object SparkEntry {
           (CASE WHEN CAST(doc_id AS BIGINT) % 7 = 2
             THEN ' $PlantSubscribe' ELSE '' END) AS text
           FROM documents),
-        t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+        t AS (SELECT doc_id, text, $toksSql AS toks FROM corpus),
         g AS (SELECT doc_id, i - 1 AS pos,
             CAST(('0x' || substr(md5(array_to_string(toks[i : i + 7],
               ' ')), 1, 8)) AS BIGINT) AS gh
@@ -2511,7 +2511,7 @@ object SparkEntry {
             FROM g GROUP BY gh) WHERE c >= 2),
         fp AS (SELECT doc_id, list(pos) AS fps
           FROM g JOIN dup USING (gh) GROUP BY doc_id),
-        k AS (SELECT t.doc_id, toks,
+        k AS (SELECT t.doc_id, text, toks,
             list_filter(range(0, len(toks)), j -> len(list_filter(
               coalesce(fps, CAST([] AS BIGINT[])),
               p -> p <= j AND j < p + 8)) = 0) AS keep
@@ -2521,8 +2521,9 @@ object SparkEntry {
           CAST(CASE WHEN len(toks) > 0
             THEN ((len(toks) - len(keep)) * 1000000) // len(toks)
             ELSE 0 END AS BIGINT) AS removed_ppm,
-          md5(coalesce(array_to_string(list_transform(keep,
-            j -> toks[j + 1]), ' '), '')) AS clean_md5
+          md5(CASE WHEN len(keep) = len(toks) THEN text
+            ELSE coalesce(array_to_string(list_transform(keep,
+              j -> toks[j + 1]), ' '), '') END) AS clean_md5
         FROM k ORDER BY doc_id""",
     // q56: identical synthesized lines; keep = first occurrence of the
     // trimmed line (1-based list_position == own position)
@@ -2658,7 +2659,7 @@ object SparkEntry {
             THEN text || ' ' || (${itemSql("CAST(doc_id % 10 AS VARCHAR)")})
             ELSE text END AS text
           FROM documents),
-        t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+        t AS (SELECT doc_id, text, $toksSql AS toks FROM corpus),
         g AS (SELECT doc_id, i - 1 AS pos,
             CAST(('0x' || substr(md5(array_to_string(toks[i : i + 7],
               ' ')), 1, 8)) AS BIGINT) AS gh
@@ -2667,7 +2668,7 @@ object SparkEntry {
             FROM t WHERE len(toks) >= 8)),
         fp AS (SELECT doc_id, list(pos) AS fps
           FROM g JOIN bg USING (gh) GROUP BY doc_id),
-        k AS (SELECT t.doc_id, toks,
+        k AS (SELECT t.doc_id, text, toks,
             list_filter(range(0, len(toks)), j -> len(list_filter(
               coalesce(fps, CAST([] AS BIGINT[])),
               p -> p <= j AND j < p + 8)) = 0) AS keep
@@ -2677,8 +2678,9 @@ object SparkEntry {
           CAST(CASE WHEN len(toks) > 0
             THEN ((len(toks) - len(keep)) * 1000000) // len(toks)
             ELSE 0 END AS BIGINT) AS removed_ppm,
-          md5(coalesce(array_to_string(list_transform(keep,
-            j -> toks[j + 1]), ' '), '')) AS clean_md5
+          md5(CASE WHEN len(keep) = len(toks) THEN text
+            ELSE coalesce(array_to_string(list_transform(keep,
+              j -> toks[j + 1]), ' '), '') END) AS clean_md5
         FROM k ORDER BY doc_id"""
     },
     // q66: same planted bodies; pairs from the shared LSH CTEs over the

@@ -222,7 +222,7 @@ object Curation {
       .withColumnRenamed("_k", "_gh")
       .filter(col("_nd") >= minDocs)
       .select(col("_gh"))
-    scrubFlagged(withT, thin.join(dup, "_gh"), idCol, n)
+    scrubFlagged(withT, thin.join(dup, "_gh"), idCol, n, textCol)
   }
 
   /** Tokenize + enumerate 0-based gram start positions and their
@@ -248,10 +248,14 @@ object Curation {
     * per-doc flagged starts from `flaggedThin` (any subset of the thin
     * frame), rejoin on id, and apply the coverage mask as pure per-row
     * array arithmetic. Appends n_tokens / n_removed / removed_ppm /
-    * clean_text.
+    * clean_text. A document with ZERO removed tokens keeps its
+    * ORIGINAL text verbatim (`textCol`): the token-rebuild form
+    * normalizes case and whitespace, and silently normalizing the
+    * untouched 99% of the corpus would collapse whitespace-distinct
+    * docs into exact dups at the next dedup stage.
     */
   private def scrubFlagged(withT: DataFrame, flaggedThin: DataFrame,
-      idCol: String, n: Int): DataFrame = {
+      idCol: String, n: Int, textCol: String): DataFrame = {
     val len = size(col("_stoks"))
     val dropPos = flaggedThin
       .groupBy(col(idCol)).agg(collect_set(col("_pos")).as("_fp"))
@@ -269,9 +273,11 @@ object Curation {
         when(col("n_tokens") > 0,
           (col("n_removed") * 1000000L) / col("n_tokens"))
           .otherwise(lit(0L)).cast("long"))
-      .withColumn("clean_text", array_join(
-        transform(col("_keep"), j => element_at(col("_stoks"), j + 1)),
-        " "))
+      .withColumn("clean_text",
+        when(col("n_removed") === 0L, col(textCol))
+          .otherwise(array_join(
+            transform(col("_keep"), j => element_at(col("_stoks"), j + 1)),
+            " ")))
       .drop("_stoks", "_ghs", "_fp", "_keep")
   }
 
@@ -635,24 +641,40 @@ object Curation {
     words
   }
 
-  /** Pure-Column Bloom membership test against a [[bloomBuild]] array
-    * (no UDF: the bitset rides the plan as an array literal and the
-    * probes are integer Column ops inside whole-stage codegen).
+  /** Pure-Column Bloom membership test of `gh` against a bitset-array
+    * COLUMN (no UDF: integer Column ops inside whole-stage codegen).
+    * Pass the [[bloomWords]] broadcast column, NOT a `typedLit` of the
+    * array: a literal bitset serializes into EVERY task's plan binary
+    * (twice, one copy per probe) — at the 2^27 bits the decontamination
+    * scaladoc recommends that is 2×16 MB per task, nothing like
+    * "broadcast once per executor". The broadcast one-row join ships
+    * the bitset through the torrent broadcast mechanism instead.
     */
-  def bloomMightContain(words: Array[Long], bits: Int,
+  def bloomMightContain(wordsCol: Column, bits: Int,
       gh: Column): Column = {
-    val w = typedLit(words.toSeq)
     val mask = lit((bits - 1).toLong)
     // variable-distance shift: the SQL shiftright accepts a Column
     // distance (the Scala functions.shiftright wrapper does not)
     def test(p: Column): Column =
       call_function("shiftright",
-        element_at(w, (shiftright(p, 6) + 1L).cast("int")),
+        element_at(wordsCol, (shiftright(p, 6) + 1L).cast("int")),
         p.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) =!= 0L
     test(gh.bitwiseAND(mask)) &&
       test(shiftrightunsigned(gh * lit(40503L), 13)
         .bitwiseAND(mask))
+  }
+
+  /** Attach a [[bloomBuild]] bitset as the `_bloomw` column via a
+    * broadcast one-row cross join — the filter bytes ship once per
+    * executor (torrent broadcast), not with every task's serialized
+    * plan. Callers filter with
+    * `bloomMightContain(col("_bloomw"), bits, gh)` and drop the column.
+    */
+  def withBloomWords(df: DataFrame, words: Array[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.crossJoin(broadcast(Seq(Tuple1(words.toSeq)).toDF("_bloomw")))
   }
 
   /** [[contaminationStats]] with a Bloom prefilter — the 100 TB shape
@@ -696,10 +718,11 @@ object Curation {
     val withG = corpus
       .withColumn("_toks", Dedup.tokens(col(textCol)))
       .withColumn("_grams", gramsOf(col("_toks"), n))
-    val hits = withG
-      .select(col(idCol), explode(col("_grams")).as("_g"))
-      .select(col(idCol), Dedup.tokHash(col("_g")).as("_gh"))
-      .filter(bloomMightContain(words, bloomBits, col("_gh"))) // map-side
+    val hits = withBloomWords(withG
+        .select(col(idCol), explode(col("_grams")).as("_g"))
+        .select(col(idCol), Dedup.tokHash(col("_g")).as("_gh")), words)
+      .filter(bloomMightContain(col("_bloomw"), bloomBits, col("_gh")))
+      .drop("_bloomw") // map-side prefilter, bitset broadcast once
       .join(exact, "_gh") // removes Bloom false positives
       .groupBy(col(idCol)).agg(count(lit(1)).as("_nh"))
     withG
@@ -728,10 +751,11 @@ object Curation {
     val (benchGrams, words) = benchGramFilter(bench, benchTextCol, n,
       bloomBits)
     val (withT, thin) = gramStarts(corpus, idCol, textCol, n)
-    val flagged = thin
-      .filter(bloomMightContain(words, bloomBits, col("_gh"))) // map-side
+    val flagged = withBloomWords(thin, words)
+      .filter(bloomMightContain(col("_bloomw"), bloomBits, col("_gh")))
+      .drop("_bloomw") // map-side prefilter, bitset broadcast once
       .join(broadcast(benchGrams), "_gh") // exact confirm
-    scrubFlagged(withT, flagged, idCol, n)
+    scrubFlagged(withT, flagged, idCol, n, textCol)
       .select(col(idCol), col("n_tokens"), col("n_removed"),
         col("removed_ppm"), col("clean_text"))
   }

@@ -51,31 +51,65 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder: parses the fake header + computes cheap deterministic
-    * "features". Batched per partition — the real-codec slot.
+  /** The codec injection seam: a REAL decoder (JNI ffmpeg/turbojpeg/
+    * soundfile) implements this trait and drops into [[decodeWith]]'s
+    * mapPartitions slot — the Spark-side plumbing (schema, batching,
+    * per-partition codec lifecycle, partitioning) is codec-agnostic,
+    * so swapping the stub changes NO plan, schema or partitioning
+    * (locked by the OpsSpec injection test). Implementations must be
+    * Serializable: the object ships to executors once; `open()` runs
+    * once per partition (allocate codec contexts there, the reference's
+    * model-resident-per-process analogue), `close()` on task
+    * completion.
     */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  trait MediaCodec extends Serializable {
+    def open(): Unit = ()
+    def decode(m: MediaRow): MediaFeatures
+    def close(): Unit = ()
+  }
+
+  /** STUB codec: parses the fake header + computes cheap deterministic
+    * "features" (this container ships no media libraries).
+    */
+  object StubCodec extends MediaCodec {
+    def decode(m: MediaRow): MediaFeatures = {
+      val bb = java.nio.ByteBuffer.wrap(m.bytes)
+      val magic = bb.getShort(); val kindId = bb.getShort()
+      require(magic == Magic.toShort, "bad media magic")
+      val w = bb.getInt(); val h = bb.getInt(); val dur = bb.getInt()
+      val body = m.bytes.drop(16)
+      val mean = if (body.isEmpty) 0.0
+        else body.map(b => (b & 0xFF).toDouble).sum / body.length
+      // fake embedding: 8 bucketed byte-histogram ratios
+      val hist = new Array[Float](8)
+      body.foreach(b => hist(((b & 0xFF) >> 5)) += 1f)
+      val feat = hist.map(x => if (body.isEmpty) 0f else x / body.length)
+      MediaFeatures(m.media_id, m.kind, w, h, dur, m.bytes.length, mean,
+        feat.toSeq)
+    }
+  }
+
+  /** Per-partition batched decode with an injected codec — the real
+    * decoder slot. Partitioning, schema and the surrounding plan are
+    * independent of the codec implementation.
+    */
+  def decodeWith(media: Dataset[MediaRow],
+      codec: MediaCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init slot (real decoder: open codec context once)
-      it.map { m =>
-        val bb = java.nio.ByteBuffer.wrap(m.bytes)
-        val magic = bb.getShort(); val kindId = bb.getShort()
-        require(magic == Magic.toShort, "bad media magic")
-        val w = bb.getInt(); val h = bb.getInt(); val dur = bb.getInt()
-        val body = m.bytes.drop(16)
-        val mean = if (body.isEmpty) 0.0
-          else body.map(b => (b & 0xFF).toDouble).sum / body.length
-        // fake embedding: 8 bucketed byte-histogram ratios
-        val hist = new Array[Float](8)
-        body.foreach(b => hist(((b & 0xFF) >> 5)) += 1f)
-        val feat = hist.map(x => if (body.isEmpty) 0f else x / body.length)
-        MediaFeatures(m.media_id, m.kind, w, h, dur, m.bytes.length, mean,
-          feat.toSeq)
-      }
+      codec.open() // once per partition: codec context allocation
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map(codec.decode)
     }
   }
+
+  /** Decode with the deterministic stub codec (the default path while
+    * the container ships no media libraries).
+    */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    decodeWith(media, StubCodec)
 
   /** Resize plan (metadata-level): target box, preserve aspect. The byte
     * transform is the stub slot; the column math is real.

@@ -328,12 +328,18 @@ object StreamingPipeline {
     * band bucket), else new; `dup_of` = min matching index id.
     * `k`/`seed`/`shingleN` must match the index build. Update-mode
     * output: (idCol, tsCol, verdict, dup_of).
+    *
+    * `broadcastIndex = false` for a corpus-scale index: the static
+    * side then enters regular (shuffled) stream-static equi-joins per
+    * micro-batch instead of a driver-built broadcast — slower per
+    * batch, but a 10^12-doc index cannot live in driver memory.
     */
   def incrDedupStream(docs: DataFrame, indexSigs: DataFrame,
       idCol: String, textCol: String, tsCol: String = "ts",
       k: Int = 16, bands: Int = 8, seed: Long = 42L,
       minEstJaccard: Double = 0.5, shingleN: Int = 3,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      broadcastIndex: Boolean = true): DataFrame = {
     import graft.ops.Dedup
     val idxSig = indexSigs.select(col("id").as("_iid"),
       col("fp").as("_ifp"),
@@ -354,9 +360,11 @@ object StreamingPipeline {
     val est = aggregate(zip_with(col("sig"), col("_isig"),
       (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / k
+    def side(df: DataFrame): DataFrame =
+      if (broadcastIndex) broadcast(df) else df
     Dedup.bandedFromSig(sig, k, bands)
-      .join(broadcast(idxFp), col("_fp") === col("_ifp"), "left")
-      .join(broadcast(idxBanded),
+      .join(side(idxFp), col("_fp") === col("_ifp"), "left")
+      .join(side(idxBanded),
         col("band") === col("_iband") &&
           col("bucket") === col("_ibucket"), "left")
       .withColumn("_nd",

@@ -25,6 +25,7 @@ class BucketingSpec extends AnyFunSuite {
     graft.io.Bucketing.writeBucketed(docs, "b_docs", "doc_id", 8)
     graft.io.Bucketing.writeBucketed(scores, "b_scores", "doc_id", 8)
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -40,8 +41,13 @@ class BucketingSpec extends AnyFunSuite {
       assert(shuffles(plain).nonEmpty,
         "control: unbucketed join should shuffle")
     } finally {
+      // restore the PRIOR values (not hardcoded ones) and drop the
+      // managed tables so the shared warehouse stays clean for other
+      // suites
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_scores")
     }
   }
 }

@@ -276,6 +276,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal codec seam: an injected codec drops into the decode " +
+      "slot with no schema/partitioning/plan change") {
+    val media = Multimodal.synth(spark, 40, partitions = 4)
+    val opens = spark.sparkContext.longAccumulator("codec_opens")
+    val decoded = spark.sparkContext.longAccumulator("codec_rows")
+    val fake = new FakeJniCodec(opens, decoded)
+    val viaStub = Multimodal.decodeStub(media)
+    val viaFake = Multimodal.decodeWith(media, fake)
+    // the seam contract: swapping codecs changes NOTHING but the bytes
+    // → features function — same schema, same partitioning, same
+    // physical plan shape
+    assert(viaFake.schema === viaStub.schema)
+    assert(viaFake.rdd.getNumPartitions === viaStub.rdd.getNumPartitions)
+    def planShape(df: org.apache.spark.sql.Dataset[_]): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case n => n.getClass.getSimpleName
+      }
+    assert(planShape(viaFake) === planShape(viaStub))
+    val rows = viaFake.collect()
+    assert(rows.length === 40 && rows.forall(_.mean_byte === 42.0))
+    assert(decoded.value === 40L)
+    assert(opens.value === 4L, "open() must run once per partition")
+  }
+
   test("event codes map to the reference error-code vocabulary") {
     import graft.pipeline.ErrorCodes.refCode
     assert(refCode("VAL_DATE_TRADE") === "SOA-VAL-DATE-002")
@@ -1138,5 +1162,20 @@ class OpsSpec extends AnyFunSuite {
     val hosts = df.select(Curation.hostOf(col("u"))).collect()
       .map(_.getString(0))
     assert(hosts === Array("a.b.example.com", "h0st:8080", ""))
+  }
+}
+
+/** A stand-in "real" decoder for the codec-seam test: different decode
+  * logic, per-partition open accounting. Top-level (not an inner class)
+  * so task serialization never drags the suite along.
+  */
+class FakeJniCodec(opens: org.apache.spark.util.LongAccumulator,
+    decoded: org.apache.spark.util.LongAccumulator)
+    extends Multimodal.MediaCodec {
+  override def open(): Unit = opens.add(1)
+  def decode(m: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+    decoded.add(1)
+    Multimodal.MediaFeatures(m.media_id, m.kind, m.width, m.height,
+      m.duration_ms, m.bytes.length, 42.0, Seq.fill(8)(0.5f))
   }
 }
