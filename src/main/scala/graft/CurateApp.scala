@@ -87,60 +87,103 @@ object CurateApp {
       auditSplits = if (auditLeakage) Some(splits) else None)
     // --index <prior output dir>: incremental-ingestion mode — classify
     // every curated batch doc against the PERSISTED corpus index
-    // signatures (exact / near / new), then merge only the new docs'
-    // signatures into this run's index. A run without --index
-    // bootstraps the index from its own curated corpus.
+    // signatures (exact / near / new), keep ONLY the new docs (the
+    // whole point of incremental ingestion: an already-ingested doc
+    // must not re-enter the corpus or the packed sequences), and merge
+    // their signatures into this run's index. A run without --index
+    // bootstraps the index from its own curated corpus (skippable with
+    // --write-index false when no ingestion chain follows — the
+    // signature pass over the corpus isn't free).
+    // default: maintain the index only when this run is part of an
+    // ingestion chain (--index) — a standalone curate shouldn't pay the
+    // full-corpus signature pass; bootstrap a chain with
+    // --write-index true
+    val writeIndex = opts.get("write-index").map(_.toBoolean)
+      .getOrElse(opts.contains("index"))
+    if (opts.get("index").exists(p =>
+        new java.io.File(p).getCanonicalFile ==
+          new java.io.File(output).getCanonicalFile))
+      System.err.println("[graft] CurateApp: --index equals --output. " +
+        "Committed stages in this dir are REUSED (the resume " +
+        "contract), so a NEW batch's --input is ignored where stages " +
+        "are already committed — use a fresh --output per ingestion " +
+        "batch. The index swap itself is safe (write-then-rename).")
+    // batch signatures computed ONCE (materialized): they serve the
+    // verdict join AND the index merge. lazy: --write-index false with
+    // no --index never pays the signature pass
+    lazy val batchSigs = graft.ops.Dedup.signatureTable(curated, idCol0,
+      "clean_text", k = 16, shingleN = 3).localCheckpoint()
     val verdictCounts = opts.get("index").map { idxPath =>
       val sigs = spark.read.parquet(s"$idxPath/index_sigs")
       graft.ops.Dedup.dedupAgainstIndexSigs(curated, idCol0,
         "clean_text", sigs, k = 16, bands = 8, minEstJaccard = 0.5,
-        shingleN = 3)
+        shingleN = 3, precomputedNewSigs = Some(batchSigs))
         .write.mode("overwrite").parquet(s"$output/index_verdicts")
       spark.read.parquet(s"$output/index_verdicts")
         .groupBy("verdict").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     }
-    val acceptedSigs = {
-      val batchSigs = graft.ops.Dedup.signatureTable(
-        opts.get("index") match {
-          case Some(_) =>
-            curated.join(
-              spark.read.parquet(s"$output/index_verdicts")
-                .filter(col("verdict") === "new").select(idCol0),
-              Seq(idCol0))
-          case None => curated
-        }, idCol0, "clean_text", k = 16, shingleN = 3)
-      opts.get("index") match {
+    // downstream corpus = new docs only in --index mode
+    val accepted = opts.get("index") match {
+      case Some(_) =>
+        curated.join(
+          spark.read.parquet(s"$output/index_verdicts")
+            .filter(col("verdict") === "new").select(idCol0),
+          Seq(idCol0))
+      case None => curated
+    }
+    if (writeIndex) {
+      val acceptedSigs = opts.get("index") match {
         case Some(idxPath) =>
-          spark.read.parquet(s"$idxPath/index_sigs").unionByName(batchSigs)
+          spark.read.parquet(s"$idxPath/index_sigs").unionByName(
+            batchSigs.join(accepted.select(idCol0),
+              col("id") === col(idCol0), "leftsemi"))
         case None => batchSigs
       }
+      // write-then-swap so --index <dir> --output <same dir> (in-place
+      // corpus growth) never overwrites the parquet it is reading
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$output/index_sigs_tmp")
+      val dst = new org.apache.hadoop.fs.Path(s"$output/index_sigs")
+      acceptedSigs.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dst, true)
+      fs.rename(tmp, dst)
     }
-    acceptedSigs.write.mode("overwrite").parquet(s"$output/index_sigs")
     val resampled = opts.get("resample-keep") match {
-      case Some(f) => Curation.temperatureResample(curated, idCol0, "lang",
+      case Some(f) => Curation.temperatureResample(accepted, idCol0, "lang",
           alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
           keepFraction = f.toDouble)
         .filter(col("kept")).drop("keep_slots", "kept")
-      case None => curated
+      case None => accepted
     }
     resampled
       .withColumn("split", Curation.hashSplit(col(idCol0), splits))
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$output/curated")
+    // an EMPTY curated corpus (e.g. an incremental batch that was 100%
+    // already-ingested) writes no parquet part files — reading the dir
+    // back then fails schema inference, so the read-backs fall back to
+    // an empty result instead of crashing the run at the finish line
+    def readBackCount(path: String): Long =
+      try spark.read.parquet(path).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val outN = readBackCount(s"$output/curated")
     val packedN = opts.get("seq-len").map { sl =>
-      Curation.packSequences(
-        spark.read.parquet(s"$output/curated")
-          .filter(col("split") === "train"),
-        idCol0, "clean_text", seqLen = sl.toInt,
-        shards = opts.getOrElse("shards", "64").toInt)
-        .write.mode("overwrite").parquet(s"$output/packed")
-      spark.read.parquet(s"$output/packed").count()
+      if (outN == 0L) 0L
+      else {
+        Curation.packSequences(
+          spark.read.parquet(s"$output/curated")
+            .filter(col("split") === "train"),
+          idCol0, "clean_text", seqLen = sl.toInt,
+          shards = opts.getOrElse("shards", "64").toInt)
+          .write.mode("overwrite").parquet(s"$output/packed")
+        readBackCount(s"$output/packed")
+      }
     }
     val sec = (System.nanoTime() - t0) / 1e9
 
     val in = docs.count()
-    val outN = spark.read.parquet(s"$output/curated").count()
     val stageNames =
       if (spanScrubN > 0)
         Seq("1_gate", "2_deboil", s"2b_spanscrub$spanScrubN",

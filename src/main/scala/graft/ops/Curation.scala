@@ -1037,8 +1037,11 @@ object Curation {
         col("_off"))
     thin
       .withColumn("_lcum", sum(col("n_tokens")).over(w))
+      // null-safe on BOTH keys: a null id yields a null _ord/_shard,
+      // which must still join its offset row (the groupBy/window above
+      // treat null as its own group, so the offset row exists)
       .join(offsets, col(strataCol) <=> col("_bo_s") &&
-        col("_shard") === col("_bo_sh"))
+        col("_shard") <=> col("_bo_sh"))
       .withColumn("start_tok", col("_off") + col("_lcum") - col("n_tokens"))
       .withColumn("kept", col("start_tok") < budgetCol)
       .select(id, col(strataCol), col("n_tokens"), col("start_tok"),
@@ -1192,8 +1195,13 @@ object Curation {
       df.select(col(idCol), col(strataCol), col(scoreCol)),
       Seq(strataCol), Seq(col(scoreCol).desc, col(idCol)),
       "stratum_rank", "stratum_n", shards)
-      .select(col(idCol), col("stratum_rank"), col("stratum_n"))
-    df.join(ranked, Seq(idCol))
+      .select(col(idCol).as("_ktq_id"), col("stratum_rank"),
+        col("stratum_n"))
+    // null-safe join-back: a null id must come back out with its rank
+    // (ids are assumed UNIQUE — the ties-by-id contract — so the join
+    // is 1:1)
+    df.join(ranked, col(idCol) <=> col("_ktq_id"))
+      .drop("_ktq_id")
       .withColumn("kept",
         (col("stratum_rank") - 1L) * 1000000L <
           lit(keepPpm) * col("stratum_n"))

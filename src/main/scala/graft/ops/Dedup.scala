@@ -95,26 +95,40 @@ object Dedup {
       k: Int = 16, bands: Int = 4, seed: Long = 42L,
       minEstJaccard: Double = 0.5, shingleN: Int = 1,
       maxBucket: Int = 0): DataFrame = {
-    val banded = bandedSignatures(df, idCol, textCol, k, bands, seed,
-      shingleN)
-    val capped =
-      if (maxBucket <= 0) banded
-      else {
-        val w = Window.partitionBy(col("band"), col("bucket"))
-        banded.withColumn("_bsz", count(lit(1)).over(w))
-          .filter(col("_bsz") <= maxBucket).drop("_bsz")
-      }
+    val capped = capBuckets(
+      bandedSignatures(df, idCol, textCol, k, bands, seed, shingleN),
+      maxBucket)
     val l = capped.as("l")
     val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
-        (aggregate(zip_with(col("l.sig"), col("r.sig"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k).as("est_jaccard"))
+        estJaccardCol(col("l.sig"), col("r.sig"), k).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
+
+  /** The big-bucket guard shared by every banded candidate generator:
+    * drop rows of (band, bucket) groups larger than `maxBucket`
+    * (0 = unbounded). One definition so batch and streaming twins
+    * cannot diverge.
+    */
+  private[graft] def capBuckets(banded: DataFrame,
+      maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      banded.withColumn("_bsz", count(lit(1)).over(w))
+        .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    }
+
+  /** Estimated Jaccard of two k-perm signature arrays: matching-perm
+    * fraction. One definition shared by the pair generator, the
+    * incremental-index classifier and the streaming twin.
+    */
+  private[graft] def estJaccardCol(a: Column, b: Column, k: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / k
 
   /** Banded (band, bucket) signature table shared by minhashLshPairs
     * and the big-bucket accounting.
@@ -496,32 +510,25 @@ object Dedup {
   def dedupAgainstIndexSigs(newDocs: DataFrame, idCol: String,
       textCol: String, indexSigs: DataFrame, k: Int = 16,
       bands: Int = 8, seed: Long = 42L, minEstJaccard: Double = 0.5,
-      shingleN: Int = 3, maxBucket: Int = 0): DataFrame = {
-    val newSigs = signatureTable(newDocs, idCol, textCol, k, seed,
-      shingleN)
+      shingleN: Int = 3, maxBucket: Int = 0,
+      precomputedNewSigs: Option[DataFrame] = None): DataFrame = {
+    val newSigs = precomputedNewSigs.getOrElse(
+      signatureTable(newDocs, idCol, textCol, k, seed, shingleN))
     val tagged = indexSigs.withColumn("_idx", lit(true))
       .unionByName(newSigs.withColumn("_idx", lit(false)))
     val sig = tagged.select(col("id"), col("_idx"), col("fp"),
       array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = bandedFromSig(sig, k, bands)
-      .select(col("id"), col("_idx"), col("sig"), col("band"),
-        col("bucket"))
-    val capped =
-      if (maxBucket <= 0) banded
-      else {
-        val w = Window.partitionBy(col("band"), col("bucket"))
-        banded.withColumn("_bsz", count(lit(1)).over(w))
-          .filter(col("_bsz") <= maxBucket).drop("_bsz")
-      }
+    val capped = capBuckets(
+      bandedFromSig(sig, k, bands)
+        .select(col("id"), col("_idx"), col("sig"), col("band"),
+          col("bucket")),
+      maxBucket)
     val l = capped.filter(col("_idx")).as("l")
     val r = capped.filter(!col("_idx")).as("r")
     val cross = l.join(r, col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket"))
       .select(col("l.id").as("_iid"), col("r.id").as("_nid"),
-        (aggregate(zip_with(col("l.sig"), col("r.sig"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k)
-          .as("est_jaccard"))
+        estJaccardCol(col("l.sig"), col("r.sig"), k).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
     val near = cross.groupBy(col("_nid")).agg(min(col("_iid")).as("_nd"))

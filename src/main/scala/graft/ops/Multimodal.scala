@@ -63,16 +63,26 @@ object Multimodal {
     * completion.
     */
   trait MediaCodec extends Serializable {
-    def open(): Unit = ()
-    def decode(m: MediaRow): MediaFeatures
-    def close(): Unit = ()
+    /** Per-PARTITION codec context (native handles, scratch buffers).
+      * `open()` returns a fresh one per task and `close(ctx)` tears
+      * down exactly that one — so a codec shipped as a JVM singleton
+      * (executors share one instance across concurrent tasks) can
+      * never have task A's completion listener free state task B is
+      * still decoding with. Stateless codecs use `type Ctx = Unit`.
+      */
+    type Ctx
+    def open(): Ctx
+    def decode(ctx: Ctx, m: MediaRow): MediaFeatures
+    def close(ctx: Ctx): Unit = ()
   }
 
   /** STUB codec: parses the fake header + computes cheap deterministic
     * "features" (this container ships no media libraries).
     */
   object StubCodec extends MediaCodec {
-    def decode(m: MediaRow): MediaFeatures = {
+    type Ctx = Unit
+    def open(): Unit = ()
+    def decode(ctx: Unit, m: MediaRow): MediaFeatures = {
       val bb = java.nio.ByteBuffer.wrap(m.bytes)
       val magic = bb.getShort(); val kindId = bb.getShort()
       require(magic == Magic.toShort, "bad media magic")
@@ -98,10 +108,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      codec.open() // once per partition: codec context allocation
+      val ctx = codec.open() // once per partition: context allocation
       Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => codec.close()))
-      it.map(codec.decode)
+        _.addTaskCompletionListener[Unit](_ => codec.close(ctx)))
+      it.map(m => codec.decode(ctx, m))
     }
   }
 

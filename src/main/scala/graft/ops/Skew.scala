@@ -14,10 +14,19 @@ object Skew {
     * (all columns), never of a physical row position — the salt must be
     * stable across runs, task retries and repartitionings, exactly like
     * hashSplit/sampledByHash are (monotonically_increasing_id would
-    * re-draw on every retry). Rows identical in every column share a
-    * bucket, which is harmless for decomposable aggregates. Pass an
-    * explicit unique id column via the `stable` overloads where one
-    * exists — cheaper than hashing every column.
+    * re-draw on every retry, and a retried shuffle-map task re-drawing
+    * salts can double/zero-count rows under fetch-failure recompute).
+    *
+    * Rows IDENTICAL in every column share a salt bucket — no pure
+    * function of content can spread them. For [[saltedSum]] this is
+    * harmless even when one hot key is a billion identical rows:
+    * partial aggregation collapses them to one row per (key, salt) per
+    * input partition map-side, so the reducer sees at most
+    * partitions × salt rows per key regardless. For
+    * [[saltedRepartition]] — a physical spread with no combine step —
+    * duplicate-heavy hot keys need a genuinely distinct column: pass
+    * `stable = Some(uniqueIdCol)` (also cheaper than hashing every
+    * column).
     */
   def rowSalt(df: DataFrame, salt: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(salt))

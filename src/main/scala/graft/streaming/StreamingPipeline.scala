@@ -357,9 +357,7 @@ object StreamingPipeline {
       .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
       .withColumn("_fp", md5(col("_t")))
       .select(col(idCol), col(tsCol), col("_fp"), col("sig"))
-    val est = aggregate(zip_with(col("sig"), col("_isig"),
-      (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / k
+    val est = Dedup.estJaccardCol(col("sig"), col("_isig"), k)
     def side(df: DataFrame): DataFrame =
       if (broadcastIndex) broadcast(df) else df
     Dedup.bandedFromSig(sig, k, bands)

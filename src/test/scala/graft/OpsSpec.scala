@@ -1172,8 +1172,9 @@ class OpsSpec extends AnyFunSuite {
 class FakeJniCodec(opens: org.apache.spark.util.LongAccumulator,
     decoded: org.apache.spark.util.LongAccumulator)
     extends Multimodal.MediaCodec {
-  override def open(): Unit = opens.add(1)
-  def decode(m: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+  type Ctx = Unit
+  def open(): Unit = opens.add(1)
+  def decode(ctx: Unit, m: Multimodal.MediaRow): Multimodal.MediaFeatures = {
     decoded.add(1)
     Multimodal.MediaFeatures(m.media_id, m.kind, m.width, m.height,
       m.duration_ms, m.bytes.length, 42.0, Seq.fill(8)(0.5f))
