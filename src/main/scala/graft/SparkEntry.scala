@@ -942,6 +942,16 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text"))),
         "lang", "n_toks")
         .orderBy("lang")),
+    // curation: unsupervised bigram-fluency score (the integer-exact
+    // CCNet-perplexity analogue: corpus-conditional mean transition
+    // probability per document)
+    "q68_bigram_fluency" -> ((s, d) =>
+      Curation.bigramFluency(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          col("rare_bigram_ppm"), col("fluency_ppm"))
+        .orderBy("doc_id")),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -2321,6 +2331,34 @@ object SparkEntry {
           max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN v END) AS p90,
           max(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN v END) AS p99
         FROM r GROUP BY lang ORDER BY lang""",
+    // q68: same md5-prefix token hashes, same integer DIV arithmetic —
+    // both count tables and the per-doc mean reproduce exactly
+    "q68_bigram_fluency" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($toksSql,
+          tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS hs
+          FROM documents),
+        pr AS (SELECT doc_id, hs[i] AS ph, hs[i + 1] AS ch
+          FROM (SELECT doc_id, hs,
+              unnest(generate_series(1, len(hs) - 1)) AS i
+            FROM t WHERE len(hs) >= 2)),
+        bc AS (SELECT ph, ch, CAST(COUNT(*) AS BIGINT) AS bcnt
+          FROM pr GROUP BY 1, 2),
+        pc AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS pcnt
+          FROM pr GROUP BY 1),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+            CAST(SUM((bcnt * 1000000) // (pcnt + 8)) AS BIGINT) AS s,
+            CAST(SUM(CASE WHEN bcnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS nr
+          FROM pr JOIN bc USING (ph, ch) JOIN pc USING (ph)
+          GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+          CAST(CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN (nr * 1000000) // n_bigrams ELSE 0 END AS BIGINT)
+            AS rare_bigram_ppm,
+          CAST(CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN s // n_bigrams ELSE 0 END AS BIGINT) AS fluency_ppm
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        ORDER BY doc_id""",
     // q67: same log2 bucketing (DuckDB's bin() length = bit length,
     // so length(bin(v))-1 = floor(log2 v) with no float log), same
     // integer rank arithmetic, same bucket upper bounds

@@ -1415,6 +1415,84 @@ object Curation {
       .drop("_ns", "_ss")
   }
 
+  /** Unsupervised bigram-fluency scoring — the integer-exact analogue
+    * of CCNet's LM-perplexity quality filter (Wenzek et al. 2020,
+    * which scores documents with a KenLM model and keeps the
+    * low-perplexity tail): a bigram "language model" is induced from
+    * the corpus ITSELF and every document is scored by the mean
+    * corpus-conditional probability of its token transitions,
+    *
+    *   fluency_ppm(doc) = mean_i( cnt(w_{i-1}, w_i) · 1e6
+    *                              DIV (cnt(w_{i-1} ·) + smoothing) )
+    *
+    * over corpus-wide bigram occurrence counts on hashed tokens
+    * (cnt(w ·) = occurrences of w as a bigram head). The Lidstone
+    * `smoothing` pseudo-count matters exactly where a raw conditional
+    * fails: a never-seen-elsewhere transition from a never-seen-
+    * elsewhere head has raw p = 1/1 — word salad made of unique words
+    * would score a perfect 100% — while the smoothed form gives it
+    * 1e6/(1+smoothing). The second output, `rare_bigram_ppm` = the ppm
+    * of the doc's transitions whose corpus occurrence count ≤
+    * `rareMax`, is the robust garble detector (the analogue of cutting
+    * the high-perplexity TAIL, and the bigram twin of
+    * [[tokenDfStats]]' rare_ppm): fluent text built from common
+    * constructions scores ~0, word salad scores ~1e6, regardless of
+    * corpus size. Integer ppm with truncating DIV keeps training and
+    * scoring exact in any aggregation order and engine (a float
+    * log-prob would differ in the last ulp between libms — the same
+    * determinism trade [[tokenClassWeights]] makes; a production
+    * deployment can swap in a real KenLM-style log-space model
+    * freely).
+    *
+    * Scale shape: docs explode once to thin (id, prevHash, curHash)
+    * rows — 8-byte hashes, text never shuffles; both count tables are
+    * partial-agg groupBys over those rows; scoring joins the counts
+    * back on the hashes and re-aggregates per doc. The bigram table is
+    * vocabulary²-bounded, not corpus-bounded, and hot bigrams combine
+    * map-side.
+    *
+    * Returns the input plus `n_bigrams`, `rare_bigram_ppm` and
+    * `fluency_ppm` (all 0 for docs with < 2 tokens).
+    */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String,
+      smoothing: Long = 8L, rareMax: Long = 2L): DataFrame = {
+    val withH = df
+      .withColumn("_ftoks", Dedup.tokens(col(textCol)))
+      .withColumn("_fhs",
+        transform(col("_ftoks"), t => Dedup.tokHash(t)))
+    val n = size(col("_fhs"))
+    val pairArr = when(n >= 2, transform(sequence(lit(1), n - 1),
+      i => struct(element_at(col("_fhs"), i).as("p"),
+        element_at(col("_fhs"), i + 1).as("c"))))
+      .otherwise(array().cast("array<struct<p:bigint,c:bigint>>"))
+    val thin = withH
+      .select(col(idCol), explode(pairArr).as("_bg"))
+      .select(col(idCol), col("_bg.p").as("_ph"), col("_bg.c").as("_ch"))
+    val bigrams = thin.groupBy(col("_ph"), col("_ch"))
+      .agg(count(lit(1)).as("_bc"))
+    val heads = thin.groupBy(col("_ph"))
+      .agg(count(lit(1)).as("_pc"))
+    val scored = thin
+      .join(bigrams, Seq("_ph", "_ch"))
+      .join(heads, Seq("_ph"))
+      // non-negative operands: Spark DIV (trunc) == DuckDB // (floor)
+      .withColumn("_ppm", expr(s"(_bc * 1000000) DIV (_pc + $smoothing)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nb"), sum(col("_ppm")).as("_sp"),
+        sum(when(col("_bc") <= rareMax, 1L).otherwise(0L)).as("_nr"))
+      .select(col(idCol).as("_bf_id"), col("_nb"), col("_sp"), col("_nr"))
+    df.join(scored, col(idCol) <=> col("_bf_id"), "left")
+      .drop("_bf_id")
+      .withColumn("n_bigrams", coalesce(col("_nb"), lit(0L)))
+      .withColumn("rare_bigram_ppm",
+        when(col("n_bigrams") > 0, expr("(_nr * 1000000) DIV n_bigrams"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("fluency_ppm",
+        when(col("n_bigrams") > 0, expr("_sp DIV n_bigrams"))
+          .otherwise(lit(0L)).cast("long"))
+      .drop("_nb", "_sp", "_nr")
+  }
+
   // ---- URL / host operators ----
 
   /** Host part of an URL (empty string when the shape doesn't match —

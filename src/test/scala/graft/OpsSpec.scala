@@ -596,6 +596,50 @@ class OpsSpec extends AnyFunSuite {
     assert(fromPairs === fromText && fromPairs.nonEmpty)
   }
 
+  test("bigramFluency: common constructions outscore word salad; " +
+      "deterministic under repartition") {
+    import spark.implicits._
+    // 8 fluent docs share every transition; the salad doc's
+    // transitions each occur once
+    val fluent = (0L until 8L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val salad = Seq((100L, "purple seven quantum beneath ocean twelve " +
+      "syntax marble"))
+    val df = (fluent ++ salad ++ Seq((200L, "solo"))).toDF("id", "text")
+    val out = Curation.bigramFluency(df, "id", "text")
+      .select("id", "n_bigrams", "rare_bigram_ppm", "fluency_ppm")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // smoothed conditional: fluent transitions (count 8) beat the
+    // unique-word salad (count 1, smoothing-penalized)
+    assert(out(0L)._3 > out(100L)._3,
+      s"fluent ${out(0L)} must outscore salad ${out(100L)}")
+    // rare-transition fraction: the robust garble signal
+    assert(out(0L) === ((8L, 0L, out(0L)._3)))
+    assert(out(100L)._2 === 1000000L, "salad = 100% rare transitions")
+    // single-token doc: no bigrams, scored 0 (not null, not dropped)
+    assert(out(200L) === ((0L, 0L, 0L)))
+    val again = Curation.bigramFluency(df.repartition(7), "id", "text")
+      .select("id", "n_bigrams", "rare_bigram_ppm", "fluency_ppm")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(again === out)
+  }
+
+  test("canonicalizeStar THROWS on non-convergence instead of emitting " +
+      "an inconsistent labeling") {
+    import spark.implicits._
+    // an 80-chain cannot finish star contraction in one round
+    val edges = (0L until 79L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L until 80L).toDF("id")
+    val e = intercept[IllegalStateException] {
+      Dedup.canonicalizeStar(nodes, "id", edges, maxIter = 1).count()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("star-contraction components == label propagation; converges in " +
       "O(log n) rounds where label prop cannot") {
     import spark.implicits._
