@@ -164,6 +164,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramFluency: count-table shuffles carry only hashes") {
+    withPlainPlan {
+      val out = Curation.bigramFluency(docs, "doc_id", "text")
+      val hashShuffles = shuffledNames(out)
+        .filter(s => s.contains("_ph") || s.contains("_ch"))
+      assert(hashShuffles.nonEmpty, "expected the count-table shuffles")
+      hashShuffles.foreach(s =>
+        assert(!s.contains("text"), s"text in a hash shuffle: $s"))
+    }
+  }
+
   test("stratum gates: no corpus-sized single window partition") {
     // a Window partition is one task; partitioning a corpus-sized frame
     // by the stratum alone puts a whole language in one task at scale.
