@@ -1456,6 +1456,16 @@ object Curation {
     */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String,
       smoothing: Long = 8L, rareMax: Long = 2L): DataFrame = {
+    val thin = bigramThin(df, idCol, textCol)
+    val (bigrams, heads) = bigramTablesFromThin(thin)
+    scoreBigramThin(df, idCol, thin, bigrams, heads, smoothing, rareMax)
+  }
+
+  /** Per-doc thin (id, _ph, _ch) bigram-hash rows — the shared explode
+    * behind training and serving.
+    */
+  private def bigramThin(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val withH = df
       .withColumn("_ftoks", Dedup.tokens(col(textCol)))
       .withColumn("_fhs",
@@ -1465,16 +1475,58 @@ object Curation {
       i => struct(element_at(col("_fhs"), i).as("p"),
         element_at(col("_fhs"), i + 1).as("c"))))
       .otherwise(array().cast("array<struct<p:bigint,c:bigint>>"))
-    val thin = withH
+    withH
       .select(col(idCol), explode(pairArr).as("_bg"))
       .select(col(idCol), col("_bg.p").as("_ph"), col("_bg.c").as("_ch"))
-    val bigrams = thin.groupBy(col("_ph"), col("_ch"))
-      .agg(count(lit(1)).as("_bc"))
-    val heads = thin.groupBy(col("_ph"))
-      .agg(count(lit(1)).as("_pc"))
+  }
+
+  private def bigramTablesFromThin(
+      thin: DataFrame): (DataFrame, DataFrame) = (
+    thin.groupBy(col("_ph"), col("_ch")).agg(count(lit(1)).as("_bc")),
+    thin.groupBy(col("_ph")).agg(count(lit(1)).as("_pc")))
+
+  /** Train the corpus bigram model ONCE: (bigram counts (_ph,_ch,_bc),
+    * head counts (_ph,_pc)) — the persistable tables a deployment
+    * reuses to score new batches ([[scoreBigramFluency]]) or a live
+    * feed (the streaming fluency gate), the deploy shape
+    * [[tokenClassWeights]]/scoreByTokenWeights established.
+    */
+  def bigramTables(df: DataFrame, textCol: String,
+      idCol: String = null): (DataFrame, DataFrame) = {
+    // the id only labels the explode rows — counts don't depend on it,
+    // so a synthetic one is fine when the caller has none
+    val (frame, idc) = Option(idCol) match {
+      case Some(c) => (df, c)
+      case None =>
+        (df.withColumn("_bt_id", monotonically_increasing_id()), "_bt_id")
+    }
+    bigramTablesFromThin(bigramThin(frame, idc, textCol))
+  }
+
+  /** Score documents against FROZEN [[bigramTables]] — new-batch /
+    * serving form of [[bigramFluency]]: identical arithmetic, counts
+    * from the trained tables (transitions absent from the model score
+    * 0 and count as rare). Returns the same three columns.
+    */
+  def scoreBigramFluency(df: DataFrame, idCol: String, textCol: String,
+      bigrams: DataFrame, heads: DataFrame, smoothing: Long = 8L,
+      rareMax: Long = 2L): DataFrame =
+    scoreBigramThin(df, idCol, bigramThin(df, idCol, textCol),
+      bigrams, heads, smoothing, rareMax, leftJoins = true)
+
+  private def scoreBigramThin(df: DataFrame, idCol: String,
+      thin: DataFrame, bigrams: DataFrame, heads: DataFrame,
+      smoothing: Long, rareMax: Long,
+      leftJoins: Boolean = false): DataFrame = {
+    // self-scoring: every transition exists in its own tables (inner
+    // join is exact). Frozen-model serving: unseen transitions/heads
+    // must NOT drop — they score 0 and count as rare
+    val how = if (leftJoins) "left" else "inner"
     val scored = thin
-      .join(bigrams, Seq("_ph", "_ch"))
-      .join(heads, Seq("_ph"))
+      .join(bigrams, Seq("_ph", "_ch"), how)
+      .join(heads, Seq("_ph"), how)
+      .withColumn("_bc", coalesce(col("_bc"), lit(0L)))
+      .withColumn("_pc", coalesce(col("_pc"), lit(0L)))
       // non-negative operands: Spark DIV (trunc) == DuckDB // (floor)
       .withColumn("_ppm", expr(s"(_bc * 1000000) DIV (_pc + $smoothing)"))
       .groupBy(col(idCol))

@@ -376,6 +376,56 @@ object StreamingPipeline {
         coalesce(col("_xd"), col("_ndm")).as("dup_of"))
   }
 
+  /** Streaming bigram-fluency gate: score a live feed against FROZEN
+    * [[graft.ops.Curation.bigramTables]] — the deploy shape of the
+    * unsupervised CCNet-perplexity analogue (train the bigram model
+    * offline in batch, gate the stream with the frozen counts), same
+    * stream-static pattern as [[classifierGateStream]]. Scoring
+    * semantics identical to the batch
+    * [[graft.ops.Curation.scoreBigramFluency]]: unseen transitions
+    * score 0 and count rare; docs with < 2 tokens score (0, 0, 0)
+    * rather than disappearing (explode_outer). Update-mode output:
+    * (idCol, tsCol, n_bigrams, rare_bigram_ppm, fluency_ppm).
+    */
+  def fluencyGateStream(docs: DataFrame, bigrams: DataFrame,
+      heads: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts", smoothing: Long = 8L, rareMax: Long = 2L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.ops.Dedup
+    val withH = docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("_fhs",
+        transform(Dedup.tokens(col(textCol)), t => Dedup.tokHash(t)))
+    val n = size(col("_fhs"))
+    val pairArr = when(n >= 2, transform(sequence(lit(1), n - 1),
+      i => struct(element_at(col("_fhs"), i).as("p"),
+        element_at(col("_fhs"), i + 1).as("c"))))
+      .otherwise(array().cast("array<struct<p:bigint,c:bigint>>"))
+    val seen = col("_ph").isNotNull
+    withH
+      .select(col(idCol), col(tsCol), explode_outer(pairArr).as("_bg"))
+      .select(col(idCol), col(tsCol), col("_bg.p").as("_ph"),
+        col("_bg.c").as("_ch"))
+      .join(broadcast(bigrams), Seq("_ph", "_ch"), "left")
+      .join(broadcast(heads), Seq("_ph"), "left")
+      .withColumn("_bc", coalesce(col("_bc"), lit(0L)))
+      .withColumn("_pc", coalesce(col("_pc"), lit(0L)))
+      .withColumn("_ppm",
+        expr(s"(_bc * 1000000) DIV (_pc + $smoothing)"))
+      .groupBy(col(idCol), col(tsCol))
+      .agg(sum(when(seen, 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(seen, col("_ppm")).otherwise(0L)).as("_sp"),
+        sum(when(seen && col("_bc") <= rareMax, 1L).otherwise(0L))
+          .as("_nr"))
+      .select(col(idCol), col(tsCol), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          expr("(_nr * 1000000) DIV n_bigrams"))
+          .otherwise(lit(0L)).cast("long").as("rare_bigram_ppm"),
+        when(col("n_bigrams") > 0, expr("_sp DIV n_bigrams"))
+          .otherwise(lit(0L)).cast("long").as("fluency_ppm"))
+  }
+
   /** Convenience: run a streaming query to completion over a bounded
     * source (test/demo helper).
     */

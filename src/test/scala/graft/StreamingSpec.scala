@@ -175,6 +175,45 @@ class StreamingSpec extends AnyFunSuite {
       (102L, "new", -1L)))
   }
 
+  test("fluency gate stream: frozen bigram model scores the feed == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 8L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val (bigrams, heads) =
+      graft.ops.Curation.bigramTables(corpus, "text", "id")
+    val (bg, hd) = (bigrams.localCheckpoint(), heads.localCheckpoint())
+    val feed = Seq(
+      (300L, "the quick brown fox"),              // all seen transitions
+      (301L, "purple seven quantum beneath"),     // all unseen
+      (302L, "solo"))                             // no bigrams
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "id", "text")
+    val q = StreamingPipeline.fluencyGateStream(df, bg, hd, "id", "text")
+      .writeStream.format("memory").queryName("fluency_out")
+      .outputMode(OutputMode.Update).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData(feed.map { case (i, t) => (ts(1), i, t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = spark.table("fluency_out")
+      .select("id", "n_bigrams", "rare_bigram_ppm", "fluency_ppm")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> tup(r)).toMap
+    val batch = graft.ops.Curation.scoreBigramFluency(
+      feed.toDF("id", "text"), "id", "text", bg, hd)
+      .select("id", "n_bigrams", "rare_bigram_ppm", "fluency_ppm")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> tup(r)).toMap
+    assert(got === batch)
+    assert(got(301L)._2 === 1000000L, "unseen transitions are 100% rare")
+    assert(got(300L)._3 > got(301L)._3)
+    assert(got(302L) === ((0L, 0L, 0L)))
+  }
+
   test("classifier gate stream: frozen weights score the feed == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
