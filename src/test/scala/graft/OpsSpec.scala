@@ -596,6 +596,39 @@ class OpsSpec extends AnyFunSuite {
     assert(fromPairs === fromText && fromPairs.nonEmpty)
   }
 
+  test("ScaleWindow.shardedRank: exact global ranks under heavy ties, " +
+      "tiny shards, empty strata, repartition") {
+    import spark.implicits._
+    import graft.ops.ScaleWindow
+    // constant score (worst case for any score-based sharding): the
+    // unique id tie-break must still produce exact ranks 1..n
+    val df = (0L until 500L).map(i => (i, i % 3, 7L)).toDF("id", "g", "v")
+    val ranked = ScaleWindow.shardedRank(df, Seq("g"),
+      Seq(col("v").desc, col("id")), "rk", "n", shards = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toSeq
+    ranked.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length).toSeq,
+        s"group $g ranks must be exactly 1..n")
+      assert(rows.forall(_._4 === rows.length))
+      // constant v: rank order == id order
+      assert(rows.sortBy(_._1).map(_._3) === rows.map(_._3).sorted
+        .take(rows.length), s"group $g tie-break by id")
+    }
+    // no strata: one global ranking
+    val global = ScaleWindow.shardedRank(df, Nil,
+      Seq(col("id").desc), "rk", "n", shards = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(global.map(_._2).sorted.toSeq === (1L to 500L).toSeq)
+    assert(global.forall(_._3 === 500L))
+    assert(global.find(_._1 === 499L).get._2 === 1L, "desc: max id is rank 1")
+    // repartition invariance of the RESULT (shard boundaries may move)
+    val again = ScaleWindow.shardedRank(df.repartition(13), Seq("g"),
+      Seq(col("v").desc, col("id")), "rk", "n", shards = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(ranked.map(r => r._1 -> r._3).toMap === again)
+  }
+
   test("bigramFluency: common constructions outscore word salad; " +
       "deterministic under repartition") {
     import spark.implicits._
