@@ -80,11 +80,16 @@ object CurateApp {
     // run the split-leakage audit off them as a final committed stage
     // (one candidate-generation pass serves dedup + audit)
     val auditLeakage = opts.get("audit-leakage").exists(_.toBoolean)
+    // --max-rare-bigram-ppm 400000: optional fluency gate (drop docs
+    // whose rare-transition fraction exceeds the ceiling) before the
+    // LSH stages
+    val maxRare = opts.getOrElse("max-rare-bigram-ppm", "-1").toLong
     val curated = Curation.curateStaged(docs, idCol0, textCol0, output,
       minTokens = opts.getOrElse("min-tokens", "10").toInt,
       paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt,
       spanScrubN = spanScrubN,
-      auditSplits = if (auditLeakage) Some(splits) else None)
+      auditSplits = if (auditLeakage) Some(splits) else None,
+      maxRareBigramPpm = maxRare)
     // --index <prior output dir>: incremental-ingestion mode — classify
     // every curated batch doc against the PERSISTED corpus index
     // signatures (exact / near / new), keep ONLY the new docs (the
@@ -184,15 +189,16 @@ object CurateApp {
     val sec = (System.nanoTime() - t0) / 1e9
 
     val in = docs.count()
-    val stageNames =
-      if (spanScrubN > 0)
-        Seq("1_gate", "2_deboil", s"2b_spanscrub$spanScrubN",
-          s"3_exact_s$spanScrubN", s"4_neardup_s$spanScrubN")
-      else Seq("1_gate", "2_deboil", "3_exact", "4_neardup")
+    // must mirror curateStaged's config-coded stage names exactly
+    val sfx = (if (spanScrubN > 0) s"_s$spanScrubN" else "") +
+      (if (maxRare >= 0) s"_f$maxRare" else "")
+    val stageNames = Seq("1_gate", "2_deboil") ++
+      (if (spanScrubN > 0) Seq(s"2b_spanscrub$spanScrubN") else Nil) ++
+      (if (maxRare >= 0) Seq(s"2c_fluency$maxRare") else Nil) ++
+      Seq(s"3_exact$sfx", s"4_neardup$sfx")
     val stages = stageNames
       .map(s => s""""$s":${StagedJob.readRows(output, s).getOrElse(-1L)}""")
       .mkString("{", ",", "}")
-    val sfx = if (spanScrubN > 0) s"_s$spanScrubN" else ""
     val leakJson =
       if (!auditLeakage) ""
       else {

@@ -416,7 +416,8 @@ object Curation {
       paraMinDocs: Int = 3, shingleN: Int = 3,
       minEstJaccard: Double = 0.5, maxBucket: Int = 0,
       failAfterStage: Int = -1, spanScrubN: Int = 0,
-      auditSplits: Option[Seq[(String, Int)]] = None): DataFrame = {
+      auditSplits: Option[Seq[(String, Int)]] = None,
+      maxRareBigramPpm: Long = -1L): DataFrame = {
     val spark = df.sparkSession
     def guard(done: Int): Unit =
       if (failAfterStage == done)
@@ -432,21 +433,35 @@ object Curation {
       deboilStage(gate, idCol, paraMinDocs)
     }
     guard(2)
-    // the scrub config is CODED INTO the stage names (2b_spanscrub<N>,
-    // 3_exact_s<N>, 4_neardup_s<N>): re-running an already-complete
-    // output dir with a different --span-scrub-n must not reuse
-    // downstream stages built from differently-scrubbed input — with
-    // unsuffixed names the old 3_exact marker would silently win and
-    // the final corpus would not match the requested config
-    val sfx = if (spanScrubN <= 0) "" else s"_s$spanScrubN"
+    // the scrub/fluency config is CODED INTO the stage names
+    // (2b_spanscrub<N>, 2c_fluency<P>, 3_exact_s<N>_f<P>, …):
+    // re-running an already-complete output dir with different gating
+    // flags must not reuse downstream stages built from
+    // differently-gated input — with unsuffixed names the old 3_exact
+    // marker would silently win and the final corpus would not match
+    // the requested config
+    val sfx = (if (spanScrubN <= 0) "" else s"_s$spanScrubN") +
+      (if (maxRareBigramPpm < 0) "" else s"_f$maxRareBigramPpm")
     val scrubbed =
       if (spanScrubN <= 0) deboiled
       else graft.io.StagedJob.stage(spark, out, s"2b_spanscrub$spanScrubN",
           requiredCols = Seq(idCol, "lang", "clean_text")) {
         spanScrubStage(deboiled, idCol, spanScrubN)
       }
+    // optional bigram-fluency gate: drop garble BEFORE the expensive
+    // LSH stages (rare-transition fraction over the corpus-trained
+    // bigram model — the CCNet-perplexity-tail analogue)
+    val fluent =
+      if (maxRareBigramPpm < 0) scrubbed
+      else graft.io.StagedJob.stage(spark, out,
+          s"2c_fluency$maxRareBigramPpm",
+          requiredCols = Seq(idCol, "lang", "clean_text")) {
+        bigramFluency(scrubbed, idCol, "clean_text")
+          .filter(col("rare_bigram_ppm") <= maxRareBigramPpm)
+          .select(col(idCol), col("lang"), col("clean_text"))
+      }
     val exact = graft.io.StagedJob.stage(spark, out, s"3_exact$sfx") {
-      exactStage(scrubbed, idCol)
+      exactStage(fluent, idCol)
     }
     guard(3)
     // with an audit requested, the LSH candidate pairs become their own
