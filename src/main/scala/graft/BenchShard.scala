@@ -47,34 +47,38 @@ object BenchShard {
     }
 
     // OLD shape: the whole stratum is one window partition = one task
-    def oldForm(): Long = {
+    def oldForm(input: org.apache.spark.sql.DataFrame = docs): Long = {
       val ord = md5(concat(col("id").cast("string"), lit(":budget")))
       val w = Window.partitionBy(col("lang")).orderBy(col("_ord"), col("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val budgetCol = budgets.toSeq.sortBy(_._1)
         .foldLeft(lit(0L)) { case (els, (k, v)) =>
           when(col("lang") === k, lit(v)).otherwise(els) }
-      docs.select(col("id"), col("lang"),
+      input.select(col("id"), col("lang"),
           col("n_toks").cast("long").as("n_tokens"), ord.as("_ord"))
         .withColumn("_cum", sum(col("n_tokens")).over(w))
         .withColumn("start_tok", col("_cum") - col("n_tokens"))
         .withColumn("kept", col("start_tok") < budgetCol)
         .filter(col("kept")).count()
     }
-    def newForm(): Long =
-      Curation.tokenBudgetAssign(docs, "id", "lang", "n_toks", budgets)
+    def newForm(input: org.apache.spark.sql.DataFrame = docs): Long =
+      Curation.tokenBudgetAssign(input, "id", "lang", "n_toks", budgets)
         .filter(col("kept")).count()
 
-    // warm both plans once on a small prefix
+    // IDENTICAL treatment for both forms: warm each on a small prefix
+    // (codegen/JIT), then take each form's min of 2 measured passes —
+    // anything asymmetric would bias the published comparison
     val small = docs.limit(10000).localCheckpoint()
-    Curation.tokenBudgetAssign(small, "id", "lang", "n_toks", budgets).count()
-
+    newForm(small); oldForm(small)
     val (keptNew, tNew) = time(newForm())
     val (keptOld, tOld) = time(oldForm())
     val (keptNew2, tNew2) = time(newForm())
-    require(keptOld == keptNew && keptNew == keptNew2,
-      s"results differ: old=$keptOld new=$keptNew/$keptNew2")
-    println(f"""{"metric":"stratum_window_shapes","rows":$rows,"cores":$cores,"kept":$keptNew,"sec_single_window":$tOld%.2f,"sec_sharded":${math.min(tNew, tNew2)}%.2f,"speedup":${tOld / math.min(tNew, tNew2)}%.2f}""")
+    val (keptOld2, tOld2) = time(oldForm())
+    require(keptOld == keptNew && keptNew == keptNew2 && keptOld == keptOld2,
+      s"results differ: old=$keptOld/$keptOld2 new=$keptNew/$keptNew2")
+    val bestOld = math.min(tOld, tOld2)
+    val bestNew = math.min(tNew, tNew2)
+    println(f"""{"metric":"stratum_window_shapes","rows":$rows,"cores":$cores,"kept":$keptNew,"sec_single_window":$bestOld%.2f,"sec_sharded":$bestNew%.2f,"speedup":${bestOld / bestNew}%.2f}""")
     spark.stop()
   }
 }

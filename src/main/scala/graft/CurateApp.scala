@@ -13,7 +13,16 @@ import org.apache.spark.sql.functions._
   *     --input <documents parquet | pages:<pages parquet> | pages:synth:N> \
   *     --output <dir> \
   *     [--id doc_id] [--text text] [--min-tokens 10] [--para-min-docs 3] \
+  *     [--span-scrub-n 8] [--max-rare-bigram-ppm 400000] \
+  *     [--audit-leakage true] [--write-index true | --index <priorOut>] \
   *     [--resample-keep 0.5 [--resample-alpha 0.5]] [--seq-len 2048 [--shards 64]]
+  *
+  * Incremental ingestion: a bootstrap run with --write-index true
+  * persists <out>/index_sigs; a later batch run with --index <priorOut>
+  * classifies its curated docs against those signatures (exact / near /
+  * new), keeps ONLY the new docs, and writes the merged index forward.
+  * --audit-leakage true adds the split-leakage audit as a final stage
+  * fed by the near-dup stage's own LSH pairs.
   *
   * The `pages:` input forms run the HTML boilerplate-strip extraction
   * front end first (ExtractionPipeline.pageTexts) and curate its
@@ -105,21 +114,35 @@ object CurateApp {
     // --write-index true
     val writeIndex = opts.get("write-index").map(_.toBoolean)
       .getOrElse(opts.contains("index"))
-    if (opts.get("index").exists(p =>
-        new java.io.File(p).getCanonicalFile ==
-          new java.io.File(output).getCanonicalFile))
+    val inPlace = opts.get("index").exists(p =>
+      new java.io.File(p).getCanonicalFile ==
+        new java.io.File(output).getCanonicalFile)
+    if (inPlace)
       System.err.println("[graft] CurateApp: --index equals --output. " +
         "Committed stages in this dir are REUSED (the resume " +
         "contract), so a NEW batch's --input is ignored where stages " +
         "are already committed — use a fresh --output per ingestion " +
-        "batch. The index swap itself is safe (write-then-rename).")
+        "batch. The final curated/packed writes are SKIPPED in this " +
+        "mode (the landed corpus stays; only the index merges).")
+    // index read with swap-crash recovery: if a previous run died
+    // between the index swap's two renames, the last CONSISTENT table
+    // is still at index_sigs_old (the moved-aside previous index);
+    // re-running the batch re-merges into it
+    def indexSigs(idxPath: String) = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val main = new org.apache.hadoop.fs.Path(s"$idxPath/index_sigs")
+      val p = if (fs.exists(main)) main.toString
+        else s"$idxPath/index_sigs_old"
+      spark.read.parquet(p)
+    }
     // batch signatures computed ONCE (materialized): they serve the
     // verdict join AND the index merge. lazy: --write-index false with
     // no --index never pays the signature pass
     lazy val batchSigs = graft.ops.Dedup.signatureTable(curated, idCol0,
       "clean_text", k = 16, shingleN = 3).localCheckpoint()
     val verdictCounts = opts.get("index").map { idxPath =>
-      val sigs = spark.read.parquet(s"$idxPath/index_sigs")
+      val sigs = indexSigs(idxPath)
       graft.ops.Dedup.dedupAgainstIndexSigs(curated, idCol0,
         "clean_text", sigs, k = 16, bands = 8, minEstJaccard = 0.5,
         shingleN = 3, precomputedNewSigs = Some(batchSigs))
@@ -140,42 +163,64 @@ object CurateApp {
     if (writeIndex) {
       val acceptedSigs = opts.get("index") match {
         case Some(idxPath) =>
-          spark.read.parquet(s"$idxPath/index_sigs").unionByName(
-            batchSigs.join(accepted.select(idCol0),
-              col("id") === col(idCol0), "leftsemi"))
+          // distinctive join-key names: with --id id the signature
+          // table's own 'id' column would otherwise be ambiguous
+          indexSigs(idxPath).unionByName(
+            batchSigs.withColumnRenamed("id", "_bsig_id")
+              .join(accepted.select(col(idCol0).as("_acc_id")),
+                col("_bsig_id") === col("_acc_id"), "leftsemi")
+              .withColumnRenamed("_bsig_id", "id"))
         case None => batchSigs
       }
-      // write-then-swap so --index <dir> --output <same dir> (in-place
-      // corpus growth) never overwrites the parquet it is reading
+      // write-then-swap so --index <dir> --output <same dir> never
+      // overwrites the parquet it is reading. Swap order keeps a
+      // readable table through every crash window: new table lands at
+      // tmp; old moves ASIDE (index_sigs_old — the read fallback);
+      // tmp renames in; only then the backup is removed.
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(s"$output/index_sigs_tmp")
       val dst = new org.apache.hadoop.fs.Path(s"$output/index_sigs")
+      val bak = new org.apache.hadoop.fs.Path(s"$output/index_sigs_old")
       acceptedSigs.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dst, true)
+      fs.delete(bak, true)
+      if (fs.exists(dst)) fs.rename(dst, bak)
       fs.rename(tmp, dst)
+      fs.delete(bak, true)
     }
-    val resampled = opts.get("resample-keep") match {
-      case Some(f) => Curation.temperatureResample(accepted, idCol0, "lang",
-          alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
-          keepFraction = f.toDouble)
-        .filter(col("kept")).drop("keep_slots", "kept")
-      case None => accepted
+    // in-place mode never rewrites the landed corpus: `accepted` would
+    // be the (usually empty) re-ingest delta, and overwriting
+    // $output/curated with it would destroy the corpus this dir holds
+    if (!inPlace) {
+      val resampled = opts.get("resample-keep") match {
+        case Some(f) => Curation.temperatureResample(accepted, idCol0,
+            "lang",
+            alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
+            keepFraction = f.toDouble)
+          .filter(col("kept")).drop("keep_slots", "kept")
+        case None => accepted
+      }
+      resampled
+        .withColumn("split", Curation.hashSplit(col(idCol0), splits))
+        .write.mode("overwrite").partitionBy("split")
+        .parquet(s"$output/curated")
     }
-    resampled
-      .withColumn("split", Curation.hashSplit(col(idCol0), splits))
-      .write.mode("overwrite").partitionBy("split")
-      .parquet(s"$output/curated")
     // an EMPTY curated corpus (e.g. an incremental batch that was 100%
     // already-ingested) writes no parquet part files — reading the dir
     // back then fails schema inference, so the read-backs fall back to
-    // an empty result instead of crashing the run at the finish line
+    // an empty result instead of crashing the run at the finish line.
+    // ONLY that case is swallowed: any other read failure must fail
+    // the run, not masquerade as rows_out 0
     def readBackCount(path: String): Long =
       try spark.read.parquet(path).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("PATH_NOT_FOUND") => 0L
+      }
     val outN = readBackCount(s"$output/curated")
     val packedN = opts.get("seq-len").map { sl =>
-      if (outN == 0L) 0L
+      if (outN == 0L || inPlace) 0L
       else {
         Curation.packSequences(
           spark.read.parquet(s"$output/curated")

@@ -1506,16 +1506,13 @@ object Curation {
     * feed (the streaming fluency gate), the deploy shape
     * [[tokenClassWeights]]/scoreByTokenWeights established.
     */
-  def bigramTables(df: DataFrame, textCol: String,
-      idCol: String = null): (DataFrame, DataFrame) = {
-    // the id only labels the explode rows — counts don't depend on it,
-    // so a synthetic one is fine when the caller has none
-    val (frame, idc) = Option(idCol) match {
-      case Some(c) => (df, c)
-      case None =>
-        (df.withColumn("_bt_id", monotonically_increasing_id()), "_bt_id")
-    }
-    bigramTablesFromThin(bigramThin(frame, idc, textCol))
+  def bigramTables(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    // no id parameter on purpose: the counts don't depend on row
+    // identity, and an (idCol, textCol) overload here would invert the
+    // argument order every sibling operator uses — a silent
+    // train-on-the-id-column trap. The synthetic label never shuffles.
+    val frame = df.withColumn("_bt_id", monotonically_increasing_id())
+    bigramTablesFromThin(bigramThin(frame, "_bt_id", textCol))
   }
 
   /** Score documents against FROZEN [[bigramTables]] — new-batch /

@@ -512,6 +512,16 @@ object Dedup {
       bands: Int = 8, seed: Long = 42L, minEstJaccard: Double = 0.5,
       shingleN: Int = 3, maxBucket: Int = 0,
       precomputedNewSigs: Option[DataFrame] = None): DataFrame = {
+    // a precomputed table built with a different k is detectable from
+    // its schema — reject it loudly (seed/shingleN mismatches are NOT
+    // schema-visible: they must match the index build, per the
+    // scaladoc, or near-dup verdicts are silently wrong)
+    precomputedNewSigs.foreach { s =>
+      val expect = Set("id", "fp") ++ (0 until k).map(i => s"m$i")
+      require(s.columns.toSet == expect,
+        s"precomputed signature columns [${s.columns.sorted.mkString(",")}] " +
+          s"do not match k=$k (expected id, fp, m0..m${k - 1})")
+    }
     val newSigs = precomputedNewSigs.getOrElse(
       signatureTable(newDocs, idCol, textCol, k, seed, shingleN))
     val tagged = indexSigs.withColumn("_idx", lit(true))

@@ -182,7 +182,7 @@ class StreamingSpec extends AnyFunSuite {
       .map(i => (i, "the quick brown fox jumps over the lazy dog"))
       .toDF("id", "text")
     val (bigrams, heads) =
-      graft.ops.Curation.bigramTables(corpus, "text", "id")
+      graft.ops.Curation.bigramTables(corpus, "text")
     val (bg, hd) = (bigrams.localCheckpoint(), heads.localCheckpoint())
     val feed = Seq(
       (300L, "the quick brown fox"),              // all seen transitions
