@@ -1220,7 +1220,7 @@ object Curation {
       .withColumn("kept",
         (col("stratum_rank") - 1L) * 1000000L <
           lit(keepPpm) * col("stratum_n"))
-      .select((df.columns.map(col) ++ Seq(col("stratum_rank"),
+      .select((df.columns.map(col).toIndexedSeq ++ Seq(col("stratum_rank"),
         col("stratum_n"), col("kept"))): _*)
   }
 

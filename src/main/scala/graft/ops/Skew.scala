@@ -29,7 +29,7 @@ object Skew {
     * column).
     */
   def rowSalt(df: DataFrame, salt: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salt))
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt))
 
   /** Salted repartition: spread each key over up to `salt` partitions.
     * Use before per-key heavy work when key cardinality is low/skewed.
