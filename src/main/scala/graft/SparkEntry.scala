@@ -515,6 +515,15 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("cosine").desc, col("a"), col("b"))
         .limit(50)),
+    // dedup: SemDeDup-style semantic dedup — IVF-cell partition +
+    // within-cell cosine, keep-lowest-id per-document verdicts (the
+    // curation-flow form of embedding near-dup; cross-cell misses are
+    // the paper's documented recall trade)
+    "q69_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 16, threshold = 0.3)
+        .withColumn("cell", col("cell").cast("long"))
+        .orderBy("id")),
     // A3: error statistics by code/stage over the pipeline event log —
     // page + record (route/validate) + stitch events from ONE
     // checkpointed extraction pass (eventLog) over pages synthesized
@@ -2438,6 +2447,18 @@ object SparkEntry {
         SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
     },
+    "q69_semantic_dedup" ->
+      s"""WITH $ivfCellSqlCtes,
+        cc AS (SELECT cl.vec_id, cl.cell, vv.e FROM cell cl
+          JOIN v vv ON vv.vec_id = cl.vec_id),
+        dups AS (SELECT a.vec_id AS id, min(b.vec_id) AS dup_of
+          FROM cc a JOIN cc b ON a.cell = b.cell AND b.vec_id < a.vec_id
+          WHERE ${cosSql("a.e", "b.e")} >= 0.3
+          GROUP BY 1)
+        SELECT cc.vec_id AS id, CAST(cc.cell AS BIGINT) AS cell,
+          dups.dup_of IS NULL AS kept, dups.dup_of
+        FROM cc LEFT JOIN dups ON dups.id = cc.vec_id
+        ORDER BY id""",
     "q43_curate" -> {
       val (scCols, langCase) = langIdSqlParts
       val piiRed = graft.ops.Curation.PiiPatterns

@@ -638,4 +638,71 @@ object Dedup {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("bucket_size"))
       .filter(lit(maxBucket) > 0 && col("bucket_size") > maxBucket)
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition embeddings with the IVF coarse
+    * quantizer's deterministically sampled centroids
+    * ([[SimSearch.ivfCentroids]]), compute pairwise cosine ONLY within
+    * each cluster, and drop every vector that has an in-cluster
+    * lower-id neighbor with cosine ≥ threshold (the keep-lowest-id
+    * greedy — deterministic, engine-reproducible, and the standard
+    * "keep one exemplar per ε-ball" relaxation the paper uses; unlike
+    * [[embeddingNearDupPairs]] this returns a per-document VERDICT, not
+    * candidate pairs, so it slots directly into a curation flow).
+    *
+    * Scale shape: the corpus shuffles once on the cell id; within-cell
+    * work is quadratic in cell population, which the caller bounds by
+    * scaling `nCells` with the corpus (cells ≈ N / targetCellSize —
+    * the paper's k plays the same role). `maxCell` (0 = unbounded)
+    * additionally skips pathological hot cells (embedding-collapsed
+    * spam regions) from PAIR GENERATION only — their members are then
+    * all kept, and the skip is visible in
+    * [[semanticDedupSkippedCells]], per the repo's no-silent-caps rule.
+    * Cross-cell near-duplicates are missed by construction (the
+    * paper's known recall trade); run [[embeddingNearDupPairs]] when
+    * pair-level recall across cell boundaries matters.
+    *
+    * Returns one row per input: (id, cell, kept, dup_of) where dup_of
+    * is the smallest lower-id in-cell neighbor above threshold (null
+    * for kept rows).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, threshold: Double = 0.9, seed: Long = 42L,
+      maxCell: Int = 0): DataFrame = {
+    val cents = SimSearch.ivfCentroids(df, idCol, vecCol, nCells, seed)
+    val assigned = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", SimSearch.ivfCell(col("v"), cents))
+    val capped =
+      if (maxCell <= 0) assigned
+      else {
+        val w = Window.partitionBy(col("cell"))
+        assigned.withColumn("_csz", count(lit(1)).over(w))
+          .filter(col("_csz") <= maxCell).drop("_csz")
+      }
+    val dups = capped.as("l").join(capped.as("r"),
+        col("l.cell") === col("r.cell") && col("r.id") < col("l.id"))
+      .withColumn("cosine", SimSearch.cosine(col("l.v"), col("r.v")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("l.id").as("_did"))
+      .agg(min(col("r.id")).as("dup_of"))
+    assigned.join(dups, col("id") === col("_did"), "left")
+      .select(col("id"), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  /** Cells a `maxCell` cap would exclude from semanticDedup pair
+    * generation, with sizes — the no-silent-caps accounting companion.
+    */
+  def semanticDedupSkippedCells(df: DataFrame, idCol: String,
+      vecCol: String, nCells: Int = 16, seed: Long = 42L,
+      maxCell: Int = 0): DataFrame = {
+    val cents = SimSearch.ivfCentroids(df, idCol, vecCol, nCells, seed)
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", SimSearch.ivfCell(col("v"), cents))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_size"))
+      .filter(lit(maxCell) > 0 && col("cell_size") > maxCell)
+  }
 }

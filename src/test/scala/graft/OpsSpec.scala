@@ -157,6 +157,48 @@ class OpsSpec extends AnyFunSuite {
       === unbounded)
   }
 
+  test("semanticDedup: in-cell keep-lowest-id verdicts + maxCell accounting") {
+    import spark.implicits._
+    // three near-identical +x vectors (one semantic group), two +y
+    // vectors, two lone opposite/orthogonal vectors. Ids chosen so the
+    // deterministic md5 centroid sample (13, 3, 12, 2 for these ids)
+    // takes at most ONE member per group — the groups then provably
+    // share a cell (nearest centroid of near-identical vectors is the
+    // same when no two centroids are themselves near-parallel)
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.01f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.02f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.03f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.01f)),
+      (7L, Seq(0.0f, 1.0f, 0.0f, 0.02f)),
+      (12L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (13L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(d, "vec_id", "embedding", nCells = 4,
+      threshold = 0.9).collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(r.size === 7)
+    // lowest id of each near-identical group survives; the rest point at it
+    assert(r(0L) === (true, -1L))
+    assert(r(1L) === (false, 0L) && r(2L) === (false, 0L))
+    assert(r(3L) === (true, -1L) && r(7L) === (false, 3L))
+    // opposite/orthogonal loners are kept
+    assert(r(12L)._1 && r(13L)._1)
+    // maxCell excludes the hot +x cell from pair generation (its
+    // members all kept; the small +y cell still dedups) and the skip
+    // is visible in the accounting companion
+    val capped = Dedup.semanticDedup(d, "vec_id", "embedding", nCells = 4,
+      threshold = 0.9, maxCell = 2).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(Seq(0L, 1L, 2L).forall(capped(_)), "capped cell members kept")
+    assert(!capped(7L), "uncapped cell still dedups")
+    assert(capped.values.count(identity) === 6)
+    val skipped = Dedup.semanticDedupSkippedCells(d, "vec_id", "embedding",
+      nCells = 4, maxCell = 2).collect()
+    assert(skipped.nonEmpty && skipped.forall(_.getLong(1) === 3L))
+  }
+
   test("langId: non-Latin scripts route to the script's language") {
     import spark.implicits._
     val r = Seq(
