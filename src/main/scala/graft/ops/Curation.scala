@@ -193,14 +193,24 @@ object Curation {
   /** Remove every token covered by a word n-gram occurring in
     * >= `minDocs` distinct documents — the corpus-level exact-substring
     * scrub (Lee et al. 2022, "Deduplicating Training Data Makes
-    * Language Models Better"), relaxed from suffix-array substrings to
-    * n-gram granularity: any duplicated run of >= n tokens is the union
-    * of duplicated n-grams, so the scrub removes exactly the tokens
-    * inside cross-document repeated spans while grams straddling a
-    * span boundary stay unique and keep the surrounding text intact.
-    * This is the standard scalable relaxation — a distributed suffix
-    * array orders 100 TB of text globally; gram hashing is one narrow
-    * pass.
+    * Language Models Better") at token granularity.
+    *
+    * The n-gram coverage mask is EXACT, not an approximation, for the
+    * semantics "remove every token inside a cross-document duplicated
+    * substring of length >= n": (⇐) a duplicated n-gram is itself such
+    * a substring; (⇒) for any duplicated substring s of length L >= n,
+    * every token position j inside s is covered by the n-gram starting
+    * at max(start(s), j-n+1), which lies fully within s and therefore
+    * recurs wherever s does. So the union of duplicated-n-gram windows
+    * equals the union of duplicated >=n-token spans — which is why a
+    * distributed suffix array (global order over 100 TB of text, log n
+    * shuffle rounds of prefix doubling) buys nothing here: one narrow
+    * gram-hash pass computes the same mask. The remaining deltas vs the
+    * paper, all policy not fidelity: token instead of byte granularity;
+    * ALL copies of a duplicated span are scrubbed (the paper keeps one
+    * occurrence — here exact/near dedup stages own survivor choice);
+    * and only CROSS-document repeats count (a span repeated twice
+    * inside one document is [[dedupLinesWithinDoc]]'s department).
     *
     * Scale shape mirrors [[dropDuplicatedParagraphs]]: gram hashes are
     * computed in the same per-row projection that explodes them, so
