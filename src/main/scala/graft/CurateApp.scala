@@ -160,6 +160,24 @@ object CurateApp {
           Seq(idCol0))
       case None => curated
     }
+    // docs that actually LAND in the corpus: the optional language
+    // resample runs BEFORE the index merge, so a doc dropped by
+    // --resample-keep (never written to curated/packed) is not
+    // recorded as ingested — the index tracks corpus membership, not
+    // batch survival. Such a doc is re-OFFERED on a later batch
+    // (verdict "new") and lands iff that batch's resample keeps it;
+    // keep slots are a deterministic hash of the id, so at the same
+    // keepFraction/shares it stays out (raise keepFraction to admit
+    // more) rather than flapping in on a reroll. Deterministic, so the
+    // two references below agree.
+    val landed = opts.get("resample-keep") match {
+      case Some(f) => Curation.temperatureResample(accepted, idCol0,
+          "lang",
+          alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
+          keepFraction = f.toDouble)
+        .filter(col("kept")).drop("keep_slots", "kept")
+      case None => accepted
+    }
     if (writeIndex) {
       val acceptedSigs = opts.get("index") match {
         case Some(idxPath) =>
@@ -167,10 +185,16 @@ object CurateApp {
           // table's own 'id' column would otherwise be ambiguous
           indexSigs(idxPath).unionByName(
             batchSigs.withColumnRenamed("id", "_bsig_id")
-              .join(accepted.select(col(idCol0).as("_acc_id")),
+              .join(landed.select(col(idCol0).as("_acc_id")),
                 col("_bsig_id") === col("_acc_id"), "leftsemi")
               .withColumnRenamed("_bsig_id", "id"))
-        case None => batchSigs
+        case None =>
+          if (opts.contains("resample-keep"))
+            batchSigs.withColumnRenamed("id", "_bsig_id")
+              .join(landed.select(col(idCol0).as("_acc_id")),
+                col("_bsig_id") === col("_acc_id"), "leftsemi")
+              .withColumnRenamed("_bsig_id", "id")
+          else batchSigs
       }
       // write-then-swap so --index <dir> --output <same dir> never
       // overwrites the parquet it is reading. Swap order keeps a
@@ -183,24 +207,23 @@ object CurateApp {
       val dst = new org.apache.hadoop.fs.Path(s"$output/index_sigs")
       val bak = new org.apache.hadoop.fs.Path(s"$output/index_sigs_old")
       acceptedSigs.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(bak, true)
-      if (fs.exists(dst)) fs.rename(dst, bak)
-      fs.rename(tmp, dst)
+      // clear the stale backup ONLY when dst exists to replace it: on
+      // a crash-recovery re-run (dst absent, _old the only readable
+      // copy) the backup must survive until the new table renames in.
+      // Hadoop rename reports failure via its boolean — check it, or
+      // a silent no-op leaves the index missing for the next batch.
+      if (fs.exists(dst)) {
+        fs.delete(bak, true)
+        require(fs.rename(dst, bak), s"index swap: rename $dst -> $bak failed")
+      }
+      require(fs.rename(tmp, dst), s"index swap: rename $tmp -> $dst failed")
       fs.delete(bak, true)
     }
     // in-place mode never rewrites the landed corpus: `accepted` would
     // be the (usually empty) re-ingest delta, and overwriting
     // $output/curated with it would destroy the corpus this dir holds
     if (!inPlace) {
-      val resampled = opts.get("resample-keep") match {
-        case Some(f) => Curation.temperatureResample(accepted, idCol0,
-            "lang",
-            alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
-            keepFraction = f.toDouble)
-          .filter(col("kept")).drop("keep_slots", "kept")
-        case None => accepted
-      }
-      resampled
+      landed
         .withColumn("split", Curation.hashSplit(col(idCol0), splits))
         .write.mode("overwrite").partitionBy("split")
         .parquet(s"$output/curated")

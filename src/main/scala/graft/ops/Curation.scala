@@ -1043,10 +1043,16 @@ object Curation {
       .foldLeft(lit(defaultBudget)) { case (els, (k, v)) =>
         when(col(strataCol) === k, lit(v)).otherwise(els)
       }
+    // materialized: the per-shard window pass and the partials groupBy
+    // both read `thin`, and without the checkpoint Spark evaluates the
+    // two join branches independently — re-running the caller's full
+    // lineage (corpus scan + tokenization) twice per action. Same seam
+    // as ScaleWindow.shardedRank's checkpoint.
     val thin = df
       .select(id, col(strataCol),
         col(tokensCol).cast("long").as("n_tokens"), ord.as("_ord"))
       .withColumn("_shard", substring(col("_ord"), 1, shardHexLen))
+      .localCheckpoint()
     val w = Window.partitionBy(col(strataCol), col("_shard"))
       .orderBy(col("_ord"), id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -673,13 +673,17 @@ object Dedup {
     val assigned = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", SimSearch.ivfCell(col("v"), cents))
+    // the cap must NOT be a count-window over `assigned` (vector-
+    // carrying rows): a window partition is one task, and maxCell
+    // exists precisely for hot cells that would drown that task. A
+    // thin partial-agg count + anti-join of the (small) over-cap cell
+    // list costs no corpus-sized single-partition stage.
     val capped =
       if (maxCell <= 0) assigned
-      else {
-        val w = Window.partitionBy(col("cell"))
-        assigned.withColumn("_csz", count(lit(1)).over(w))
-          .filter(col("_csz") <= maxCell).drop("_csz")
-      }
+      else assigned.join(
+        assigned.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
+          .filter(col("_csz") > maxCell).select(col("cell")),
+        Seq("cell"), "left_anti")
     val dups = capped.as("l").join(capped.as("r"),
         col("l.cell") === col("r.cell") && col("r.id") < col("l.id"))
       .withColumn("cosine", SimSearch.cosine(col("l.v"), col("r.v")))

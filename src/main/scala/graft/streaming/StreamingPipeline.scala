@@ -386,11 +386,19 @@ object StreamingPipeline {
     * score 0 and count rare; docs with < 2 tokens score (0, 0, 0)
     * rather than disappearing (explode_outer). Update-mode output:
     * (idCol, tsCol, n_bigrams, rare_bigram_ppm, fluency_ppm).
+    *
+    * `broadcastModel = false` for a web-corpus-trained model: the
+    * bigram table is vocabulary²-bounded (billions of rows on a large
+    * training corpus) and cannot live in driver memory — the count
+    * tables then enter regular (shuffled) stream-static equi-joins per
+    * micro-batch, same escape hatch as [[incrDedupStream]]'s
+    * `broadcastIndex`.
     */
   def fluencyGateStream(docs: DataFrame, bigrams: DataFrame,
       heads: DataFrame, idCol: String, textCol: String,
       tsCol: String = "ts", smoothing: Long = 8L, rareMax: Long = 2L,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      broadcastModel: Boolean = true): DataFrame = {
     import graft.ops.Dedup
     val withH = docs
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
@@ -403,12 +411,14 @@ object StreamingPipeline {
         element_at(col("_fhs"), i + 1).as("c"))))
       .otherwise(array().cast("array<struct<p:bigint,c:bigint>>"))
     val seen = col("_ph").isNotNull
+    def side(df: DataFrame): DataFrame =
+      if (broadcastModel) broadcast(df) else df
     withH
       .select(col(idCol), col(tsCol), explode_outer(pairArr).as("_bg"))
       .select(col(idCol), col(tsCol), col("_bg.p").as("_ph"),
         col("_bg.c").as("_ch"))
-      .join(broadcast(bigrams), Seq("_ph", "_ch"), "left")
-      .join(broadcast(heads), Seq("_ph"), "left")
+      .join(side(bigrams), Seq("_ph", "_ch"), "left")
+      .join(side(heads), Seq("_ph"), "left")
       .withColumn("_bc", coalesce(col("_bc"), lit(0L)))
       .withColumn("_pc", coalesce(col("_pc"), lit(0L)))
       .withColumn("_ppm",

@@ -212,6 +212,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(301L)._2 === 1000000L, "unseen transitions are 100% rare")
     assert(got(300L)._3 > got(301L)._3)
     assert(got(302L) === ((0L, 0L, 0L)))
+    // the corpus-scale path (shuffled stream-static joins instead of a
+    // driver-built broadcast) must score identically
+    val stream2 = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q2 = StreamingPipeline.fluencyGateStream(
+      stream2.toDF().toDF("ts", "id", "text"), bg, hd, "id", "text",
+      broadcastModel = false)
+      .writeStream.format("memory").queryName("fluency_out_shuf")
+      .outputMode(OutputMode.Update).start()
+    stream2.addData(feed.map { case (i, t) => (ts(1), i, t) }: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val gotShuf = spark.table("fluency_out_shuf")
+      .select("id", "n_bigrams", "rare_bigram_ppm", "fluency_ppm")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> tup(r)).toMap
+    assert(gotShuf === got)
   }
 
   test("classifier gate stream: frozen weights score the feed == batch") {
