@@ -314,6 +314,82 @@ object StreamingPipeline {
       .toDF("band", "doc_id", "dup_of")
   }
 
+  /** Streaming SemDeDup — online semantic dedup against a FROZEN
+    * coarse quantizer (the batch-trained IVF centroids of
+    * [[graft.ops.SimSearch.ivfCentroids]] / `centroidsFrom`): arrivals
+    * are assigned their cell map-side with the exact batch assignment
+    * expression (plan-literal centroids, no state), and each cell's
+    * group keeps the embeddings of the SURVIVORS seen so far in
+    * flatMapGroupsWithState; an arrival with cosine ≥ `threshold` vs
+    * any stored survivor is flagged with that survivor's id
+    * (first-seen survivor wins — matching the batch
+    * [[graft.ops.Dedup.semanticDedup]] keep-lowest-id verdicts when
+    * docs arrive in id order and the corpus is chain-free; transitive
+    * chains differ by design, the same online-dedup semantics as
+    * [[nearDupCandidatesStream]]).
+    *
+    * Bounded-state contract: at most `maxState` survivor embeddings
+    * per cell (oldest dropped — the streaming analogue of the batch
+    * `maxCell` guard), and cells idle past the event-time watermark +
+    * `stateRetentionMs` are evicted (event-time timeouts, not
+    * processing-time, for the livelock reason documented on
+    * nearDupCandidatesStream).
+    *
+    * Emits (doc_id, kept, dup_of) per arrival.
+    */
+  def semanticDedupStream(docs: DataFrame, cents: Seq[Seq[Double]],
+      idCol: String, vecCol: String, tsCol: String = "ts",
+      threshold: Double = 0.9, maxState: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      stateRetentionMs: Long = 10L * 60 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val assigned = docs
+      .select(col(idCol).cast("long").as("_id"),
+        col(tsCol).cast("timestamp").as("_ts"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withWatermark("_ts", watermarkDelay)
+      .withColumn("_cell", graft.ops.SimSearch.ivfCell(col("_v"), cents))
+      .as[(Long, java.sql.Timestamp, Seq[Double], Int)]
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assigned
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[List[(Long, Seq[Double])], (Long, Boolean, Option[Long])](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (_, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var survivors = state.getOption.getOrElse(Nil)
+            // sort within the micro-batch for a deterministic verdict
+            // order (group iterators are unordered)
+            val rows = it.toSeq.sortBy(_._1)
+            val out = rows.map { case (id, _, v, _) =>
+              val hit = survivors.reverseIterator
+                .find { case (_, s) => cos(v, s) >= threshold }
+              if (hit.isEmpty)
+                survivors = ((id, v) :: survivors).take(maxState)
+              (id, hit.isEmpty, hit.map(_._1))
+            }
+            state.update(survivors)
+            // retention anchored on the batch's max event time (see
+            // nearDupCandidatesStream for why not the watermark)
+            val maxTs = rows.iterator.map(_._2.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + stateRetentionMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "kept", "dup_of")
+  }
+
   /** Streaming incremental-ingestion dedup: classify a live ingest
     * feed against the PERSISTED corpus index signature table
     * ([[graft.ops.Dedup.signatureTable]]'s (id, fp, m0..m{k-1})) — the

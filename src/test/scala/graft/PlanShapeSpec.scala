@@ -212,6 +212,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup maxCell cap: no window over vector-carrying rows") {
+    // the cap exists for hot cells — it must be a thin partial-agg
+    // count + anti-join, never a count-window that funnels the hot
+    // cell's (id, vector) rows through one task
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    withPlainPlan {
+      val emb = (0L until 32L)
+        .map(i => (i, Seq.tabulate(8)(j => (i % 4 + j).toFloat)))
+        .toDF("vec_id", "embedding")
+      val out = graft.ops.Dedup.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 4, threshold = 0.9, maxCell = 8)
+      val wins = out.queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty,
+        s"cap path planned a window: ${wins.map(_.partitionSpec.map(_.sql))}")
+    }
+  }
+
   test("dropDuplicatedParagraphsFromParas: hash branch shuffles thin rows") {
     withPlainPlan {
       val withP = docs.withColumn("_paras",

@@ -175,6 +175,50 @@ class StreamingSpec extends AnyFunSuite {
       (102L, "new", -1L)))
   }
 
+  test("semantic dedup stream: frozen centroids, survivor state == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the OpsSpec planted corpus: chain-free groups, so the online
+    // (survivor-state) verdicts must equal the batch keep-lowest-id
+    // verdicts when docs arrive in id order
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.01f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.02f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.03f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.01f)),
+      (7L, Seq(0.0f, 1.0f, 0.0f, 0.02f)),
+      (12L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (13L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)))
+    val statics = rows.toDF("vec_id", "embedding")
+    val cents = graft.ops.SimSearch.ivfCentroids(statics, "vec_id",
+      "embedding", 4)
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val df = stream.toDF().toDF("ts", "vec_id", "embedding")
+    val q = StreamingPipeline.semanticDedupStream(df, cents, "vec_id",
+      "embedding", threshold = 0.9)
+      .writeStream.format("memory").queryName("semdedup_out")
+      .outputMode(OutputMode.Append).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData(rows.map { case (i, v) => (ts(1), i, v) }: _*)
+    q.processAllAvailable()
+    // a LATER micro-batch must still see batch-1's survivors (keyed
+    // state carries over): a new +x arrival dups against survivor 0
+    stream.addData((ts(2), 20L, Seq(1.0f, 0.0f, 0.0f, 0.015f)))
+    q.processAllAvailable()
+    q.stop()
+    def verdicts(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val got = verdicts(spark.table("semdedup_out")
+      .select("doc_id", "kept", "dup_of"))
+    val batch = verdicts(graft.ops.Dedup.semanticDedup(statics, "vec_id",
+      "embedding", nCells = 4, threshold = 0.9)
+      .select("id", "kept", "dup_of"))
+    assert((got - 20L) === batch)
+    assert(got(1L) === ((false, 0L)) && got(7L) === ((false, 3L)))
+    assert(got(20L) === ((false, 0L)), "cross-batch survivor state")
+  }
+
   test("fluency gate stream: frozen bigram model scores the feed == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
