@@ -71,7 +71,8 @@ object Bench {
       "q57_token_clf", "q58_blocklist", "q59_bloom_decontam",
       "q60_snapshot", "q61_host_blocklist", "q62_dedup_star", "q63_scrub_contam",
       "q64_top_quantile", "q65_split_leakage", "q66_incr_dedup",
-      "q67_profile_approx", "q68_bigram_fluency", "q69_semantic_dedup")
+      "q67_profile_approx", "q68_bigram_fluency", "q69_semantic_dedup",
+      "q70_bpe_pairs")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

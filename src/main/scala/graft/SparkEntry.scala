@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.PagesGen
-import graft.ops.{Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
+import graft.ops.{Bpe, Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
 import graft.pipeline.ExtractionPipeline
 import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -961,6 +961,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           col("rare_bigram_ppm"), col("fluency_ppm"))
         .orderBy("doc_id")),
+    // curation: BPE tokenizer training, round-0 pair counts — the
+    // quantity the first merge argmaxes over (the full loop is
+    // golden-tested against a scalar reference in BpeSpec; this pins
+    // the corpus-sized pass + the per-iteration aggregate in SQL)
+    "q70_bpe_pairs" -> ((s, d) =>
+      Bpe.pairCounts(Bpe.initialSymbolTable(t(s, d, "documents"), "text"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(100)),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -2368,6 +2376,24 @@ object SparkEntry {
             THEN s // n_bigrams ELSE 0 END AS BIGINT) AS fluency_ppm
         FROM documents d LEFT JOIN sc USING (doc_id)
         ORDER BY doc_id""",
+    // q70: same whitespace tokenization, same char-level initial
+    // symbols + '</w>' marker, same exact long counts and total
+    // tie-break — the BPE trainer's round-0 argmax input
+    "q70_bpe_pairs" ->
+      s"""WITH wc AS (SELECT tk AS word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT unnest($toksSql) AS tk FROM documents)
+          GROUP BY tk),
+        syms AS (SELECT n, list_append(
+            list_transform(generate_series(1, length(word)),
+              i -> substr(word, i, 1)), '</w>') AS s
+          FROM wc),
+        pairs AS (SELECT n, s[i] AS pa, s[i + 1] AS pb
+          FROM (SELECT n, s,
+              unnest(generate_series(1, len(s) - 1)) AS i
+            FROM syms WHERE len(s) >= 2))
+        SELECT pa, pb, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pa, pb
+        ORDER BY cnt DESC, pa, pb LIMIT 100""",
     // q67: same log2 bucketing (DuckDB's bin() length = bit length,
     // so length(bin(v))-1 = floor(log2 v) with no float log), same
     // integer rank arithmetic, same bucket upper bounds
