@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.PagesGen
-import graft.ops.{Bpe, Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
+import graft.ops.{Bpe, Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis, WebGraph}
 import graft.pipeline.ExtractionPipeline
 import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -969,6 +969,39 @@ object SparkEntry {
       Bpe.pairCounts(Bpe.initialSymbolTable(t(s, d, "documents"), "text"))
         .orderBy(col("cnt").desc, col("pa"), col("pb"))
         .limit(100)),
+    // curation: per-host document cap (C4/RefinedWeb-style anti-
+    // domination gate) — keep the 5 longest docs per host, exact
+    // sharded ranks, ties by doc_id
+    "q71_host_cap" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val host = concat(col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com"))
+      Curation.keepTopNPerStratum(
+        t(s, d, "documents")
+          .select(col("doc_id"), host.as("host"), col("n_chars")),
+        "doc_id", "host", "n_chars", n = 5L)
+        .orderBy("doc_id")
+    }),
+    // curation: classifier evaluation — exact tie-aware rank AUC of
+    // doc length against the is-English label, per source (the gate
+    // check a quality classifier passes before it may cut the corpus)
+    "q72_rank_auc" -> ((s, d) =>
+      Curation.rankAuc(
+        t(s, d, "documents")
+          .withColumn("is_en", col("lang") === "en"),
+        "is_en", "n_chars", strataCols = Seq("source"))
+        .orderBy("source")),
+    // web graph: host-level degree profile over a deterministic
+    // synthesized link table (the fan-out stats a link-spam gate reads)
+    "q73_web_degrees" -> ((s, d) =>
+      WebGraph.degreeStats(webEdges(s, d), "src", "dst")
+        .orderBy("node")),
+    // web graph: 3 rounds of exact integer-ppb damped PageRank over
+    // the same host-level link table (crawl-priority / host-quality
+    // centrality signal)
+    "q74_pagerank" -> ((s, d) =>
+      WebGraph.pageRank(webEdges(s, d), "src", "dst", iterations = 3)
+        .orderBy("node")),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -1192,6 +1225,63 @@ object SparkEntry {
           concat(body(expr("(CAST(doc_id AS BIGINT) - 401) DIV 10")),
             lit(" with one extra trailing clause appended here")))
         .otherwise(col("text")).as("text"))
+  }
+
+  /** Deterministic host-level link table for q73/q74: each document
+    * contributes one edge from its q41-style host
+    * (`source-(id%7).example.com`) to a pseudo-randomly chosen other
+    * host (`src{(7id+3)%20}-{(3id+1)%7}.example.com`) — 140 nodes,
+    * multi-edges and dangling hosts included, so degree stats and
+    * PageRank exercise their full contract.
+    */
+  private def webEdges(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("long")
+    t(s, d, "documents").select(
+      concat(col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"),
+        lit(".example.com")).as("src"),
+      concat(lit("src"),
+        pmod(did * 7L + 3L, lit(20)).cast("string"), lit("-"),
+        pmod(did * 3L + 1L, lit(7)).cast("string"),
+        lit(".example.com")).as("dst"))
+  }
+
+  /** SQL twin of [[webEdges]]. */
+  private val webEdgesSql: String =
+    """SELECT concat(source, '-',
+        CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR),
+        '.example.com') AS src,
+      concat('src',
+        CAST((CAST(doc_id AS BIGINT) * 7 + 3) % 20 AS VARCHAR), '-',
+        CAST((CAST(doc_id AS BIGINT) * 3 + 1) % 7 AS VARCHAR),
+        '.example.com') AS dst
+      FROM documents"""
+
+  /** q74 oracle: the same 3 PageRank rounds unrolled as chained CTEs —
+    * one (contributions, rank-update) pair per iteration, identical
+    * integer arithmetic (`//` == Spark DIV on non-negative operands;
+    * DuckDB SUM(BIGINT) widens to HUGEINT, matching the Spark side's
+    * decimal(38,0) numerator).
+    */
+  private lazy val q74Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s""", c$i AS (SELECT e.dst AS node,
+          SUM(r.rank_ppb // d.outdeg) AS s
+          FROM e JOIN dg d ON d.src = e.src
+          JOIN r${i - 1} r ON r.node = e.src
+          GROUP BY e.dst),
+        r$i AS (SELECT nd.node, CAST(150000000 +
+            (850000 * COALESCE(c.s, 0)) // 1000000 AS BIGINT)
+            AS rank_ppb
+          FROM nd LEFT JOIN c$i c ON c.node = nd.node)"""
+    }.mkString
+    s"""WITH e AS ($webEdgesSql),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
+        FROM nd)$rounds
+      SELECT node, rank_ppb FROM r3 ORDER BY node"""
   }
 
   /** Shared planted-contamination input for q45/q59: docs %11==3 get
@@ -2394,6 +2484,62 @@ object SparkEntry {
         SELECT pa, pb, CAST(SUM(n) AS BIGINT) AS cnt
         FROM pairs GROUP BY pa, pb
         ORDER BY cnt DESC, pa, pb LIMIT 100""",
+    // q71: same host synthesis as q41; rank = row_number over
+    // (score desc, id) per host — identical tie-break contract
+    "q71_host_cap" ->
+      """WITH h AS (SELECT doc_id, concat(source, '-',
+          CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR),
+          '.example.com') AS host, n_chars FROM documents),
+        r AS (SELECT *,
+          CAST(row_number() OVER (PARTITION BY host
+            ORDER BY n_chars DESC, doc_id) AS BIGINT) AS stratum_rank,
+          CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS stratum_n
+          FROM h)
+        SELECT doc_id, host, n_chars, stratum_rank, stratum_n,
+          stratum_rank <= 5 AS kept
+        FROM r ORDER BY doc_id""",
+    // q72: the same distinct-score histogram construction; HUGEINT
+    // carries the numerator (DuckDB's native 128-bit twin of the
+    // Spark side's decimal(38,0)), final integral // then BIGINT
+    "q72_rank_auc" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS s,
+          (lang = 'en') AS lb FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        hist AS (SELECT source, s,
+          CAST(SUM(CASE WHEN lb THEN 1 ELSE 0 END) AS BIGINT) AS p,
+          CAST(SUM(CASE WHEN lb THEN 0 ELSE 1 END) AS BIGINT) AS m
+          FROM d GROUP BY source, s),
+        cum AS (SELECT *, SUM(m) OVER (PARTITION BY source ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS mb
+          FROM hist),
+        agg AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+          CAST(SUM(m) AS BIGINT) AS n_neg,
+          SUM(CAST(p AS HUGEINT) * (2 * mb + m)) AS num2
+          FROM cum GROUP BY source)
+        SELECT source, n_pos, n_neg,
+          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            CAST((num2 * 1000000) //
+              (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+          ELSE NULL END AS auc_ppm
+        FROM agg ORDER BY source""",
+    // q73/q74: same synthesized edge table; `//` on non-negative
+    // operands == Spark's integral DIV
+    "q73_web_degrees" ->
+      s"""WITH e AS ($webEdgesSql),
+        nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_degree,
+          CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst_hosts
+          FROM e GROUP BY src),
+        i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
+          FROM e GROUP BY dst)
+        SELECT nd.node,
+          CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+          CAST(COALESCE(n_dst_hosts, 0) AS BIGINT) AS n_dst_hosts,
+          CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+        FROM nd LEFT JOIN o ON o.node = nd.node
+        LEFT JOIN i ON i.node = nd.node
+        ORDER BY nd.node""",
+    "q74_pagerank" -> q74Sql,
     // q67: same log2 bucketing (DuckDB's bin() length = bit length,
     // so length(bin(v))-1 = floor(log2 v) with no float log), same
     // integer rank arithmetic, same bucket upper bounds

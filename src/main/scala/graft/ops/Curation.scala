@@ -1240,6 +1240,38 @@ object Curation {
         col("stratum_n"), col("kept"))): _*)
   }
 
+  /** Keep at most `n` documents per stratum, best-first — the per-host
+    * document cap every crawl-curation recipe applies so that no
+    * single site dominates the corpus (C4 and RefinedWeb both cap
+    * per-domain contributions). Same contract as [[keepTopQuantile]]
+    * — exact integer ranks, ties broken by ascending id, deterministic
+    * across runs, partitionings and engines — with an absolute cutoff
+    * (rank ≤ n) instead of a proportional one.
+    *
+    * Scale shape: identical to [[keepTopQuantile]] — the ranking runs
+    * on a thin (id, stratum, score) projection through
+    * [[ScaleWindow.shardedRank]] (no stratum is ever one window
+    * partition; a viral host with 10^9 pages ranks across shards),
+    * and text moves only through the 1:1 join-back on id.
+    * Returns the input plus `stratum_rank`, `stratum_n`, `kept`.
+    */
+  def keepTopNPerStratum(df: DataFrame, idCol: String,
+      strataCol: String, scoreCol: String, n: Long,
+      shards: Int = 0): DataFrame = {
+    require(n >= 0L)
+    val ranked = ScaleWindow.shardedRank(
+      df.select(col(idCol), col(strataCol), col(scoreCol)),
+      Seq(strataCol), Seq(col(scoreCol).desc, col(idCol)),
+      "stratum_rank", "stratum_n", shards)
+      .select(col(idCol).as("_ktn_id"), col("stratum_rank"),
+        col("stratum_n"))
+    df.join(ranked, col(idCol) <=> col("_ktn_id"))
+      .drop("_ktn_id")
+      .withColumn("kept", col("stratum_rank") <= lit(n))
+      .select((df.columns.map(col).toIndexedSeq ++ Seq(col("stratum_rank"),
+        col("stratum_n"), col("kept"))): _*)
+  }
+
   // ---- corpus profiling ----
 
   /** Per-stratum distribution profile of an integer metric (token
@@ -1571,6 +1603,58 @@ object Curation {
         when(col("n_bigrams") > 0, expr("_sp DIV n_bigrams"))
           .otherwise(lit(0L)).cast("long"))
       .drop("_nb", "_sp", "_nr")
+  }
+
+  /** Exact tie-aware rank AUC (= the Mann–Whitney U statistic,
+    * normalized) of a score column against a boolean label — the
+    * evaluation every quality-classifier training loop runs before the
+    * classifier is allowed to gate the corpus. Ties contribute 1/2
+    * (the standard mid-rank convention), computed exactly:
+    *
+    *   auc = [ Σ_s p_s·(2·m_below(s) + m_s) ] / (2·n_pos·n_neg)
+    *
+    * over DISTINCT score values s with p_s positives, m_s negatives
+    * and m_below(s) negatives at strictly smaller scores. All-integer
+    * (the numerator sums in decimal(38,0) — at 10^12 docs it crosses
+    * 2^63 — and the final ppm is one integral DIV), so the result is
+    * identical in any aggregation order and engine. `auc_ppm` is null
+    * for a stratum with no positives or no negatives.
+    *
+    * Scale shape: the corpus collapses to a per-(stratum, score) VALUE
+    * HISTOGRAM first (one partial-agg groupBy — hot scores combine
+    * map-side), so the running negative count is a window over the
+    * histogram, never the corpus: for integer-ppm scores that is ≤
+    * ~10^6 rows per stratum at any corpus size (same bounded-domain
+    * argument as [[corpusProfile]]; for an unbounded score quantize
+    * first). Emits one row per stratum — (strata…, n_pos, n_neg,
+    * auc_ppm) — or a single global row when `strataCols` is empty.
+    */
+  def rankAuc(df: DataFrame, labelCol: String, scoreCol: String,
+      strataCols: Seq[String] = Nil): DataFrame = {
+    val strata = strataCols.map(col)
+    val lbl = col(labelCol).cast("boolean")
+    val hist = df.filter(lbl.isNotNull && col(scoreCol).isNotNull)
+      .groupBy((strata :+ col(scoreCol).cast("long").as("_s")): _*)
+      .agg(sum(when(lbl, 1L).otherwise(0L)).as("_p"),
+        sum(when(lbl, 0L).otherwise(1L)).as("_m"))
+    val w = Window.partitionBy(strata: _*).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    val out = hist
+      .withColumn("_mbelow", sum(col("_m")).over(w) - col("_m"))
+      .groupBy(strata: _*)
+      .agg(sum(col("_p")).as("n_pos"), sum(col("_m")).as("n_neg"),
+        // cast BEFORE the multiply — p_s × 2·m_below is the term that
+        // crosses 2^63, so a long product then cast would already have
+        // wrapped
+        sum(col("_p").cast(dec) *
+          (lit(2L) * col("_mbelow") + col("_m")).cast(dec))
+          .as("_num2"))
+    out.select((strata ++ Seq(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L,
+        call_function("div", col("_num2") * lit(1000000L).cast(dec),
+          (lit(2L) * col("n_pos") * col("n_neg")).cast(dec)))
+        .otherwise(lit(null).cast("long")).as("auc_ppm"))): _*)
   }
 
   // ---- URL / host operators ----

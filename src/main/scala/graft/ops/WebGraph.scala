@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-level web-graph analytics for crawl curation: degree stats and
+  * PageRank (Page et al. 1999, "The PageRank Citation Ranking") as the
+  * link-centrality signal a crawl prioritizer / per-host quality
+  * weighter consumes alongside [[Curation.hostStats]]-style content
+  * signals.
+  *
+  * Scale shape: the graph lives as a thin (src, dst) edge table —
+  * 10^12 pages collapse to ~10^8-10^9 hosts and a few 10^9 host-level
+  * edges, so every structure here is edge- or node-sized, never
+  * corpus-sized. Each PageRank iteration is two thin shuffles (ranks
+  * join edges on src; contributions aggregate on dst) plus a
+  * node-table left join; the rank table is localCheckpoint'ed per
+  * round and the previous round's blocks are released — the same
+  * iterative-fixpoint discipline as [[Dedup.canonicalize]]. The edge
+  * table is reused across iterations, so a caller on a real cluster
+  * should persist/bucket it by src once.
+  *
+  * Determinism: ranks are exact integer parts-per-billion of the
+  * conventional damped walk (init 1.0, teleport 0.15, damping 0.85 —
+  * the unnormalized GraphX-style variant where dangling mass decays),
+  * computed with long sums and truncating division only — identical in
+  * any aggregation order, at any parallelism, and in the DuckDB oracle
+  * (all quantities non-negative, so truncating and floor division
+  * agree).
+  */
+object WebGraph {
+
+  /** Rank scale: 1.0 == 1e9 (parts-per-billion). */
+  val Scale = 1000000000L
+  /** Damping 0.85 and teleport 0.15 at ppm resolution. */
+  val DampingPpm = 850000L
+
+  /** Distinct node table (col `node`) of an edge list. */
+  def nodes(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node")))
+      .distinct()
+
+  /** Per-node degree stats: out_degree, in_degree, n_dst_hosts (distinct
+    * out-neighbors) — the fan-out profile a link-spam gate reads.
+    */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_degree"),
+        countDistinct(col(dstCol)).as("n_dst_hosts"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    nodes(edges, srcCol, dstCol)
+      .join(out, Seq("node"), "left")
+      .join(in, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("n_dst_hosts"), lit(0L)).as("n_dst_hosts"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** `iterations` rounds of damped PageRank over the edge list.
+    * Returns (node, rank_ppb). Every node starts at [[Scale]]; one
+    * round is rank' = 0.15*Scale + 0.85 * sum over in-edges of
+    * rank(src)/out_degree(src), with integer division at each step
+    * (exact, engine-independent). Parallel edges are honored as
+    * multi-edges (each contributes), matching the oracle's SQL twin.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val teleport = (1000000L - DampingPpm) * (Scale / 1000000L)
+    val outDeg = edges.groupBy(col(srcCol).as("_pr_src"))
+      .agg(count(lit(1)).as("_pr_outdeg"))
+    // reused every round: (src, dst, outdeg) thin rows
+    val withDeg = edges.select(col(srcCol).as("_pr_src"),
+        col(dstCol).as("_pr_dst"))
+      .join(outDeg, Seq("_pr_src"))
+      .localCheckpoint()
+    val nodeTable = nodes(edges, srcCol, dstCol).localCheckpoint()
+    var ranks = nodeTable.withColumn("rank_ppb", lit(Scale))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iterations) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("node", "_pr_src"), Seq("_pr_src"))
+        // integral DIV — `/` on longs is DOUBLE division in Spark,
+        // which loses integer precision past 2^53 (DampingPpm × a
+        // corpus-scale contribution sum crosses that)
+        .select(col("_pr_dst").as("node"),
+          call_function("div", col("rank_ppb"), col("_pr_outdeg"))
+            .as("_pr_c"))
+        .groupBy(col("node"))
+        // decimal(38,0): DampingPpm × the contribution sum of a
+        // high-in-degree host (10^6 in-edges × ppb ranks) crosses 2^63
+        .agg(sum(col("_pr_c")).cast("decimal(38,0)").as("_pr_sum"))
+      val next = nodeTable
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            call_function("div",
+              lit(DampingPpm).cast("decimal(38,0)") *
+                coalesce(col("_pr_sum"), lit(0L).cast("decimal(38,0)")),
+              lit(1000000L))).as("rank_ppb"))
+        .localCheckpoint()
+      unpersistCheckpoint(ranks)
+      ranks = next
+      iter += 1
+    }
+    ranks
+  }
+
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+}

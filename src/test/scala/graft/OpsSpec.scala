@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis, WebGraph}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1281,6 +1281,92 @@ class OpsSpec extends AnyFunSuite {
     val hosts = df.select(Curation.hostOf(col("u"))).collect()
       .map(_.getString(0))
     assert(hosts === Array("a.b.example.com", "h0st:8080", ""))
+  }
+
+  test("keepTopNPerStratum: absolute per-stratum cap, ties by id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "h1", 50L), (2L, "h1", 90L), (3L, "h1", 90L), (4L, "h1", 10L),
+      (5L, "h2", 70L)
+    ).toDF("id", "host", "score").repartition(7)
+    val r = Curation.keepTopNPerStratum(df, "id", "host", "score", n = 2L)
+      .orderBy("id")
+      .select("id", "stratum_rank", "stratum_n", "kept").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    // h1 ranks by (score desc, id asc): 2,3,1,4 → cap 2 keeps {2,3}
+    assert(r.toSeq === Seq((1L, 3L, 4L, false), (2L, 1L, 4L, true),
+      (3L, 2L, 4L, true), (4L, 4L, 4L, false), (5L, 1L, 1L, true)))
+  }
+
+  test("rankAuc: exact tie-aware AUC matches the brute-force pair count") {
+    import spark.implicits._
+    // mixed ties, a perfectly-separated stratum, and a one-class
+    // stratum (null AUC)
+    val rows = Seq(
+      ("a", true, 10L), ("a", true, 7L), ("a", false, 7L),
+      ("a", false, 3L), ("a", true, 3L), ("a", false, 1L),
+      ("b", true, 9L), ("b", true, 8L), ("b", false, 2L),
+      ("c", true, 5L), ("c", true, 6L))
+    val df = rows.toDF("g", "lb", "s").repartition(5)
+    // brute-force reference: wins + ties/2 over all pos×neg pairs
+    def ref(sub: Seq[(String, Boolean, Long)]): Option[Long] = {
+      val pos = sub.collect { case (_, true, s) => s }
+      val neg = sub.collect { case (_, false, s) => s }
+      if (pos.isEmpty || neg.isEmpty) None
+      else {
+        val num2 = (for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        Some(BigInt(num2) * 1000000 / (2L * pos.size * neg.size) match {
+          case b => b.toLong
+        })
+      }
+    }
+    val got = Curation.rankAuc(df, "lb", "s", Seq("g"))
+      .orderBy("g").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    for (g <- Seq("a", "b", "c"))
+      assert(got(g) === ref(rows.filter(_._1 == g)), s"stratum $g")
+    // global (no strata): one row, same reference
+    val glob = Curation.rankAuc(df, "lb", "s").collect()
+    assert(glob.length === 1)
+    assert(Option(glob(0).getLong(2)).filter(_ => !glob(0).isNullAt(2))
+      === ref(rows))
+  }
+
+  test("webgraph: degree stats and integer PageRank match a scalar twin") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), ("a", "b") // parallel edge a→b counts twice
+    ).toDF("src", "dst").repartition(4)
+    val deg = WebGraph.degreeStats(edges, "src", "dst")
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(deg.toSeq === Seq(
+      ("a", 3L, 2L, 1L), // out: b,b,c; distinct dst 2; in: c→a
+      ("b", 1L, 1L, 2L),
+      ("c", 1L, 1L, 3L),
+      ("d", 1L, 1L, 0L)))
+    // scalar twin with the identical integer arithmetic
+    val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
+      "d" -> "c", "a" -> "b")
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val outdeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rk = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rk(s) / outdeg(s) }.sum).toMap
+      rk = nodes.map(n =>
+        n -> (150000000L + 850000L * contrib.getOrElse(n, 0L) / 1000000L))
+        .toMap
+    }
+    val got = WebGraph.pageRank(edges, "src", "dst", 3)
+      .orderBy("node").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === nodes.map(n => n -> rk(n)))
+    // rank mass sanity: teleport floor for the in-edge-less node
+    assert(rk("d") === 150000000L)
   }
 }
 
