@@ -72,7 +72,8 @@ object Bench {
       "q60_snapshot", "q61_host_blocklist", "q62_dedup_star", "q63_scrub_contam",
       "q64_top_quantile", "q65_split_leakage", "q66_incr_dedup",
       "q67_profile_approx", "q68_bigram_fluency", "q69_semantic_dedup",
-      "q70_bpe_pairs")
+      "q70_bpe_pairs", "q71_host_cap", "q72_rank_auc", "q73_web_degrees",
+      "q74_pagerank")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")
