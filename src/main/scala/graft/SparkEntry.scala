@@ -1,5 +1,6 @@
 package graft
 
+import graft.extract.LinkExtractor
 import graft.gen.PagesGen
 import graft.ops.{Bpe, Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis, WebGraph}
 import graft.pipeline.ExtractionPipeline
@@ -1002,6 +1003,27 @@ object SparkEntry {
     "q74_pagerank" -> ((s, d) =>
       WebGraph.pageRank(webEdges(s, d), "src", "dst", iterations = 3)
         .orderBy("node")),
+    // extraction: hyperlink extraction from raw page HTML (WAT-record
+    // surface) — href parse across quote styles + RFC 3986 reference
+    // resolution with dot-segment removal; the oracle re-derives every
+    // expected row from the synthesis formulas, so the Spark side must
+    // actually parse and resolve
+    "q75_link_extract" -> ((s, d) =>
+      LinkExtractor.extractLinks(linkPages(s, d), "url", "html")
+        .orderBy("url", "link_pos")),
+    // web graph end-to-end: raw HTML → extracted links → host-level
+    // edge table (nofollow and non-http dropped, multi-edges kept) →
+    // degree stats + 2 rounds of exact integer-ppb PageRank — the full
+    // crawl-analytics composition from page bytes to centrality
+    "q76_link_graph" -> ((s, d) => {
+      val edges = LinkExtractor.hostEdges(
+        LinkExtractor.extractLinks(linkPages(s, d), "url", "html"))
+        .localCheckpoint()
+      WebGraph.degreeStats(edges, "src", "dst")
+        .join(WebGraph.pageRank(edges, "src", "dst", iterations = 2),
+          Seq("node"))
+        .orderBy("node")
+    }),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -1246,6 +1268,131 @@ object SparkEntry {
         lit(".example.com")).as("dst"))
   }
 
+  /** Deterministic synthesized pages-with-links table for q75/q76:
+    * each document becomes one page at
+    * `http://{source}-{id%7}.example.com/docs/d{id}.html` whose HTML
+    * carries four-to-five anchor tags exercising the whole
+    * [[graft.extract.LinkExtractor]] contract — an absolute
+    * double-quoted href, a single-quoted relative href with dot
+    * segments and a fragment, a root-relative href, an href-less named
+    * anchor, and (id%3==0) an UNQUOTED scheme-relative rel=nofollow
+    * href in an uppercase tag. The oracle re-derives every expected
+    * row from the same modular formulas — the Spark side must actually
+    * parse and resolve.
+    */
+  private def linkPages(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("long")
+    def m(k: Long, a: Long, mod: Long): Column =
+      pmod(did * k + a, lit(mod)).cast("string")
+    val host = concat(col("source"), lit("-"), m(1, 0, 7),
+      lit(".example.com"))
+    val url = concat(lit("http://"), host, lit("/docs/d"),
+      col("doc_id").cast("string"), lit(".html"))
+    val a1 = concat(lit("<a href=\"http://src"), m(7, 3, 20), lit("-"),
+      m(3, 1, 7), lit(".example.com/p"), m(1, 0, 13),
+      lit(".html\">news item "), m(1, 0, 10), lit("</a>"))
+    val a2 = concat(lit("<a class='m' href='../sub/page"), m(5, 2, 17),
+      lit(".html#sec"), m(1, 0, 3), lit("'>relative <b>link</b> "),
+      m(1, 0, 10), lit("</a>"))
+    val a3 = concat(lit("<a href=\"/idx/"), m(1, 0, 5),
+      lit("\">section index</a>"))
+    val a4 = lit("<a name=\"top\">no link here</a>")
+    val a5 = when(pmod(did, lit(3)) === 0,
+      concat(lit("<A rel=\"nofollow\" href=//cdn-"), m(1, 0, 4),
+        lit(".example.net/lib.js>cdn asset</A>"))).otherwise(lit(""))
+    t(s, d, "documents").select(url.as("url"),
+      concat(lit("<html><head><title>d"), col("doc_id").cast("string"),
+        lit("</title></head><body>\n<p>page body filler</p>\n"),
+        a1, lit("\n"), a2, lit("\n"), a3, lit("\n"), a4, lit("\n"),
+        a5, lit("\n</body></html>")).as("html"))
+  }
+
+  /** DuckDB fragments for the q75/q76 oracles: page url and host from
+    * the [[linkPages]] formulas.
+    */
+  private val linkHostSql: String =
+    """source || '-' || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+      || '.example.com'"""
+  private val linkUrlSql: String =
+    s"""'http://' || $linkHostSql || '/docs/d'
+      || CAST(doc_id AS VARCHAR) || '.html'"""
+
+  /** q75 oracle: the four expected link rows per document, re-derived
+    * from the [[linkPages]] plant (positions skip the href-less tag at
+    * 3; the nofollow row exists only for id%3==0).
+    */
+  private lazy val q75Sql: String = {
+    val id = "CAST(doc_id AS BIGINT)"
+    s"""WITH p AS (SELECT $id AS id, $linkUrlSql AS url,
+        'http://' || $linkHostSql AS hroot FROM documents),
+      l AS (
+        SELECT url, 0 AS link_pos,
+          'http://src' || CAST((id*7+3) % 20 AS VARCHAR) || '-'
+            || CAST((id*3+1) % 7 AS VARCHAR) || '.example.com/p'
+            || CAST(id % 13 AS VARCHAR) || '.html' AS href_raw,
+          'http://src' || CAST((id*7+3) % 20 AS VARCHAR) || '-'
+            || CAST((id*3+1) % 7 AS VARCHAR) || '.example.com/p'
+            || CAST(id % 13 AS VARCHAR) || '.html' AS href_abs,
+          'news item ' || CAST(id % 10 AS VARCHAR) AS anchor,
+          FALSE AS nofollow FROM p
+        UNION ALL
+        SELECT url, 1,
+          '../sub/page' || CAST((id*5+2) % 17 AS VARCHAR) || '.html#sec'
+            || CAST(id % 3 AS VARCHAR),
+          hroot || '/sub/page' || CAST((id*5+2) % 17 AS VARCHAR)
+            || '.html',
+          'relative link ' || CAST(id % 10 AS VARCHAR), FALSE FROM p
+        UNION ALL
+        SELECT url, 2, '/idx/' || CAST(id % 5 AS VARCHAR),
+          hroot || '/idx/' || CAST(id % 5 AS VARCHAR),
+          'section index', FALSE FROM p
+        UNION ALL
+        SELECT url, 4,
+          '//cdn-' || CAST(id % 4 AS VARCHAR) || '.example.net/lib.js',
+          'http://cdn-' || CAST(id % 4 AS VARCHAR)
+            || '.example.net/lib.js',
+          'cdn asset', TRUE FROM p WHERE id % 3 = 0)
+      SELECT url, link_pos, href_raw, href_abs, anchor, nofollow
+      FROM l ORDER BY url, link_pos"""
+  }
+
+  /** q76 oracle: host edges re-derived from the plant (the absolute
+    * link's cross-host edge plus two self-loops from the relative and
+    * root-relative links; the nofollow cdn link contributes nothing),
+    * then the same degree stats and 2 unrolled PageRank rounds as
+    * q73/q74.
+    */
+  private lazy val q76Sql: String = {
+    val id = "CAST(doc_id AS BIGINT)"
+    s"""WITH p AS (SELECT $id AS id, $linkHostSql AS h FROM documents),
+      e AS (
+        SELECT h AS src,
+          'src' || CAST((id*7+3) % 20 AS VARCHAR) || '-'
+            || CAST((id*3+1) % 7 AS VARCHAR) || '.example.com' AS dst
+          FROM p
+        UNION ALL SELECT h, h FROM p
+        UNION ALL SELECT h, h FROM p),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
+        FROM nd)${prRoundsSql(2)},
+      o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_degree,
+        CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst_hosts
+        FROM e GROUP BY src),
+      i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
+        FROM e GROUP BY dst)
+      SELECT nd.node,
+        CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+        CAST(COALESCE(n_dst_hosts, 0) AS BIGINT) AS n_dst_hosts,
+        CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+        r2.rank_ppb
+      FROM nd LEFT JOIN o ON o.node = nd.node
+      LEFT JOIN i ON i.node = nd.node
+      JOIN r2 ON r2.node = nd.node
+      ORDER BY nd.node"""
+  }
+
   /** SQL twin of [[webEdges]]. */
   private val webEdgesSql: String =
     """SELECT concat(source, '-',
@@ -1263,8 +1410,8 @@ object SparkEntry {
     * DuckDB SUM(BIGINT) widens to HUGEINT, matching the Spark side's
     * decimal(38,0) numerator).
     */
-  private lazy val q74Sql: String = {
-    val rounds = (1 to 3).map { i =>
+  private def prRoundsSql(n: Int): String =
+    (1 to n).map { i =>
       s""", c$i AS (SELECT e.dst AS node,
           SUM(r.rank_ppb // d.outdeg) AS s
           FROM e JOIN dg d ON d.src = e.src
@@ -1275,6 +1422,9 @@ object SparkEntry {
             AS rank_ppb
           FROM nd LEFT JOIN c$i c ON c.node = nd.node)"""
     }.mkString
+
+  private lazy val q74Sql: String = {
+    val rounds = prRoundsSql(3)
     s"""WITH e AS ($webEdgesSql),
       nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
@@ -2540,6 +2690,8 @@ object SparkEntry {
         LEFT JOIN i ON i.node = nd.node
         ORDER BY nd.node""",
     "q74_pagerank" -> q74Sql,
+    "q75_link_extract" -> q75Sql,
+    "q76_link_graph" -> q76Sql,
     // q67: same log2 bucketing (DuckDB's bin() length = bit length,
     // so length(bin(v))-1 = floor(log2 v) with no float log), same
     // integer rank arithmetic, same bucket upper bounds
