@@ -1003,6 +1003,30 @@ object SparkEntry {
     "q74_pagerank" -> ((s, d) =>
       WebGraph.pageRank(webEdges(s, d), "src", "dst", iterations = 3)
         .orderBy("node")),
+    // source: WARC-style archive round trip — documents serialized as
+    // a multi-file WARC subset archive, then re-read through the
+    // SPLITTABLE lineSep text scan and the Content-Length-bounded
+    // parser; output is the CDX-style digest row (url, length, md5).
+    // The oracle computes the same rows directly from documents, so
+    // writer, record splitter and parser must all be exact
+    "q77_warc" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val url = concat(lit("http://"), col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com/docs/d"),
+        col("doc_id").cast("string"), lit(".html"))
+      val payload = concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_warc_q77_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.io.Warc.writeWarc(
+        t(s, d, "documents").select(url.as("url"), payload.as("payload"))
+          .repartition(4, col("url")),
+        "url", "payload", dir)
+      graft.io.Warc.readWarc(s, dir)
+        .select(col("url"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("url")
+    }),
     // extraction: hyperlink extraction from raw page HTML (WAT-record
     // surface) — href parse across quote styles + RFC 3986 reference
     // resolution with dot-segment removal; the oracle re-derives every
@@ -2692,6 +2716,15 @@ object SparkEntry {
     "q74_pagerank" -> q74Sql,
     "q75_link_extract" -> q75Sql,
     "q76_link_graph" -> q76Sql,
+    // q77: the round trip must reproduce exactly what a direct scan of
+    // documents yields — url formula, payload char length, payload md5
+    "q77_warc" ->
+      s"""SELECT $linkUrlSql AS url,
+        CAST(length('<html><body><p>' || text || '</p></body></html>')
+          AS BIGINT) AS content_length,
+        md5('<html><body><p>' || text || '</p></body></html>')
+          AS payload_md5
+        FROM documents ORDER BY url""",
     // q67: same log2 bucketing (DuckDB's bin() length = bit length,
     // so length(bin(v))-1 = floor(log2 v) with no float log), same
     // integer rank arithmetic, same bucket upper bounds
