@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   spark-submit --class graft.CurateApp <jar> \
-  *     --input <documents parquet | pages:<pages parquet> | pages:synth:N> \
+  *     --input <documents parquet | pages:<pages parquet> | pages:synth:N \
+  *              | warc:<archive dir> | warc:synth:N> \
   *     --output <dir> \
   *     [--id doc_id] [--text text] [--min-tokens 10] [--para-min-docs 3] \
   *     [--span-scrub-n 8] [--max-rare-bigram-ppm 400000] \
@@ -27,7 +28,11 @@ import org.apache.spark.sql.functions._
   * The `pages:` input forms run the HTML boilerplate-strip extraction
   * front end first (ExtractionPipeline.pageTexts) and curate its
   * main_text — raw crawl HTML → curated, packed training sequences in
-  * one submit.
+  * one submit. The `warc:` forms do the same but ingest the pages from
+  * a WARC-subset archive directory (io/Warc splittable read);
+  * `warc:synth:N` serializes N generator pages through a real archive
+  * under $output first, so one submit exercises the full crawl-dump
+  * path: archive write → splittable read → extract → curate → pack.
   *
   * Runs Curation.curateStaged (4 stage-checkpointed corpus-global
   * stages; a killed run resumes from the first uncommitted stage), then
@@ -65,13 +70,42 @@ object CurateApp {
     spark.sparkContext.setLogLevel("WARN")
 
     val (docs, idCol0, textCol0) =
-      if (input.startsWith("pages:")) {
+      if (input.startsWith("pages:") || input.startsWith("warc:")) {
         import spark.implicits._
-        val src = input.stripPrefix("pages:")
-        val pages =
-          if (src.startsWith("synth:"))
-            graft.gen.PagesGen.pages(spark, src.stripPrefix("synth:").toLong)
-          else spark.read.parquet(src).as[graft.model.Page]
+        val pages: org.apache.spark.sql.Dataset[graft.model.Page] =
+          if (input.startsWith("warc:")) {
+            // WARC archive ingestion: payloads are the raw page HTML.
+            // warc:synth:N serializes N generator pages through a real
+            // archive under $output first — the full crawl-dump path
+            // (write → splittable read → parse) in one submit; the
+            // archive epoch stands in for per-record WARC-Date (the
+            // subset parser doesn't surface it)
+            val src = input.stripPrefix("warc:")
+            val dir =
+              if (src.startsWith("synth:")) {
+                val d = s"$output/_warc_synth"
+                graft.io.Warc.writeWarc(
+                  graft.gen.PagesGen.pages(spark,
+                      src.stripPrefix("synth:").toLong)
+                    .select(col("url"),
+                      col("html").cast("string").as("payload"))
+                    .repartition(8, col("url")),
+                  "url", "payload", d)
+                d
+              } else src
+            graft.io.Warc.readWarc(spark, dir)
+              .select(col("url"),
+                lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+                  .as("warc_ts"),
+                col("payload").cast("binary").as("html"),
+                lit("").as("text"), lit("").as("lang"))
+              .as[graft.model.Page]
+          } else {
+            val src = input.stripPrefix("pages:")
+            if (src.startsWith("synth:"))
+              graft.gen.PagesGen.pages(spark, src.stripPrefix("synth:").toLong)
+            else spark.read.parquet(src).as[graft.model.Page]
+          }
         // extraction front end: boilerplate-stripped main text; doc id
         // = the portable 32-bit url hash (stable, engine-reproducible)
         val texts = graft.pipeline.ExtractionPipeline.pageTexts(pages)

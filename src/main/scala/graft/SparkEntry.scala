@@ -1048,6 +1048,14 @@ object SparkEntry {
           Seq("node"))
         .orderBy("node")
     }),
+    // web graph: per-target-host anchor-text aggregation (the off-page
+    // relevance signal) — inbound link count, distinct referrers, and
+    // the modal anchor text via min_by partial aggregation (no per-host
+    // window — a hot host stays many tasks' work)
+    "q78_anchor_stats" -> ((s, d) =>
+      WebGraph.anchorStats(
+        LinkExtractor.extractLinks(linkPages(s, d), "url", "html"))
+        .orderBy("dst_host")),
     // curation: host extraction + per-host corpus stats (the host-level
     // grouping a domain-blocklist / per-host quality filter runs on)
     "q41_host_stats" -> ((s, d) => {
@@ -1415,6 +1423,37 @@ object SparkEntry {
       LEFT JOIN i ON i.node = nd.node
       JOIN r2 ON r2.node = nd.node
       ORDER BY nd.node"""
+  }
+
+  /** q78 oracle: the three non-nofollow (dst_host, src_host, anchor)
+    * rows per document from the [[linkPages]] plant, aggregated the
+    * classic way (window rank in SQL; the Spark side must get there
+    * via min_by partial aggregation).
+    */
+  private lazy val q78Sql: String = {
+    val id = "CAST(doc_id AS BIGINT)"
+    s"""WITH p AS (SELECT $id AS id, $linkHostSql AS h FROM documents),
+      l AS (
+        SELECT 'src' || CAST((id*7+3) % 20 AS VARCHAR) || '-'
+            || CAST((id*3+1) % 7 AS VARCHAR) || '.example.com'
+            AS dst_host, h AS src_host,
+          'news item ' || CAST(id % 10 AS VARCHAR) AS anchor FROM p
+        UNION ALL SELECT h, h,
+          'relative link ' || CAST(id % 10 AS VARCHAR) FROM p
+        UNION ALL SELECT h, h, 'section index' FROM p),
+      ba AS (SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM l GROUP BY 1, 2),
+      tp AS (SELECT dst_host, anchor AS top_anchor,
+        CAST(SUM(cnt) OVER (PARTITION BY dst_host) AS BIGINT)
+          AS n_links,
+        ROW_NUMBER() OVER (PARTITION BY dst_host
+          ORDER BY cnt DESC, anchor) AS rn FROM ba),
+      rf AS (SELECT dst_host,
+        CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+        FROM l GROUP BY 1)
+      SELECT tp.dst_host, n_links, n_src_hosts, top_anchor
+      FROM tp JOIN rf ON rf.dst_host = tp.dst_host
+      WHERE rn = 1 ORDER BY tp.dst_host"""
   }
 
   /** SQL twin of [[webEdges]]. */
@@ -2716,6 +2755,7 @@ object SparkEntry {
     "q74_pagerank" -> q74Sql,
     "q75_link_extract" -> q75Sql,
     "q76_link_graph" -> q76Sql,
+    "q78_anchor_stats" -> q78Sql,
     // q77: the round trip must reproduce exactly what a direct scan of
     // documents yields — url formula, payload char length, payload md5
     "q77_warc" ->

@@ -71,15 +71,29 @@ object Warc {
     * scaladoc); records arrive in arbitrary order, as any distributed
     * scan's do.
     */
-  def readWarc(spark: SparkSession, dir: String): DataFrame = {
+  def readWarc(spark: SparkSession, dir: String): DataFrame =
+    parseRecords(spark.read.option("lineSep", RecordSep).text(dir))
+
+  /** Streaming twin of [[readWarc]]: the file streaming source with
+    * the same record delimiter — new archive files dropped into `dir`
+    * become micro-batches of parsed records. Identical per-record
+    * semantics (same parse Columns); pair with the streaming curation
+    * gate for a live crawl-ingestion pipeline.
+    */
+  def readWarcStream(spark: SparkSession, dir: String): DataFrame =
+    parseRecords(spark.readStream.option("lineSep", RecordSep).text(dir))
+
+  /** Per-row record parse shared by the batch and streaming readers:
+    * header regexes + the Content-Length-bounded payload cut.
+    */
+  def parseRecords(raw: DataFrame): DataFrame = {
     val rec = regexp_replace(col("value"), "^WARC/1\\.0\r\n", "")
     val url = regexp_extract(rec, "WARC-Target-URI: ([^\r\n]*)", 1)
     val clen = regexp_extract(rec, "Content-Length: ([0-9]+)", 1)
       .cast("long")
     // everything after the first blank line, cut to Content-Length
     val body = regexp_replace(rec, "(?s)^.*?\r\n\r\n", "")
-    spark.read.option("lineSep", RecordSep).text(dir)
-      .filter(length(col("value")) > 0)
+    raw.filter(length(col("value")) > 0)
       .select(url.as("url"), clen.as("content_length"),
         body.substr(lit(1), clen).as("payload"))
   }

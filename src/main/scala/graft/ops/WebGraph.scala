@@ -111,6 +111,39 @@ object WebGraph {
     ranks
   }
 
+  /** Anchor-text aggregation per link-target host — the off-page
+    * relevance signal search indexing attaches to a host (the anchor
+    * words OTHER sites use for it): per dst host, the inbound link
+    * count, distinct referring hosts, and the most frequent anchor
+    * text (ties broken lexicographically).
+    *
+    * Input is [[graft.extract.LinkExtractor.extractLinks]] output.
+    * Scale shape: one map-side-combinable pre-aggregation to
+    * (dst_host, anchor, cnt) thin rows, then the top anchor is a
+    * `min_by` over (−cnt, anchor) — a proper partial-aggregate, NOT a
+    * per-host window, so a host with 10^9 inbound links and 10^7
+    * distinct anchors is still many tasks' work. Distinct referrer
+    * counts ride a separate thin (dst, src) pass.
+    */
+  def anchorStats(links: DataFrame, urlCol: String = "url"): DataFrame = {
+    import graft.ops.Curation.matchHost
+    val thin = links
+      .filter(!col("nofollow") && col("href_abs").rlike("^https?://"))
+      .select(matchHost(col(urlCol)).as("src_host"),
+        matchHost(col("href_abs")).as("dst_host"), col("anchor"))
+    val byAnchor = thin.groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("_cnt"))
+    val top = byAnchor.groupBy(col("dst_host"))
+      .agg(sum(col("_cnt")).as("n_links"),
+        min_by(col("anchor"), struct(-col("_cnt"), col("anchor")))
+          .as("top_anchor"))
+    val refs = thin.groupBy(col("dst_host"))
+      .agg(countDistinct(col("src_host")).as("n_src_hosts"))
+    top.join(refs, Seq("dst_host"))
+      .select(col("dst_host"), col("n_links"), col("n_src_hosts"),
+        col("top_anchor"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

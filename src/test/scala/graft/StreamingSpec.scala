@@ -374,4 +374,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head._2 === "en")
     assert(rows.head._3 === s"$good mail me at <EMAIL>")
   }
+
+  test("WARC ingestion stream: archive files arriving in waves parse " +
+    "== batch readWarc") {
+    import spark.implicits._
+    import graft.io.Warc
+    val watched = Files.createTempDirectory("warc_watch").toString
+    val ckpt = Files.createTempDirectory("warc_ckpt").toString
+    def wave(ids: Range, stage: String): Unit = {
+      val st = Files.createTempDirectory(s"warc_stage_$stage")
+      Warc.writeWarc(
+        ids.map(i => (s"http://h$i.com/p", s"payload $i\nline two"))
+          .toDF("url", "payload").coalesce(1),
+        "url", "payload", st.toString)
+      java.nio.file.Files.list(st).forEach { p =>
+        if (p.getFileName.toString.startsWith("part-"))
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(watched, s"${stage}_${p.getFileName}"))
+      }
+    }
+    wave(0 until 30, "w1")
+    val q = Warc.readWarcStream(spark, watched)
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    wave(30 until 50, "w2")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("warc_stream_out")
+      .select("url", "content_length", "payload")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Warc.readWarc(spark, watched)
+      .select("url", "content_length", "payload")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.length === 50)
+    assert(streamed === batch)
+  }
 }
