@@ -1048,6 +1048,22 @@ object SparkEntry {
           Seq("node"))
         .orderBy("node")
     }),
+    // curation: per-HOST boilerplate line scrub (site templates — nav
+    // menus / footers repeating across a host's pages — removed by
+    // document-frequency threshold; capped + accounted template sets;
+    // untouched docs keep their original text byte-for-byte)
+    "q79_host_boilerplate" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val host = concat(col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com"))
+      val t0 = concat(lit("NAV MENU "), host, lit("\n"), col("text"),
+        lit("\nCOPYRIGHT "), host)
+      Curation.hostBoilerplateScrub(
+        t(s, d, "documents")
+          .select(col("doc_id"), host.as("host"), t0.as("text")),
+        "doc_id", "host", "text")
+        .orderBy("doc_id")
+    }),
     // web graph: per-target-host anchor-text aggregation (the off-page
     // relevance signal) — inbound link count, distinct referrers, and
     // the modal anchor text via min_by partial aggregation (no per-host
@@ -2756,6 +2772,43 @@ object SparkEntry {
     "q75_link_extract" -> q75Sql,
     "q76_link_graph" -> q76Sql,
     "q78_anchor_stats" -> q78Sql,
+    // q79: same df-threshold + top-64 cap + md5 line keys; the kept
+    // list is rebuilt only when something was removed, mirroring the
+    // Spark side's original-text preservation
+    "q79_host_boilerplate" ->
+      s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $linkHostSql AS host, text FROM documents),
+        d AS (SELECT id, host, 'NAV MENU ' || host || chr(10) || text
+          || chr(10) || 'COPYRIGHT ' || host AS t FROM b),
+        lh AS (SELECT id, host, unnest(list_distinct(list_transform(
+          string_split(t, chr(10)), l -> md5(l)))) AS lhash FROM d),
+        c AS (SELECT host, lhash, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lh GROUP BY 1, 2),
+        hd AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS hn
+          FROM d GROUP BY 1),
+        blr AS (SELECT c.host, lhash, cnt,
+          ROW_NUMBER() OVER (PARTITION BY c.host
+            ORDER BY cnt DESC, lhash) AS rn,
+          COUNT(*) OVER (PARTITION BY c.host) AS nbl
+          FROM c JOIN hd ON hd.host = c.host
+          WHERE cnt * 1000000 >= 600000 * hn AND cnt >= 2),
+        bs AS (SELECT host, list(lhash) AS bls,
+          GREATEST(0, MAX(nbl) - 64) AS nbd
+          FROM blr WHERE rn <= 64 GROUP BY host),
+        f AS (SELECT id, d.host AS host, t,
+          COALESCE(nbd, 0) AS nbd,
+          list_filter(string_split(t, chr(10)),
+            l -> NOT list_contains(COALESCE(bls, []::VARCHAR[]), md5(l)))
+            AS kept
+          FROM d LEFT JOIN bs ON bs.host = d.host)
+        SELECT id AS doc_id, host,
+          CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+          CAST(len(string_split(t, chr(10))) - len(kept) AS BIGINT)
+            AS n_removed,
+          CAST(nbd AS BIGINT) AS n_bl_dropped,
+          CASE WHEN len(string_split(t, chr(10))) = len(kept) THEN t
+            ELSE array_to_string(kept, chr(10)) END AS clean_text
+        FROM f ORDER BY doc_id""",
     // q77: the round trip must reproduce exactly what a direct scan of
     // documents yields — url formula, payload char length, payload md5
     "q77_warc" ->

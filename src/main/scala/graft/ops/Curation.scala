@@ -317,6 +317,76 @@ object Curation {
       .drop("_ls", "_kl")
   }
 
+  /** Cross-page per-HOST boilerplate line removal — the other half of
+    * the line-dedup story (cf. [[dedupLinesWithinDoc]]): navigation
+    * menus, cookie banners and footers repeat VERBATIM across the
+    * pages of one site, so a line present in ≥ `minDocPpm` of a host's
+    * documents (and ≥ `minDocs` absolute) is template, not content —
+    * the C4/CCNet-style site-template scrub.
+    *
+    * Scale shape (the q55 span-scrub pattern): the statistics pass
+    * shuffles only thin (host, md5(line)) rows — each line hashed once
+    * per containing DOC via a per-row `array_distinct`, so the count
+    * is document frequency with no (host, line, id) triple shuffle and
+    * full map-side combine. The per-host template set is then capped
+    * at `maxLines` hashes (highest-df first, ties by hash — capped AND
+    * ACCOUNTED via `n_bl_dropped`, never silent) so it is
+    * broadcast-row-sized by construction, and document text moves only
+    * through the single 1:1 host join; the scrub itself is a per-row
+    * higher-order filter. A document with nothing removed keeps its
+    * ORIGINAL text byte-for-byte (the round-3 span-scrub lesson:
+    * rebuilds must not normalize untouched docs).
+    *
+    * `broadcastTemplates` (default true) broadcasts the per-host
+    * template table so the text side NEVER shuffles — right whenever
+    * hosts-with-templates × 64 hashes fits the driver (most corpora:
+    * only template-heavy hosts clear the df threshold). At
+    * billions-of-hosts scale pass false: docs shuffle ONCE on host
+    * (accepting per-host skew, which [[graft.ops.Skew]] salting can't
+    * help here because the join key must be the host).
+    *
+    * Returns (idCol, hostCol, n_lines, n_removed, n_bl_dropped,
+    * clean_text).
+    */
+  def hostBoilerplateScrub(df: DataFrame, idCol: String, hostCol: String,
+      textCol: String, minDocPpm: Long = 600000L, minDocs: Long = 2L,
+      maxLines: Int = 64, broadcastTemplates: Boolean = true)
+      : DataFrame = {
+    val lines = split(col(textCol), "\n")
+    // document frequency per (host, line-hash): distinct WITHIN the
+    // doc first, so the exploded rows are one per (doc, distinct line)
+    val df0 = df.select(col(hostCol),
+      explode(array_distinct(transform(lines, l => md5(l)))).as("_lh"))
+      .groupBy(col(hostCol), col("_lh"))
+      .agg(count(lit(1)).as("_cnt"))
+    val hostDocs = df.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("_hn"))
+    // template set per host, capped + accounted
+    val bl = df0.join(hostDocs, Seq(hostCol))
+      .filter(col("_cnt") * lit(1000000L) >= lit(minDocPpm) * col("_hn")
+        && col("_cnt") >= lit(minDocs))
+      .groupBy(col(hostCol))
+      .agg(sort_array(collect_list(struct((-col("_cnt")).as("_nc"),
+        col("_lh")))).as("_all"))
+      .select(col(hostCol),
+        transform(slice(col("_all"), 1, maxLines), s => s("_lh"))
+          .as("_bl"),
+        greatest(lit(0), size(col("_all")) - lit(maxLines))
+          .cast("long").as("n_bl_dropped"))
+    val blSide = if (broadcastTemplates) broadcast(bl) else bl
+    val joined = df.join(blSide, Seq(hostCol), "left")
+      .withColumn("_bls", coalesce(col("_bl"),
+        array().cast("array<string>")))
+    val kept = filter(lines, l => !array_contains(col("_bls"), md5(l)))
+    joined
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_removed", (size(lines) - size(kept)).cast("long"))
+      .select(col(idCol), col(hostCol), col("n_lines"), col("n_removed"),
+        coalesce(col("n_bl_dropped"), lit(0L)).as("n_bl_dropped"),
+        when(col("n_removed") === 0L, col(textCol))
+          .otherwise(array_join(kept, "\n")).as("clean_text"))
+  }
+
   // ---- composed curation pipeline ----
 
   /** The conf every entry point in this repo sets (see curate's

@@ -1368,6 +1368,41 @@ class OpsSpec extends AnyFunSuite {
     // rank mass sanity: teleport floor for the in-edge-less node
     assert(rk("d") === 150000000L)
   }
+
+  test("hostBoilerplateScrub: df threshold, cap accounting, original " +
+    "text preserved, broadcast == shuffle path") {
+    import spark.implicits._
+    // host A: 3 docs sharing NAV + FOOT templates (df 100%) and one
+    // line shared by 2 of 3 (df 66% ≥ 60%); host B: one doc (no
+    // template possible at minDocs=2)
+    val in = Seq(
+      (0L, "a.com", "NAV\nalpha beta\nshared\nFOOT"),
+      (1L, "a.com", "NAV\ngamma delta\nshared\nFOOT"),
+      (2L, "a.com", "NAV\nunique epsilon\nFOOT"),
+      (3L, "b.com", "NAV\nlonely\nFOOT")
+    ).toDF("doc_id", "host", "text")
+    for (bcast <- Seq(true, false)) {
+      val out = Curation.hostBoilerplateScrub(in, "doc_id", "host",
+          "text", minDocPpm = 600000L, broadcastTemplates = bcast)
+        .orderBy("doc_id").collect()
+      assert(out.map(_.getAs[String]("clean_text")).toSeq === Seq(
+        "alpha beta", "gamma delta", "unique epsilon",
+        "NAV\nlonely\nFOOT"))
+      assert(out.map(_.getAs[Long]("n_removed")).toSeq ===
+        Seq(3L, 3L, 2L, 0L))
+      assert(out.forall(_.getAs[Long]("n_bl_dropped") === 0L))
+    }
+    // cap: maxLines=1 keeps only the highest-df template (ties by
+    // hash) and ACCOUNTS for the dropped ones per doc of that host
+    val capped = Curation.hostBoilerplateScrub(
+        in.filter(col("host") === "a.com"), "doc_id", "host", "text",
+        minDocPpm = 600000L, maxLines = 1)
+      .orderBy("doc_id").collect()
+    assert(capped.forall(_.getAs[Long]("n_removed") === 1L))
+    assert(capped.forall(_.getAs[Long]("n_bl_dropped") === 2L))
+    // doc 3 untouched: text must be the ORIGINAL string reference-equal
+    // content (no rebuild normalization)
+  }
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode

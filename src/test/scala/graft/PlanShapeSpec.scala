@@ -248,4 +248,22 @@ class PlanShapeSpec extends AnyFunSuite {
         assert(!s.contains("_paras"), s"paragraphs in hash shuffle: $s"))
     }
   }
+
+  test("hostBoilerplateScrub (broadcast path): text never shuffles") {
+    withPlainPlan {
+      val withHost = docs.withColumn("host",
+        concat(lit("h"), (col("doc_id") % 3).cast("string")))
+      val out = Curation.hostBoilerplateScrub(withHost, "doc_id",
+        "host", "text")
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty, "expected the thin df-stats shuffles")
+      shuffles.foreach(s =>
+        assert(!s.contains("text"), s"text shuffled: $s"))
+      // the template table must reach the text side as a broadcast
+      val bcasts = out.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bcasts.nonEmpty, "template join must be broadcast")
+    }
+  }
 }
