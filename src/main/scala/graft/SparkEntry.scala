@@ -2,7 +2,7 @@ package graft
 
 import graft.extract.LinkExtractor
 import graft.gen.PagesGen
-import graft.ops.{Bpe, Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis, WebGraph}
+import graft.ops.{Bpe, Curation, Dedup, Multimodal, Robots, SimSearch, Skew, TextAnalysis, WebGraph}
 import graft.pipeline.ExtractionPipeline
 import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1047,6 +1047,41 @@ object SparkEntry {
         .join(WebGraph.pageRank(edges, "src", "dst", iterations = 2),
           Seq("node"))
         .orderBy("node")
+    }),
+    // crawl politeness: robots.txt parsing (group-exact * selection,
+    // shared headers, empty-rule no-ops) + URL admission (longest
+    // prefix wins, Allow beats Disallow on ties). The robots files are
+    // synthesized per host with decoy groups for other agents; the
+    // oracle knows the planted decisions, so the Spark side must
+    // genuinely parse the files and apply RFC 9309 precedence
+    "q80_robots" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val host = concat(col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com"))
+      val docs = t(s, d, "documents")
+      val hosts = docs.select(host.as("host"),
+        pmod(did, lit(7)).cast("string").as("k")).distinct()
+      val robots = hosts.select(col("host"), concat(
+        lit("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\n" +
+          "Disallow: /private\nAllow: /private/pub\nDisallow: /tmp"),
+        col("k"),
+        lit("\nDisallow:\n\nUser-agent: other\nDisallow: /docs\n"))
+        .as("txt"))
+      val urls = docs
+        .select(host.as("h"), did.as("id"))
+        .select(explode(array(
+          concat(lit("http://"), col("h"), lit("/docs/d"),
+            col("id").cast("string"), lit(".html")),
+          concat(lit("http://"), col("h"), lit("/private/f"),
+            pmod(col("id"), lit(5)).cast("string")),
+          concat(lit("http://"), col("h"), lit("/private/pub/x"),
+            pmod(col("id"), lit(5)).cast("string")),
+          concat(lit("http://"), col("h"), lit("/tmp"),
+            pmod(col("id"), lit(3)).cast("string"), lit("/y"))))
+          .as("url"))
+      Robots.allowedByRobots(urls, "url",
+          Robots.parseRobots(robots, "host", "txt"))
+        .orderBy("url")
     }),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
@@ -2772,6 +2807,32 @@ object SparkEntry {
     "q75_link_extract" -> q75Sql,
     "q76_link_graph" -> q76Sql,
     "q78_anchor_stats" -> q78Sql,
+    // q80: the planted admission decisions re-derived from the
+    // synthesis formulas — /docs allowed (decoy groups must not
+    // apply), /private disallowed, /private/pub allowed by the longer
+    // Allow, /tmp{m} disallowed only on the host whose rule digit
+    // matches
+    "q80_robots" ->
+      s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $linkHostSql AS h,
+          CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR) AS k
+          FROM documents),
+        l AS (
+          SELECT 'http://' || h || '/docs/d' || CAST(id AS VARCHAR)
+              || '.html' AS url,
+            TRUE AS allowed, '' AS matched_prefix FROM p
+          UNION ALL SELECT 'http://' || h || '/private/f'
+              || CAST(id % 5 AS VARCHAR),
+            FALSE, '/private' FROM p
+          UNION ALL SELECT 'http://' || h || '/private/pub/x'
+              || CAST(id % 5 AS VARCHAR),
+            TRUE, '/private/pub' FROM p
+          UNION ALL SELECT 'http://' || h || '/tmp'
+              || CAST(id % 3 AS VARCHAR) || '/y',
+            CAST(id % 3 AS VARCHAR) <> k,
+            CASE WHEN CAST(id % 3 AS VARCHAR) = k
+              THEN '/tmp' || k ELSE '' END FROM p)
+        SELECT url, allowed, matched_prefix FROM l ORDER BY url""",
     // q79: same df-threshold + top-64 cap + md5 line keys; the kept
     // list is rebuilt only when something was removed, mirroring the
     // Spark side's original-text preservation
