@@ -1,6 +1,6 @@
 package graft
 
-import graft.extract.LinkExtractor
+import graft.extract.{LinkExtractor, MetaExtractor}
 import graft.gen.PagesGen
 import graft.ops.{Bpe, Curation, Dedup, Multimodal, Robots, SimSearch, Skew, TextAnalysis, WebGraph}
 import graft.pipeline.ExtractionPipeline
@@ -1082,6 +1082,127 @@ object SparkEntry {
       Robots.allowedByRobots(urls, "url",
           Robots.parseRobots(robots, "host", "txt"))
         .orderBy("url")
+    }),
+    // extraction: WAT-style page metadata (title with markup/entities,
+    // meta description across attribute orders + quote styles,
+    // keywords, Open Graph, canonical link resolved against <base>,
+    // robots noindex/nofollow directives). The oracle re-derives every
+    // field from the synthesis formulas, so the Spark side must
+    // actually parse the tags and resolve the canonical URL
+    "q81_page_meta" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      def m(mod: Long): Column = pmod(did, lit(mod))
+      def ms(mod: Long): Column = m(mod).cast("string")
+      val host = concat(col("source"), lit("-"), ms(7),
+        lit(".example.com"))
+      val url = concat(lit("http://"), host, lit("/docs/d"),
+        col("doc_id").cast("string"), lit(".html"))
+      val baseTag = when(m(5) === 0, concat(
+        lit("<base href=\"http://base"), ms(3),
+        lit(".example.org/dir/sub/\">"))).otherwise(lit(""))
+      val desc = when(m(2) === 0, concat(
+          lit("<meta name=\"description\" content=\"Summary &lt;"),
+          ms(10), lit("&gt; of doc "), did.cast("string"), lit("\">")))
+        .otherwise(concat(lit("<meta content='Alt summary "), ms(10),
+          lit("' name='description'>")))
+      val kw = when(m(3) === 0, concat(
+        lit("<meta name=\"keywords\" content=\"k"), ms(4), lit(", k"),
+        ms(6), lit("\">"))).otherwise(lit(""))
+      val og1 = when(m(2) === 0, concat(
+        lit("<meta property=\"og:title\" content=\"OG d"),
+        did.cast("string"), lit("\">"))).otherwise(lit(""))
+      val canon = when(m(4) === 0, concat(
+          lit("<link rel=\"canonical\" href=\"http://canon.example.com/c"),
+          ms(10), lit("\">")))
+        .when(m(4) === 1, concat(lit("<link href='../c/p"), ms(5),
+          lit("' rel='canonical'>")))
+        .when(m(4) === 2, concat(
+          lit("<link rel=\"canonical\" href=\"/canon/"), ms(7),
+          lit("\">")))
+        .otherwise(lit(""))
+      val rob = when(m(6) === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(m(6) === 1, lit("<meta name=\"robots\" content=\"NOINDEX\">"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head><title> Doc &amp; d"),
+        col("doc_id").cast("string"), lit(" <b>x</b> </title>"),
+        baseTag, desc, kw, og1,
+        lit("<meta property=\"og:type\" content=\"article\">"),
+        canon, rob, lit("</head><body><p>body</p></body></html>"))
+      MetaExtractor.pageMeta(
+        t(s, d, "documents").select(url.as("url"), html.as("html")),
+        "url", "html")
+        .withColumn("n_meta_tags", col("n_meta_tags").cast("long"))
+        .orderBy("url")
+    }),
+    // web graph: connected components of the host graph via
+    // O(log n)-round star contraction (the same Kiveris et al.
+    // machinery dedup clustering uses, on web topology) — mirror
+    // groups / link farms / crawl-frontier islands fall out as
+    // components; the oracle re-derives the labeling with a recursive
+    // CTE, so the contraction must agree with transitive closure
+    "q82_host_components" -> ((s, d) => {
+      val e = webEdges(s, d).filter(col("src") =!= col("dst"))
+        .select(col("src").as("a"), col("dst").as("b")).distinct()
+      val hosts = webEdges(s, d)
+        .select(explode(array(col("src"), col("dst"))).as("host"))
+        .distinct()
+      val lab = Dedup.canonicalizeStar(hosts, "host", e)
+      lab.join(
+          lab.groupBy(col("canonical_id").as("component"))
+            .agg(count(lit(1)).as("component_size")),
+          lab("canonical_id") === col("component"))
+        .select(col("id").as("host"), col("component"),
+          col("component_size").cast("long").as("component_size"))
+        .orderBy("host")
+    }),
+    // crawl scheduling: the frontier composition — candidate URLs
+    // gated by robots.txt admission (q80 machinery), prioritized by
+    // host PageRank (q74 machinery), politeness-capped to the top 3
+    // per host via the sharded rank (q71 machinery, no per-host single
+    // window task). The oracle re-derives admission by construction
+    // and re-runs the rank + row_number in SQL
+    "q83_crawl_frontier" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val host = concat(col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com"))
+      val docs = t(s, d, "documents")
+      val hosts = docs.select(host.as("host"),
+        pmod(did, lit(7)).cast("string").as("k")).distinct()
+      val robots = hosts.select(col("host"), concat(
+        lit("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\n" +
+          "Disallow: /private\nAllow: /private/pub\nDisallow: /tmp"),
+        col("k"),
+        lit("\nDisallow:\n\nUser-agent: other\nDisallow: /docs\n"))
+        .as("txt"))
+      val urls = docs
+        .select(host.as("h"), did.as("id"))
+        .select(explode(array(
+          concat(lit("http://"), col("h"), lit("/docs/d"),
+            col("id").cast("string"), lit(".html")),
+          concat(lit("http://"), col("h"), lit("/private/f"),
+            pmod(col("id"), lit(5)).cast("string")),
+          concat(lit("http://"), col("h"), lit("/private/pub/x"),
+            pmod(col("id"), lit(5)).cast("string")),
+          concat(lit("http://"), col("h"), lit("/tmp"),
+            pmod(col("id"), lit(3)).cast("string"), lit("/y"))))
+          .as("url"))
+        .distinct()
+      val admitted = Robots.allowedByRobots(urls, "url",
+          Robots.parseRobots(robots, "host", "txt"))
+        .filter(col("allowed")).select(col("url"))
+      val ranked = WebGraph.pageRank(webEdges(s, d), "src", "dst",
+        iterations = 2)
+      val scored = admitted
+        .withColumn("host", Curation.matchHost(col("url")))
+        .join(ranked.select(col("node").as("host"),
+          col("rank_ppb").cast("long").as("rank_ppb")), "host")
+      Curation.keepTopNPerStratum(scored, "url", "host", "rank_ppb",
+          n = 3L)
+        .filter(col("kept"))
+        .select(col("url"), col("host"), col("rank_ppb"),
+          col("stratum_rank"))
+        .orderBy("host", "stratum_rank")
     }),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
@@ -2804,8 +2925,106 @@ object SparkEntry {
         LEFT JOIN i ON i.node = nd.node
         ORDER BY nd.node""",
     "q74_pagerank" -> q74Sql,
+    // q81: every metadata field re-derived from the synthesis formulas
+    // (title entity-decode + markup strip, description across attr
+    // orders/quote styles, canonical resolution incl. the <base href>
+    // shift and ../ dot-segment removal, robots directive tokens)
+    "q81_page_meta" ->
+      s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $linkUrlSql AS url, $linkHostSql AS h FROM documents)
+        SELECT url,
+          'Doc & d' || CAST(id AS VARCHAR) || ' x' AS title,
+          CASE WHEN id % 2 = 0 THEN 'Summary <' || CAST(id % 10 AS VARCHAR)
+              || '> of doc ' || CAST(id AS VARCHAR)
+            ELSE 'Alt summary ' || CAST(id % 10 AS VARCHAR) END
+            AS description,
+          CASE WHEN id % 3 = 0 THEN 'k' || CAST(id % 4 AS VARCHAR)
+              || ', k' || CAST(id % 6 AS VARCHAR)
+            ELSE '' END AS keywords,
+          CASE WHEN id % 2 = 0 THEN 'OG d' || CAST(id AS VARCHAR)
+            ELSE '' END AS og_title,
+          'article' AS og_type,
+          CASE CAST(id % 4 AS INTEGER)
+            WHEN 0 THEN 'http://canon.example.com/c'
+              || CAST(id % 10 AS VARCHAR)
+            WHEN 1 THEN '../c/p' || CAST(id % 5 AS VARCHAR)
+            WHEN 2 THEN '/canon/' || CAST(id % 7 AS VARCHAR)
+            ELSE '' END AS canonical_raw,
+          CASE CAST(id % 4 AS INTEGER)
+            WHEN 0 THEN 'http://canon.example.com/c'
+              || CAST(id % 10 AS VARCHAR)
+            WHEN 1 THEN CASE WHEN id % 5 = 0
+              THEN 'http://base' || CAST(id % 3 AS VARCHAR)
+                || '.example.org/dir/c/p' || CAST(id % 5 AS VARCHAR)
+              ELSE 'http://' || h || '/c/p' || CAST(id % 5 AS VARCHAR)
+              END
+            WHEN 2 THEN CASE WHEN id % 5 = 0
+              THEN 'http://base' || CAST(id % 3 AS VARCHAR)
+                || '.example.org/canon/' || CAST(id % 7 AS VARCHAR)
+              ELSE 'http://' || h || '/canon/' || CAST(id % 7 AS VARCHAR)
+              END
+            ELSE '' END AS canonical_abs,
+          CASE WHEN id % 5 = 0 THEN 'http://base'
+              || CAST(id % 3 AS VARCHAR) || '.example.org/dir/sub/'
+            ELSE '' END AS base_href,
+          id % 6 IN (0, 1) AS noindex,
+          id % 6 = 0 AS nofollow_meta,
+          CAST(2 + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN id % 6 < 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_meta_tags
+        FROM p ORDER BY url""",
     "q75_link_extract" -> q75Sql,
     "q76_link_graph" -> q76Sql,
+    // q82: transitive closure via recursive CTE = the ground truth the
+    // star contraction must reproduce; component label = min host
+    "q82_host_components" ->
+      s"""WITH RECURSIVE ew AS ($webEdgesSql),
+        e0 AS (SELECT DISTINCT src AS a, dst AS b FROM ew
+          WHERE src <> dst),
+        edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        nodes AS (SELECT src AS n FROM ew UNION SELECT dst FROM ew),
+        comp(id, canon) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.a, c.canon FROM edges e JOIN comp c ON c.id = e.b),
+        lab AS (SELECT id, MIN(canon) AS component FROM comp GROUP BY 1),
+        sz AS (SELECT component, CAST(COUNT(*) AS BIGINT)
+          AS component_size FROM lab GROUP BY 1)
+        SELECT lab.id AS host, lab.component, sz.component_size
+        FROM lab JOIN sz ON sz.component = lab.component
+        ORDER BY host""",
+    // q83: admission by construction (q80's planted decisions), host
+    // rank re-run with the q74 CTE chain, politeness cap via
+    // row_number — the Spark side must parse robots, run PageRank and
+    // rank shard-safely to agree
+    "q83_crawl_frontier" ->
+      s"""WITH e AS ($webEdgesSql),
+        nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
+          FROM nd)${prRoundsSql(2)},
+        p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $linkHostSql AS h FROM documents),
+        u AS (
+          SELECT DISTINCT 'http://' || h || '/docs/d'
+            || CAST(id AS VARCHAR) || '.html' AS url, h AS host FROM p
+          UNION
+          SELECT DISTINCT 'http://' || h || '/private/pub/x'
+            || CAST(id % 5 AS VARCHAR), h FROM p
+          UNION
+          SELECT DISTINCT 'http://' || h || '/tmp'
+            || CAST(id % 3 AS VARCHAR) || '/y', h FROM p
+          WHERE id % 3 <> id % 7),
+        sc AS (SELECT u.url, u.host,
+          CAST(r2.rank_ppb AS BIGINT) AS rank_ppb
+          FROM u JOIN r2 ON r2.node = u.host),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY host
+          ORDER BY rank_ppb DESC, url) AS BIGINT) AS stratum_rank
+          FROM sc)
+        SELECT url, host, rank_ppb, stratum_rank FROM rk
+        WHERE stratum_rank <= 3 ORDER BY host, stratum_rank""",
     "q78_anchor_stats" -> q78Sql,
     // q80: the planted admission decisions re-derived from the
     // synthesis formulas — /docs allowed (decoy groups must not

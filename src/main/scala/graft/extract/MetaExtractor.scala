@@ -1,0 +1,158 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Page-metadata extraction from raw HTML — the WAT-record head
+  * surface of a Common-Crawl-style pipeline: `<title>`, `<meta
+  * name=…>` descriptions/keywords, Open Graph properties,
+  * `<link rel=canonical>`, `<base href>` and the `<meta name=robots>`
+  * indexing directives, one typed row per page.
+  *
+  * Graft-added operator (north_rule webtext surface); the reference
+  * stops at main-content text and has no head-metadata extraction
+  * (cf. /root/reference/soa_extractor/run.py pipeline stages). The
+  * canonical-URL and noindex signals are what a crawl/train corpus
+  * uses to collapse syndicated copies and honor publisher opt-outs
+  * BEFORE any content-level dedup runs — at 10^12 pages, dropping a
+  * noindex'd or canonically-aliased page here is far cheaper than
+  * minhashing it later.
+  *
+  * Scale shape: pure per-row Columns end to end — tag scans are
+  * non-greedy case-insensitive regexps over the page string, entity
+  * decode is a fixed replace chain, canonical/base resolution reuses
+  * [[LinkExtractor.resolveUrl]]. No explode, no shuffle, no UDF: the
+  * whole operator runs inside the page row's task and survives any
+  * corpus size that can hold the page itself.
+  *
+  * Parsing contract (documented subset, same spirit as
+  * [[LinkExtractor]]): the FIRST matching tag wins (browser/WAT
+  * convention for title/canonical/base); attribute order inside a tag
+  * is free (`name=… content=…` and `content=… name=…` both match);
+  * attribute values may be double- or single-quoted; entity decode
+  * covers the reference's minimal set (&lt; &gt; &quot; &#39;/&apos;
+  * &nbsp; then &amp; last, so `&amp;lt;` round-trips to `&lt;` not
+  * `<`); text is whitespace-collapsed and trimmed.
+  */
+object MetaExtractor {
+
+  /** Decode the documented entity subset; &amp; last (double-escape
+    * safe). Mirrors HtmlExtractor.decodeEntities' named set minus
+    * numeric refs (a regexp chain cannot compute a codepoint; numeric
+    * refs are left intact and documented).
+    */
+  def decodeEntities(s: Column): Column = {
+    val step = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    step.foldLeft(s) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+  }
+
+  private def collapse(s: Column): Column =
+    trim(regexp_replace(s, "\\s+", " "))
+
+  /** First `<title>` inner text: markup-stripped, entity-decoded,
+    * whitespace-collapsed ("" when absent — deterministic, never
+    * null).
+    */
+  def titleOf(html: Column): Column =
+    collapse(decodeEntities(regexp_replace(
+      regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1),
+      "<[^>]*>", " ")))
+
+  /** The content attribute value of one meta-ish tag string ("" when
+    * absent). Quote styles tried in order: double, single (an
+    * attribute value containing the other quote survives; unquoted
+    * content is not in the subset — real pages quote content values).
+    */
+  def contentOf(tag: Column): Column = {
+    val dq = "(?is)\\bcontent\\s*=\\s*\"([^\"]*)\""
+    val sq = "(?is)\\bcontent\\s*=\\s*'([^']*)'"
+    when(tag.rlike(dq), regexp_extract(tag, dq, 1))
+      .when(tag.rlike(sq), regexp_extract(tag, sq, 1))
+      .otherwise(lit(""))
+  }
+
+  /** The first `<meta name="<name>" …>` tag (attribute order free),
+    * "" when the page has none. `name` is a literal, not a pattern.
+    */
+  def metaTag(html: Column, name: String): Column =
+    regexp_extract(html,
+      s"(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']${java.util.regex.Pattern.quote(name)}[\"'][^>]*>",
+      0)
+
+  /** Entity-decoded, collapsed content of `<meta name=… content=…>`. */
+  def metaNamed(html: Column, name: String): Column =
+    collapse(decodeEntities(contentOf(metaTag(html, name))))
+
+  /** Entity-decoded, collapsed content of an Open Graph
+    * `<meta property="og:…" content=…>` tag.
+    */
+  def ogOf(html: Column, prop: String): Column =
+    collapse(decodeEntities(contentOf(regexp_extract(html,
+      s"(?is)<meta\\b[^>]*\\bproperty\\s*=\\s*[\"']${java.util.regex.Pattern.quote(prop)}[\"'][^>]*>",
+      0))))
+
+  private def hrefOfTag(tag: Column): Column = {
+    val dq = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
+    val sq = "(?is)\\bhref\\s*=\\s*'([^']*)'"
+    when(tag.rlike(dq), regexp_extract(tag, dq, 1))
+      .when(tag.rlike(sq), regexp_extract(tag, sq, 1))
+      .otherwise(lit(""))
+  }
+
+  /** Raw href of the first `<link rel="canonical" …>` tag ("" when
+    * absent); attribute order free.
+    */
+  def canonicalHrefOf(html: Column): Column =
+    hrefOfTag(regexp_extract(html,
+      "(?is)<link\\b[^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*>", 0))
+
+  /** Raw href of the first `<base …>` tag ("" when absent) — shifts
+    * the resolution base for every relative reference on the page.
+    */
+  def baseHrefOf(html: Column): Column =
+    hrefOfTag(regexp_extract(html, "(?is)<base\\b[^>]*>", 0))
+
+  /** True when `<meta name="robots" content="…">` carries the given
+    * directive token (noindex / nofollow / none …) as a list member.
+    */
+  def robotsDirective(html: Column, token: String): Column =
+    contentOf(metaTag(html, "robots"))
+      .rlike(s"(?i)(^|[\\s,])${java.util.regex.Pattern.quote(token)}([\\s,]|$$)")
+
+  /** One metadata row per page: (urlCol, title, description, keywords,
+    * og_title, og_type, canonical_raw, canonical_abs, base_href,
+    * noindex, nofollow_meta, n_meta_tags). The canonical URL is
+    * resolved RFC 3986-style against the page's effective base
+    * (`<base href>` when present and absolute, else the page url);
+    * pages with no canonical tag get canonical_abs = "" — callers
+    * treat "" as self-canonical.
+    */
+  def pageMeta(pages: DataFrame, urlCol: String, htmlCol: String)
+      : DataFrame = {
+    val html = col(htmlCol)
+    val base0 = baseHrefOf(html)
+    // effective resolution base: an absolute <base href> replaces the
+    // page url; relative/absent base keeps the page url (subset:
+    // relative <base> is rare and ambiguous across browsers)
+    val base = when(base0.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), base0)
+      .otherwise(col(urlCol))
+    val canonRaw = canonicalHrefOf(html)
+    pages.select(
+      col(urlCol),
+      titleOf(html).as("title"),
+      metaNamed(html, "description").as("description"),
+      metaNamed(html, "keywords").as("keywords"),
+      ogOf(html, "og:title").as("og_title"),
+      ogOf(html, "og:type").as("og_type"),
+      canonRaw.as("canonical_raw"),
+      when(canonRaw === "", lit(""))
+        .otherwise(LinkExtractor.resolveUrl(base, canonRaw))
+        .as("canonical_abs"),
+      base0.as("base_href"),
+      robotsDirective(html, "noindex").as("noindex"),
+      robotsDirective(html, "nofollow").as("nofollow_meta"),
+      size(regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0)))
+        .cast("int").as("n_meta_tags"))
+  }
+}
