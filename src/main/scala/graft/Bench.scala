@@ -75,7 +75,8 @@ object Bench {
       "q70_bpe_pairs", "q71_host_cap", "q72_rank_auc", "q73_web_degrees",
       "q74_pagerank", "q75_link_extract", "q76_link_graph", "q77_warc",
       "q78_anchor_stats", "q79_host_boilerplate", "q80_robots",
-      "q81_page_meta")
+      "q81_page_meta", "q82_host_components", "q83_crawl_frontier",
+      "q84_sitemap", "q85_soft_errors", "q86_charset")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.extract.{LinkExtractor, MetaExtractor}
+import graft.extract.{CharsetSniffer, ErrorPages, LinkExtractor, MetaExtractor}
 import graft.gen.PagesGen
 import graft.ops.{Bpe, Curation, Dedup, Multimodal, Robots, SimSearch, Skew, TextAnalysis, WebGraph}
 import graft.pipeline.ExtractionPipeline
@@ -1203,6 +1203,102 @@ object SparkEntry {
         .select(col("url"), col("host"), col("rank_ppb"),
           col("stratum_rank"))
         .orderBy("host", "stratum_rank")
+    }),
+    // crawl seeding: sitemap-XML parsing (urlset subset) — loc-less
+    // blocks dropped with their positions preserved as audit gaps,
+    // lastmod verbatim-trimmed, priority → integer ppm with the spec's
+    // 0.5 default. Case-mixed tags + padded values exercise the
+    // (?is)/trim contract
+    "q84_sitemap" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val host = concat(col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com"))
+      val k = pmod(did, lit(7)).cast("string")
+      // host-determined (one sitemap per host): month digit = k+1
+      val km = (pmod(did, lit(7)) + 1).cast("string")
+      val hosts = t(s, d, "documents")
+        .select(host.as("host"), k.as("k"), km.as("km"))
+        .distinct()
+      val xml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset " +
+          "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "<url><loc> http://"), col("host"), lit("/docs/a"),
+        col("k"), lit(".html </loc><lastmod>2026-0"), col("km"),
+        lit("-01</lastmod><priority>0."), col("k"),
+        lit("</priority></url>\n<url><LOC>http://"), col("host"),
+        lit("/docs/b"), col("k"),
+        lit(".html</LOC></url>\n<url><loc></loc></url>\n" +
+          "<url><!-- no loc --></url>\n<url><loc>http://"),
+        col("host"),
+        lit("/c</loc><lastmod> 2025-12-31 </lastmod></url>\n</urlset>"))
+      Robots.parseSitemap(
+          hosts.select(col("host"), xml.as("xml")), "host", "xml")
+        .withColumn("entry_pos", col("entry_pos").cast("long"))
+        .orderBy("host", "entry_pos")
+    }),
+    // corpus gating: soft-error-page detection (HTTP-200 "not found"
+    // shells) — error tokens in the title / error phrases in the body
+    // gate ONLY together with a short body (a long article ABOUT 404s
+    // survives); link density reported as a ppm feature
+    "q85_soft_errors" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val url = concat(lit("http://"), col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com/docs/d"),
+        col("doc_id").cast("string"), lit(".html"))
+      val c = pmod(did, lit(9))
+      // digit-fused title ("Doc n404", not "Doc 404"): ids 404/410
+      // must not trip the \b404\b error token
+      val title = when(c === 0, lit("404 Not Found"))
+        .when(c === 1, lit("Error log archive"))
+        .when(c === 2, lit("Tiny stub"))
+        .otherwise(concat(lit("Doc n"), col("doc_id").cast("string")))
+      val body = when(c === 0,
+          lit("the page you requested does not exist"))
+        .when(c === 1, repeat(lit("w "), 150))
+        .when(c === 2,
+          lit("just a stub here <a href=/x>x</a> <a href=/y>y</a>"))
+        .otherwise(repeat(lit("tok "), (lit(20) + pmod(did, lit(30)))
+          .cast("int")))
+      val html = concat(lit("<html><head><title>"), title,
+        lit("</title></head><body>"), body, lit("</body></html>"))
+      ErrorPages.softErrorSignals(
+        t(s, d, "documents").select(url.as("url"), html.as("html")),
+        "url", "html")
+        .orderBy("url")
+    }),
+    // ingestion: charset sniff (BOM, meta declaration over a Latin-1
+    // view, utf-8 default) + decode normalization of raw page bytes.
+    // text_utf8 is oracle-compared only where DuckDB can decode (the
+    // utf-8 family); the utf-16/latin-1 decode paths are pinned by
+    // CharsetSnifferSpec goldens
+    "q86_charset" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val url = concat(lit("http://"), col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com/docs/d"),
+        col("doc_id").cast("string"), lit(".html"))
+      val c = pmod(did, lit(5))
+      val ids = col("doc_id").cast("string")
+      val bin = when(c === 0, encode(concat(
+          lit("<html><head><meta charset=\"UTF-8\"></head><body>ascii d"),
+          ids, lit("</body></html>")), "UTF-8"))
+        .when(c === 1, concat(unhex(lit("EFBBBF")),
+          encode(concat(lit("<html>bom d"), ids, lit("</html>")),
+            "UTF-8")))
+        .when(c === 2, unhex(lit("FFFE680069002100")))
+        .when(c === 3, concat(
+          encode(lit("<meta http-equiv=\"Content-Type\" content=" +
+            "\"text/html; charset=latin1\"><body>caf"), "UTF-8"),
+          unhex(lit("E9")), encode(lit("</body>"), "UTF-8")))
+        .otherwise(encode(concat(lit("<html>plain d"), ids,
+          lit("</html>")), "UTF-8"))
+      CharsetSniffer.decodePages(
+          t(s, d, "documents").select(url.as("url"), bin.as("bin")),
+          "url", "bin")
+        .withColumn("text_utf8",
+          when(col("charset").isin("utf-8", "utf-8-bom"), col("text"))
+            .otherwise(lit("")))
+        .drop("text")
+        .orderBy("url")
     }),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
@@ -3025,6 +3121,89 @@ object SparkEntry {
           FROM sc)
         SELECT url, host, rank_ppb, stratum_rank FROM rk
         WHERE stratum_rank <= 3 ORDER BY host, stratum_rank""",
+    // q84: the three surviving blocks per host by construction
+    // (positions 0/1/4 — the loc-less blocks leave audit gaps);
+    // priority 0.k → k·100000 ppm, default 500000
+    "q84_sitemap" ->
+      """WITH h AS (SELECT DISTINCT concat(source, '-',
+          CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR),
+          '.example.com') AS host,
+          CAST(doc_id AS BIGINT) % 7 AS k FROM documents),
+        r AS (
+          SELECT host, CAST(0 AS BIGINT) AS entry_pos,
+            'http://' || host || '/docs/a' || CAST(k AS VARCHAR)
+              || '.html' AS loc,
+            '2026-0' || CAST(k + 1 AS VARCHAR) || '-01' AS lastmod,
+            CAST(k * 100000 AS BIGINT) AS priority_ppm FROM h
+          UNION ALL
+          SELECT host, 1, 'http://' || host || '/docs/b'
+              || CAST(k AS VARCHAR) || '.html',
+            '', 500000 FROM h
+          UNION ALL
+          SELECT host, 4, 'http://' || host || '/c',
+            '2025-12-31', 500000 FROM h)
+        SELECT host, entry_pos, loc, lastmod, priority_ppm FROM r
+        ORDER BY host, entry_pos""",
+    // q85: every signal re-derived from the plant's four page shapes;
+    // the long error-mentioning page (case 1) must NOT be flagged
+    "q85_soft_errors" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          'http://' || source || '-'
+            || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+            || '.example.com/docs/d' || CAST(doc_id AS VARCHAR)
+            || '.html' AS url,
+          CAST(doc_id AS BIGINT) % 9 AS c FROM documents),
+        f AS (SELECT url,
+          CAST(CASE CAST(c AS INTEGER) WHEN 0 THEN 7 WHEN 1 THEN 150
+            WHEN 2 THEN 6 ELSE 20 + id % 30 END AS BIGINT) AS n_tokens,
+          CAST(CASE WHEN c = 2 THEN 2 ELSE 0 END AS BIGINT) AS n_links,
+          c IN (0, 1) AS title_error,
+          c = 0 AS body_error,
+          c = 0 AS soft_error
+          FROM p)
+        SELECT url, n_tokens, n_links,
+          CAST((n_links * 1000000) // n_tokens AS BIGINT)
+            AS link_density_ppm,
+          title_error, body_error, soft_error
+        FROM f ORDER BY url""",
+    // q86: charset labels + byte counts by construction (the DuckDB
+    // blob is built with the same encode/unhex concatenation); decoded
+    // text compared only where DuckDB can decode (utf-8 family)
+    "q86_charset" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          CAST(doc_id AS VARCHAR) AS ids,
+          'http://' || source || '-'
+            || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+            || '.example.com/docs/d' || CAST(doc_id AS VARCHAR)
+            || '.html' AS url,
+          CAST(CAST(doc_id AS BIGINT) % 5 AS INTEGER) AS c
+          FROM documents),
+        b AS (SELECT url, c, ids,
+          CASE c
+            WHEN 0 THEN encode('<html><head><meta charset="UTF-8">'
+              || '</head><body>ascii d' || ids || '</body></html>')
+            WHEN 1 THEN unhex('EFBBBF')
+              || encode('<html>bom d' || ids || '</html>')
+            WHEN 2 THEN unhex('FFFE680069002100')
+            WHEN 3 THEN encode('<meta http-equiv="Content-Type" '
+              || 'content="text/html; charset=latin1"><body>caf')
+              || unhex('E9') || encode('</body>')
+            ELSE encode('<html>plain d' || ids || '</html>')
+          END AS bin FROM p)
+        SELECT url,
+          CASE c WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+            WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'iso-8859-1'
+            ELSE 'utf-8' END AS charset,
+          TRUE AS charset_supported,
+          CAST(octet_length(bin) AS BIGINT) AS n_bytes,
+          CASE c
+            WHEN 0 THEN '<html><head><meta charset="UTF-8"></head>'
+              || '<body>ascii d' || ids || '</body></html>'
+            WHEN 1 THEN '<html>bom d' || ids || '</html>'
+            WHEN 2 THEN '' WHEN 3 THEN ''
+            ELSE '<html>plain d' || ids || '</html>'
+          END AS text_utf8
+        FROM b ORDER BY url""",
     "q78_anchor_stats" -> q78Sql,
     // q80: the planted admission decisions re-derived from the
     // synthesis formulas — /docs allowed (decoy groups must not

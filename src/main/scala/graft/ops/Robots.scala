@@ -105,4 +105,62 @@ object Robots {
         coalesce(col("_rb_best")("a") === 1, lit(true)))
       .drop("_rb_host", "_rb_rules", "_rb_h", "_rb_p", "_rb_best")
   }
+
+  /** Sitemap URL discovery (sitemaps.org protocol, `<urlset>` subset)
+    * — the crawl-seeding complement of the robots gate: each
+    * `<url>` block of a (host, sitemap_xml) row becomes one
+    * (hostCol, entry_pos, loc, lastmod, priority_ppm) row.
+    *
+    * Subset contract: `<url>` blocks are scanned case-insensitively
+    * in document order; `entry_pos` is the block's 0-based position
+    * among ALL blocks (dropped blocks leave gaps — the position is an
+    * audit pointer into the source file); blocks without a non-empty
+    * `<loc>` are dropped (the spec makes loc mandatory); `<lastmod>`
+    * is kept verbatim-trimmed ("" when absent — W3C datetime
+    * validation is the date-validator family's job, not the
+    * parser's); `<priority>` is parsed as a decimal into integer ppm
+    * (spec default 0.5 → 500000 when absent/empty). `<sitemapindex>`
+    * files yield zero rows here — their nested sitemap locs are a
+    * fetch-frontier concern, exposed separately via
+    * [[sitemapIndexLocs]].
+    *
+    * Scale shape: one posexplode of a file's own `<url>` blocks
+    * (bounded at 50k entries per file by the protocol), per-row
+    * regexps otherwise — no shuffle, no UDF.
+    */
+  def parseSitemap(maps: DataFrame, hostCol: String, xmlCol: String)
+      : DataFrame = {
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?is)<url>.*?</url>"), lit(0))
+    val prio = regexp_extract(col("_sm_b"),
+      "(?is)<priority>\\s*([0-9.]*)\\s*</priority>", 1)
+    maps
+      .select(col(hostCol),
+        posexplode(blocks).as(Seq("entry_pos", "_sm_b")))
+      .withColumn("loc", trim(regexp_extract(col("_sm_b"),
+        "(?is)<loc>(.*?)</loc>", 1)))
+      .filter(col("loc") =!= "")
+      .withColumn("lastmod", trim(regexp_extract(col("_sm_b"),
+        "(?is)<lastmod>(.*?)</lastmod>", 1)))
+      .withColumn("priority_ppm",
+        when(prio === "", lit(500000L))
+          .otherwise((prio.cast("decimal(10,6)") * 1000000)
+            .cast("long")))
+      .drop("_sm_b")
+  }
+
+  /** Nested sitemap locations of a `<sitemapindex>` file — the
+    * fetch-frontier rows a crawler enqueues before calling
+    * [[parseSitemap]] on each fetched child.
+    */
+  def sitemapIndexLocs(maps: DataFrame, hostCol: String,
+      xmlCol: String): DataFrame =
+    maps
+      .select(col(hostCol), posexplode(regexp_extract_all(col(xmlCol),
+        lit("(?is)<sitemap>.*?</sitemap>"), lit(0)))
+        .as(Seq("entry_pos", "_sm_b")))
+      .withColumn("loc", trim(regexp_extract(col("_sm_b"),
+        "(?is)<loc>(.*?)</loc>", 1)))
+      .filter(col("loc") =!= "")
+      .drop("_sm_b")
 }

@@ -67,4 +67,27 @@ class RobotsSpec extends AnyFunSuite {
       assert(got("http://norobots.com/anything") === ((true, "")))
     }
   }
+
+  test("sitemapIndexLocs: nested sitemap fetch frontier") {
+    import spark.implicits._
+    val xml =
+      """<?xml version="1.0"?><sitemapindex>
+        |<sitemap><loc> http://h.com/sm1.xml </loc>
+        |<lastmod>2026-01-01</lastmod></sitemap>
+        |<sitemap><!-- fetch error, no loc --></sitemap>
+        |<SITEMAP><LOC>http://h.com/sm2.xml</LOC></SITEMAP>
+        |</sitemapindex>""".stripMargin
+    val got = Robots.sitemapIndexLocs(
+        Seq(("h.com", xml)).toDF("host", "xml"), "host", "xml")
+      .select("entry_pos", "loc").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(0 -> "http://h.com/sm1.xml",
+      2 -> "http://h.com/sm2.xml"))
+    // a <urlset> file yields no index rows, and vice versa
+    assert(Robots.sitemapIndexLocs(
+      Seq(("h", "<urlset><url><loc>x</loc></url></urlset>"))
+        .toDF("host", "xml"), "host", "xml").isEmpty)
+    assert(Robots.parseSitemap(
+      Seq(("h", xml)).toDF("host", "xml"), "host", "xml").isEmpty)
+  }
 }
