@@ -1300,6 +1300,26 @@ object SparkEntry {
         .drop("text")
         .orderBy("url")
     }),
+    // corpus hygiene composition: publisher-signal dedup BEFORE any
+    // content dedup — noindex'd pages dropped (opt-out), syndicated
+    // copies collapsed onto their canonical URL (self-canonical when
+    // the tag is absent), min-url representative per canonical group.
+    // Reuses the q81 metadata plant so the oracle re-derives
+    // canonical_abs/noindex by construction
+    "q87_canonical_collapse" -> ((s, d) => {
+      val meta = queries("q81_page_meta")(s, d)
+      val kept = meta.filter(!col("noindex"))
+        .withColumn("canonical_key",
+          when(col("canonical_abs") =!= "", col("canonical_abs"))
+            .otherwise(col("url")))
+      val groups = kept.groupBy("canonical_key")
+        .agg(min(col("url")).as("_rep"),
+          count(lit(1)).cast("long").as("n_group"))
+      kept.join(groups, "canonical_key")
+        .select(col("url"), col("canonical_key"), col("n_group"),
+          (col("url") === col("_rep")).as("is_representative"))
+        .orderBy("url")
+    }),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
     // document-frequency threshold; capped + accounted template sets;
@@ -3204,6 +3224,37 @@ object SparkEntry {
             ELSE '<html>plain d' || ids || '</html>'
           END AS text_utf8
         FROM b ORDER BY url""",
+    // q87: canonical_abs/noindex re-derived exactly as in q81, then
+    // the collapse re-run relationally (noindex out, group by
+    // canonical key, min-url representative)
+    "q87_canonical_collapse" ->
+      s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $linkUrlSql AS url, $linkHostSql AS h FROM documents),
+        m AS (SELECT url, id % 6 IN (0, 1) AS noindex,
+          CASE CAST(id % 4 AS INTEGER)
+            WHEN 0 THEN 'http://canon.example.com/c'
+              || CAST(id % 10 AS VARCHAR)
+            WHEN 1 THEN CASE WHEN id % 5 = 0
+              THEN 'http://base' || CAST(id % 3 AS VARCHAR)
+                || '.example.org/dir/c/p' || CAST(id % 5 AS VARCHAR)
+              ELSE 'http://' || h || '/c/p' || CAST(id % 5 AS VARCHAR)
+              END
+            WHEN 2 THEN CASE WHEN id % 5 = 0
+              THEN 'http://base' || CAST(id % 3 AS VARCHAR)
+                || '.example.org/canon/' || CAST(id % 7 AS VARCHAR)
+              ELSE 'http://' || h || '/canon/' || CAST(id % 7 AS VARCHAR)
+              END
+            ELSE '' END AS canonical_abs
+          FROM p),
+        k AS (SELECT url, CASE WHEN canonical_abs <> ''
+            THEN canonical_abs ELSE url END AS canonical_key
+          FROM m WHERE NOT noindex),
+        g AS (SELECT canonical_key, MIN(url) AS rep,
+          CAST(COUNT(*) AS BIGINT) AS n_group FROM k GROUP BY 1)
+        SELECT k.url, k.canonical_key, g.n_group,
+          k.url = g.rep AS is_representative
+        FROM k JOIN g ON g.canonical_key = k.canonical_key
+        ORDER BY k.url""",
     "q78_anchor_stats" -> q78Sql,
     // q80: the planted admission decisions re-derived from the
     // synthesis formulas — /docs allowed (decoy groups must not

@@ -49,6 +49,15 @@ object ErrorPages {
     when(text === "", lit(0L))
       .otherwise(size(split(text, " ")).cast("long"))
 
+  /** The gate verdict alone, as a composable Column (the streaming
+    * ingest chain wants one boolean, not the full signal row).
+    */
+  def softErrorOf(html: Column, minTokens: Long = 100L): Column = {
+    val body = bodyTextOf(html)
+    (MetaExtractor.titleOf(html).rlike(TitleError) ||
+      body.rlike(BodyError)) && tokenCountOf(body) < minTokens
+  }
+
   /** One signal row per page: (urlCol, n_tokens, n_links,
     * link_density_ppm, title_error, body_error, soft_error).
     */

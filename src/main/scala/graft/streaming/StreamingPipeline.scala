@@ -42,6 +42,31 @@ object StreamingPipeline {
     * (ts, event_type, value): 5-minute tumbling windows, 10-minute
     * watermark for late data.
     */
+  /** WARC-wave ingest chain: charset sniff + decode → page metadata →
+    * admission verdict (noindex'd pages, soft-error shells and
+    * unsupported charsets flagged). Stateless per-row Columns end to
+    * end, so the SAME function serves the batch table and the
+    * streaming source (one semantics, two execution modes) — no
+    * watermark, no state store.
+    */
+  def ingestStream(pages: DataFrame, urlCol: String = "url",
+      binCol: String = "payload"): DataFrame = {
+    val dec = graft.extract.CharsetSniffer.decodePages(
+      pages, urlCol, binCol)
+    val html = col("text")
+    dec.select(col(urlCol), col("charset"), col("charset_supported"),
+        col("n_bytes"),
+        graft.extract.MetaExtractor.titleOf(html).as("title"),
+        graft.extract.MetaExtractor.canonicalHrefOf(html)
+          .as("canonical_raw"),
+        graft.extract.MetaExtractor.robotsDirective(html, "noindex")
+          .as("noindex"),
+        graft.extract.ErrorPages.softErrorOf(html).as("soft_error"))
+      .withColumn("admitted",
+        !col("noindex") && !col("soft_error") &&
+          col("charset_supported"))
+  }
+
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withColumn("ts", col("ts").cast("timestamp"))

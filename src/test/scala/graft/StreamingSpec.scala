@@ -4,6 +4,7 @@ import graft.gen.PagesGen
 import graft.streaming.StreamingPipeline
 import graft.streaming.StreamingPipeline.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, encode}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -410,5 +411,57 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed.length === 50)
     assert(streamed === batch)
+  }
+
+  test("ingest chain over a WARC stream: charset + metadata + " +
+    "admission verdicts == batch") {
+    import spark.implicits._
+    import graft.io.Warc
+    val watched = Files.createTempDirectory("ing_watch").toString
+    val ckpt = Files.createTempDirectory("ing_ckpt").toString
+    def page(i: Int): String =
+      if (i % 4 == 0)
+        "<html><head><title>404 Not Found</title></head>" +
+          "<body>page not found</body></html>"
+      else if (i % 4 == 1)
+        s"<html><head><title>Doc $i</title>" +
+          "<meta name='robots' content='noindex'></head>" +
+          s"<body>${Seq.fill(120)("tok").mkString(" ")}</body></html>"
+      else
+        s"<html><head><title>Doc $i</title>" +
+          s"<link rel='canonical' href='http://c.com/$i'></head>" +
+          s"<body>${Seq.fill(120)("tok").mkString(" ")}</body></html>"
+    val st = Files.createTempDirectory("ing_stage")
+    Warc.writeWarc(
+      (0 until 40).map(i => (s"http://h$i.com/p", page(i)))
+        .toDF("url", "payload").coalesce(1),
+      "url", "payload", st.toString)
+    java.nio.file.Files.list(st).forEach { p =>
+      if (p.getFileName.toString.startsWith("part-"))
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(watched, p.getFileName.toString))
+    }
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.ingestStream(
+        df.select(col("url"), encode(col("payload"), "UTF-8")
+          .as("bin")), "url", "bin")
+    val q = chain(Warc.readWarcStream(spark, watched))
+      .writeStream.format("memory").queryName("ingest_stream_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ingest_stream_out")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = chain(Warc.readWarc(spark, watched))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.length === 40)
+    assert(streamed === batch)
+    // verdicts: soft-404s (i%4==0) and noindex (i%4==1) rejected
+    val admitted = spark.table("ingest_stream_out")
+      .filter(col("admitted")).select("url").as[String]
+      .collect().toSet
+    assert(admitted === (0 until 40)
+      .filter(i => i % 4 >= 2).map(i => s"http://h$i.com/p").toSet)
   }
 }
