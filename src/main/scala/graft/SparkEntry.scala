@@ -962,6 +962,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           col("rare_bigram_ppm"), col("fluency_ppm"))
         .orderBy("doc_id")),
+    // curation: CCNet head/middle/tail buckets — per-language
+    // descending-fluency layout cut into thirds by token mass
+    // (Wenzek et al. 2020), the bigram fluency score standing in for
+    // the KenLM perplexity; sharded running sums, no per-language
+    // window task
+    "q88_ccnet_buckets" -> ((s, d) =>
+      Curation.perplexityBuckets(
+        Curation.bigramFluency(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("text")),
+          "doc_id", "text")
+          .withColumn("n_toks", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "lang", "fluency_ppm", "n_toks")
+        .orderBy("doc_id")),
     // curation: BPE tokenizer training, round-0 pair counts — the
     // quantity the first merge argmaxes over (the full loop is
     // golden-tested against a scalar reference in BpeSpec; this pins
@@ -2967,6 +2981,43 @@ object SparkEntry {
             THEN s // n_bigrams ELSE 0 END AS BIGINT) AS fluency_ppm
         FROM documents d LEFT JOIN sc USING (doc_id)
         ORDER BY doc_id""",
+    // q88: q68's fluency pipeline verbatim, then the CCNet cut — the
+    // per-language token-mass running sum over (fluency desc, doc_id)
+    // and the integer start·3 tercile comparison reproduce exactly
+    "q88_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($toksSql,
+          tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS hs
+          FROM documents),
+        pr AS (SELECT doc_id, hs[i] AS ph, hs[i + 1] AS ch
+          FROM (SELECT doc_id, hs,
+              unnest(generate_series(1, len(hs) - 1)) AS i
+            FROM t WHERE len(hs) >= 2)),
+        bc AS (SELECT ph, ch, CAST(COUNT(*) AS BIGINT) AS bcnt
+          FROM pr GROUP BY 1, 2),
+        pc AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS pcnt
+          FROM pr GROUP BY 1),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+            CAST(SUM((bcnt * 1000000) // (pcnt + 8)) AS BIGINT) AS s
+          FROM pr JOIN bc USING (ph, ch) JOIN pc USING (ph)
+          GROUP BY doc_id),
+        f AS (SELECT d.doc_id, d.lang,
+            CAST(len($toksSql) AS BIGINT) AS n_tokens,
+            CAST(CASE WHEN COALESCE(n_bigrams, 0) > 0
+              THEN s // n_bigrams ELSE 0 END AS BIGINT) AS fluency_ppm
+          FROM documents d LEFT JOIN sc USING (doc_id)),
+        r AS (SELECT *,
+            CAST(SUM(n_tokens) OVER (PARTITION BY lang
+              ORDER BY fluency_ppm DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_tok,
+            CAST(SUM(n_tokens) OVER (PARTITION BY lang) AS BIGINT)
+              AS total_tok
+          FROM f)
+        SELECT doc_id, lang, n_tokens, fluency_ppm, start_tok, total_tok,
+          CASE WHEN start_tok * 3 < total_tok THEN 'head'
+            WHEN start_tok * 3 < 2 * total_tok THEN 'middle'
+            ELSE 'tail' END AS bucket
+        FROM r ORDER BY doc_id""",
     // q70: same whitespace tokenization, same char-level initial
     // symbols + '</w>' marker, same exact long counts and total
     // tie-break — the BPE trainer's round-0 argmax input

@@ -1149,6 +1149,44 @@ object Curation {
         col("kept"))
   }
 
+  /** CCNet-style per-stratum fluency buckets (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): within each stratum (language), documents sort by
+    * DESCENDING fluency score (= ascending model perplexity) and the
+    * sorted layout is cut into `head` / `middle` / `tail` thirds BY
+    * TOKEN MASS — the standard quality partition a perplexity-filtered
+    * pre-training corpus starts from (train on head+middle, upsample
+    * head, drop tail). A document's bucket is decided by its START
+    * offset in the layout (the same straddle convention as
+    * [[tokenBudgetAssign]]): head while start·3 < total, middle while
+    * start·3 < 2·total, else tail — all-integer, ties broken by id, so
+    * the assignment is exact and engine-portable. Pairs naturally with
+    * [[bigramFluency]] as the score (CCNet uses a KenLM 5-gram; any
+    * higher-is-more-fluent long-valued score works).
+    *
+    * Scale shape: thin (id, stratum, score, n_tokens) rows through
+    * [[ScaleWindow.shardedRunningSum]] — order-consistent range shards,
+    * so no stratum is ever one window task; document text never enters
+    * the operator. Returns (id, stratum, n_tokens, score, start_tok,
+    * total_tok, bucket).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String, tokensCol: String, shards: Int = 0): DataFrame = {
+    val thin = df.select(col(idCol), col(strataCol),
+      col(scoreCol).cast("long").as(scoreCol),
+      col(tokensCol).cast("long").as("n_tokens"))
+    ScaleWindow.shardedRunningSum(thin, Seq(strataCol),
+      Seq(col(scoreCol).desc, col(idCol)), col("n_tokens"),
+      "_pb_cum", "total_tok", shards)
+      .withColumn("start_tok", col("_pb_cum") - col("n_tokens"))
+      .withColumn("bucket",
+        when(col("start_tok") * 3 < col("total_tok"), lit("head"))
+          .when(col("start_tok") * 3 < col("total_tok") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(strataCol), col("n_tokens"), col(scoreCol),
+        col("start_tok"), col("total_tok"), col("bucket"))
+  }
+
   /** Temperature-scaled stratum resampling — the multilingual
     * rebalancing step (sample languages ∝ share^alpha, alpha < 1
     * upweighting low-resource strata; the standard mC4/XLM-R mixing

@@ -54,7 +54,40 @@ object ScaleWindow {
     */
   def shardedRank(df: DataFrame, strataCols: Seq[String],
       order: Seq[Column], rnOut: String, nOut: String,
-      shards: Int = 0): DataFrame = {
+      shards: Int = 0): DataFrame =
+    shardedPrefix(df, strataCols, order, count(lit(1)),
+      w => row_number().over(w).cast("long"), rnOut, nOut, shards)
+
+  /** Exact global per-stratum INCLUSIVE running sum of `value` over an
+    * arbitrary sort order, plus the stratum total — the running-sum
+    * twin of [[shardedRank]] (same order-consistent range shards, same
+    * checkpointed shard ids, same offset join; the partials carry sums
+    * instead of counts). Appends `cumOut` (inclusive prefix sum within
+    * the stratum, long) and `totOut` (stratum total, long).
+    */
+  def shardedRunningSum(df: DataFrame, strataCols: Seq[String],
+      order: Seq[Column], value: Column, cumOut: String, totOut: String,
+      shards: Int = 0): DataFrame =
+    shardedPrefix(df.withColumn("_sw_v", value.cast("long")), strataCols,
+      order, sum(col("_sw_v")),
+      w => sum(col("_sw_v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      cumOut, totOut, shards)
+      .drop("_sw_v")
+
+  /** Shared core: range-shard, per-(stratum, shard) local window value,
+    * per-shard partial aggregate → prefix offsets (windows over the
+    * strata × shards table only) → offset join back. `localOver` builds
+    * the per-row local value from the (stratum, shard)-partitioned
+    * window; `partialAgg` is its per-shard total (count for ranks, sum
+    * for prefix sums) — the pair must satisfy
+    * local(last row of shard) == partialAgg(shard) for offsets to be
+    * exact.
+    */
+  private def shardedPrefix(df: DataFrame, strataCols: Seq[String],
+      order: Seq[Column], partialAgg: Column,
+      localOver: org.apache.spark.sql.expressions.WindowSpec => Column,
+      outCol: String, totOut: String, shards: Int): DataFrame = {
     val spark = df.sparkSession
     val p =
       if (shards > 0) shards
@@ -67,7 +100,7 @@ object ScaleWindow {
     val keys = strata :+ col("_sw_pid")
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     val partials = ranged.groupBy(keys: _*)
-      .agg(count(lit(1)).as("_sw_cnt"))
+      .agg(partialAgg.as("_sw_cnt"))
     val offW = Window.partitionBy(strata: _*).orderBy(col("_sw_pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(strata: _*)
@@ -88,10 +121,10 @@ object ScaleWindow {
     val dropCols = Seq("_sw_pid", "_sw_opid", "_sw_lrn", "_sw_cnt",
       "_sw_off", "_sw_n") ++ strataCols.indices.map(i => s"_sw_s$i")
     ranged
-      .withColumn("_sw_lrn", row_number().over(w).cast("long"))
+      .withColumn("_sw_lrn", localOver(w))
       .join(offsets, cond)
-      .withColumn(rnOut, col("_sw_off") + col("_sw_lrn"))
-      .withColumn(nOut, col("_sw_n"))
+      .withColumn(outCol, col("_sw_off") + col("_sw_lrn"))
+      .withColumn(totOut, col("_sw_n"))
       .drop(dropCols: _*)
   }
 }

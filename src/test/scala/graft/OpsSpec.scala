@@ -671,6 +671,51 @@ class OpsSpec extends AnyFunSuite {
     assert(ranked.map(r => r._1 -> r._3).toMap === again)
   }
 
+  test("ScaleWindow.shardedRunningSum + perplexityBuckets: exact prefix " +
+      "sums, token-mass terciles, ties, repartition invariance") {
+    import spark.implicits._
+    import graft.ops.ScaleWindow
+    // 9 docs per group, 10 tokens each, strictly decreasing scores by
+    // id → per-group prefix sums are (i+1)*10 and the terciles are
+    // clean thirds
+    val rows = for (g <- 0 until 2; i <- 0 until 9)
+      yield (g * 100L + i, s"g$g", 100L - i, 10L)
+    val df = rows.toDF("id", "g", "score", "n_toks")
+    val cum = ScaleWindow.shardedRunningSum(df, Seq("g"),
+      Seq(col("score").desc, col("id")), col("n_toks"), "cum", "tot",
+      shards = 5)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cum"), r.getAs[Long]("tot"))).toMap
+    for (g <- 0 until 2; i <- 0 until 9)
+      assert(cum(g * 100L + i) === ((i + 1) * 10L, 90L))
+    val buck = Curation.perplexityBuckets(df, "id", "g", "score",
+      "n_toks", shards = 5)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("total_tok"),
+          r.getAs[String]("bucket"))).toMap
+    for (g <- 0 until 2; i <- 0 until 9) {
+      val expected = if (i < 3) "head" else if (i < 6) "middle" else "tail"
+      assert(buck(g * 100L + i) === (i * 10L, 90L, expected),
+        s"doc $i of group $g")
+    }
+    // constant score (all ties): order falls to id, assignment stays
+    // exact and deterministic under repartition
+    val tied = (0L until 30L).map(i => (i, "en", 5L, 1L))
+      .toDF("id", "g", "score", "n_toks")
+    def bucketsOf(d: org.apache.spark.sql.DataFrame) =
+      Curation.perplexityBuckets(d, "id", "g", "score", "n_toks",
+        shards = 4)
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    val b1 = bucketsOf(tied)
+    assert((0L until 10L).forall(b1(_) == "head") &&
+      (10L until 20L).forall(b1(_) == "middle") &&
+      (20L until 30L).forall(b1(_) == "tail"))
+    assert(bucketsOf(tied.repartition(7)) === b1)
+  }
+
   test("bigramFluency: common constructions outscore word salad; " +
       "deterministic under repartition") {
     import spark.implicits._

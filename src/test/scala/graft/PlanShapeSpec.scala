@@ -209,6 +209,9 @@ class PlanShapeSpec extends AnyFunSuite {
         "corpusProfile")
       check(Curation.corpusProfileApprox(withToks, "lang", "n_toks"),
         "corpusProfileApprox")
+      check(Curation.perplexityBuckets(
+        withToks.drop("text").withColumn("score", col("n_toks") * 3),
+        "doc_id", "lang", "score", "n_toks"), "perplexityBuckets")
     }
   }
 
