@@ -1334,6 +1334,29 @@ object SparkEntry {
           (col("url") === col("_rep")).as("is_representative"))
         .orderBy("url")
     }),
+    // curation: Public-Suffix-List registrable-domain extraction —
+    // the publicsuffix.org algorithm (normal/wildcard/exception rules,
+    // exception-beats-all then longest-match then implicit "*") over
+    // per-depth broadcast rule joins; the key per-site caps and
+    // politeness budgets group on
+    "q89_reg_domain" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val m = pmod(did, lit(6))
+      val sub = pmod(did, lit(3)).cast("string")
+      val host =
+        when(m === 0, concat(lit("a"), sub, lit(".example.com")))
+          .when(m === 1, concat(lit("b"), sub, lit(".foo.co.uk")))
+          .when(m === 2, concat(lit("c"), sub, lit(".weird.ck")))
+          .when(m === 3, lit("www.ck"))
+          .when(m === 4, lit("com"))
+          .otherwise(concat(lit("d"), sub, lit(".github.io")))
+      Curation.registrableDomain(
+        t(s, d, "documents").select(col("doc_id"), host.as("host")),
+        "host",
+        rules = Seq("com", "uk", "co.uk", "*.ck", "!www.ck", "io",
+          "github.io"))
+        .orderBy("doc_id")
+    }),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
     // document-frequency threshold; capped + accounted template sets;
@@ -3333,6 +3356,50 @@ object SparkEntry {
             CASE WHEN CAST(id % 3 AS VARCHAR) = k
               THEN '/tmp' || k ELSE '' END FROM p)
         SELECT url, allowed, matched_prefix FROM l ORDER BY url""",
+    // q89: the PSL algorithm re-derived relationally — candidate
+    // suffixes join the rule VALUES table; exception MAX beats the
+    // longest normal/wildcard match, COALESCE supplies the implicit
+    // "*" default; both engines cut the same label slices
+    "q89_reg_domain" ->
+      """WITH h AS (SELECT doc_id, CASE CAST(doc_id AS BIGINT) % 6
+          WHEN 0 THEN 'a' || CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR)
+            || '.example.com'
+          WHEN 1 THEN 'b' || CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR)
+            || '.foo.co.uk'
+          WHEN 2 THEN 'c' || CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR)
+            || '.weird.ck'
+          WHEN 3 THEN 'www.ck'
+          WHEN 4 THEN 'com'
+          ELSE 'd' || CAST(CAST(doc_id AS BIGINT) % 3 AS VARCHAR)
+            || '.github.io' END AS host
+          FROM documents),
+        rules(key, rlen, kind) AS (VALUES
+          ('com', 1, 'norm'), ('uk', 1, 'norm'), ('co.uk', 2, 'norm'),
+          ('ck', 1, 'wild'), ('www.ck', 2, 'exc'), ('io', 1, 'norm'),
+          ('github.io', 2, 'norm')),
+        lab AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+          len(string_split(host, '.')) AS n FROM h),
+        cand AS (SELECT doc_id, n, i,
+            array_to_string(ls[n - i + 1 : n], '.') AS suf
+          FROM (SELECT doc_id, ls, n,
+              unnest(generate_series(1, least(n, 5))) AS i FROM lab)),
+        m AS (SELECT c.doc_id,
+            MAX(CASE WHEN r.kind = 'exc' THEN c.i - 1 END) AS exc_ps,
+            MAX(CASE WHEN r.kind = 'norm' THEN c.i
+              WHEN r.kind = 'wild' AND c.n >= c.i + 1 THEN c.i + 1 END)
+              AS best_ps
+          FROM cand c JOIN rules r ON c.suf = r.key AND r.rlen = c.i
+          GROUP BY c.doc_id),
+        ps AS (SELECT l.doc_id, l.host, l.ls, l.n,
+            COALESCE(m.exc_ps, m.best_ps, 1) AS p
+          FROM lab l LEFT JOIN m USING (doc_id))
+        SELECT doc_id, host,
+          CASE WHEN n >= p
+            THEN array_to_string(ls[n - p + 1 : n], '.') END
+            AS public_suffix,
+          CASE WHEN n > p
+            THEN array_to_string(ls[n - p : n], '.') END AS reg_domain
+        FROM ps ORDER BY doc_id""",
     // q79: same df-threshold + top-64 cap + md5 line keys; the kept
     // list is rebuilt only when something was removed, mirroring the
     // Spark side's original-text preservation

@@ -1849,6 +1849,84 @@ object Curation {
       .drop("_blk")
   }
 
+  /** Public-Suffix-List registrable-domain extraction — the algorithm
+    * publicsuffix.org specifies (the public list Mozilla maintains).
+    * `rules` are PSL-syntax lines: normal ("com", "co.uk"), wildcard
+    * ("*.ck"), exception ("!www.ck"); comment ("// …") and blank lines
+    * are ignored. The prevailing rule for a host is any matching
+    * EXCEPTION rule first, else the LONGEST matching rule, else the
+    * implicit default "*" (public suffix = the rightmost label). The
+    * public suffix spans the prevailing rule's labels (wildcard = its
+    * literal labels + 1; exception = its labels − 1), and the
+    * registrable domain is the public suffix plus one more label —
+    * null when the host IS a public suffix. Registrable domains are
+    * what per-site caps, blocklists and politeness budgets should key
+    * on: "a.github.io" and "b.github.io" are different sites, while
+    * "x.shop.example.com" and "y.example.com" are one.
+    *
+    * Scale shape: rules pre-aggregate driver-side to one row per key
+    * (a key can carry normal/wildcard/exception flags at once) and
+    * join BROADCAST once per suffix depth (maxDepth ≤ label count;
+    * real PSL rules top out at 4-5 labels), so the operator is
+    * zero-shuffle: every lookup is a map-side broadcast hash join on
+    * the depth-i suffix, no explode, no re-aggregation — the full
+    * ~10k-entry PSL broadcasts once per executor instead of riding
+    * every task as a plan literal.
+    *
+    * Appends `public_suffix` and `regOut`.
+    */
+  def registrableDomain(df: DataFrame, hostCol: String,
+      rules: Seq[String], regOut: String = "reg_domain",
+      maxDepth: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parsed = rules.map(_.trim.toLowerCase)
+      .filter(r => r.nonEmpty && !r.startsWith("//"))
+      .map { r =>
+        if (r.startsWith("!")) (r.drop(1), "exc")
+        else if (r.startsWith("*.")) (r.drop(2), "wild")
+        else (r, "norm")
+      }
+    val byKey = parsed.groupBy(_._1).toSeq.map { case (k, vs) =>
+      val kinds = vs.map(_._2).toSet
+      (k, k.count(_ == '.') + 1,
+        kinds("norm"), kinds("wild"), kinds("exc"))
+    }
+    val ruleDf = byKey
+      .toDF("_psl_key", "_psl_len", "_psl_norm", "_psl_wild", "_psl_exc")
+    val labels = split(col(hostCol), "\\.")
+    val n = size(labels)
+    def suffix(i: Int): Column =
+      when(n >= i, array_join(slice(labels, n - i + 1, lit(i)), "."))
+    val depths = 1 to maxDepth
+    val joined = depths.foldLeft(df) { (acc, i) =>
+      val ri = ruleDf.filter(col("_psl_len") === i)
+        .select(col("_psl_key").as(s"_psl_k$i"),
+          col("_psl_norm").as(s"_psl_n$i"),
+          col("_psl_wild").as(s"_psl_w$i"),
+          col("_psl_exc").as(s"_psl_e$i"))
+      acc.join(broadcast(ri), suffix(i) === col(s"_psl_k$i"), "left")
+    }
+    def bestOf(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head else greatest(cs: _*)
+    // exception rules beat everything (PSL: "the prevailing rule is
+    // the one which is an exception rule"); otherwise longest match;
+    // otherwise the implicit "*" default. greatest() skips nulls.
+    val excPs = bestOf(depths.map(i =>
+      when(col(s"_psl_e$i"), lit(i - 1))))
+    val matchPs = bestOf(depths.flatMap(i => Seq(
+      when(col(s"_psl_n$i"), lit(i)),
+      when(col(s"_psl_w$i") && n >= i + 1, lit(i + 1)))) :+ lit(1))
+    val ps = coalesce(excPs, matchPs)
+    joined
+      .withColumn("public_suffix",
+        when(n >= ps, array_join(slice(labels, n - ps + 1, ps), ".")))
+      .withColumn(regOut,
+        when(n > ps, array_join(slice(labels, n - ps, ps + 1), ".")))
+      .drop(depths.flatMap(i => Seq(s"_psl_k$i", s"_psl_n$i",
+        s"_psl_w$i", s"_psl_e$i")): _*)
+  }
+
   /** Induce a domain blocklist from per-document quality verdicts —
     * the adaptive host-level filtering loop (score documents, aggregate
     * per host, block hosts whose bad fraction crosses the threshold;

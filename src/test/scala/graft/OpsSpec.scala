@@ -716,6 +716,39 @@ class OpsSpec extends AnyFunSuite {
     assert(bucketsOf(tied.repartition(7)) === b1)
   }
 
+  test("registrableDomain: the publicsuffix.org algorithm — exception " +
+      "beats all, longest match, wildcard, implicit default") {
+    import spark.implicits._
+    // the canonical *.ck / !www.ck vectors from the PSL's own test
+    // data, plus normal-rule and default-rule cases
+    val rules = Seq("com", "uk", "co.uk", "*.ck", "!www.ck",
+      "// comment line", "", "github.io", "io")
+    val hosts = Seq(
+      "example.com" -> ("com", "example.com"),
+      "b.example.com" -> ("com", "example.com"),
+      "com" -> ("com", null),
+      "foo.co.uk" -> ("co.uk", "foo.co.uk"),
+      "x.foo.co.uk" -> ("co.uk", "foo.co.uk"),
+      "co.uk" -> ("co.uk", null),
+      "test.ck" -> ("test.ck", null),
+      "b.test.ck" -> ("test.ck", "b.test.ck"),
+      "a.b.test.ck" -> ("test.ck", "b.test.ck"),
+      "www.ck" -> ("ck", "www.ck"),
+      "www.www.ck" -> ("ck", "www.ck"),
+      "a.github.io" -> ("github.io", "a.github.io"),
+      // no rule matches: implicit "*" default (rightmost label)
+      "x.y.unknown" -> ("unknown", "y.unknown"))
+    val df = hosts.map(_._1).toDF("host")
+    val out = Curation.registrableDomain(df, "host", rules)
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        (r.getAs[String]("public_suffix"), r.getAs[String]("reg_domain")))
+      .toMap
+    hosts.foreach { case (h, expected) =>
+      assert(out(h) === expected, s"host $h")
+    }
+  }
+
   test("bigramFluency: common constructions outscore word salad; " +
       "deterministic under repartition") {
     import spark.implicits._
