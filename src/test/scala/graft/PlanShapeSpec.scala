@@ -269,4 +269,20 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(bcasts.nonEmpty, "template join must be broadcast")
     }
   }
+
+  test("registrableDomain: zero shuffles — every PSL depth join " +
+      "broadcasts") {
+    withPlainPlan {
+      val hosts = docs.withColumn("host",
+        concat(lit("h"), col("doc_id"), lit(".example.com")))
+      val out = Curation.registrableDomain(hosts, "host",
+        Seq("com", "co.uk", "uk", "*.ck", "!www.ck"))
+      assert(shuffledNames(out).isEmpty,
+        "PSL lookup must be shuffle-free (per-depth broadcast joins)")
+      val bcasts = out.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bcasts.nonEmpty, "rule joins must be broadcast")
+    }
+  }
 }
