@@ -1357,6 +1357,14 @@ object SparkEntry {
           "github.io"))
         .orderBy("doc_id")
     }),
+    // web graph: redirect-chain resolution by pointer doubling —
+    // chains of up to 10 hops collapse to their terminal URL in
+    // O(log maxHops) thin self-joins; planted 2-cycles and
+    // duplicate-source diversions come back unresolved / min-collapsed
+    "q90_redirects" -> ((s, d) =>
+      WebGraph.resolveRedirects(redirectEdges(s, d), "src", "dst",
+        maxHops = 32)
+        .orderBy("url")),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
     // document-frequency threshold; capped + accounted template sets;
@@ -1623,6 +1631,36 @@ object SparkEntry {
         pmod(did * 7L + 3L, lit(20)).cast("string"), lit("-"),
         pmod(did * 3L + 1L, lit(7)).cast("string"),
         lit(".example.com")).as("dst"))
+  }
+
+  /** Deterministic redirect map for q90: each document is one source
+    * URL `u{id}` redirecting up the decade — u(10k+j) → u(10k+j+1) for
+    * j<9, u(10k+9) → f{k} (terminal) — so chains run 1..10 hops; docs
+    * with id%20==7 get a SECOND edge to a terminal `dup` URL that wins
+    * the min-collapse (duplicate-source determinism); docs with
+    * id%25==13 plant a detached 2-cycle c{id}a ⇄ c{id}b (unresolvable).
+    */
+  private def redirectEdges(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("long")
+    val docs = t(s, d, "documents")
+    def u(n: Column): Column =
+      concat(lit("http://r.example.com/u"), n.cast("string"))
+    val chain = docs.select(u(did).as("src"),
+      when(pmod(did, lit(10)) === 9,
+        concat(lit("http://final.example.com/f"),
+          expr("CAST(doc_id AS BIGINT) DIV 10").cast("string")))
+        .otherwise(u(did + 1L)).as("dst"))
+    val dup = docs.filter(pmod(did, lit(20)) === 7)
+      .select(u(did).as("src"),
+        concat(lit("http://dup.example.com/x"), did.cast("string"))
+          .as("dst"))
+    val cyc = docs.filter(pmod(did, lit(25)) === 13)
+    def c(suffix: String): Column =
+      concat(lit("http://cyc.example.com/c"), did.cast("string"),
+        lit(suffix))
+    chain.union(dup)
+      .union(cyc.select(c("a").as("src"), c("b").as("dst")))
+      .union(cyc.select(c("b").as("src"), c("a").as("dst")))
   }
 
   /** Deterministic synthesized pages-with-links table for q75/q76:
@@ -3400,6 +3438,46 @@ object SparkEntry {
           CASE WHEN n > p
             THEN array_to_string(ls[n - p : n], '.') END AS reg_domain
         FROM ps ORDER BY doc_id""",
+    // q90: the oracle walks the same min-collapsed redirect map with a
+    // recursive CTE (per-hop sequential — fine at oracle scale; the
+    // Spark side must reach the identical terminals via pointer
+    // doubling); cycles exhaust the hop budget and come back NULL
+    "q90_redirects" ->
+      """WITH RECURSIVE ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+        e AS (
+          SELECT 'http://r.example.com/u' || CAST(did AS VARCHAR) AS src,
+            CASE WHEN did % 10 = 9
+              THEN 'http://final.example.com/f'
+                || CAST(did // 10 AS VARCHAR)
+              ELSE 'http://r.example.com/u' || CAST(did + 1 AS VARCHAR)
+            END AS dst FROM ids
+          UNION ALL
+          SELECT 'http://r.example.com/u' || CAST(did AS VARCHAR),
+            'http://dup.example.com/x' || CAST(did AS VARCHAR)
+          FROM ids WHERE did % 20 = 7
+          UNION ALL
+          SELECT 'http://cyc.example.com/c' || CAST(did AS VARCHAR) || 'a',
+            'http://cyc.example.com/c' || CAST(did AS VARCHAR) || 'b'
+          FROM ids WHERE did % 25 = 13
+          UNION ALL
+          SELECT 'http://cyc.example.com/c' || CAST(did AS VARCHAR) || 'b',
+            'http://cyc.example.com/c' || CAST(did AS VARCHAR) || 'a'
+          FROM ids WHERE did % 25 = 13),
+        m AS (SELECT src, MIN(dst) AS dst FROM e GROUP BY src),
+        walk(url, cur, hops) AS (
+          SELECT src, dst, CAST(1 AS BIGINT) FROM m
+          UNION ALL
+          SELECT w.url, m2.dst, w.hops + 1
+          FROM walk w JOIN m m2 ON w.cur = m2.src
+          WHERE w.hops <= 32),
+        term AS (SELECT w.url, w.cur AS final_url, w.hops
+          FROM walk w WHERE w.hops <= 32
+            AND NOT EXISTS (SELECT 1 FROM m WHERE m.src = w.cur))
+        SELECT m.src AS url, t.final_url, t.hops,
+          t.final_url IS NOT NULL AS resolved
+        FROM m LEFT JOIN term t ON m.src = t.url
+        ORDER BY url""",
     // q79: same df-threshold + top-64 cap + md5 line keys; the kept
     // list is rebuilt only when something was removed, mirroring the
     // Spark side's original-text preservation

@@ -1447,6 +1447,49 @@ class OpsSpec extends AnyFunSuite {
     assert(rk("d") === 150000000L)
   }
 
+  test("resolveRedirects: chains, cycles, duplicate-source collapse " +
+    "and the hop budget") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), // chain → terminal d
+      ("x", "y"), ("y", "x"),             // 2-cycle: unresolved
+      ("p", "q"), ("p", "a")              // dup source: min → "a" wins
+    ).toDF("src", "dst").repartition(3)
+    val got = WebGraph.resolveRedirects(edges, "src", "dst", maxHops = 32)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("a", Some("d"), Some(3L), true),
+      ("b", Some("d"), Some(2L), true),
+      ("c", Some("d"), Some(1L), true),
+      ("p", Some("d"), Some(4L), true), // p → a (min) → … → d
+      ("x", None, None, false),
+      ("y", None, None, false)))
+    // hop budget: maxHops=2 resolves only the ≤2-hop tails; note p
+    // collapses to p→a before iterating, so its true depth is 4
+    val tight = WebGraph.resolveRedirects(edges, "src", "dst", maxHops = 2)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(3)))
+    assert(tight.toSeq === Seq(
+      ("a", None, false),
+      ("b", Some("d"), true),
+      ("c", Some("d"), true),
+      ("p", None, false),
+      ("x", None, false),
+      ("y", None, false)))
+    // exact-budget boundary: a 3-hop chain with maxHops=3 (rounds=2,
+    // reach 4 > chain) still reports the TRUE hop count, not 2^rounds
+    val three = WebGraph.resolveRedirects(
+      Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst"),
+      "src", "dst", maxHops = 3)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(three.toSeq === Seq(("a", "d", 3L), ("b", "d", 2L),
+      ("c", "d", 1L)))
+  }
+
   test("hostBoilerplateScrub: df threshold, cap accounting, original " +
     "text preserved, broadcast == shuffle path") {
     import spark.implicits._
