@@ -1365,6 +1365,27 @@ object SparkEntry {
       WebGraph.resolveRedirects(redirectEdges(s, d), "src", "dst",
         maxHops = 32)
         .orderBy("url")),
+    // curation: the C4 cleaning pass (terminal-punctuation line keep,
+    // ≥3-word lines, javascript-line drop; page-level lorem-ipsum /
+    // curly-brace / min-sentence gate) — planted lines exercise every
+    // rule; pure per-row Columns, no shuffle
+    "q91_c4_clean" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val planted = concat(col("text"),
+        lit("\nshort line\nThis planted line has five words here." +
+          "\nEnable javascript to view this page today.\n   " +
+          "\nAnother good sentence with plenty of words in it!"),
+        when(pmod(did, lit(7)) === 0,
+          lit("\nLorem Ipsum dolor sit amet.")).otherwise(lit("")),
+        when(pmod(did, lit(11)) === 3,
+          lit("\nfunction f() { return 1; }")).otherwise(lit("")))
+      Curation.c4Clean(
+        t(s, d, "documents").select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+        .withColumn("clean_md5", md5(col("clean_text")))
+        .drop("clean_text")
+        .orderBy("doc_id")
+    }),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
     // document-frequency threshold; capped + accounted template sets;
@@ -3478,6 +3499,44 @@ object SparkEntry {
           t.final_url IS NOT NULL AS resolved
         FROM m LEFT JOIN term t ON m.src = t.url
         ORDER BY url""",
+    // q91: the same line predicate as a DuckDB list_filter lambda and
+    // the same page gate re-derived over the planted text; sentence
+    // count = terminal-punct occurrences in the CLEANED text
+    "q91_c4_clean" ->
+      """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          text || chr(10) || 'short line' || chr(10)
+            || 'This planted line has five words here.' || chr(10)
+            || 'Enable javascript to view this page today.' || chr(10)
+            || '   ' || chr(10)
+            || 'Another good sentence with plenty of words in it!'
+            || CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+                 THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+                 ELSE '' END
+            || CASE WHEN CAST(doc_id AS BIGINT) % 11 = 3
+                 THEN chr(10) || 'function f() { return 1; }'
+                 ELSE '' END AS t
+          FROM documents),
+        l AS (SELECT id, t,
+          list_filter(string_split(t, chr(10)), x ->
+            regexp_matches(trim(x), '[.!?"]$')
+            AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+            AND NOT contains(lower(trim(x)), 'javascript')) AS kl,
+          len(string_split(t, chr(10))) AS nl FROM b),
+        c AS (SELECT id, t, nl, len(kl) AS nk,
+          array_to_string(list_transform(kl, x -> trim(x)), chr(10))
+            AS clean FROM l),
+        s AS (SELECT id, t, nk, nl, clean,
+          CAST(length(clean)
+            - length(regexp_replace(clean, '[.!?]', '', 'g'))
+            AS BIGINT) AS ns FROM c)
+        SELECT id AS doc_id,
+          CAST(nk AS BIGINT) AS n_lines_kept,
+          CAST(nl - nk AS BIGINT) AS n_lines_dropped,
+          ns AS n_sentences,
+          (ns >= 5 AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{')) AS kept,
+          md5(clean) AS clean_md5
+        FROM s ORDER BY doc_id""",
     // q79: same df-threshold + top-64 cap + md5 line keys; the kept
     // list is rebuilt only when something was removed, mirroring the
     // Spark side's original-text preservation

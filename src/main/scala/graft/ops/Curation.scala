@@ -129,6 +129,53 @@ object Curation {
       .otherwise(lit(0L)).cast("long")
   }
 
+  // ---- C4-style line + document cleaning (Raffel et al. 2020) ----
+
+  /** The C4 cleaning pass (Raffel et al. 2020 §2.2, public): keep only
+    * lines that end in a terminal punctuation mark (`.` `!` `?` `"`),
+    * carry at least `minLineWords` whitespace words, and don't mention
+    * "javascript" (case-insensitive); then judge the whole page —
+    * `kept` is false when the cleaned text has fewer than
+    * `minSentences` sentences, or the ORIGINAL page contains
+    * "lorem ipsum" (case-insensitive) or a curly brace (code leak).
+    * C4 drops such pages outright; like the other graft gates this
+    * returns a verdict row per document and lets the caller filter,
+    * so gate stats stay derivable.
+    *
+    * Sentence counting delta vs the paper: C4 ran a sentence splitter;
+    * here a sentence is a `.` `!` or `?` occurrence in the CLEANED
+    * text — deterministic, engine-portable, and monotone in the same
+    * signal. Scale shape: one per-row line fold, pure Columns — no
+    * explode, no shuffle, no UDF.
+    *
+    * Returns the id plus (clean_text, n_lines_kept, n_lines_dropped,
+    * n_sentences, kept).
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val text = col(textCol)
+    def lineOk(l: Column): Column = {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minLineWords &&
+        !lower(t).contains("javascript")
+    }
+    val lines = split(text, "\n")
+    val keptLines = filter(lines, lineOk _)
+    val clean = array_join(transform(keptLines, l => trim(l)), "\n")
+    val nSent = (length(clean) -
+      length(regexp_replace(clean, "[.!?]", ""))).cast("long")
+    df.select(col(idCol),
+        clean.as("clean_text"),
+        size(keptLines).cast("long").as("n_lines_kept"),
+        (size(lines) - size(keptLines)).cast("long")
+          .as("n_lines_dropped"),
+        nSent.as("n_sentences"),
+        (nSent >= minSentences &&
+          !lower(text).contains("lorem ipsum") &&
+          !text.contains("{")).as("kept"))
+  }
+
   // ---- corpus-level duplicated-paragraph removal (RefinedWeb-style) ----
 
   /** Non-blank trimmed paragraphs (split on blank lines). */

@@ -1490,6 +1490,39 @@ class OpsSpec extends AnyFunSuite {
       ("c", "d", 1L)))
   }
 
+  test("c4Clean: line predicate (terminal punct, min words, javascript) " +
+    "and page gate (sentences, lorem ipsum, brace)") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "Good first sentence here today.\nno punct line\nshort.\n" +
+        "We have javascript mentioned right here today.\n" +
+        "   Second proper sentence arrives now!\n" +
+        "Third one is also quite fine?\n" +
+        "Fourth sentence ends with a quote words\"\n" +
+        "Fifth sentence finishes. The page ends properly."),
+      (2L, "Lorem ipsum dolor sit amet. This page has many proper " +
+        "sentences. One. Two. Three. Four. Five."),
+      (3L, "var x = { a: 1 }. This brace page still counts sentences " +
+        "fine. More. Words here. Even. More."),
+      (4L, "Too few sentences here.")
+    ).toDF("doc_id", "text").repartition(2)
+    val out = Curation.c4Clean(in, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val facts = out.map(r => (r.getAs[Boolean]("kept"),
+      r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_dropped"),
+      r.getAs[Long]("n_sentences")))
+    assert(facts.toSeq === Seq(
+      (true, 5L, 3L, 5L),   // js/short/punctless lines dropped
+      (false, 1L, 0L, 7L),  // lorem ipsum kills the page
+      (false, 1L, 0L, 6L),  // curly brace kills the page
+      (false, 1L, 0L, 1L))) // < 5 sentences
+    // kept lines are trimmed and newline-joined, in order
+    assert(out(0).getAs[String]("clean_text").split("\n")(1) ===
+      "Second proper sentence arrives now!")
+    assert(out(3).getAs[String]("clean_text") ===
+      "Too few sentences here.")
+  }
+
   test("hostBoilerplateScrub: df threshold, cap accounting, original " +
     "text preserved, broadcast == shuffle path") {
     import spark.implicits._
