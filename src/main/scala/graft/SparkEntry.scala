@@ -1386,6 +1386,25 @@ object SparkEntry {
         .drop("clean_text")
         .orderBy("doc_id")
     }),
+    // crawl analytics: snapshot-churn diff — per URL new / gone /
+    // changed / unchanged between two synthesized crawl snapshots
+    // (prev lacks id%10==0, cur lacks id%10==1, id%5==2 re-renders);
+    // thin (url, md5) full-outer join, page bytes never move
+    "q92_snapshot_diff" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val url = concat(lit("http://s.example.com/u"),
+        col("doc_id").cast("string"))
+      val docs = t(s, d, "documents")
+      val prev = docs.filter(pmod(did, lit(10)) =!= 0)
+        .select(url.as("url"), md5(col("text")).as("h"))
+      val cur = docs.filter(pmod(did, lit(10)) =!= 1)
+        .select(url.as("url"),
+          md5(when(pmod(did, lit(5)) === 2,
+            concat(col("text"), lit(" re-rendered")))
+            .otherwise(col("text"))).as("h"))
+      Curation.snapshotDiff(prev, cur, "url", "h")
+        .orderBy("url")
+    }),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
     // document-frequency threshold; capped + accounted template sets;
@@ -3537,6 +3556,24 @@ object SparkEntry {
             AND NOT contains(t, '{')) AS kept,
           md5(clean) AS clean_md5
         FROM s ORDER BY doc_id""",
+    // q92: the same thin-row full-outer join re-derived in SQL over
+    // the identical snapshot plants
+    "q92_snapshot_diff" ->
+      """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          'http://s.example.com/u' || CAST(doc_id AS VARCHAR) AS url,
+          text FROM documents),
+        p AS (SELECT url, md5(text) AS prev_hash FROM b
+          WHERE id % 10 <> 0),
+        c AS (SELECT url, md5(CASE WHEN id % 5 = 2
+            THEN text || ' re-rendered' ELSE text END) AS cur_hash
+          FROM b WHERE id % 10 <> 1)
+        SELECT COALESCE(p.url, c.url) AS url, prev_hash, cur_hash,
+          CASE WHEN prev_hash IS NULL THEN 'new'
+            WHEN cur_hash IS NULL THEN 'gone'
+            WHEN prev_hash = cur_hash THEN 'unchanged'
+            ELSE 'changed' END AS status
+        FROM p FULL OUTER JOIN c ON p.url = c.url
+        ORDER BY url""",
     // q79: same df-threshold + top-64 cap + md5 line keys; the kept
     // list is rebuilt only when something was removed, mirroring the
     // Spark side's original-text preservation

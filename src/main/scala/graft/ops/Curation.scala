@@ -1832,6 +1832,33 @@ object Curation {
     * carries only the columns the caller selected. Deterministic under
     * ties by construction.
     */
+  /** Crawl-churn diff between two snapshots: per key (URL), status
+    * `new` (only in `cur`), `gone` (only in `prev`), `changed`
+    * (both, different content hash) or `unchanged` — the signal a
+    * recrawl scheduler and an incremental-ingest planner read.
+    * Inputs must carry one row per key per snapshot (collapse a
+    * multi-fetch snapshot with [[latestSnapshotAsOf]] first).
+    *
+    * Scale shape: both sides reduce to thin (key, hash) rows before
+    * the single full-outer equi-join on the key — page bytes never
+    * move; output is key-partitioned and feeds churn stats as a
+    * map-side-combinable groupBy on `status`.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+      hashCol: String): DataFrame = {
+    val p = prev.select(col(keyCol).as("_sd_k"),
+      col(hashCol).as("prev_hash"))
+    val c = cur.select(col(keyCol).as("_sd_k"),
+      col(hashCol).as("cur_hash"))
+    p.join(c, Seq("_sd_k"), "full_outer")
+      .select(col("_sd_k").as(keyCol), col("prev_hash"),
+        col("cur_hash"),
+        when(col("prev_hash").isNull, "new")
+          .when(col("cur_hash").isNull, "gone")
+          .when(col("prev_hash") === col("cur_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   def latestSnapshotAsOf(df: DataFrame, keyCol: String, tsCol: String,
       cutoff: Column, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -1490,6 +1490,19 @@ class OpsSpec extends AnyFunSuite {
       ("c", "d", 1L)))
   }
 
+  test("snapshotDiff: new / gone / changed / unchanged verdicts") {
+    import spark.implicits._
+    val prev = Seq(("a", "h1"), ("b", "h2"), ("c", "h3"))
+      .toDF("url", "h").repartition(2)
+    val cur = Seq(("b", "h2"), ("c", "hX"), ("d", "h4"))
+      .toDF("url", "h").repartition(3)
+    val got = Curation.snapshotDiff(prev, cur, "url", "h")
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getAs[String]("status")))
+    assert(got.toSeq === Seq(("a", "gone"), ("b", "unchanged"),
+      ("c", "changed"), ("d", "new")))
+  }
+
   test("c4Clean: line predicate (terminal punct, min words, javascript) " +
     "and page gate (sentences, lorem ipsum, brace)") {
     import spark.implicits._
