@@ -1405,6 +1405,26 @@ object SparkEntry {
       Curation.snapshotDiff(prev, cur, "url", "h")
         .orderBy("url")
     }),
+    // extraction grading: token-level precision/recall/F1 of a
+    // predicted extraction vs gold (CleanEval-style) — pred plants
+    // recall loss (first 3 tokens cut, id%4==0) and precision loss
+    // (boilerplate tokens appended, id%3==0); thin (id, tokHash, cnt)
+    // shuffle only
+    "q93_extract_score" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val docs = t(s, d, "documents")
+      val toks = graft.ops.Dedup.tokens(col("text"))
+      val base = when(pmod(did, lit(4)) === 0,
+        slice(toks, 4, 1000000)).otherwise(toks)
+      val app = when(pmod(did, lit(3)) === 0,
+        concat(base, array(lit("nav"), lit("menu"), lit("footer"),
+          lit("nav")))).otherwise(base)
+      TextAnalysis.extractionScore(
+        docs.select(col("doc_id"), col("text")),
+        docs.select(col("doc_id"), array_join(app, " ").as("pred_text")),
+        "doc_id", "text", "pred_text")
+        .orderBy("doc_id")
+    }),
     // curation: per-HOST boilerplate line scrub (site templates — nav
     // menus / footers repeating across a host's pages — removed by
     // document-frequency threshold; capped + accounted template sets;
@@ -3574,6 +3594,51 @@ object SparkEntry {
             ELSE 'changed' END AS status
         FROM p FULL OUTER JOIN c ON p.url = c.url
         ORDER BY url""",
+    // q93: gold/pred token bags re-derived from the same plant; the
+    // multiset overlap is SUM(LEAST(gc, pc)) over the full-outer
+    // (doc, tokHash) join, ppm with integer division — identical
+    // truncation both engines
+    "q93_extract_score" ->
+      s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS id, doc_id,
+          $toksSql AS g FROM documents),
+        pr0 AS (SELECT id, doc_id, g,
+          CASE WHEN id % 4 = 0 THEN g[4:] ELSE g END AS p1 FROM b),
+        pr AS (SELECT id, doc_id, g,
+          CASE WHEN id % 3 = 0
+            THEN list_concat(p1, ['nav','menu','footer','nav'])
+            ELSE p1 END AS pt FROM pr0),
+        gc AS (SELECT doc_id, th, COUNT(*) AS gcnt FROM
+          (SELECT doc_id,
+             CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS th
+           FROM (SELECT doc_id, unnest(g) AS tk FROM pr))
+          GROUP BY 1, 2),
+        pc AS (SELECT doc_id, th, COUNT(*) AS pcnt FROM
+          (SELECT doc_id,
+             CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS th
+           FROM (SELECT doc_id, unnest(pt) AS tk FROM pr))
+          GROUP BY 1, 2),
+        j AS (SELECT COALESCE(gc.doc_id, pc.doc_id) AS doc_id,
+            COALESCE(gcnt, 0) AS gcnt, COALESCE(pcnt, 0) AS pcnt
+          FROM gc FULL OUTER JOIN pc
+            ON gc.doc_id = pc.doc_id AND gc.th = pc.th),
+        a AS (SELECT doc_id, CAST(SUM(gcnt) AS BIGINT) AS n_gold,
+            CAST(SUM(pcnt) AS BIGINT) AS n_pred,
+            CAST(SUM(LEAST(gcnt, pcnt)) AS BIGINT) AS n_overlap
+          FROM j GROUP BY 1),
+        f AS (SELECT *,
+          CAST(CASE WHEN n_pred > 0
+            THEN (n_overlap * 1000000) // n_pred ELSE 0 END AS BIGINT)
+            AS precision_ppm,
+          CAST(CASE WHEN n_gold > 0
+            THEN (n_overlap * 1000000) // n_gold ELSE 0 END AS BIGINT)
+            AS recall_ppm FROM a)
+        SELECT doc_id, n_gold, n_pred, n_overlap, precision_ppm,
+          recall_ppm,
+          CAST(CASE WHEN precision_ppm + recall_ppm > 0
+            THEN (2 * precision_ppm * recall_ppm)
+              // (precision_ppm + recall_ppm) ELSE 0 END AS BIGINT)
+            AS f1_ppm
+        FROM f ORDER BY doc_id""",
     // q79: same df-threshold + top-64 cap + md5 line keys; the kept
     // list is rebuilt only when something was removed, mirroring the
     // Spark side's original-text preservation

@@ -13,6 +13,53 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(filter(split(trim(text), "\\s+"), t => t =!= ""))
 
+  /** Extraction-quality scorer: token-level precision / recall / F1
+    * (integer ppm) of a predicted extraction against gold text, per
+    * document — the grading harness an extractor change is judged by
+    * (boilerplate left in → precision drops; content cut → recall
+    * drops). Token match is the bag-of-words multiset overlap on
+    * [[graft.ops.Dedup.tokens]] (lowercased whitespace tokens), the
+    * standard main-content-extraction benchmark metric
+    * (CleanEval / Boilerpipe evaluations score token F1).
+    *
+    * Scale shape: both corpora reduce to thin (id, tokHash, cnt) rows
+    * via map-side-combinable partial aggregation — document text never
+    * shuffles, tokens shuffle as 8-byte hashes, never strings; one
+    * full-outer equi-join on (id, hash) then a per-id sum. Docs with
+    * zero tokens on both sides don't appear (no rows to score).
+    * Hash collisions inside one doc merge counts, same documented
+    * trade as [[graft.ops.Curation.tokenDfStats]].
+    */
+  def extractionScore(gold: DataFrame, pred: DataFrame, idCol: String,
+      goldTextCol: String, predTextCol: String): DataFrame = {
+    def counts(df: DataFrame, tcol: String, cnt: String): DataFrame =
+      df.select(col(idCol),
+          explode(graft.ops.Dedup.tokens(col(tcol))).as("_t"))
+        .select(col(idCol), graft.ops.Dedup.tokHash(col("_t")).as("_th"))
+        .groupBy(col(idCol), col("_th"))
+        .agg(count(lit(1)).as(cnt))
+    val zero = lit(0L)
+    counts(gold, goldTextCol, "_gc")
+      .join(counts(pred, predTextCol, "_pc"), Seq(idCol, "_th"),
+        "full_outer")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("_gc"), zero)).as("n_gold"),
+        sum(coalesce(col("_pc"), zero)).as("n_pred"),
+        sum(least(coalesce(col("_gc"), zero),
+          coalesce(col("_pc"), zero))).as("n_overlap"))
+      .withColumn("precision_ppm", when(col("n_pred") > 0,
+        (col("n_overlap") * 1000000L) / col("n_pred"))
+        .otherwise(zero).cast("long"))
+      .withColumn("recall_ppm", when(col("n_gold") > 0,
+        (col("n_overlap") * 1000000L) / col("n_gold"))
+        .otherwise(zero).cast("long"))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0,
+          (lit(2L) * col("precision_ppm") * col("recall_ppm")) /
+            (col("precision_ppm") + col("recall_ppm")))
+          .otherwise(zero).cast("long"))
+  }
+
   /** BPE-ish subword count: letter runs, digit runs, single punctuation —
     * the standard pre-tokenizer regex family.
     */

@@ -1490,6 +1490,29 @@ class OpsSpec extends AnyFunSuite {
       ("c", "d", 1L)))
   }
 
+  test("extractionScore: multiset token precision/recall/F1 in ppm") {
+    import spark.implicits._
+    val gold = Seq((1L, "The cat sat on the mat"),
+      (2L, "alpha beta gamma"), (3L, "x x y"))
+      .toDF("doc_id", "text").repartition(2)
+    val pred = Seq((1L, "the cat sat on the mat nav"), (2L, ""),
+      (3L, "x y y")).toDF("doc_id", "ptext").repartition(3)
+    val got = TextAnalysis.extractionScore(gold, pred, "doc_id",
+        "text", "ptext")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_gold"),
+        r.getAs[Long]("n_pred"), r.getAs[Long]("n_overlap"),
+        r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm"),
+        r.getAs[Long]("f1_ppm")))
+    val p1 = 6000000L / 7
+    val f1 = 2 * p1 * 1000000L / (p1 + 1000000L)
+    assert(got.toSeq === Seq(
+      (1L, 6L, 7L, 6L, p1, 1000000L, f1),  // boilerplate token added
+      (2L, 3L, 0L, 0L, 0L, 0L, 0L),        // empty prediction
+      // multiset: x min(2,1) + y min(1,2) = 2 of 3
+      (3L, 3L, 3L, 2L, 666666L, 666666L, 666666L)))
+  }
+
   test("snapshotDiff: new / gone / changed / unchanged verdicts") {
     import spark.implicits._
     val prev = Seq(("a", "h1"), ("b", "h2"), ("c", "h3"))
