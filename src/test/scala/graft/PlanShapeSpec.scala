@@ -270,6 +270,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("c4Clean: zero shuffles — pure per-row line fold") {
+    withPlainPlan {
+      val out = Curation.c4Clean(docs, "doc_id", "text")
+      assert(shuffledNames(out).isEmpty,
+        "C4 cleaning must be shuffle-free (per-row Columns only)")
+    }
+  }
+
+  test("extractionScore: shuffles carry token hashes, never text") {
+    withPlainPlan {
+      val pred = docs.select(col("doc_id"), col("text").as("ptext"))
+      val out = graft.ops.TextAnalysis.extractionScore(
+        docs, pred, "doc_id", "text", "ptext")
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty, "expected the (id, hash) count shuffles")
+      shuffles.foreach(s =>
+        assert(!s.contains("text") && !s.contains("ptext") &&
+          !s.contains("_t"), s"text/token shuffled: $s"))
+    }
+  }
+
   test("registrableDomain: zero shuffles — every PSL depth join " +
       "broadcasts") {
     withPlainPlan {
