@@ -1357,6 +1357,12 @@ object SparkEntry {
           "github.io"))
         .orderBy("doc_id")
     }),
+    // web graph: 2 rounds of integer-exact HITS hubs/authorities over
+    // the q73 host-level link table — the directory-vs-destination
+    // centrality pair a link-farm gate reads alongside PageRank
+    "q94_hits" -> ((s, d) =>
+      WebGraph.hits(webEdges(s, d), "src", "dst", iterations = 2)
+        .orderBy("node")),
     // web graph: redirect-chain resolution by pointer doubling —
     // chains of up to 10 hops collapse to their terminal URL in
     // O(log maxHops) thin self-joins; planted 2-cycles and
@@ -1918,6 +1924,33 @@ object SparkEntry {
       r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
         FROM nd)$rounds
       SELECT node, rank_ppb FROM r3 ORDER BY node"""
+  }
+
+  /** q94 oracle: HITS unrolled per round — authorities from the
+    * previous hubs, hubs from the NEW authorities, each max-normalized
+    * to 1e9 with integer division (HUGEINT in DuckDB, decimal(38,0)
+    * on the Spark side — identical truncation).
+    */
+  private lazy val q94Sql: String = {
+    val rounds = (1 to 2).map { i =>
+      s""",
+      a${i}r AS (SELECT e.dst AS node, SUM(hh.h) AS raw
+        FROM e JOIN h${i - 1} hh ON e.src = hh.node GROUP BY e.dst),
+      a$i AS (SELECT nd.node, CAST(COALESCE((raw * 1000000000)
+          // (SELECT MAX(raw) FROM a${i}r), 0) AS BIGINT) AS a
+        FROM nd LEFT JOIN a${i}r USING (node)),
+      h${i}r AS (SELECT e.src AS node, SUM(aa.a) AS raw
+        FROM e JOIN a$i aa ON e.dst = aa.node GROUP BY e.src),
+      h$i AS (SELECT nd.node, CAST(COALESCE((raw * 1000000000)
+          // (SELECT MAX(raw) FROM h${i}r), 0) AS BIGINT) AS h
+        FROM nd LEFT JOIN h${i}r USING (node))"""
+    }.mkString
+    s"""WITH e AS ($webEdgesSql),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM nd)$rounds
+      SELECT nd.node, a2.a AS auth_ppb, h2.h AS hub_ppb
+      FROM nd JOIN a2 USING (node) JOIN h2 USING (node)
+      ORDER BY node"""
   }
 
   /** Shared planted-contamination input for q45/q59: docs %11==3 get
@@ -3213,6 +3246,7 @@ object SparkEntry {
         LEFT JOIN i ON i.node = nd.node
         ORDER BY nd.node""",
     "q74_pagerank" -> q74Sql,
+    "q94_hits" -> q94Sql,
     // q81: every metadata field re-derived from the synthesis formulas
     // (title entity-decode + markup strip, description across attr
     // orders/quote styles, canonical resolution incl. the <base href>

@@ -111,6 +111,65 @@ object WebGraph {
     ranks
   }
 
+  /** `iterations` rounds of HITS (Kleinberg 1999, "Authoritative
+    * sources in a hyperlinked environment") over the edge list — the
+    * hub/authority centrality pair complementing [[pageRank]] (good
+    * DIRECTORIES vs good DESTINATIONS; a link-farm gate reads the
+    * hub/authority imbalance). Returns (node, auth_ppb, hub_ppb).
+    *
+    * Determinism: integer parts-per-billion with per-round max
+    * normalization — a_raw = Σ hub over in-edges (decimal(38,0) sums,
+    * exact in any aggregation order), then a = a_raw·Scale div
+    * max(a_raw), so the top authority is exactly [[Scale]]; hubs
+    * update from the NEW authorities (the classic sequencing).
+    * Parallel edges count as multi-edges, matching the SQL twin.
+    *
+    * Scale shape: per round, two thin shuffles (edges ⋈ scores on one
+    * endpoint, partial-agg on the other) — identical to a PageRank
+    * round. The normalization max is the algorithm's own global
+    * reduce: it rides a `crossJoin(broadcast(max))` scalar inside the
+    * data plan (node-table-sized job), not a driver-side control
+    * probe. Score tables are localCheckpoint-fenced per round with the
+    * previous round's blocks released.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col(srcCol).as("_ht_s"), col(dstCol).as("_ht_d"))
+      .localCheckpoint()
+    val nodeTable = nodes(edges, srcCol, dstCol).localCheckpoint()
+    val dec = "decimal(38,0)"
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val m = raw.agg(max(col("_raw")).as("_m"))
+      nodeTable.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("node"),
+          when(col("_raw").isNotNull && col("_m") > 0,
+            call_function("div",
+              col("_raw") * lit(Scale).cast(dec), col("_m")))
+            .otherwise(lit(0L)).cast("long").as(outCol))
+    }
+    var h = nodeTable.withColumn("hub_ppb", lit(Scale)).localCheckpoint()
+    var a: DataFrame = null
+    var iter = 0
+    while (iter < iterations) {
+      val araw = e.join(h.withColumnRenamed("node", "_ht_s"), Seq("_ht_s"))
+        .groupBy(col("_ht_d").as("node"))
+        .agg(sum(col("hub_ppb")).cast(dec).as("_raw"))
+      val aNext = normalized(araw, "auth_ppb").localCheckpoint()
+      if (a != null) unpersistCheckpoint(a)
+      a = aNext
+      val hraw = e.join(a.withColumnRenamed("node", "_ht_d"), Seq("_ht_d"))
+        .groupBy(col("_ht_s").as("node"))
+        .agg(sum(col("auth_ppb")).cast(dec).as("_raw"))
+      val hNext = normalized(hraw, "hub_ppb").localCheckpoint()
+      unpersistCheckpoint(h)
+      h = hNext
+      iter += 1
+    }
+    a.join(h, Seq("node"))
+  }
+
   /** Anchor-text aggregation per link-target host — the off-page
     * relevance signal search indexing attaches to a host (the anchor
     * words OTHER sites use for it): per dst host, the inbound link

@@ -1447,6 +1447,35 @@ class OpsSpec extends AnyFunSuite {
     assert(rk("d") === 150000000L)
   }
 
+  test("hits: integer hub/authority scores match a scalar twin") {
+    import spark.implicits._
+    val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
+      "d" -> "c", "a" -> "b")
+    val edges = es.toDF("src", "dst").repartition(4)
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> BigInt(1000000000L)).toMap
+    var a = Map.empty[String, BigInt]
+    for (_ <- 1 to 2) {
+      val araw = nodes.map(n =>
+        n -> es.filter(_._2 == n).map(x => h(x._1)).sum).toMap
+      val am = araw.values.max
+      a = nodes.map(n => n -> araw(n) * 1000000000L / am).toMap
+      val hraw = nodes.map(n =>
+        n -> es.filter(_._1 == n).map(x => a(x._2)).sum).toMap
+      val hm = hraw.values.max
+      h = nodes.map(n => n -> hraw(n) * 1000000000L / hm).toMap
+    }
+    val got = WebGraph.hits(edges, "src", "dst", 2)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === nodes.map(n => (n, a(n).toLong, h(n).toLong)))
+    // max normalization: the top authority and top hub sit exactly at
+    // Scale; the pure-sink node d has hub from its edge but 0 authority
+    assert(a.values.max === BigInt(1000000000L))
+    assert(h.values.max === BigInt(1000000000L))
+    assert(a("d") === BigInt(0))
+  }
+
   test("resolveRedirects: chains, cycles, duplicate-source collapse " +
     "and the hop budget") {
     import spark.implicits._
