@@ -1357,6 +1357,22 @@ object SparkEntry {
           "github.io"))
         .orderBy("doc_id")
     }),
+    // dedup: asymmetric containment near-dup via rare-shingle blocking
+    // — planted excerpt docs (first 12 tokens of every id%10==5 doc,
+    // re-keyed +1e6) must surface with contain_b = 1e6 even though
+    // their Jaccard vs the parent is low; blocking shuffles 32-bit
+    // shingle hashes only, exact re-check per candidate pair
+    "q95_containment" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val subs = base.filter(pmod(col("id"), lit(10)) === 5)
+        .select((col("id") + 1000000L).as("id"),
+          array_join(slice(graft.ops.Dedup.tokens(col("text")), 1, 12),
+            " ").as("text"))
+      graft.ops.Dedup.containmentPairs(base.union(subs), "id", "text",
+        n = 3, maxShingleDf = 16, minContainPpm = 900000L)
+        .orderBy("a", "b")
+    }),
     // web graph: 2 rounds of integer-exact HITS hubs/authorities over
     // the q73 host-level link table — the directory-vs-destination
     // centrality pair a link-farm gate reads alongside PageRank
@@ -3532,6 +3548,41 @@ object SparkEntry {
           CASE WHEN n > p
             THEN array_to_string(ls[n - p : n], '.') END AS reg_domain
         FROM ps ORDER BY doc_id""",
+    // q95: the same rare-shingle blocking + exact list_intersect
+    // re-check in SQL; same 32-bit md5-prefix blocking hash, same
+    // integer-ppm truncation
+    "q95_containment" ->
+      s"""WITH b0 AS (SELECT CAST(doc_id AS BIGINT) AS id, text
+          FROM documents),
+        sub AS (SELECT id + 1000000 AS id,
+            array_to_string(($toksSql)[1:12], ' ') AS text
+          FROM b0 WHERE id % 10 = 5),
+        allr AS (SELECT id, text FROM b0
+          UNION ALL SELECT id, text FROM sub),
+        sh AS (SELECT id, ${shingleSql(3)} AS sh FROM allr),
+        thin AS (SELECT DISTINCT id,
+            CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+          FROM (SELECT id, unnest(sh) AS s FROM sh)),
+        dft AS (SELECT h, COUNT(*) AS dfc FROM thin GROUP BY h
+          HAVING COUNT(*) BETWEEN 2 AND 16),
+        blocked AS (SELECT id, thin.h FROM thin JOIN dft USING (h)),
+        cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+          FROM blocked l JOIN blocked r
+            ON l.h = r.h AND l.id < r.id),
+        sc AS (SELECT a, b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+            CAST(len(sa.sh) AS BIGINT) AS sza,
+            CAST(len(sb.sh) AS BIGINT) AS szb
+          FROM cand JOIN sh sa ON cand.a = sa.id
+            JOIN sh sb ON cand.b = sb.id),
+        f AS (SELECT a, b, inter, sza, szb,
+          CAST(CASE WHEN sza > 0 THEN (inter * 1000000) // sza
+            ELSE 0 END AS BIGINT) AS contain_a_ppm,
+          CAST(CASE WHEN szb > 0 THEN (inter * 1000000) // szb
+            ELSE 0 END AS BIGINT) AS contain_b_ppm FROM sc)
+        SELECT * FROM f
+        WHERE GREATEST(contain_a_ppm, contain_b_ppm) >= 900000
+        ORDER BY a, b""",
     // q90: the oracle walks the same min-collapsed redirect map with a
     // recursive CTE (per-hop sequential — fine at oracle scale; the
     // Spark side must reach the identical terminals via pointer

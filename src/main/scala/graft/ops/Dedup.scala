@@ -285,6 +285,88 @@ object Dedup {
       .select("a", "b", "inter", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT near-dup — C(A→B) = |S(A)∩S(B)| / |S(A)|
+    * over distinct word n-gram shingle sets: catches subset
+    * duplication (a quote page, a syndicated excerpt, a wrapper around
+    * another page's body) that symmetric Jaccard and its minhash-LSH
+    * prefilter structurally miss — a short doc fully inside a long one
+    * has containment 1.0 but arbitrarily low Jaccard, so it never
+    * clears an est-Jaccard band bucket.
+    *
+    * Candidate generation is rare-shingle blocking (the
+    * entity-resolution "discriminative blocking key" construction; LSH
+    * Ensemble, Zhu et al. VLDB 2016, is the tuned-band alternative):
+    * docs pair when they share ≥1 shingle whose corpus document
+    * frequency is in [2, maxShingleDf]. A contained doc surfaces
+    * unless EVERY shingle it has is corpus-common (df > cap) —
+    * boilerplate-only subsets, which the boilerplate scrubs own;
+    * [[containmentSkippedShingles]] accounts the keys the cap dropped.
+    *
+    * Scale shape: shingles travel as 32-bit hashes in the blocking
+    * shuffle (a hash collision only creates a spurious candidate,
+    * removed by the exact re-check); per blocked key the self-join
+    * fans out ≤ maxShingleDf² pairs; the exact intersection computes
+    * per CANDIDATE PAIR ONLY via array_intersect over the two shingle
+    * arrays — no corpus-wide shingle-string shuffle. Ratios are
+    * integer ppm for oracle parity.
+    *
+    * Returns (a, b, inter, sza, szb, contain_a_ppm, contain_b_ppm)
+    * for pairs with max(contain_a, contain_b) ≥ minContainPpm.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxShingleDf: Int = 64,
+      minContainPpm: Long = 900000L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        filter(shinglesOf(col("tk"), n), s => length(s) > 0).as("sh"))
+    val thin = sh.select(col("id"), explode(col("sh")).as("_s"))
+      .select(col("id"), tokHash(col("_s")).as("_h"))
+      .distinct()
+    val dfT = thin.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxShingleDf)
+    val blocked = thin.join(dfT, "_h")
+    val cand = blocked.as("l").join(blocked.as("r"),
+        col("l._h") === col("r._h") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("sza", size(col("sha")).cast("long"))
+      .withColumn("szb", size(col("shb")).cast("long"))
+      .withColumn("contain_a_ppm", when(col("sza") > 0,
+        (col("inter") * 1000000L) / col("sza")).otherwise(lit(0L))
+        .cast("long"))
+      .withColumn("contain_b_ppm", when(col("szb") > 0,
+        (col("inter") * 1000000L) / col("szb")).otherwise(lit(0L))
+        .cast("long"))
+      .filter(greatest(col("contain_a_ppm"), col("contain_b_ppm"))
+        >= minContainPpm)
+      .select("a", "b", "inter", "sza", "szb", "contain_a_ppm",
+        "contain_b_ppm")
+  }
+
+  /** Blocking keys [[containmentPairs]] dropped for being corpus-common
+    * (df > maxShingleDf): (shingle_hash, df) — the cap accounting a
+    * caller sizes maxShingleDf with, same contract as
+    * [[minhashLshSkippedBuckets]].
+    */
+  def containmentSkippedShingles(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxShingleDf: Int = 64): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        filter(shinglesOf(col("tk"), n), s => length(s) > 0).as("sh"))
+    sh.select(col("id"), explode(col("sh")).as("_s"))
+      .select(col("id"), tokHash(col("_s")).as("_h"))
+      .distinct()
+      .groupBy(col("_h").as("shingle_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+  }
+
   /** Dedup end-game: candidate pairs → connected components → canonical
     * survivor per component (min id). Returns (id, canonical_id) for
     * EVERY row of `df` — docs with no near-dup pair are their own

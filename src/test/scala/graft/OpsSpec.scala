@@ -1447,6 +1447,32 @@ class OpsSpec extends AnyFunSuite {
     assert(rk("d") === 150000000L)
   }
 
+  test("containmentPairs: subset duplication surfaces via rare-shingle " +
+    "blocking; cap accounting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the " +
+        "river bank today"),
+      (2L, "the quick brown fox jumps over"), // strict subset of doc 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("id", "text").repartition(2)
+    val got = Dedup.containmentPairs(docs, "id", "text", n = 3,
+      maxShingleDf = 8, minContainPpm = 900000L).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getAs[Long]("inter") === 4L) // doc 2 has 4 3-shingles
+    assert(r.getAs[Long]("sza") === 12L)
+    assert(r.getAs[Long]("contain_b_ppm") === 1000000L) // fully inside
+    assert(r.getAs[Long]("contain_a_ppm") === 4000000L / 12)
+    // the pair's symmetric Jaccard is 4/12 — below any usual LSH gate
+    // cap accounting: maxShingleDf=1 drops every shared blocking key
+    assert(Dedup.containmentPairs(docs, "id", "text", 3, 1, 0L).isEmpty)
+    val skipped = Dedup.containmentSkippedShingles(docs, "id", "text",
+      3, 1).collect()
+    assert(skipped.length === 4 && skipped.forall(_.getLong(1) === 2L))
+  }
+
   test("hits: integer hub/authority scores match a scalar twin") {
     import spark.implicits._
     val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",

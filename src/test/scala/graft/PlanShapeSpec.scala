@@ -291,6 +291,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs: blocking shuffles carry 32-bit hashes, " +
+      "never text or raw shingle strings") {
+    withPlainPlan {
+      val out = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 2, maxShingleDf = 8, minContainPpm = 0L)
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty, "expected the blocking-key shuffles")
+      shuffles.foreach(s =>
+        assert(!s.contains("text") && !s.contains("_s"),
+          s"text/shingle string shuffled: $s"))
+    }
+  }
+
   test("registrableDomain: zero shuffles — every PSL depth join " +
       "broadcasts") {
     withPlainPlan {
