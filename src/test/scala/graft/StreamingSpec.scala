@@ -40,6 +40,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("C4 cleaning on a stream == batch (stateless per-row gate)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 60L).map { i =>
+      val lorem = if (i % 7 == 0) "\nlorem ipsum dolor sit amet." else ""
+      (i, ("Sentence number " + i + " is long enough to keep.\n") * 5 +
+        "short\njavascript snippet line here today." + lorem)
+    }
+    val stream = MemoryStream[(Long, String)]
+    val cleaned = graft.ops.Curation.c4Clean(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = cleaned.writeStream.format("memory")
+      .queryName("c4_stream_out").outputMode("append").start()
+    stream.addData(docs.slice(0, 30)); q.processAllAvailable()
+    stream.addData(docs.slice(30, 60)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("c4_stream_out").collect()
+      .map(_.toString).sorted
+    val batch = graft.ops.Curation.c4Clean(
+      docs.toDF("doc_id", "text"), "doc_id", "text").collect()
+      .map(_.toString).sorted
+    assert(streamed.length === 60 && streamed.toSeq === batch.toSeq)
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
