@@ -79,7 +79,8 @@ object Bench {
       "q84_sitemap", "q85_soft_errors", "q86_charset",
       "q87_canonical_collapse", "q88_ccnet_buckets", "q89_reg_domain",
       "q90_redirects", "q91_c4_clean", "q92_snapshot_diff",
-      "q93_extract_score", "q94_hits", "q95_containment")
+      "q93_extract_score", "q94_hits", "q95_containment",
+      "q96_span_dedup_confirmed")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

@@ -1373,6 +1373,27 @@ object SparkEntry {
         n = 3, maxShingleDf = 16, minContainPpm = 900000L)
         .orderBy("a", "b")
     }),
+    // curation: collision-proof exact-substring scrub — the q55
+    // semantics confirmed on the gram TEXT, so the result is exact
+    // string-level span dedup at any corpus size (the 32-bit portable
+    // hash q55 compares on saturates at 10^12 grams). The oracle
+    // computes the string semantics DIRECTLY (no hashes at all):
+    // matching it proves the xxhash64-prefilter + string-confirm plan
+    // equals pure string semantics.
+    "q96_span_dedup_confirmed" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val aug = concat_ws(" ",
+        when(pmod(did, lit(13)) === 5, lit(PlantCookie)),
+        col("text"),
+        when(pmod(did, lit(7)) === 2, lit(PlantSubscribe)))
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        aug.as("text"))
+      Curation.dropDuplicatedSpansConfirmed(docs, "doc_id", "text",
+        n = 8, minDocs = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("removed_ppm"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
     // web graph: 2 rounds of integer-exact HITS hubs/authorities over
     // the q73 host-level link table — the directory-vs-destination
     // centrality pair a link-farm gate reads alongside PageRank
@@ -3548,6 +3569,41 @@ object SparkEntry {
           CASE WHEN n > p
             THEN array_to_string(ls[n - p : n], '.') END AS reg_domain
         FROM ps ORDER BY doc_id""",
+    // q96: pure STRING-level duplicated-gram semantics — no hash
+    // anywhere in the oracle. The Spark side prefilters on xxhash64
+    // and confirms on the gram text; equality here proves the
+    // prefilter+confirm plan computes exact string semantics.
+    "q96_span_dedup_confirmed" ->
+      s"""WITH corpus AS (SELECT doc_id,
+          (CASE WHEN CAST(doc_id AS BIGINT) % 13 = 5
+            THEN '$PlantCookie ' ELSE '' END) || text ||
+          (CASE WHEN CAST(doc_id AS BIGINT) % 7 = 2
+            THEN ' $PlantSubscribe' ELSE '' END) AS text
+          FROM documents),
+        t AS (SELECT doc_id, text, $toksSql AS toks FROM corpus),
+        g AS (SELECT doc_id, i - 1 AS pos,
+            array_to_string(toks[i : i + 7], ' ') AS gs
+          FROM (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - 7)) AS i
+            FROM t WHERE len(toks) >= 8)),
+        dup AS (SELECT gs FROM (SELECT gs, count(DISTINCT doc_id) AS c
+            FROM g GROUP BY gs) WHERE c >= 2),
+        fp AS (SELECT doc_id, list(pos) AS fps
+          FROM g JOIN dup USING (gs) GROUP BY doc_id),
+        k AS (SELECT t.doc_id, text, toks,
+            list_filter(range(0, len(toks)), j -> len(list_filter(
+              coalesce(fps, CAST([] AS BIGINT[])),
+              p -> p <= j AND j < p + 8)) = 0) AS keep
+          FROM t LEFT JOIN fp ON t.doc_id = fp.doc_id)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(toks) - len(keep) AS BIGINT) AS n_removed,
+          CAST(CASE WHEN len(toks) > 0
+            THEN ((len(toks) - len(keep)) * 1000000) // len(toks)
+            ELSE 0 END AS BIGINT) AS removed_ppm,
+          md5(CASE WHEN len(keep) = len(toks) THEN text
+            ELSE coalesce(array_to_string(list_transform(keep,
+              j -> toks[j + 1]), ' '), '') END) AS clean_md5
+        FROM k ORDER BY doc_id""",
     // q95: the same rare-shingle blocking + exact list_intersect
     // re-check in SQL; same 32-bit md5-prefix blocking hash, same
     // integer-ppm truncation

@@ -259,6 +259,13 @@ object Curation {
     * and only CROSS-document repeats count (a span repeated twice
     * inside one document is [[dedupLinesWithinDoc]]'s department).
     *
+    * The proof above is at STRING level; this implementation compares
+    * grams by the 32-bit portable `Dedup.tokHash` (kept so the DuckDB
+    * oracle can replicate it bit-for-bit), which saturates long before
+    * 10^12 grams — at corpus scale use [[dropDuplicatedSpansConfirmed]],
+    * which restores exact string semantics at any size by confirming
+    * candidates on the gram text itself.
+    *
     * Scale shape mirrors [[dropDuplicatedParagraphs]]: gram hashes are
     * computed in the same per-row projection that explodes them, so
     * only thin (id, pos, hash) rows shuffle — text never moves; the
@@ -271,9 +278,10 @@ object Curation {
     * (integer ppm) and `clean_text`.
     */
   def dropDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Int = 2): DataFrame = {
+      n: Int = 8, minDocs: Int = 2,
+      hashFn: Column => Column = Dedup.tokHash): DataFrame = {
     require(n > 0 && minDocs > 1)
-    val (withT, thin) = gramStarts(df, idCol, textCol, n)
+    val (withT, thin) = gramStarts(df, idCol, textCol, n, hashFn)
     val dup = Skew.saltedDistinctCount(thin, col("_gh"), col(idCol),
         buckets = 64, out = "_nd")
       .withColumnRenamed("_k", "_gh")
@@ -282,20 +290,76 @@ object Curation {
     scrubFlagged(withT, thin.join(dup, "_gh"), idCol, n, textCol)
   }
 
+  /** [[dropDuplicatedSpans]] with STRING-level confirmation of every
+    * flagged gram — the output equals the pure string semantics "scrub
+    * tokens covered by a word n-gram whose exact TEXT occurs in >=
+    * `minDocs` docs", with no hash-collision false positives at any
+    * corpus size.
+    *
+    * Why it exists: the hash-only form flags gram HASHES duplicated
+    * across docs. Any fixed-width hash space saturates at the design
+    * scale — 10^12 grams against the 32-bit portable `Dedup.tokHash`
+    * means essentially EVERY hash value recurs and the mask degrades
+    * to scrubbing everything; even 64 bits yields ~3×10^4 colliding
+    * pairs (birthday bound (10^12)^2 / 2^65), each one silently
+    * deleting innocent text from every doc holding the unlucky gram.
+    *
+    * Shape: (1) hash-prefilter exactly as [[dropDuplicatedSpans]] but
+    * on `prefilterHash` (default xxhash64 — 64-bit, codegen'd; the
+    * 32-bit portable hash would pass everything at scale and is
+    * deliberately NOT the default); (2) rebuild gram STRINGS only at
+    * candidate positions — an inner join, so only docs holding a
+    * candidate re-materialize any gram text, and the string shuffle is
+    * sized by true-duplicate volume + the tiny collision set, never
+    * the corpus; (3) re-count distinct docs BY STRING and scrub only
+    * confirmed positions. Supersetting is guaranteed (equal strings
+    * hash equal), so no true duplicate can be lost in stage 1.
+    */
+  def dropDuplicatedSpansConfirmed(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minDocs: Int = 2,
+      prefilterHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(n > 0 && minDocs > 1)
+    val (withT, thin) = gramStarts(df, idCol, textCol, n, prefilterHash)
+    val candHash = Skew.saltedDistinctCount(thin, col("_gh"), col(idCol),
+        buckets = 64, out = "_nd")
+      .withColumnRenamed("_k", "_gh")
+      .filter(col("_nd") >= minDocs)
+      .select(col("_gh"))
+    // candidate start positions per doc (hash-level: true duplicates
+    // plus collision false positives)
+    val candPos = thin.join(candHash, "_gh")
+      .groupBy(col(idCol)).agg(collect_set(col("_pos")).as("_cps"))
+    // gram text re-materialized ONLY at candidate positions
+    val candStr = withT.join(candPos, Seq(idCol))
+      .select(col(idCol), explode(col("_cps")).as("_pos"), col("_stoks"))
+      .select(col(idCol), col("_pos"),
+        array_join(slice(col("_stoks"), col("_pos") + 1, lit(n)), " ")
+          .as("_g"))
+    val dupStr = Skew.saltedDistinctCount(candStr, col("_g"), col(idCol),
+        buckets = 64, out = "_nd2")
+      .withColumnRenamed("_k", "_g")
+      .filter(col("_nd2") >= minDocs)
+      .select(col("_g"))
+    scrubFlagged(withT,
+      candStr.join(dupStr, "_g").select(col(idCol), col("_pos")),
+      idCol, n, textCol)
+  }
+
   /** Tokenize + enumerate 0-based gram start positions and their
     * engine-portable hashes, hashed in the same per-row projection
     * that explodes them (text never enters the thin frame). Returns
     * (tokenized input, thin (idCol, _pos, _gh) frame).
     */
   private def gramStarts(df: DataFrame, idCol: String, textCol: String,
-      n: Int): (DataFrame, DataFrame) = {
+      n: Int,
+      hashFn: Column => Column = Dedup.tokHash): (DataFrame, DataFrame) = {
     val withT = df.withColumn("_stoks", Dedup.tokens(col(textCol)))
     val len = size(col("_stoks"))
     // a doc shorter than n has no grams
     val posSeq = when(len >= n, sequence(lit(0), len - n))
       .otherwise(array().cast("array<int>"))
     val ghArr = transform(posSeq, i =>
-      Dedup.tokHash(array_join(slice(col("_stoks"), i + 1, lit(n)), " ")))
+      hashFn(array_join(slice(col("_stoks"), i + 1, lit(n)), " ")))
     val thin = withT.withColumn("_ghs", ghArr)
       .select(col(idCol), posexplode(col("_ghs")).as(Seq("_pos", "_gh")))
     (withT, thin)

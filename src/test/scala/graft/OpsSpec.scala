@@ -480,6 +480,51 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3).getString(3) === "short doc")
   }
 
+  test("span dedup confirmed: string confirm kills prefilter-hash " +
+      "collision false positives, keeps true duplicates") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight nine ten" // dup
+    // docs 3 and 4 each hold a UNIQUE 8-gram; under the sabotage
+    // prefilter below (gram LENGTH as the "hash") the two grams
+    // collide, so the hash-only mask would scrub both
+    val uniqA = "aa bb cc dd ee ff gg hh" // 23 chars
+    val uniqB = "pp qq rr ss tt uu vv ww" // 23 chars
+    val df = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"zeta eta theta iota kappa $span"),
+      (3L, s"document about $uniqA entirely original content here"),
+      (4L, s"another text with $uniqB and no shared span at all")
+    ).toDF("id", "text")
+    val sabotage: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      g => length(g).cast("long")
+    // control: hash-only semantics under the colliding hash DOES
+    // over-scrub docs 3/4 (what any saturated hash space does at scale)
+    val control = Curation.dropDuplicatedSpans(
+        df, "id", "text", n = 8, minDocs = 2, hashFn = sabotage)
+      .orderBy("id").select("id", "n_removed").collect()
+    assert(control(2).getLong(1) > 0L && control(3).getLong(1) > 0L)
+    val confirmed = Curation.dropDuplicatedSpansConfirmed(
+        df, "id", "text", n = 8, minDocs = 2, prefilterHash = sabotage)
+      .orderBy("id")
+      .select("id", "n_removed", "clean_text").collect()
+    // true duplicate span still scrubbed in both docs
+    assert(confirmed(0).getLong(1) === 10L)
+    assert(confirmed(0).getString(2) === "alpha beta gamma delta epsilon")
+    assert(confirmed(1).getLong(1) === 10L)
+    // collision false positives NOT scrubbed: originals kept verbatim
+    assert(confirmed(2).getLong(1) === 0L)
+    assert(confirmed(2).getString(2).contains(uniqA))
+    assert(confirmed(3).getLong(1) === 0L)
+    assert(confirmed(3).getString(2).contains(uniqB))
+    // and with the default 64-bit prefilter the confirmed variant is
+    // output-identical to the hash-only form on a collision-free corpus
+    val base = Curation.dropDuplicatedSpans(df, "id", "text", 8, 2)
+      .select("id", "n_tokens", "n_removed", "removed_ppm", "clean_text")
+    val conf = Curation.dropDuplicatedSpansConfirmed(df, "id", "text", 8, 2)
+      .select("id", "n_tokens", "n_removed", "removed_ppm", "clean_text")
+    assert(base.exceptAll(conf).isEmpty && conf.exceptAll(base).isEmpty)
+  }
+
   test("line dedup within doc: first occurrence kept, blanks dropped") {
     import spark.implicits._
     val df = Seq(
