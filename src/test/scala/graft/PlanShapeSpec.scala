@@ -91,6 +91,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dropDuplicatedSpansConfirmed: no shuffle carries text or token " +
+      "arrays (gram strings shuffle only as the thin candidate column)") {
+    withPlainPlan {
+      val out = Curation.dropDuplicatedSpansConfirmed(docs, "doc_id",
+        "text", n = 4, minDocs = 2)
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty, "expected prefilter + confirm shuffles")
+      shuffles.foreach { s =>
+        assert(!s.contains("text") && !s.exists(_.contains("stoks")),
+          s"text shuffled: $s")
+      }
+    }
+  }
+
   test("scoreByTokenWeights: weights join broadcast, text never shuffles") {
     import spark.implicits._
     withPlainPlan {
