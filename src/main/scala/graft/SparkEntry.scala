@@ -2,7 +2,7 @@ package graft
 
 import graft.extract.{CharsetSniffer, ErrorPages, LinkExtractor, MetaExtractor}
 import graft.gen.PagesGen
-import graft.ops.{Bpe, Curation, Dedup, Multimodal, Robots, SimSearch, Skew, TextAnalysis, WebGraph}
+import graft.ops.{Bpe, Curation, Dedup, Multimodal, Retrieval, Robots, SimSearch, Skew, TextAnalysis, WebGraph}
 import graft.pipeline.ExtractionPipeline
 import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1394,6 +1394,34 @@ object SparkEntry {
           col("removed_ppm"), md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     }),
+    // retrieval: inverted-index build + BM25-style top-k search —
+    // postings filtered map-side by a broadcast query-term set,
+    // integer-ppm scoring (rational idf surrogate, real k1/b length
+    // saturation), sharded per-query rank; the oracle recomputes the
+    // whole formula in SQL, so tokenize, tf/df/dl stats, every
+    // truncating division and the tie-break must all match exactly
+    "q97_bm25" -> ((s, d) => {
+      Retrieval.bm25(t(s, d, "documents"), "doc_id", "text",
+        bm25Queries(s), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // dedup: edit-distance verification of LSH candidates — MinHash
+    // est_jaccard is order-blind (word-salads over one vocabulary can
+    // score ≈1), levenshtein on the raw text is the order-sensitive
+    // confirmation; planted one-token-prefix mutants survive the gate,
+    // set-similar-but-reordered organic pairs die. Text moves only for
+    // candidate pairs (two id-keyed joins), never corpus-wide
+    "q98_edit_verified" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val mut = base.filter(pmod(col("id"), lit(17)) === 4)
+        .select((col("id") + 2000000L).as("id"),
+          concat(lit("zqx "), col("text")).as("text"))
+      Dedup.editVerifiedPairs(base.union(mut), "id", "text",
+        k = 16, bands = 8, minEstJaccard = 0.5, maxBucket = 64,
+        maxDistPpm = 200000L)
+        .orderBy("a", "b")
+    }),
     // web graph: 2 rounds of integer-exact HITS hubs/authorities over
     // the q73 host-level link table — the directory-vs-destination
     // centrality pair a link-farm gate reads alongside PageRank
@@ -1735,6 +1763,24 @@ object SparkEntry {
         pmod(did * 3L + 1L, lit(7)).cast("string"),
         lit(".example.com")).as("dst"))
   }
+
+  /** Shared retrieval workload for q97 — queries over the synthetic
+    * vocabulary, incl. a stopword-ish high-df term ("the"), a
+    * multi-term mid-frequency mix, and a no-hit term (empty result).
+    */
+  private val bm25QueryRows: Seq[(String, String)] = Seq(
+    ("qa", "sort"), ("qa", "merge"), ("qa", "join"),
+    ("qb", "window"), ("qb", "filter"),
+    ("qc", "customer"), ("qc", "batch"), ("qc", "stream"),
+    ("qd", "the"), ("qd", "scan"), ("qe", "zzznope"))
+
+  private def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    bm25QueryRows.toDF("query_id", "term")
+  }
+
+  private def bm25QueriesSql: String =
+    bm25QueryRows.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
 
   /** Deterministic redirect map for q90: each document is one source
     * URL `u{id}` redirecting up the decade — u(10k+j) → u(10k+j+1) for
@@ -3604,6 +3650,65 @@ object SparkEntry {
             ELSE coalesce(array_to_string(list_transform(keep,
               j -> toks[j + 1]), ' '), '') END) AS clean_md5
         FROM k ORDER BY doc_id""",
+    // q98: the same LSH candidate CTEs over the mutant-augmented
+    // corpus, then DuckDB's own levenshtein + the same integer-ppm
+    // normalization — both engines' stock edit distance must agree
+    "q98_edit_verified" ->
+      s"""WITH aug AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT) + 2000000, 'zqx ' || text
+          FROM documents WHERE CAST(doc_id AS BIGINT) % 17 = 4),
+        ${lshPairsCtesOver(1, maxBucket = 64, src = "aug")},
+        v AS (SELECT a, b, est_jaccard FROM pairs
+          WHERE est_jaccard >= 0.5),
+        j AS (SELECT v.a, v.b, v.est_jaccard,
+            CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+            CAST(GREATEST(len(da.text), len(db.text)) AS BIGINT)
+              AS max_len
+          FROM v JOIN aug da ON da.doc_id = v.a
+          JOIN aug db ON db.doc_id = v.b)
+        SELECT a, b, est_jaccard, edit_dist, dist_ppm FROM (
+          SELECT a, b, est_jaccard, edit_dist,
+            CAST(CASE WHEN max_len > 0
+              THEN (edit_dist * 1000000) // max_len ELSE 0 END
+              AS BIGINT) AS dist_ppm
+          FROM j)
+        WHERE dist_ppm <= 200000 ORDER BY a, b""",
+    // q97: the full BM25 formula re-derived in SQL — same tokenize,
+    // same tf/df/dl/avgdl stats, the same truncating-division nesting
+    // at every step, the same (score desc, id) tie-break
+    "q97_bm25" ->
+      s"""WITH q(query_id, term) AS (VALUES $bm25QueriesSql),
+        d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(tk)) AS BIGINT) AS sum_dl FROM d),
+        post AS (SELECT id, CAST(dl AS BIGINT) AS dl, term,
+            CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT id, len(tk) AS dl, unnest(tk) AS term FROM d)
+          GROUP BY id, dl, term),
+        mt AS (SELECT * FROM post
+          WHERE term IN (SELECT DISTINCT term FROM q)),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc
+          FROM mt GROUP BY term),
+        sc AS (SELECT q.query_id, m.id,
+            CAST(SUM((CAST(((2*n_docs - 2*dfc + 1) * 1000000)
+                // (2*dfc + 1) AS HUGEINT) *
+              ((CAST(m.tf AS HUGEINT) * 2200000 * 1000000) //
+                (m.tf * 1000000 + (1200000 * ((1000000 - 750000) +
+                  (750000 * m.dl * 1000) //
+                    ((sum_dl * 1000) // n_docs))) // 1000000)))
+              // 1000000) AS BIGINT) AS score_ppm
+          FROM mt m JOIN dft USING (term) JOIN q USING (term)
+          CROSS JOIN stats
+          GROUP BY q.query_id, m.id)
+        SELECT query_id, doc_id, score_ppm, rank FROM (
+          SELECT query_id, id AS doc_id, score_ppm,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_ppm DESC, id) AS BIGINT) AS rank
+          FROM sc)
+        WHERE rank <= 10 ORDER BY query_id, rank""",
     // q95: the same rare-shingle blocking + exact list_intersect
     // re-check in SQL; same 32-bit md5-prefix blocking hash, same
     // integer-ppm truncation

@@ -367,6 +367,54 @@ object Dedup {
       .filter(col("df") > maxShingleDf)
   }
 
+  /** Edit-distance verification of MinHash-LSH near-dup candidates —
+    * the final "are these REALLY revisions of the same document" gate.
+    * MinHash estimates SET similarity, which is blind to token order:
+    * two word-salads over the same vocabulary can score est_jaccard ≈ 1
+    * while being entirely different documents. Levenshtein distance on
+    * the raw text (normalized by the longer side, integer ppm) is the
+    * order-sensitive confirmation; pairs with
+    * `dist_ppm > maxDistPpm` are rejected.
+    *
+    * Scale shape: the LSH stage does all corpus-sized work (thin
+    * banded-signature shuffles, capped buckets); text moves only for
+    * the surviving CANDIDATE PAIRS — two id-keyed hash joins, each
+    * carrying one text copy per candidate, bounded by the pair count,
+    * not the corpus. The per-pair cost is the classic O(|a|·|b|) DP —
+    * callers gate long docs upstream (or raise minEstJaccard) if pair
+    * texts exceed ~10^5 chars; a banded/thresholded DP would cut this
+    * to O(maxDist·|a|) but is deliberately not used so the oracle's
+    * stock `levenshtein` matches exactly.
+    *
+    * Returns (a, b, est_jaccard, edit_dist, dist_ppm) for verified
+    * pairs.
+    */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 8, seed: Long = 42L,
+      minEstJaccard: Double = 0.5, shingleN: Int = 1,
+      maxBucket: Int = 0, maxDistPpm: Long = 300000L): DataFrame = {
+    require(maxDistPpm >= 0)
+    val cand = minhashLshPairs(df, idCol, textCol, k, bands, seed,
+      minEstJaccard, shingleN, maxBucket)
+    val txt = df.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("a"), col(textCol).as("_ta")),
+        Seq("a"))
+      .join(txt.select(col(idCol).as("b"), col(textCol).as("_tb")),
+        Seq("b"))
+      .withColumn("edit_dist",
+        levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .withColumn("_maxlen",
+        greatest(length(col("_ta")), length(col("_tb"))).cast("long"))
+      .withColumn("dist_ppm", when(col("_maxlen") > 0,
+          call_function("div", col("edit_dist") * lit(1000000L),
+            col("_maxlen")))
+        .otherwise(lit(0L)).cast("long"))
+      .filter(col("dist_ppm") <= maxDistPpm)
+      .select(col("a"), col("b"), col("est_jaccard"), col("edit_dist"),
+        col("dist_ppm"))
+  }
+
   /** Dedup end-game: candidate pairs → connected components → canonical
     * survivor per component (min id). Returns (id, canonical_id) for
     * EVERY row of `df` — docs with no near-dup pair are their own

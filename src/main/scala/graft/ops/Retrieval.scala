@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted-index construction and BM25-style ranked boolean retrieval
+  * over the corpus — the "find the documents about X" primitive a
+  * training-data pipeline uses for targeted subset selection (topic
+  * mining, eval-adjacent document pulls, quality-probe panels).
+  * Robertson & Spärck Jones probabilistic relevance framework; BM25 as
+  * in Robertson et al., TREC-3 (1994).
+  *
+  * Determinism: scores are exact integer parts-per-million, computed
+  * with long/decimal multiplication and truncating division only (all
+  * quantities non-negative, so truncation = floor), identical in any
+  * aggregation order and in the DuckDB oracle. The one concession:
+  * the idf LOG is replaced by its rational argument
+  * `(2N − 2df + 1) / (2df + 1)` — the classic
+  * `ln((N − df + 0.5)/(df + 0.5))` with the monotone `ln` dropped so
+  * the score is engine-exact integer arithmetic. Rankings for
+  * single-term queries are identical to true BM25; multi-term queries
+  * weight rare terms more aggressively than the log form (documented,
+  * intentional — swap a float `ln` in if cross-engine bit-exactness
+  * is not needed). Doc-length saturation (k1, b) is the real BM25
+  * shape at ppm resolution.
+  *
+  * Scale shape (10^12 docs): [[postings]] is one tokenize pass and one
+  * (term, id) shuffle of thin count rows — the classic index build.
+  * [[bm25]] then touches the corpus exactly twice: a map-side-only
+  * stats pass (count + token sum, one-row result) and the postings
+  * pass, which is FILTERED MAP-SIDE by a broadcast of the query-term
+  * set before anything shuffles — only postings of queried terms
+  * (Σ_t df(t) rows) reach the score aggregation. Per-term df, the
+  * query map and the corpus stats all broadcast (query-workload-sized).
+  * Top-k per query uses [[ScaleWindow.shardedRank]], so a stopword-ish
+  * query matching 10^11 docs is still many tasks' work, never one
+  * window partition. Raw text never shuffles (terms are short tokens;
+  * locked in PlanShapeSpec).
+  */
+object Retrieval {
+
+  /** Inverted-index postings: one row per (term, doc) with the term
+    * frequency and the doc's token length — `(term, id, tf, dl)`.
+    * Tokenization is [[Dedup.tokens]] (lowercase, whitespace split),
+    * the corpus-wide convention the oracles mirror.
+    */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("_tk"))
+      .select(col("id"), size(col("_tk")).cast("long").as("dl"),
+        explode(col("_tk")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** One-row corpus stats (n_docs, sum_dl) — fully map-side partial
+    * aggregation, no data shuffle.
+    */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(size(Dedup.tokens(col(textCol))).cast("long").as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("sum_dl"))
+
+  /** BM25-style top-k retrieval. `queries` is a thin
+    * (query_id, term) workload table (broadcast; terms lowercased
+    * here). Returns (query_id, doc_id, score_ppm, rank) for
+    * rank <= topK, ties broken by doc id.
+    *
+    * Integer formula (div = truncating division, both engines):
+    * {{{
+    * avgdl_milli = div(sum_dl * 1000, n_docs)
+    * norm_ppm    = (1e6 - bPpm) + div(bPpm * dl * 1000, avgdl_milli)
+    * denom_ppm   = tf * 1e6 + div(k1Ppm * norm_ppm, 1e6)
+    * tfpart_ppm  = div(tf * (k1Ppm + 1e6) * 1e6, denom_ppm)
+    * idf_ppm     = div((2N - 2df + 1) * 1e6, 2df + 1)
+    * score_ppm   = Σ_terms div(idf_ppm * tfpart_ppm, 1e6)
+    * }}}
+    * Products that can cross 2^63 at corpus scale (the tfpart
+    * numerator, the idf×tfpart contribution and the score sum) ride
+    * decimal(38,0); the returned score is cast to long, which a
+    * 10^12-doc corpus with df=1 terms can overflow — at that scale
+    * keep the decimal column instead.
+    *
+    * The matched-postings set (Σ_t df(t) rows) is localCheckpoint-
+    * fenced because it feeds both the per-term df aggregate and the
+    * scoring join — one corpus scan serves both. On a real cluster the
+    * fence is a reusable intermediate table (io.TableIO).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, topK: Int = 10, k1Ppm: Long = 1200000L,
+      bPpm: Long = 750000L, shards: Int = 0): DataFrame = {
+    require(topK > 0 && k1Ppm >= 0 && bPpm >= 0 && bPpm <= 1000000L)
+    val dec = "decimal(38,0)"
+    def div(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    val qt = queries
+      .select(col("query_id"), lower(col("term")).as("term"))
+      .distinct()
+    val qterms = qt.select(col("term")).distinct()
+    val matched = postings(docs, idCol, textCol)
+      .join(broadcast(qterms), Seq("term"))
+      .localCheckpoint()
+    // postings are unique per (term, id), so df = row count per term
+    val dfT = matched.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df"))
+    val stats = corpusStats(docs, textCol)
+    val contrib = {
+      val avgdlMilli = div(col("sum_dl") * lit(1000L), col("n_docs"))
+      val normPpm = lit(1000000L - bPpm) +
+        div(lit(bPpm) * col("dl") * lit(1000L), avgdlMilli)
+      val denomPpm = col("tf") * lit(1000000L) +
+        div(lit(k1Ppm) * normPpm, lit(1000000L))
+      val tfPartPpm = div(
+        (col("tf") * lit(k1Ppm + 1000000L)).cast(dec) * lit(1000000L),
+        denomPpm)
+      val idfPpm = div(
+        (lit(2L) * col("n_docs") - lit(2L) * col("_df") + lit(1L)) *
+          lit(1000000L), lit(2L) * col("_df") + lit(1L))
+      div(idfPpm.cast(dec) * tfPartPpm, lit(1000000L))
+    }
+    val scored = matched
+      .join(broadcast(dfT), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"), contrib.cast(dec).as("_c"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("_c")).as("_s"))
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("_s").cast("long").as("score_ppm"))
+    ScaleWindow.shardedRank(scored, Seq("query_id"),
+        Seq(col("score_ppm").desc, col("doc_id")), "rank", "_sw_n", shards)
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("score_ppm"), col("rank"))
+  }
+}

@@ -111,6 +111,74 @@ object WebGraph {
     ranks
   }
 
+  /** `iterations` rounds of TrustRank (Gyöngyi, Garcia-Molina &
+    * Pedersen, VLDB 2004, "Combating Web Spam with TrustRank") — the
+    * seeded-teleport variant of [[pageRank]]: the random walk teleports
+    * ONLY to a hand-vetted seed set of trusted hosts, so trust decays
+    * with link distance from the seeds and link-farm clusters that
+    * PageRank rewards (they cite each other) score ~0 unless a trusted
+    * host links into them. The standard spam-demotion companion signal:
+    * hosts with high PageRank but low TrustRank are the farm suspects.
+    *
+    * Determinism and scale shape are exactly [[pageRank]]'s: integer
+    * ppb ranks, long/decimal sums and truncating division only, two
+    * thin shuffles per round plus a broadcast of the seed flag
+    * (seed sets are small by construction — they are manually vetted);
+    * rank state localCheckpoint-fenced per round, previous round's
+    * blocks released. Seeds start at [[Scale]], everything else at 0;
+    * one round is rank' = (seed ? 0.15·Scale : 0) + 0.85 · Σ_in
+    * rank(src) div outdeg(src). `seeds` is a 1-column (node) table;
+    * seed nodes absent from the graph contribute nothing (they simply
+    * hold their teleport mass).
+    */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val teleport = (1000000L - DampingPpm) * (Scale / 1000000L)
+    val outDeg = edges.groupBy(col(srcCol).as("_pr_src"))
+      .agg(count(lit(1)).as("_pr_outdeg"))
+    val withDeg = edges.select(col(srcCol).as("_pr_src"),
+        col(dstCol).as("_pr_dst"))
+      .join(outDeg, Seq("_pr_src"))
+      .localCheckpoint()
+    val seedFlag = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct()
+      .withColumn("_tr_seed", lit(true))
+    val nodeTable = nodes(edges, srcCol, dstCol)
+      .join(broadcast(seedFlag), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("_tr_seed"), lit(false)).as("_tr_seed"))
+      .localCheckpoint()
+    var ranks = nodeTable
+      .select(col("node"),
+        when(col("_tr_seed"), lit(Scale)).otherwise(lit(0L))
+          .as("rank_ppb"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iterations) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("node", "_pr_src"), Seq("_pr_src"))
+        .select(col("_pr_dst").as("node"),
+          call_function("div", col("rank_ppb"), col("_pr_outdeg"))
+            .as("_pr_c"))
+        .groupBy(col("node"))
+        .agg(sum(col("_pr_c")).cast("decimal(38,0)").as("_pr_sum"))
+      val next = nodeTable
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("_tr_seed"), lit(teleport)).otherwise(lit(0L)) +
+            call_function("div",
+              lit(DampingPpm).cast("decimal(38,0)") *
+                coalesce(col("_pr_sum"), lit(0L).cast("decimal(38,0)")),
+              lit(1000000L))).as("rank_ppb"))
+        .localCheckpoint()
+      unpersistCheckpoint(ranks)
+      ranks = next
+      iter += 1
+    }
+    ranks
+  }
+
   /** `iterations` rounds of HITS (Kleinberg 1999, "Authoritative
     * sources in a hyperlinked environment") over the edge list — the
     * hub/authority centrality pair complementing [[pageRank]] (good

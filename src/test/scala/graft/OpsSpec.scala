@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Curation, Dedup, Multimodal, SimSearch, Skew, TextAnalysis, WebGraph}
+import graft.ops.{Curation, Dedup, Multimodal, Retrieval, SimSearch, Skew, TextAnalysis, WebGraph}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1692,6 +1692,91 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.forall(_.getAs[Long]("n_bl_dropped") === 2L))
     // doc 3 untouched: text must be the ORIGINAL string reference-equal
     // content (no rebuild normalization)
+  }
+
+  test("editVerifiedPairs: order-blind LSH candidates confirmed or " +
+    "killed by levenshtein") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"), // same SET, reversed
+      (3L, "alpha beta gamma delta epsilon zeta eta"), // true revision
+      (4L, "unrelated totally different words here entirely")
+    ).toDF("id", "text").repartition(2)
+    val all = Dedup.editVerifiedPairs(docs, "id", "text", k = 16,
+      bands = 8, minEstJaccard = 0.5, maxDistPpm = 1000000L)
+      .orderBy("a", "b").collect()
+    val allPairs = all.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical token sets → LSH candidates regardless of order
+    assert(allPairs.contains((1L, 2L)))
+    assert(allPairs.contains((1L, 3L)))
+    // the verification gate: the reversal dies, the revision survives
+    val verified = Dedup.editVerifiedPairs(docs, "id", "text", k = 16,
+      bands = 8, minEstJaccard = 0.5, maxDistPpm = 150000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("edit_dist"), r.getAs[Long]("dist_ppm"))).toSet
+    assert(verified.map(v => (v._1, v._2)) === Set((1L, 3L)))
+    val (_, _, ed, ppm) = verified.head
+    assert(ed === 4L) // " eta" appended
+    assert(ppm === 4L * 1000000L / 39L) // normalized by the longer side
+  }
+
+  test("bm25: integer scores match a scalar twin; tf saturation, " +
+    "length normalization, df weighting, tie-break, no-hit query") {
+    import spark.implicits._
+    val docTexts: Seq[(Long, String)] = Seq(
+      (1L, "sort sort sort merge"),        // high tf, short
+      (2L, "sort merge merge join extra words to stretch the length " +
+        "of this document well past average"),
+      (3L, "join join"),                   // rare-ish term only
+      (4L, "sort merge"),                  // same terms as 2, shorter
+      (5L, "completely unrelated text here"))
+    val docs = docTexts.toDF("id", "text").repartition(3)
+    val queries = Seq(("qa", "sort"), ("qa", "merge"), ("qb", "join"),
+      ("qz", "nohit")).toDF("query_id", "term")
+    val got = Retrieval.bm25(docs, "id", "text", queries, topK = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // scalar twin of the exact integer formula
+    val toks = docTexts.map { case (i, t) =>
+      i -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = BigInt(docTexts.size)
+    val sumDl = BigInt(toks.values.map(_.size).sum)
+    val avgdlMilli = sumDl * 1000 / n
+    def score(terms: Seq[String], id: Long): BigInt = {
+      val tk = toks(id); val dl = BigInt(tk.size)
+      terms.map { t =>
+        val tf = BigInt(tk.count(_ == t))
+        if (tf == 0) BigInt(0)
+        else {
+          val df = BigInt(toks.values.count(_.contains(t)))
+          val norm = BigInt(250000) + BigInt(750000) * dl * 1000 / avgdlMilli
+          val denom = tf * 1000000 + BigInt(1200000) * norm / 1000000
+          val tfPart = tf * 2200000 * 1000000 / denom
+          val idf = (2 * n - 2 * df + 1) * 1000000 / (2 * df + 1)
+          idf * tfPart / 1000000
+        }
+      }.sum
+    }
+    def expect(q: String, terms: Seq[String]) = docTexts.map(_._1)
+      .map(i => (i, score(terms, i))).filter(_._2 > 0)
+      .sortBy { case (i, s) => (-s, i) }.take(3).zipWithIndex
+      .map { case ((i, s), r) => (q, i, s.toLong, r.toLong + 1) }
+    val want = expect("qa", Seq("sort", "merge")) ++
+      expect("qb", Seq("join")) ++ expect("qz", Seq("nohit"))
+    assert(got.toSeq === want)
+    // semantics spot-checks on the twin itself: doc 4 (short) beats
+    // doc 2 (long) on the same terms; qz matched nothing
+    val qa = want.filter(_._1 == "qa").map(_._2)
+    assert(qa.indexOf(4L) < qa.indexOf(2L))
+    assert(!want.exists(_._1 == "qz"))
+    // postings invariants: unique (term, id), dl constant per doc
+    val post = Retrieval.postings(docs, "id", "text").collect()
+    assert(post.length ===
+      toks.map { case (_, tk) => tk.distinct.size }.sum)
+    assert(post.map(r => (r.getString(0), r.getLong(1))).distinct.length
+      === post.length)
   }
 }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Curation
+import graft.ops.{Curation, Retrieval}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -101,6 +101,21 @@ class PlanShapeSpec extends AnyFunSuite {
       shuffles.foreach { s =>
         assert(!s.contains("text") && !s.exists(_.contains("stoks")),
           s"text shuffled: $s")
+      }
+    }
+  }
+
+  test("bm25: query side broadcasts, shuffles carry term/count rows, " +
+      "never the text column") {
+    import spark.implicits._
+    withPlainPlan {
+      val queries = Seq(("qa", "w1"), ("qa", "w2"), ("qb", "w3"))
+        .toDF("query_id", "term")
+      val out = Retrieval.bm25(docs, "doc_id", "text", queries, topK = 5)
+      val shuffles = shuffledNames(out)
+      assert(shuffles.nonEmpty, "expected postings/score shuffles")
+      shuffles.foreach { s =>
+        assert(!s.contains("text"), s"text shuffled: $s")
       }
     }
   }
