@@ -1422,6 +1422,17 @@ object SparkEntry {
         maxDistPpm = 200000L)
         .orderBy("a", "b")
     }),
+    // web graph: 3 rounds of integer-exact TrustRank — the seeded
+    // teleport walk (trust decays with link distance from vetted
+    // seeds; link farms PageRank rewards score ~0 here). Seeds = the
+    // "-0" host family of the q73/q74 link table
+    "q99_trustrank" -> ((s, d) => {
+      val e = webEdges(s, d)
+      val seeds = WebGraph.nodes(e, "src", "dst")
+        .filter(col("node").endsWith("-0.example.com"))
+      WebGraph.trustRank(e, "src", "dst", seeds, iterations = 3)
+        .orderBy("node")
+    }),
     // web graph: 2 rounds of integer-exact HITS hubs/authorities over
     // the q73 host-level link table — the directory-vs-destination
     // centrality pair a link-farm gate reads alongside PageRank
@@ -1997,6 +2008,35 @@ object SparkEntry {
             AS rank_ppb
           FROM nd LEFT JOIN c$i c ON c.node = nd.node)"""
     }.mkString
+
+  /** TrustRank rounds: prRoundsSql's shape with the teleport gated on
+    * the seed flag (seeds-only teleport mass, non-seeds start at 0).
+    */
+  private def trRoundsSql(n: Int): String =
+    (1 to n).map { i =>
+      s""", c$i AS (SELECT e.dst AS node,
+          SUM(r.rank_ppb // d.outdeg) AS s
+          FROM e JOIN dg d ON d.src = e.src
+          JOIN r${i - 1} r ON r.node = e.src
+          GROUP BY e.dst),
+        r$i AS (SELECT sd.node, CAST(
+            (CASE WHEN sd.is_seed THEN 150000000 ELSE 0 END) +
+            (850000 * COALESCE(c.s, 0)) // 1000000 AS BIGINT)
+            AS rank_ppb
+          FROM sd LEFT JOIN c$i c ON c.node = sd.node)"""
+    }.mkString
+
+  private lazy val q99Sql: String = {
+    s"""WITH e AS ($webEdgesSql),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      sd AS (SELECT node, node LIKE '%-0.example.com' AS is_seed
+        FROM nd),
+      dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(CASE WHEN is_seed THEN 1000000000
+        ELSE 0 END AS BIGINT) AS rank_ppb FROM sd)${trRoundsSql(3)}
+      SELECT node, rank_ppb FROM r3 ORDER BY node"""
+  }
 
   private lazy val q74Sql: String = {
     val rounds = prRoundsSql(3)
@@ -3330,6 +3370,7 @@ object SparkEntry {
         ORDER BY nd.node""",
     "q74_pagerank" -> q74Sql,
     "q94_hits" -> q94Sql,
+    "q99_trustrank" -> q99Sql,
     // q81: every metadata field re-derived from the synthesis formulas
     // (title entity-decode + markup strip, description across attr
     // orders/quote styles, canonical resolution incl. the <base href>

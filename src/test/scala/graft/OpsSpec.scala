@@ -1492,6 +1492,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rk("d") === 150000000L)
   }
 
+  test("trustRank: seeded teleport matches a scalar twin; farms " +
+    "unreachable from seeds score zero") {
+    import spark.implicits._
+    // a: seed → b → c chain; f1↔f2 a link farm disconnected from seeds
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "f1" -> "f2", "f2" -> "f1", "f1" -> "f2")
+    val edges = es.toDF("src", "dst").repartition(3)
+    val seeds = Seq("a", "ghost").toDF("node") // absent seed: no-op
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val seedSet = Set("a")
+    val outdeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rk = nodes.map(n =>
+      n -> (if (seedSet(n)) 1000000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rk(s) / outdeg(s) }.sum).toMap
+      rk = nodes.map(n =>
+        n -> ((if (seedSet(n)) 150000000L else 0L) +
+          850000L * contrib.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    val got = WebGraph.trustRank(edges, "src", "dst", seeds, 3)
+      .orderBy("node").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === nodes.map(n => n -> rk(n)))
+    // the farm cites itself all it wants: zero trust flows in
+    assert(rk("f1") === 0L && rk("f2") === 0L)
+    // trust decays down the chain from the seed
+    assert(rk("a") > rk("b") && rk("b") > rk("c") && rk("c") > 0L)
+  }
+
   test("containmentPairs: subset duplication surfaces via rare-shingle " +
     "blocking; cap accounting") {
     import spark.implicits._
