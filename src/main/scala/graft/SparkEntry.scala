@@ -1433,6 +1433,20 @@ object SparkEntry {
       WebGraph.trustRank(e, "src", "dst", seeds, iterations = 3)
         .orderBy("node")
     }),
+    // curation: DSIR importance resampling (Xie et al. 2023) — hashed
+    // n-gram (uni+bi) bucket weights = Laplace-smoothed target/raw
+    // probability ratio in integer ppm; target sample = the src0
+    // domain; deterministic Bernoulli keep at 1.2x scale
+    "q100_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = Curation.dsirWeights(docs.filter(col("source") === "src0"),
+        docs, "doc_id", "text", buckets = 1 << 16)
+      Curation.dsirResample(docs, w, "doc_id", "text",
+        buckets = 1 << 16, scalePpm = 1200000L)
+        .select(col("doc_id"), col("n_features"),
+          col("importance_ppm"), col("kept"))
+        .orderBy("doc_id")
+    }),
     // web graph: 2 rounds of integer-exact HITS hubs/authorities over
     // the q73 host-level link table — the directory-vs-destination
     // centrality pair a link-farm gate reads alongside PageRank
@@ -3371,6 +3385,47 @@ object SparkEntry {
     "q74_pagerank" -> q74Sql,
     "q94_hits" -> q94Sql,
     "q99_trustrank" -> q99Sql,
+    // q100: the same hashed uni+bi feature stream, dense smoothed
+    // weight table (two truncating DIVs mirrored), mean-weight score
+    // and the md5-slot Bernoulli keep — every step integer-exact
+    "q100_dsir" ->
+      s"""WITH t AS (SELECT doc_id, source, list_transform($toksSql,
+          tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS hs
+          FROM documents),
+        feat AS (
+          SELECT doc_id, source, unnest(hs) % 65536 AS bucket FROM t
+          UNION ALL
+          SELECT doc_id, source, (hs[i] * 1000003 + hs[i + 1]) % 65536
+          FROM (SELECT doc_id, source, hs,
+              unnest(generate_series(1, len(hs) - 1)) AS i
+            FROM t WHERE len(hs) >= 2)),
+        tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+          FROM feat WHERE source = 'src0' GROUP BY 1),
+        rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+          FROM feat GROUP BY 1),
+        tot AS (SELECT
+          (SELECT COUNT(*) FROM feat WHERE source = 'src0') AS nt,
+          (SELECT COUNT(*) FROM feat) AS nr),
+        wt AS (SELECT b.range AS bucket,
+            LEAST(64000000, ((COALESCE(tc.ct, 0) + 1) *
+              (((nr + 65536) * 1000000) // (nt + 65536)))
+              // (COALESCE(rc.cr, 0) + 1)) AS w_ppm
+          FROM range(65536) b
+          LEFT JOIN tc ON tc.bucket = b.range
+          LEFT JOIN rc ON rc.bucket = b.range
+          CROSS JOIN tot),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf,
+            CAST(SUM(w_ppm) AS BIGINT) AS ws
+          FROM feat JOIN wt USING (bucket) GROUP BY 1)
+        SELECT d.doc_id, COALESCE(nf, 0) AS n_features,
+          CAST(CASE WHEN COALESCE(nf, 0) > 0 THEN ws // nf
+            ELSE 0 END AS BIGINT) AS importance_ppm,
+          (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+              || ':dsir'), 1, 8)) AS BIGINT) % 10000) * 100 <
+            LEAST(1000000, (CASE WHEN COALESCE(nf, 0) > 0
+              THEN ws // nf ELSE 0 END) * 1200000 // 1000000) AS kept
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        ORDER BY d.doc_id""",
     // q81: every metadata field re-derived from the synthesis formulas
     // (title entity-decode + markup strip, description across attr
     // orders/quote styles, canonical resolution incl. the <base href>

@@ -2152,4 +2152,119 @@ object Curation {
       path,
       when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
   }
+
+  // ---- DSIR-style importance resampling (Xie et al., NeurIPS 2023,
+  // "Data Selection for Language Models via Importance Resampling") ----
+
+  /** Hashed n-gram feature OCCURRENCE rows (idCol, bucket): unigram
+    * token hashes plus bigram pair hashes (ph·1000003 + ch — both
+    * operands are 32-bit md5 prefixes, so the product stays ≤ ~4e15,
+    * exact in a long), each folded into `buckets` slots. This is
+    * DSIR's hashed n-gram feature space, built from the house
+    * md5-prefix token hash so the DuckDB twin is literal.
+    */
+  private def dsirThin(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val withH = df.select(col(idCol),
+      transform(Dedup.tokens(col(textCol)),
+        t => Dedup.tokHash(t)).as("_dhs"))
+    val n = size(col("_dhs"))
+    val bi = when(n >= 2, transform(sequence(lit(1), n - 1),
+      i => element_at(col("_dhs"), i) * lit(1000003L)
+        + element_at(col("_dhs"), i + 1)))
+      .otherwise(array().cast("array<bigint>"))
+    withH.select(col(idCol), explode(concat(col("_dhs"), bi)).as("_dh"))
+      .select(col(idCol),
+        pmod(col("_dh"), lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** DSIR bucket importance weights: the Laplace-smoothed ratio of
+    * target-domain vs raw-corpus bucket probabilities, integer ppm,
+    *
+    *   K        = (Nr + buckets) · 1e6  DIV  (Nt + buckets)
+    *   w_ppm(b) = min(wCapPpm,
+    *                  (cnt_t(b) + 1) · K  DIV  (cnt_r(b) + 1))
+    *
+    * where cnt_t/cnt_r are feature-occurrence counts in the target
+    * sample / raw corpus and Nt/Nr their totals. The table is DENSE —
+    * one row per bucket id in [0, buckets) — so unseen buckets carry
+    * their exact smoothed weight (cnt=0 ⇒ K DIV (cnt_r+1)) and serving
+    * needs no data-dependent default. `wCapPpm` bounds a single
+    * target-only feature's pull on the arithmetic mean (the role the
+    * log takes in the float original). Two truncating DIVs, both
+    * mirrored in the oracle; numerator magnitude is bounded by
+    * (Nt+buckets)·K ≈ (Nr+buckets)·1e6, exact in a long for raw
+    * corpora up to ~9e12 feature occurrences — beyond that widen K's
+    * product to decimal.
+    *
+    * Scale shape: two thin (id, bucket) explodes → partial-agg counts
+    * (≤ buckets rows each) → a buckets-row table. The target side is a
+    * SAMPLE by construction (DSIR's p_target is estimated from a small
+    * trusted set); the raw side's count table is bucket-bounded, not
+    * corpus-bounded, and hot buckets combine map-side.
+    */
+  def dsirWeights(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1 << 16,
+      wCapPpm: Long = 64000000L): DataFrame = {
+    require(buckets > 0 && wCapPpm > 0)
+    val tThin = dsirThin(target, idCol, textCol, buckets)
+    val rThin = dsirThin(raw, idCol, textCol, buckets)
+    val tCnt = tThin.groupBy(col("bucket")).agg(count(lit(1)).as("_ct"))
+    val rCnt = rThin.groupBy(col("bucket")).agg(count(lit(1)).as("_cr"))
+    val totals = tThin.agg(count(lit(1)).as("_nt"))
+      .crossJoin(rThin.agg(count(lit(1)).as("_nr")))
+    val b = buckets.toLong
+    target.sparkSession.range(b).select(col("id").as("bucket"))
+      .join(tCnt, Seq("bucket"), "left")
+      .join(rCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        least(lit(wCapPpm), call_function("div",
+          (coalesce(col("_ct"), lit(0L)) + 1L) *
+            call_function("div", (col("_nr") + b) * 1000000L,
+              col("_nt") + b),
+          coalesce(col("_cr"), lit(0L)) + 1L)).as("w_ppm"))
+  }
+
+  /** Score and deterministically resample with a [[dsirWeights]]
+    * table: `importance_ppm` = mean bucket weight over the document's
+    * feature occurrences — the rational surrogate for DSIR's
+    * log-space importance product (the same engine-exact-in-any-order
+    * determinism trade [[tokenClassWeights]] and BM25's idf surrogate
+    * make; a float deployment can swap in Σ log w freely). `kept` is
+    * the Bernoulli variant of importance resampling the paper also
+    * uses: keep iff the per-id uniform (the engine-portable
+    * [[hashSlot]] hash, ppm-scaled) falls below
+    * min(1e6, importance_ppm · scalePpm DIV 1e6), so
+    * E[kept] = Σ_doc min(1, w · scale) and the draw is reproducible
+    * across runs, partitionings and engines — Gumbel-top-k exact-size
+    * selection needs logs; for a fixed-size integer-exact variant rank
+    * by importance and use [[keepTopNPerStratum]].
+    *
+    * Scale shape: one thin explode joins the BROADCAST dense weight
+    * table (buckets rows) and re-aggregates per doc with partial
+    * aggregation; document text never enters a shuffle (the final
+    * attach is an id-keyed join back to the input).
+    */
+  def dsirResample(df: DataFrame, weights: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1 << 16,
+      scalePpm: Long = 1000000L, salt: String = "dsir",
+      broadcastWeights: Boolean = true): DataFrame = {
+    require(buckets > 0 && scalePpm > 0)
+    val w = if (broadcastWeights) broadcast(weights) else weights
+    val scored = dsirThin(df, idCol, textCol, buckets)
+      .join(w, Seq("bucket"), "left") // dense table: never misses
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nf"), sum(col("w_ppm")).as("_ws"))
+    df.join(scored, Seq(idCol), "left")
+      .withColumn("n_features", coalesce(col("_nf"), lit(0L)))
+      .withColumn("importance_ppm",
+        when(col("n_features") > 0, expr("_ws DIV n_features"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("kept",
+        hashSlot(col(idCol), salt).cast("long") * 100L <
+          least(lit(1000000L), call_function("div",
+            col("importance_ppm") * scalePpm, lit(1000000L))))
+      .drop("_nf", "_ws")
+  }
 }

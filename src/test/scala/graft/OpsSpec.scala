@@ -1522,6 +1522,50 @@ class OpsSpec extends AnyFunSuite {
     assert(rk("a") > rk("b") && rk("b") > rk("c") && rk("c") > 0L)
   }
 
+  test("dsir: target-like docs outscore alien docs; dense weights; " +
+    "deterministic under repartition; scale widens the kept set") {
+    import spark.implicits._
+    // target domain speaks vocabulary A; the raw corpus is target docs
+    // plus alien-vocabulary noise
+    val tgt = (0L until 8L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta iota v$i"))
+    val alien = (100L until 124L).map(i =>
+      (i, s"zonk quux blarg wibble frobnitz grue xyzzy plugh n$i"))
+    val raw = (tgt ++ alien).toDF("doc_id", "text").repartition(5)
+    val target = tgt.toDF("doc_id", "text")
+    val buckets = 1 << 12
+    val w = Curation.dsirWeights(target, raw, "doc_id", "text", buckets)
+    assert(w.count() === buckets.toLong) // dense: one row per bucket
+    val score = Curation.dsirResample(raw, w, "doc_id", "text", buckets)
+      .select("doc_id", "importance_ppm", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val tMin = tgt.map(t => score(t._1)._1).min
+    val aMax = alien.map(a => score(a._1)._1).max
+    assert(tMin > aMax,
+      s"target min $tMin must beat alien max $aMax")
+    // target-vocab docs are over-represented vs the raw mix (ratio > 1),
+    // alien docs under-represented (ratio < 1)
+    assert(tMin > 1000000L && aMax < 1000000L)
+    // deterministic: same scores at a different parallelism
+    val score2 = Curation.dsirResample(raw.repartition(1), w,
+      "doc_id", "text", buckets)
+      .select("doc_id", "importance_ppm", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(score === score2)
+    // raising the scale never drops a kept doc, and importance > 1e6
+    // at scale 1e6 means certain keep (threshold saturates)
+    val keptAt = (s: Long) => Curation.dsirResample(raw, w, "doc_id",
+      "text", buckets, scalePpm = s)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val k1 = keptAt(1000000L)
+    val k4 = keptAt(4000000L)
+    assert(k1.subsetOf(k4))
+    assert(tgt.map(_._1).toSet.subsetOf(k1)) // importance > 1e6 ⇒ kept
+  }
+
   test("containmentPairs: subset duplication surfaces via rare-shingle " +
     "blocking; cap accounting") {
     import spark.implicits._
