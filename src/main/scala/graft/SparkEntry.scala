@@ -1447,6 +1447,22 @@ object SparkEntry {
           col("importance_ppm"), col("kept"))
         .orderBy("doc_id")
     }),
+    // dedup: winnowed-fingerprint passage overlap (Schleimer et al.
+    // 2003, MOSS) — docs with doc_id%23==7 get a 24-token passage
+    // appended; the winnowing local guarantee (shared run ≥ w+k-1 =
+    // 11 tokens ⇒ ≥1 shared fingerprint) makes every planted pair
+    // surface even though whole-doc Jaccard is low — the case the
+    // global MinHash sketch (q28) structurally misses
+    "q101_winnow" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val docs = t(s, d, "documents").select(did.as("id"),
+        when(pmod(did, lit(23)) === 7,
+          concat_ws(" ", col("text"), lit(PlantPassage)))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Dedup.winnowPairs(docs, "id", "text",
+        k = 4, w = 8, maxFpDf = 64, minOverlapPpm = 50000L)
+        .orderBy("a", "b")
+    }),
     // web graph: 2 rounds of integer-exact HITS hubs/authorities over
     // the q73 host-level link table — the directory-vs-destination
     // centrality pair a link-farm gate reads alongside PageRank
@@ -2117,6 +2133,15 @@ object SparkEntry {
     "newsletter and enable notifications today thank you"
   private val PlantCookie = "this website uses cookies to improve " +
     "your experience accept all cookies to continue"
+
+  /** 24-token passage planted into q101 docs — longer than the
+    * winnowing guarantee length w + k - 1 = 11, so every pair of
+    * planted docs MUST share at least one fingerprint.
+    */
+  private val PlantPassage = "breaking exclusive report market " +
+    "regulators announced sweeping oversight changes late thursday " +
+    "affecting cross border settlement flows and custody reporting " +
+    "obligations effective next quarter pending review"
 
   // ---- DuckDB oracles ----
 
@@ -3426,6 +3451,46 @@ object SparkEntry {
               THEN ws // nf ELSE 0 END) * 1200000 // 1000000) AS kept
         FROM documents d LEFT JOIN sc USING (doc_id)
         ORDER BY d.doc_id""",
+    // q101: winnowing recomputed from scratch — word-4-gram 32-bit
+    // hashes, window-of-8 minima (distinct per doc; positions drop out
+    // of the pair semantics), rare-fp blocking in [2,64], exact
+    // distinct-fp intersection, min-normalized integer-ppm overlap
+    "q101_winnow" ->
+      s"""WITH b0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          CASE WHEN CAST(doc_id AS BIGINT) % 23 = 7
+            THEN text || ' ' || '${sqlLit(PlantPassage)}'
+            ELSE text END AS text
+          FROM documents),
+        tk AS (SELECT id, $toksSql AS tk FROM b0),
+        g AS (SELECT id, list_transform(
+            generate_series(0, len(tk) - 4),
+            i -> CAST(('0x' || substr(md5(
+              array_to_string(tk[i+1:i+4], ' ')), 1, 8)) AS BIGINT))
+            AS hs
+          FROM tk WHERE len(tk) >= 4),
+        w AS (SELECT id, hs, LEAST(8, len(hs)) AS ew FROM g),
+        fps AS (SELECT id, list_distinct(list_transform(
+            generate_series(1, len(hs) - ew + 1),
+            i -> list_min(hs[i:i+ew-1]))) AS fpl FROM w),
+        thin AS (SELECT id, unnest(fpl) AS fp FROM fps),
+        dft AS (SELECT fp FROM thin GROUP BY fp
+          HAVING COUNT(*) BETWEEN 2 AND 64),
+        blocked AS (SELECT id, thin.fp FROM thin JOIN dft USING (fp)),
+        cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+          FROM blocked l JOIN blocked r
+            ON l.fp = r.fp AND l.id < r.id),
+        sc AS (SELECT a, b,
+            CAST(len(list_intersect(sa.fpl, sb.fpl)) AS BIGINT)
+              AS shared_fps,
+            CAST(len(sa.fpl) AS BIGINT) AS a_fps,
+            CAST(len(sb.fpl) AS BIGINT) AS b_fps
+          FROM cand JOIN fps sa ON cand.a = sa.id
+            JOIN fps sb ON cand.b = sb.id)
+        SELECT a, b, shared_fps, a_fps, b_fps,
+          shared_fps * 1000000 // LEAST(a_fps, b_fps) AS overlap_ppm
+        FROM sc
+        WHERE shared_fps * 1000000 // LEAST(a_fps, b_fps) >= 50000
+        ORDER BY a, b""",
     // q81: every metadata field re-derived from the synthesis formulas
     // (title entity-decode + markup strip, description across attr
     // orders/quote styles, canonical resolution incl. the <base href>

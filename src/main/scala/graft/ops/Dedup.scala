@@ -367,6 +367,97 @@ object Dedup {
       .filter(col("df") > maxShingleDf)
   }
 
+  /** Winnowed document fingerprints — Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 ("Winnowing: Local Algorithms for Document
+    * Fingerprinting", the MOSS algorithm). Word-k-gram hashes
+    * h_1..h_m; every window of `w` consecutive gram hashes selects its
+    * MINIMUM, ties broken by RIGHTMOST position (robust winnowing);
+    * selections dedup per doc on (fingerprint, position). The local
+    * guarantee MinHash doesn't give: any shared token run of length
+    * ≥ w + k - 1 between two documents yields at least one shared
+    * fingerprint (MinHash is a global set sketch — a short plagiarized
+    * passage inside two long distinct docs moves no signature band);
+    * expected density 2/(w+1) fingerprints per gram.
+    *
+    * Per-row HOF work is O(m·w) slices (the classic rolling O(m) form
+    * needs per-row state; at w ≤ 16 the constant is irrelevant next to
+    * tokenize). Docs with fewer than `w` grams winnow their whole gram
+    * list (one window, so short docs still fingerprint); docs with
+    * < k tokens emit nothing. Output: thin (idCol, fp, pos) rows —
+    * fp is the 32-bit gram hash, pos the 1-based gram position.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= k)
+      .select(col(idCol), transform(
+        sequence(lit(0), size(col("_tk")) - k),
+        i => tokHash(array_join(slice(col("_tk"), i + 1, lit(k)), " ")))
+        .as("_hs"))
+    val m = size(col("_hs"))
+    val effW = least(lit(w), m)
+    val sels = transform(sequence(lit(1), m - effW + 1), i => {
+      val sl = slice(col("_hs"), i, effW)
+      val mn = array_min(sl)
+      val rpos = array_max(transform(sequence(lit(1), effW),
+        j => when(element_at(sl, j) === mn, j).otherwise(lit(0))))
+      struct(mn.as("fp"), (i + rpos - 1).cast("long").as("pos"))
+    })
+    grams.select(col(idCol),
+        explode(array_distinct(sels)).as("_sel"))
+      .select(col(idCol), col("_sel.fp").as("fp"),
+        col("_sel.pos").as("pos"))
+  }
+
+  /** Cross-document passage-overlap pairs over [[winnowFingerprints]]:
+    * candidates pair when they share ≥1 fingerprint whose corpus
+    * document frequency is in [2, maxFpDf] (the same rare-key blocking
+    * + cap as [[containmentPairs]]; corpus-common fingerprints are
+    * boilerplate, which the boilerplate scrubs own), then the EXACT
+    * distinct-fingerprint intersection is recomputed per candidate
+    * pair from the full per-doc sets — the cap bounds the candidate
+    * fan-out (≤ maxFpDf² per key), never the reported overlap.
+    *
+    * Scale shape: fingerprints travel as 32-bit hashes in the blocking
+    * shuffle; per-doc fingerprint SETS (sorted arrays, ~2m/(w+1)
+    * entries) move only for candidate pairs via two id-keyed joins —
+    * document text never shuffles. `overlap_ppm` is the overlap
+    * coefficient (min-normalized), integer ppm for oracle parity.
+    *
+    * Returns (a, b, shared_fps, a_fps, b_fps, overlap_ppm) for pairs
+    * with overlap_ppm ≥ minOverlapPpm.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8, maxFpDf: Int = 64,
+      minOverlapPpm: Long = 0L): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp"))
+      .distinct()
+    val sets = fp.groupBy(col("id"))
+      .agg(array_sort(collect_set(col("fp"))).as("fps"))
+    val dfT = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxFpDf)
+    val blocked = fp.join(dfT, "fp")
+    val cand = blocked.as("l").join(blocked.as("r"),
+        col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("a"), col("fps").as("fpa")), "a")
+      .join(sets.select(col("id").as("b"), col("fps").as("fpb")), "b")
+      .withColumn("shared_fps",
+        size(array_intersect(col("fpa"), col("fpb"))).cast("long"))
+      .withColumn("a_fps", size(col("fpa")).cast("long"))
+      .withColumn("b_fps", size(col("fpb")).cast("long"))
+      .withColumn("overlap_ppm",
+        expr("shared_fps * 1000000 DIV least(a_fps, b_fps)"))
+      .filter(col("overlap_ppm") >= minOverlapPpm)
+      .select("a", "b", "shared_fps", "a_fps", "b_fps", "overlap_ppm")
+  }
+
   /** Edit-distance verification of MinHash-LSH near-dup candidates —
     * the final "are these REALLY revisions of the same document" gate.
     * MinHash estimates SET similarity, which is blind to token order:

@@ -1592,6 +1592,43 @@ class OpsSpec extends AnyFunSuite {
     assert(skipped.length === 4 && skipped.forall(_.getLong(1) === 2L))
   }
 
+  test("winnowFingerprints/winnowPairs: the local guarantee — a shared " +
+    "run of w+k-1 tokens yields a shared fingerprint; short docs") {
+    import spark.implicits._
+    // exactly w + k - 1 = 11 shared tokens inside otherwise-disjoint docs
+    val run = "regulators announced sweeping oversight changes late " +
+      "thursday affecting cross border settlement"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta " + run + " epsilon zeta eta theta"),
+      (2L, "one two three four five " + run + " six seven eight nine"),
+      (3L, "completely unrelated text about gardening tulips roses " +
+        "daffodils ferns moss and stones in the back yard")
+    ).toDF("id", "text").repartition(2)
+    val fps = Dedup.winnowFingerprints(docs, "id", "text", k = 4, w = 8)
+    val f1 = fps.filter(col("id") === 1L).select("fp").distinct()
+    val f2 = fps.filter(col("id") === 2L).select("fp").distinct()
+    assert(f1.intersect(f2).count() >= 1) // SWA03 Theorem: ≥1 shared
+    val pairs = Dedup.winnowPairs(docs, "id", "text", k = 4, w = 8,
+      maxFpDf = 8, minOverlapPpm = 0L).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+    assert(pairs.head.getAs[Long]("shared_fps") >= 1L)
+    // < k tokens ⇒ no grams ⇒ no fingerprints; k ≤ tokens but fewer
+    // grams than w ⇒ the whole gram list is one window ⇒ exactly the
+    // single minimum survives (short docs still fingerprint)
+    val short = Seq((9L, "a b c"), (10L, "a b c d e"))
+      .toDF("id", "text")
+    val sf = Dedup.winnowFingerprints(short, "id", "text", 4, 8)
+    assert(sf.filter(col("id") === 9L).count() === 0L)
+    assert(sf.filter(col("id") === 10L).count() === 1L)
+    // winnowing selects a subset of gram hashes: every fingerprint of
+    // doc 1 must also be one of its 4-gram hashes
+    val gs = docs.filter(col("id") === 1L)
+      .select(explode(Dedup.shingles(col("text"), 4)).as("g"))
+      .select(graft.functions.Md5Prefix32(col("g")).as("fp"))
+    assert(f1.exceptAll(gs.distinct()).isEmpty)
+  }
+
   test("hits: integer hub/authority scores match a scalar twin") {
     import spark.implicits._
     val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
