@@ -43,7 +43,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(e => only(e._1))
+    // oracle_sql.json is always the FULL map: a filtered iteration run
+    // only rewrites the dumps it re-ran, and check_oracle compares
+    // whatever oracle entries have a parquet dump present — so
+    // successive targeted runs into one outDir accumulate correctly.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -270,8 +270,8 @@ object Dedup {
       n: Int = 3, k: Int = 16, bands: Int = 8, seed: Long = 42L,
       minEstJaccard: Double = 0.25, minJaccard: Double = 0.0): DataFrame = {
     // prefilter minhashes the SAME shingle space the exact measure uses
-    val cand = minhashLshPairs(df, idCol, textCol, k, bands, seed,
-      minEstJaccard, shingleN = n).select(col("a"), col("b"))
+    val cand = spreadPairs(minhashLshPairs(df, idCol, textCol, k, bands,
+      seed, minEstJaccard, shingleN = n).select(col("a"), col("b")))
     val sh = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
       .select(col("id"),
         filter(shinglesOf(col("tk"), n), s => length(s) > 0).as("sh"))
@@ -313,6 +313,26 @@ object Dedup {
     * Returns (a, b, inter, sza, szb, contain_a_ppm, contain_b_ppm)
     * for pairs with max(contain_a, contain_b) ≥ minContainPpm.
     */
+  /** Spread a thin-bytes / heavy-CPU verification stage across the
+    * session's shuffle parallelism. AQE coalesces shuffle reads by
+    * BYTES (advisoryPartitionSizeInBytes), so a candidate-pair table —
+    * thin (a, b) rows, but up to ~1 ms of verification CPU each once
+    * text/sets are attached — collapses into ONE task at exactly the
+    * point the expensive per-pair work starts (measured on q98's
+    * 16k-pair corpus: the levenshtein confirm stage ran as a single
+    * task, 12 s; spread 32-way it is < 1 s). An explicit-numPartitions
+    * repartition is the one exchange AQE does not re-coalesce — and it
+    * must be ROUND-ROBIN, not hash(a, b): the candidate generator ends
+    * in a distinct() whose aggregate already hash-partitions on the
+    * pair key, so a same-key repartition is elided as redundant at
+    * planning (leaving only the coalescible aggregate exchange), and
+    * round-robin additionally spreads hub-document pairs evenly.
+    */
+  private def spreadPairs(pairs: DataFrame): DataFrame = {
+    val p = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    pairs.repartition(p)
+  }
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxShingleDf: Int = 64,
       minContainPpm: Long = 900000L): DataFrame = {
@@ -330,7 +350,7 @@ object Dedup {
         col("l._h") === col("r._h") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
-    cand
+    spreadPairs(cand)
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
       .withColumn("inter",
@@ -445,7 +465,7 @@ object Dedup {
         col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
-    cand
+    spreadPairs(cand)
       .join(sets.select(col("id").as("a"), col("fps").as("fpa")), "a")
       .join(sets.select(col("id").as("b"), col("fps").as("fpb")), "b")
       .withColumn("shared_fps",
@@ -485,8 +505,8 @@ object Dedup {
       minEstJaccard: Double = 0.5, shingleN: Int = 1,
       maxBucket: Int = 0, maxDistPpm: Long = 300000L): DataFrame = {
     require(maxDistPpm >= 0)
-    val cand = minhashLshPairs(df, idCol, textCol, k, bands, seed,
-      minEstJaccard, shingleN, maxBucket)
+    val cand = spreadPairs(minhashLshPairs(df, idCol, textCol, k, bands,
+      seed, minEstJaccard, shingleN, maxBucket))
     val txt = df.select(col(idCol), col(textCol))
     cand
       .join(txt.select(col(idCol).as("a"), col(textCol).as("_ta")),

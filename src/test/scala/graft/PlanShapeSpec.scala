@@ -333,6 +333,44 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-verify stages spread: an explicit-N round-robin " +
+      "repartition — the one exchange AQE can't coalesce to one task") {
+    // AQE coalesces shuffle reads by BYTES; a thin candidate-pair
+    // table with ~1 ms of per-pair confirm CPU (levenshtein /
+    // array_intersect) otherwise collapses into ONE task (measured:
+    // q98's 16k-pair levenshtein stage single-task = 12 s). The
+    // explicit-numPartitions round-robin repartition must sit between
+    // candidate generation and the set/text-attach joins, carrying
+    // only the thin (a, b[, est]) rows — hash(a, b) would be elided
+    // as redundant against the candidate distinct()'s partitioning.
+    withPlainPlan {
+      val plans = Seq(
+        graft.ops.Dedup.editVerifiedPairs(docs, "doc_id", "text",
+          k = 8, bands = 4, minEstJaccard = 0.0),
+        graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
+          n = 2, maxShingleDf = 8, minContainPpm = 0L),
+        graft.ops.Dedup.winnowPairs(docs, "doc_id", "text",
+          k = 2, w = 4),
+        graft.ops.Dedup.ngramJaccardLsh(docs, "doc_id", "text",
+          n = 2, k = 8, bands = 4, minEstJaccard = 0.0))
+      plans.zipWithIndex.foreach { case (out, i) =>
+        val spreads = out.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+              if e.shuffleOrigin == org.apache.spark.sql.execution
+                .exchange.REPARTITION_BY_NUM => e
+        }
+        assert(spreads.nonEmpty, s"plan $i: no explicit-N spread " +
+          "before the pair-confirm stage")
+        spreads.foreach { e =>
+          val names = e.output.map(_.name.toLowerCase).toSet
+          assert(names.forall(n => !n.contains("text") &&
+            !n.contains("sh") && !n.contains("fp")),
+            s"plan $i: spread shuffle must be thin (a,b[,est]): $names")
+        }
+      }
+    }
+  }
+
   test("registrableDomain: zero shuffles — every PSL depth join " +
       "broadcasts") {
     withPlainPlan {

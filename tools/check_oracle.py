@@ -12,14 +12,17 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+partial = "--partial" in sys.argv  # targeted runs: missing dumps are skips
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files and partial:
+        continue
     try:
         want = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"{name}: ORACLE SQL ERROR: {str(e)[:200]}"); fails += 1; continue
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"{name}: NO SPARK OUTPUT"); fails += 1; continue
     got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
