@@ -37,6 +37,15 @@ object Bench {
       // local[32]); same rule as sizing input splits on a real cluster
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesces shuffle reads down to minPartitionSize (1 MB
+      // default) BEFORE parallelism once partitions are small — but
+      // this engine's shuffles are deliberately THIN (ids + 32-bit
+      // hashes standing in for text), so "1 MB" of candidate pairs is
+      // ~50k rows of CPU-heavy exact-verify work squeezed onto 1-4
+      // cores (measured: q95's 1M-pair block join ran 4-way). 64 KB
+      // keeps thin stages at full parallelism; corpus-sized shuffles
+      // never see this floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

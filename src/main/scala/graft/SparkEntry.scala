@@ -25,6 +25,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] rebalanced to session parallelism — for queries whose first
+    * stage is a CPU-heavy per-row text kernel (shingling, winnowing,
+    * the curation gate). The sf test tables are single-row-group
+    * parquet, so their scan is ONE task no matter how
+    * maxPartitionBytes is set, serializing the kernel on an artifact
+    * of the tiny fixture files; a production pages table arrives in
+    * thousands of row groups and this exchange is a no-op-sized
+    * rebalance of one linear pass.
+    */
+  private def tSpread(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** Flagship: the full web-page extraction pipeline on synthetic pages
     * (driver smoke-checks rows > 0).
     */
@@ -802,7 +814,7 @@ object SparkEntry {
         body, pii,
         when(pmod(did, lit(5)) === 0,
           lit("All rights reserved. Terms of use apply.")))
-      val docs = t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+      val docs = tSpread(s, d, "documents").select(col("doc_id"), aug.as("aug"))
       Curation.curate(docs, "doc_id", "aug")
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           md5(col("clean_text")).as("clean_md5"))
@@ -1363,7 +1375,7 @@ object SparkEntry {
     // their Jaccard vs the parent is low; blocking shuffles 32-bit
     // shingle hashes only, exact re-check per candidate pair
     "q95_containment" -> ((s, d) => {
-      val base = t(s, d, "documents")
+      val base = tSpread(s, d, "documents")
         .select(col("doc_id").cast("long").as("id"), col("text"))
       val subs = base.filter(pmod(col("id"), lit(10)) === 5)
         .select((col("id") + 1000000L).as("id"),
@@ -1455,7 +1467,7 @@ object SparkEntry {
     // global MinHash sketch (q28) structurally misses
     "q101_winnow" -> ((s, d) => {
       val did = col("doc_id").cast("long")
-      val docs = t(s, d, "documents").select(did.as("id"),
+      val docs = tSpread(s, d, "documents").select(did.as("id"),
         when(pmod(did, lit(23)) === 7,
           concat_ws(" ", col("text"), lit(PlantPassage)))
           .otherwise(col("text")).as("text"))
@@ -3885,6 +3897,7 @@ object SparkEntry {
         thin AS (SELECT DISTINCT id,
             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
           FROM (SELECT id, unnest(sh) AS s FROM sh)),
+        hset AS (SELECT id, list(h) AS hs FROM thin GROUP BY id),
         dft AS (SELECT h, COUNT(*) AS dfc FROM thin GROUP BY h
           HAVING COUNT(*) BETWEEN 2 AND 16),
         blocked AS (SELECT id, thin.h FROM thin JOIN dft USING (h)),
@@ -3892,11 +3905,11 @@ object SparkEntry {
           FROM blocked l JOIN blocked r
             ON l.h = r.h AND l.id < r.id),
         sc AS (SELECT a, b,
-            CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
-            CAST(len(sa.sh) AS BIGINT) AS sza,
-            CAST(len(sb.sh) AS BIGINT) AS szb
-          FROM cand JOIN sh sa ON cand.a = sa.id
-            JOIN sh sb ON cand.b = sb.id),
+            CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+            CAST(len(sa.hs) AS BIGINT) AS sza,
+            CAST(len(sb.hs) AS BIGINT) AS szb
+          FROM cand JOIN hset sa ON cand.a = sa.id
+            JOIN hset sb ON cand.b = sb.id),
         f AS (SELECT a, b, inter, sza, szb,
           CAST(CASE WHEN sza > 0 THEN (inter * 1000000) // sza
             ELSE 0 END AS BIGINT) AS contain_a_ppm,

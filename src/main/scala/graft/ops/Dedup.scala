@@ -95,9 +95,18 @@ object Dedup {
       k: Int = 16, bands: Int = 4, seed: Long = 42L,
       minEstJaccard: Double = 0.5, shingleN: Int = 1,
       maxBucket: Int = 0): DataFrame = {
+    // Materialize the banded signature table ONCE: the bucket
+    // self-join consumes it as both sides, and without a fence each
+    // side re-runs the k-permutation minhash map (k md5s per token
+    // over the whole corpus — the dominant cost). Thin rows (id,
+    // k longs, band, bucket); same localCheckpoint rationale as
+    // canonicalize below. Blocks live until session end — one
+    // signature-table-sized block set per call, bounded and small
+    // next to the corpus.
     val capped = capBuckets(
       bandedSignatures(df, idCol, textCol, k, bands, seed, shingleN),
       maxBucket)
+      .localCheckpoint()
     val l = capped.as("l")
     val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") &&
@@ -302,13 +311,17 @@ object Dedup {
     * boilerplate-only subsets, which the boilerplate scrubs own;
     * [[containmentSkippedShingles]] accounts the keys the cap dropped.
     *
-    * Scale shape: shingles travel as 32-bit hashes in the blocking
-    * shuffle (a hash collision only creates a spurious candidate,
-    * removed by the exact re-check); per blocked key the self-join
-    * fans out ≤ maxShingleDf² pairs; the exact intersection computes
-    * per CANDIDATE PAIR ONLY via array_intersect over the two shingle
-    * arrays — no corpus-wide shingle-string shuffle. Ratios are
-    * integer ppm for oracle parity.
+    * Scale shape: the ENTIRE computation lives in 32-bit hashed
+    * shingle space — blocking keys, df counts, and the per-candidate
+    * exact intersection (int arrays rebuilt from the one materialized
+    * thin table: no second tokenize pass, and the attach joins move
+    * 4-byte elements instead of shingle strings). The intersection is
+    * exact over hashes; a cross-doc hash collision can inflate a
+    * pair's `inter` by 1 (P ≈ |S|²/2³² per pair — ~1e-6 at 100-gram
+    * docs). Where string-exact counts are required, confirm as
+    * [[graft.ops.Curation]]'s dropDuplicatedSpansConfirmed does for
+    * spans. Per blocked key the self-join fans out ≤ maxShingleDf²
+    * pairs. Ratios are integer ppm for oracle parity.
     *
     * Returns (a, b, inter, sza, szb, contain_a_ppm, contain_b_ppm)
     * for pairs with max(contain_a, contain_b) ≥ minContainPpm.
@@ -339,9 +352,16 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
       .select(col("id"),
         filter(shinglesOf(col("tk"), n), s => length(s) > 0).as("sh"))
+    // Materialized once: everything downstream (df counts, both sides
+    // of the blocking self-join, AND the per-doc hash sets the exact
+    // re-check intersects) derives from this one thin (id, 32-bit
+    // hash) table — the corpus is tokenized exactly once.
     val thin = sh.select(col("id"), explode(col("sh")).as("_s"))
       .select(col("id"), tokHash(col("_s")).as("_h"))
       .distinct()
+      .localCheckpoint()
+    val sets = thin.groupBy(col("id"))
+      .agg(array_sort(collect_set(col("_h"))).as("sh"))
     val dfT = thin.groupBy(col("_h"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxShingleDf)
@@ -351,8 +371,8 @@ object Dedup {
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
     spreadPairs(cand)
-      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
-      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("sza", size(col("sha")).cast("long"))
@@ -452,9 +472,12 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 8, maxFpDf: Int = 64,
       minOverlapPpm: Long = 0L): DataFrame = {
+    // Materialized once: four consumers (per-doc sets, df counts, both
+    // blocking-join sides) would each re-run the O(m·w) winnow map.
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp"))
       .distinct()
+      .localCheckpoint()
     val sets = fp.groupBy(col("id"))
       .agg(array_sort(collect_set(col("fp"))).as("fps"))
     val dfT = fp.groupBy(col("fp"))
