@@ -1475,6 +1475,19 @@ object SparkEntry {
         k = 4, w = 8, maxFpDf = 64, minOverlapPpm = 50000L)
         .orderBy("a", "b")
     }),
+    // similarity: margin-based NN mining (Artetxe & Schwenk 2019 — the
+    // LASER/CCMatrix bitext-mining criterion): even-id vectors mine
+    // their forward-best odd-id neighbor, scored by the ratio margin
+    // over both endpoints' top-4 neighborhood means; one cosine pass,
+    // then pure integer arithmetic (exact in any execution order)
+    "q102_margin_mining" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.marginMining(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = 4, minMarginPpm = 1000000L)
+        .orderBy("x")
+    }),
     // web graph: 2 rounds of integer-exact HITS hubs/authorities over
     // the q73 host-level link table — the directory-vs-destination
     // centrality pair a link-farm gate reads alongside PageRank
@@ -3503,6 +3516,37 @@ object SparkEntry {
         FROM sc
         WHERE shared_fps * 1000000 // LEAST(a_fps, b_fps) >= 50000
         ORDER BY a, b""",
+    // q102: the full margin criterion re-derived — same left-to-right
+    // double cosine (floored to ppm once), integer top-4 neighborhood
+    // means via truncating //, forward-best ranks, ratio margin.
+    // DuckDB's // and Spark's div both truncate toward zero, so the
+    // arithmetic agrees on negative cosines too.
+    "q102_margin_mining" ->
+      s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        xs AS (SELECT vec_id AS x, e FROM v WHERE vec_id % 2 = 0),
+        ys AS (SELECT vec_id AS y, e FROM v WHERE vec_id % 2 = 1),
+        p AS (SELECT x, y,
+            CAST(floor((${cosSql("xs.e", "ys.e")}) * 1000000) AS BIGINT)
+              AS cos_ppm
+          FROM xs CROSS JOIN ys),
+        rx AS (SELECT x, y, cos_ppm, row_number() OVER (
+            PARTITION BY x ORDER BY cos_ppm DESC, y) AS rk FROM p),
+        ry AS (SELECT x, y, cos_ppm, row_number() OVER (
+            PARTITION BY y ORDER BY cos_ppm DESC, x) AS rk FROM p),
+        ax AS (SELECT x, CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT)
+            AS avg_x_ppm FROM rx WHERE rk <= 4 GROUP BY x),
+        ay AS (SELECT y, CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT)
+            AS avg_y_ppm FROM ry WHERE rk <= 4 GROUP BY y),
+        best AS (SELECT x, y, cos_ppm FROM rx WHERE rk = 1)
+        SELECT best.x, best.y, best.cos_ppm, avg_x_ppm, avg_y_ppm,
+          CAST((cos_ppm * 2000000) // (avg_x_ppm + avg_y_ppm) AS BIGINT)
+            AS margin_ppm
+        FROM best JOIN ax USING (x) JOIN ay USING (y)
+        WHERE avg_x_ppm + avg_y_ppm > 0
+          AND (cos_ppm * 2000000) // (avg_x_ppm + avg_y_ppm) >= 1000000
+        ORDER BY best.x""",
     // q81: every metadata field re-derived from the synthesis formulas
     // (title entity-decode + markup strip, description across attr
     // orders/quote styles, canonical resolution incl. the <base href>

@@ -250,4 +250,68 @@ object SimSearch {
       }
     prev.indices.map(i => byCell.getOrElse(i, prev(i)))
   }
+
+  /** Margin-based nearest-neighbor mining across two embedding sides —
+    * Artetxe & Schwenk 2019 (the LASER/CCMatrix bitext-mining
+    * criterion). An absolute cosine threshold is miscalibrated in
+    * high-density "hubness" regions, so a forward-best pair (x, y)
+    * scores by how far it stands out of BOTH endpoints' neighborhoods:
+    * margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2), avgK = mean
+    * cosine to the k nearest OTHER-side neighbors.
+    *
+    * Exactness: each cosine folds left-to-right in double (bit-equal
+    * to the SQL twin) and floors to ppm ONCE; the neighborhood means
+    * and the margin ratio are pure integer arithmetic (truncating
+    * DIV), exact in any execution order. Degenerate neighborhoods
+    * (avg_x + avg_y ≤ 0, possible only on adversarially anti-aligned
+    * sides) are dropped rather than risking engine-specific
+    * divide-by-zero behavior.
+    *
+    * Scale shape: the all-pairs cosine table is the documented
+    * brute-force baseline — ONE crossJoin pass (materialized once)
+    * serves both directions' neighborhoods and the forward
+    * candidates. At corpus scale swap the pair source for
+    * [[ivfTopK]] / [[lshTopK]] candidates: the margin only needs each
+    * endpoint's top-k, which the ANN paths already produce per probe
+    * bucket, and the per-endpoint windows then rank candidate-sized
+    * partitions, not |other side|.
+    *
+    * Returns (x, y, cos_ppm, avg_x_ppm, avg_y_ppm, margin_ppm) for
+    * forward-best pairs with margin_ppm ≥ minMarginPpm.
+    */
+  def marginMining(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4,
+      minMarginPpm: Long = 1000000L): DataFrame = {
+    val l = left.select(col(idCol).as("x"),
+      col(vecCol).cast("array<double>").as("xv"))
+    val r = right.select(col(idCol).as("y"),
+      col(vecCol).cast("array<double>").as("yv"))
+    val pairs = l.crossJoin(r)
+      .withColumn("cos_ppm",
+        floor(cosine(col("xv"), col("yv")) * lit(1000000L)).cast("long"))
+      .select(col("x"), col("y"), col("cos_ppm"))
+      .localCheckpoint() // one cosine pass feeds 3 consumers
+    def avgTopK(key: String, other: String, outCol: String) =
+      pairs.withColumn("_rk", row_number().over(
+          Window.partitionBy(col(key))
+            .orderBy(col("cos_ppm").desc, col(other))))
+        .filter(col("_rk") <= k)
+        .groupBy(col(key))
+        .agg(call_function("div", sum(col("cos_ppm")), count(lit(1)))
+          .as(outCol))
+    val ax = avgTopK("x", "y", "avg_x_ppm")
+    val ay = avgTopK("y", "x", "avg_y_ppm")
+    val best = pairs.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("x"))
+          .orderBy(col("cos_ppm").desc, col("y"))))
+      .filter(col("_rk") === 1).drop("_rk")
+    best.join(ax, "x").join(ay, "y")
+      .filter(col("avg_x_ppm") + col("avg_y_ppm") > 0)
+      .withColumn("margin_ppm", call_function("div",
+        col("cos_ppm") * lit(2000000L),
+        col("avg_x_ppm") + col("avg_y_ppm")))
+      .filter(col("margin_ppm") >= minMarginPpm)
+      .select("x", "y", "cos_ppm", "avg_x_ppm", "avg_y_ppm",
+        "margin_ppm")
+  }
 }

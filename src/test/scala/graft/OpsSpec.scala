@@ -1629,6 +1629,36 @@ class OpsSpec extends AnyFunSuite {
     assert(f1.exceptAll(gs.distinct()).isEmpty)
   }
 
+  test("marginMining: planted twins mine forward-best with the top " +
+    "margins; hub-agnostic vs the absolute-cosine rank") {
+    import spark.implicits._
+    // left side: 3 axis-aligned vectors; right side: a near-twin of
+    // each (slightly rotated, still closest by far) + 2 "hub" vectors
+    // moderately close to EVERYTHING (high neighborhood density)
+    val left = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val right = Seq(
+      (1L, Seq(0.95f, 0.05f, 0.0f, 0.0f)),  // twin of 0
+      (3L, Seq(0.05f, 0.95f, 0.0f, 0.0f)),  // twin of 2
+      (5L, Seq(0.0f, 0.05f, 0.95f, 0.0f)),  // twin of 4
+      (7L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),    // hub
+      (9L, Seq(0.6f, 0.5f, 0.4f, 0.5f))     // hub
+    ).toDF("vec_id", "embedding")
+    val mined = graft.ops.SimSearch.marginMining(left, right,
+      "vec_id", "embedding", k = 3, minMarginPpm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("margin_ppm"))).sortBy(_._1)
+    // every left vector's forward-best is its twin, not a hub
+    assert(mined.map(m => (m._1, m._2)).toSeq ===
+      Seq((0L, 1L), (2L, 3L), (4L, 5L)))
+    // the margin strictly exceeds 1.0: the twin stands out of both
+    // endpoints' hub-inflated neighborhoods
+    mined.foreach(m => assert(m._3 > 1000000L, s"margin not > 1: $m"))
+  }
+
   test("hits: integer hub/authority scores match a scalar twin") {
     import spark.implicits._
     val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
