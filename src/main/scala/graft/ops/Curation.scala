@@ -252,7 +252,11 @@ object Curation {
     * equals the union of duplicated >=n-token spans — which is why a
     * distributed suffix array (global order over 100 TB of text, log n
     * shuffle rounds of prefix doubling) buys nothing here: one narrow
-    * gram-hash pass computes the same mask. The remaining deltas vs the
+    * gram-hash pass computes the same mask. The claim is pinned by an
+    * OpsSpec parity test against a brute-force ALL-spans oracle (every
+    * (start, len>=n) span counted by distinct-doc text occurrence —
+    * the set a suffix array + LCP walk yields) on a corpus with
+    * nested/overlapping/boundary/within-doc-only plants. The remaining deltas vs the
     * paper, all policy not fidelity: token instead of byte granularity;
     * ALL copies of a duplicated span are scrubbed (the paper keeps one
     * occurrence — here exact/near dedup stages own survivor choice);

@@ -525,6 +525,71 @@ class OpsSpec extends AnyFunSuite {
     assert(base.exceptAll(conf).isEmpty && conf.exceptAll(base).isEmpty)
   }
 
+  test("span dedup ≡ suffix-array duplicated-substring semantics " +
+      "(brute-force all-spans oracle)") {
+    import spark.implicits._
+    // The scaladoc on dropDuplicatedSpans PROVES that the union of
+    // duplicated n-gram windows equals the union of duplicated
+    // >=n-token spans — i.e. that the one-pass gram mask computes
+    // exactly what a suffix-array pass (Lee et al. 2022) would. This
+    // test checks that claim against an INDEPENDENT oracle that never
+    // decomposes into n-grams: enumerate EVERY token span of length
+    // >= n in every doc (the set a suffix array + LCP walk yields),
+    // count distinct docs per span TEXT, and scrub all tokens covered
+    // by any span held by >= minDocs docs.
+    val n = 4; val minDocs = 2
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    def filler(k: Int): Seq[String] =
+      Seq.fill(k)(vocab(rng.nextInt(vocab.size)))
+    val longShared = // L = 7 > n: nested + overlapping windows
+      Seq("one", "two", "three", "four", "five", "six", "seven")
+    val exactN = Seq("red", "green", "blue", "white") // L = n exactly
+    val shortSh = Seq("just", "three", "words")       // L = n-1: kept
+    val intra = Seq("intra", "doc", "repeat", "only") // 1 doc, twice
+    val docsTok: Seq[(Long, Seq[String])] = Seq(
+      0L -> (longShared ++ filler(6) ++ exactN),
+      1L -> (filler(3) ++ longShared ++ shortSh),
+      2L -> (exactN ++ filler(5) ++ shortSh),
+      3L -> (intra ++ filler(2) ++ intra), // within-doc only: NOT scrubbed
+      4L -> filler(12), // 8-word vocab: accidental repeats possible —
+      5L -> filler(12), // the oracle counts them identically if so
+      6L -> longShared, // doc IS the span (start + end boundaries)
+      7L -> Seq("tiny", "doc") // shorter than n: no grams
+    )
+    // brute-force oracle over ALL spans of length >= n
+    val spanDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, ts) <- docsTok; s <- ts.indices; l <- n to (ts.length - s))
+      spanDocs.updateWith(ts.slice(s, s + l).mkString(" "))(
+        o => Some(o.getOrElse(Set.empty[Long]) + id))
+    val dup = spanDocs.filter(_._2.size >= minDocs).keySet
+    val expected: Map[Long, (Long, String)] = docsTok.map { case (id, ts) =>
+      val covered = Array.fill(ts.length)(false)
+      for (s <- ts.indices; l <- n to (ts.length - s)
+           if dup(ts.slice(s, s + l).mkString(" ")); j <- s until s + l)
+        covered(j) = true
+      val kept = ts.zipWithIndex.collect { case (t, j) if !covered(j) => t }
+      val nRemoved = (ts.length - kept.length).toLong
+      id -> (nRemoved,
+        if (nRemoved == 0) ts.mkString(" ") else kept.mkString(" "))
+    }.toMap
+    // sanity: the plants landed — something long got scrubbed, the
+    // n-1 shared run and the within-doc repeat did not
+    assert(expected(6L)._1 === 7L)
+    assert(expected(3L)._1 === 0L)
+    assert(expected(1L)._2.contains("just three words"))
+    val df = docsTok.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    for (impl <- Seq(
+        Curation.dropDuplicatedSpansConfirmed(df, "doc_id", "text", n, minDocs),
+        Curation.dropDuplicatedSpans(df, "doc_id", "text", n, minDocs))) {
+      val got = impl.select("doc_id", "n_removed", "clean_text").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("line dedup within doc: first occurrence kept, blanks dropped") {
     import spark.implicits._
     val df = Seq(
