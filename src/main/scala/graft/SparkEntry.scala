@@ -73,6 +73,80 @@ object SparkEntry {
         SELECT *, max(s) OVER (PARTITION BY vec_id) AS mx FROM sims)
         WHERE s = mx GROUP BY vec_id)"""
 
+  /** q103 oracle: the full IVF-PQ chain in SQL — codebook rows sampled
+    * by md5(id:43) exactly as SimSearch.pqCodebooks, per-subspace
+    * encode by squared-L2 argmin (ties to the smaller centroid index),
+    * the per-vector code row pivoted WIDE so the reconstructed norm
+    * and the ADC dot are written as eight explicit left-associated
+    * terms — matching the Spark side's reduce(_ + _) fold order; a
+    * GROUP BY j SUM would add in engine-chosen order and can differ in
+    * the last ulp, flipping the prank boundary — then exact-cosine
+    * re-rank of the top 50 per query.
+    */
+  private lazy val q103Sql: String = {
+    val m = 8; val dsub = 8; val ksub = 16; val nProbe = 4
+    val rerank = 50
+    val js = 0 until m
+    def n2(e: String) =
+      s"list_sum(list_transform(generate_series(1, $dsub), " +
+        s"i -> $e[i] * $e[i]))"
+    val codePivot = js.map(j =>
+      s"max(CASE WHEN j = $j THEN ci END) AS c$j").mkString(", ")
+    val subJoins = js.map(j =>
+      s"JOIN cbsub s$j ON s$j.j = $j AND s$j.ci = w.c$j").mkString(" ")
+    val subCols = js.map(j => s"s$j.ce AS e$j").mkString(", ")
+    val rn2 = js.map(j => n2(s"e$j")).mkString(" + ")
+    val adcTerms = js.map(j =>
+      s"list_sum(list_transform(generate_series(1, $dsub), " +
+        s"i -> vq.e[${j * dsub} + i] * e2.e$j[i]))").mkString(" + ")
+    val qnorm = "sqrt(list_sum(list_transform(" +
+      "generate_series(1, len(vq.e)), i -> vq.e[i] * vq.e[i])))"
+    s"""WITH $ivfCellSqlCtes,
+      cbrows AS (SELECT ci, e FROM (
+        SELECT row_number() OVER (
+            ORDER BY md5(concat(CAST(vec_id AS VARCHAR), ':43')),
+              CAST(vec_id AS VARCHAR)) - 1 AS ci, e
+        FROM v) WHERE ci < $ksub),
+      cbsub AS (SELECT js.j, ci,
+          list_slice(e, js.j * $dsub + 1, js.j * $dsub + $dsub) AS ce
+        FROM cbrows CROSS JOIN
+          (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
+      enc0 AS (SELECT vv.vec_id, s.j, s.ci,
+          list_sum(list_transform(generate_series(1, $dsub),
+            i -> (vv.e[s.j * $dsub + i] - s.ce[i])
+               * (vv.e[s.j * $dsub + i] - s.ce[i]))) AS d2
+        FROM v vv CROSS JOIN cbsub s),
+      codes AS (SELECT vec_id, j, ci FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+          ORDER BY d2, ci) AS pr FROM enc0) WHERE pr = 1),
+      codesw AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id),
+      enc2 AS (SELECT w.vec_id, $subCols FROM codesw w $subJoins),
+      rn2t AS (SELECT vec_id, $rn2 AS rn2 FROM enc2),
+      qp AS (SELECT vec_id AS query_id, ci AS cell FROM (
+        SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+          ORDER BY s DESC, ci) AS pr FROM sims WHERE vec_id < 10)
+        WHERE pr <= $nProbe),
+      cand AS (SELECT qp.query_id, e2.vec_id AS corpus_id,
+          ($adcTerms) / ($qnorm * sqrt(r2.rn2)) AS adc
+        FROM qp JOIN cell cl ON cl.cell = qp.cell
+        JOIN enc2 e2 ON e2.vec_id = cl.vec_id
+        JOIN rn2t r2 ON r2.vec_id = cl.vec_id
+        JOIN v vq ON vq.vec_id = qp.query_id
+        WHERE qp.query_id != cl.vec_id),
+      topc AS (SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc DESC, corpus_id) AS prank FROM cand)
+        WHERE prank <= $rerank),
+      ex AS (SELECT t.query_id, t.corpus_id,
+          ${cosSql("vq.e", "vc.e")} AS cosine
+        FROM topc t JOIN v vq ON vq.vec_id = t.query_id
+        JOIN v vc ON vc.vec_id = t.corpus_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, corpus_id) AS rank FROM ex)
+      SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '')"""
   private def tokHashSql(width: Int) =
@@ -404,6 +478,19 @@ object SparkEntry {
       val v = t(s, d, "embeddings")
       SimSearch.ivfTopK(v, v.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, nCells = 16, nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+    // simsearch: IVF-PQ compressed ANN (Jégou et al. 2011) — the
+    // memory-scale path: corpus vectors quantized to m=8 subspace
+    // codes + one reconstructed norm, ADC approximate-cosine candidate
+    // ranking inside the probed cells, exact re-rank of the top 50;
+    // sampling, encoding, probing, ADC and re-rank all oracle-checked
+    "q103_ann_ivfpq" -> ((s, d) => {
+      val v = t(s, d, "embeddings")
+      SimSearch.ivfPqTopK(v, v.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, nCells = 16, nProbe = 4, m = 8, ksub = 16,
+        rerank = 50)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -4228,6 +4315,7 @@ object SparkEntry {
         SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
     },
+    "q103_ann_ivfpq" -> q103Sql,
     "q69_semantic_dedup" ->
       s"""WITH $ivfCellSqlCtes,
         cc AS (SELECT cl.vec_id, cl.cell, vv.e FROM cell cl

@@ -122,6 +122,47 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= singleRecall)
   }
 
+  test("IVF-PQ: codes are m small ints, returned cosines are EXACT, " +
+      "recall tracks the flat IVF index") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+    // exact cosine map from brute force: the PQ path re-ranks its ADC
+    // candidates with exact cosine, so every returned (q, c, cosine)
+    // must agree bitwise with brute force's for the same pair
+    val brute = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val bruteTop3 = brute.toSeq.groupBy(_._1._1).flatMap { case (q, xs) =>
+      xs.sortBy { case ((_, c), cos) => (-cos, c) }.take(3).map(_._1)
+    }.toSet
+    val pq = SimSearch.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 3,
+      nCells = 16, nProbe = 4, m = 8, ksub = 16, rerank = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pq.foreach { case (q, c, cos) =>
+      assert(brute((q, c)) === cos, s"PQ cosine for ($q,$c) not exact")
+    }
+    val recall = pq.map(t => (t._1, t._2)).toSet.intersect(bruteTop3)
+      .size.toDouble / bruteTop3.size
+    // flat IVF at the same cells/probes bounds what PQ+rerank can see
+    val flat = SimSearch.ivfTopK(emb, qs, "vec_id", "embedding", k = 3,
+      nCells = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flatRecall = flat.intersect(bruteTop3).size.toDouble / bruteTop3.size
+    // at rerank=50 the exact re-rank recovers the flat index's view
+    assert(recall >= flatRecall - 0.1,
+      s"PQ recall $recall vs flat IVF $flatRecall")
+    assert(recall >= 0.5, s"recall $recall")
+    // the index really is compressed: m codes in [0, ksub)
+    val cb = SimSearch.pqCodebooks(emb, "vec_id", "embedding", 8, 16)
+    assert(cb.length === 8 && cb.forall(_.length === 16)
+      && cb.forall(_.forall(_.length === 8)))
+    val codes = emb.select(
+      SimSearch.pqEncode(col("embedding").cast("array<double>"), cb)
+        .as("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length === 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("lshTopK shuffle-join path (corpus-sized queries) matches broadcast") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
