@@ -1248,6 +1248,57 @@ object SparkEntry {
         .withColumn("n_meta_tags", col("n_meta_tags").cast("long"))
         .orderBy("url")
     }),
+    // extraction: JSON-LD (schema.org) structured data — one row per
+    // ld+json script block in document order: Article headline /
+    // datePublished / author (object AND plain-string forms), Product
+    // offer price, @graph entity count, malformed-JSON blocks as
+    // valid=false rows, non-ld scripts ignored. The oracle re-derives
+    // every field and block position from the synthesis formulas, so
+    // the Spark side must genuinely find the typed script tags and
+    // parse the JSON
+    "q104_jsonld" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      def m(mod: Long): Column = pmod(did, lit(mod))
+      def ms(mod: Long): Column = m(mod).cast("string")
+      val host = concat(col("source"), lit("-"), ms(7),
+        lit(".example.com"))
+      val url = concat(lit("http://"), host, lit("/docs/d"),
+        col("doc_id").cast("string"), lit(".html"))
+      val authorJson = when(m(4) === 0,
+          concat(lit("\"Plain "), ms(5), lit("\"")))
+        .otherwise(concat(lit("{\"@type\":\"Person\",\"name\":\"Author "),
+          ms(5), lit("\"}")))
+      val blockA = concat(
+        when(m(2) === 0, lit("<script type=\"application/ld+json\">"))
+          .otherwise(lit("<script async type='application/ld+json' id='ld'>")),
+        lit("{\"@context\":\"https://schema.org\",\"@type\":\"Article\"," +
+          "\"headline\":\"Doc "),
+        did.cast("string"),
+        lit(" headline\",\"datePublished\":\"2024-0"),
+        (m(9) + 1).cast("string"),
+        lit("-15\",\"author\":"), authorJson, lit("}</script>"))
+      val blockB = when(m(3) === 0, concat(
+        lit("<script type=\"application/ld+json\">{\"@type\":\"Product\"," +
+          "\"name\":\"P"), ms(7),
+        lit("\",\"offers\":{\"@type\":\"Offer\",\"price\":\""), ms(100),
+        lit(".99\"}}</script>"))).otherwise(lit(""))
+      val blockC = when(m(5) === 0, lit(
+        "<script type=\"application/ld+json\">{\"@context\":" +
+          "\"https://schema.org\",\"@graph\":[{\"@type\":\"WebPage\"}," +
+          "{\"@type\":\"BreadcrumbList\"}]}</script>")).otherwise(lit(""))
+      val blockD = when(m(11) === 0, lit(
+        "<script type=\"application/ld+json\">{\"@type\":\"Broken\"," +
+          "</script>")).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><script>var x=1;</script>" +
+          "<script type=\"text/javascript\">ignore()</script>"),
+        blockA, blockB, blockC, blockD,
+        lit("</head><body>b</body></html>"))
+      MetaExtractor.jsonLd(
+        t(s, d, "documents").select(url.as("url"), html.as("html")),
+        "url", "html")
+        .orderBy("url", "block_pos")
+    }),
     // web graph: connected components of the host graph via
     // O(log n)-round star contraction (the same Kiveris et al.
     // machinery dedup clustering uses, on web topology) — mirror
@@ -3683,6 +3734,53 @@ object SparkEntry {
             + (CASE WHEN id % 6 < 2 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_meta_tags
         FROM p ORDER BY url""",
+    // q104: every field + block position re-derived from the plant
+    // formulas; block order on the page is A (always), B (id%3=0),
+    // C (id%5=0), D (id%11=0)
+    "q104_jsonld" ->
+      s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $linkUrlSql AS url FROM documents),
+        a AS (SELECT url, 0 AS block_pos, TRUE AS valid,
+          'Article' AS ld_type,
+          'Doc ' || CAST(id AS VARCHAR) || ' headline' AS headline,
+          CAST(NULL AS VARCHAR) AS name,
+          CASE WHEN id % 4 = 0 THEN 'Plain ' || CAST(id % 5 AS VARCHAR)
+            ELSE 'Author ' || CAST(id % 5 AS VARCHAR) END AS author_name,
+          '2024-0' || CAST(id % 9 + 1 AS VARCHAR) || '-15'
+            AS date_published,
+          CAST(NULL AS VARCHAR) AS price, CAST(1 AS BIGINT) AS n_entities
+          FROM p),
+        bq AS (SELECT url, 1 AS block_pos, TRUE AS valid,
+          'Product' AS ld_type, CAST(NULL AS VARCHAR) AS headline,
+          'P' || CAST(id % 7 AS VARCHAR) AS name,
+          CAST(NULL AS VARCHAR) AS author_name,
+          CAST(NULL AS VARCHAR) AS date_published,
+          CAST(id % 100 AS VARCHAR) || '.99' AS price,
+          CAST(1 AS BIGINT) AS n_entities
+          FROM p WHERE id % 3 = 0),
+        cq AS (SELECT url,
+          1 + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS block_pos,
+          TRUE AS valid, 'WebPage' AS ld_type,
+          CAST(NULL AS VARCHAR) AS headline, CAST(NULL AS VARCHAR) AS name,
+          CAST(NULL AS VARCHAR) AS author_name,
+          CAST(NULL AS VARCHAR) AS date_published,
+          CAST(NULL AS VARCHAR) AS price, CAST(2 AS BIGINT) AS n_entities
+          FROM p WHERE id % 5 = 0),
+        dq AS (SELECT url,
+          1 + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END) AS block_pos,
+          FALSE AS valid, CAST(NULL AS VARCHAR) AS ld_type,
+          CAST(NULL AS VARCHAR) AS headline, CAST(NULL AS VARCHAR) AS name,
+          CAST(NULL AS VARCHAR) AS author_name,
+          CAST(NULL AS VARCHAR) AS date_published,
+          CAST(NULL AS VARCHAR) AS price, CAST(0 AS BIGINT) AS n_entities
+          FROM p WHERE id % 11 = 0)
+        SELECT url, CAST(block_pos AS INTEGER) AS block_pos, valid,
+          ld_type, headline, name, author_name, date_published, price,
+          n_entities
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM bq
+          UNION ALL SELECT * FROM cq UNION ALL SELECT * FROM dq)
+        ORDER BY url, block_pos""",
     "q75_link_extract" -> q75Sql,
     "q76_link_graph" -> q76Sql,
     // q82: transitive closure via recursive CTE = the ground truth the

@@ -64,4 +64,25 @@ class MetaExtractorSpec extends AnyFunSuite {
       """<base href="/d/"><link rel="canonical" href="x.html">""")
     assert(relBase.getAs[String]("canonical_abs") === "http://h.com/a/x.html")
   }
+
+  test("jsonLd: no ld+json block -> no rows; nested/array author forms; " +
+      "plain <script> never matches") {
+    import spark.implicits._
+    val pages = Seq(
+      ("u0", "<html><script>var a=1;</script>" +
+        "<script type='text/javascript'>b()</script><body>x</body></html>"),
+      ("u1", "<script type=\"application/ld+json\">" +
+        "{\"@type\":\"Article\",\"author\":[{\"name\":\"A\"}]}</script>")
+    ).toDF("url", "html")
+    val r = MetaExtractor.jsonLd(pages, "url", "html").collect()
+    // u0 has scripts but none typed ld+json: zero rows
+    assert(r.forall(_.getString(0) == "u1") && r.length === 1)
+    // author as ARRAY of objects: neither the object-form path nor the
+    // plain-string fallback applies -> null (documented subset), and
+    // the row still parses as valid
+    val row = r.head
+    assert(row.getAs[Boolean]("valid"))
+    assert(row.getAs[String]("ld_type") === "Article")
+    assert(row.isNullAt(row.fieldIndex("author_name")))
+  }
 }
