@@ -1299,6 +1299,25 @@ object SparkEntry {
         "url", "html")
         .orderBy("url", "block_pos")
     }),
+    // extraction: hreflang alternate links — publisher-declared
+    // translation graph rows across tag/quote/attribute-order and
+    // relative/absolute href variants; alternate links WITHOUT
+    // hreflang (RSS feed, stylesheet) ignored. The oracle re-derives
+    // the RESOLVED absolute urls, so all plant variants must normalize
+    // to the same output
+    "q105_hreflang" -> ((s, d) =>
+      MetaExtractor.hreflangLinks(hreflangPages(s, d), "url", "html")
+        .orderBy("url", "link_pos")),
+    // composition: hreflang rows → translation clusters via the star
+    // contraction (min-url component label). Pages that declare no
+    // alternates themselves (every 7th doc) must still cluster through
+    // their siblings' references — the oracle knows the planted
+    // triples, so the contraction must agree with transitive closure
+    // over the declared graph
+    "q106_translation_clusters" -> ((s, d) =>
+      WebGraph.translationClusters(
+        MetaExtractor.hreflangLinks(hreflangPages(s, d), "url", "html"))
+        .orderBy("url")),
     // web graph: connected components of the host graph via
     // O(log n)-round star contraction (the same Kiveris et al.
     // machinery dedup clustering uses, on web topology) — mirror
@@ -2028,6 +2047,51 @@ object SparkEntry {
     * row from the same modular formulas — the Spark side must actually
     * parse and resolve.
     */
+  /** Synthesized hreflang pages for q105/q106: docs grouped in
+    * translation triples g = doc_id/3 with langs en/de/fr by doc_id%3;
+    * every non-omitting page (doc_id%7 != 0) declares all three
+    * language alternates — tag quote style/attribute order varies by
+    * doc_id%2, href absolute vs path-absolute by doc_id%4 — plus an
+    * x-default pointing at the en member. Every page also carries a
+    * stylesheet link and an alternate-WITHOUT-hreflang RSS link that
+    * the extractor must ignore. Every 7th doc declares nothing and
+    * must still cluster through its siblings' references.
+    */
+  private def hreflangPages(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("long")
+    // integer division: Column./ is double division
+    val g = ((did - pmod(did, lit(3))) / 3L).cast("long")
+    val gs = g.cast("string")
+    val lang = element_at(array(lit("en"), lit("de"), lit("fr")),
+      (pmod(did, lit(3)) + 1).cast("int"))
+    val host = concat(lit("t"), pmod(g, lit(13)).cast("string"),
+      lit(".example.com"))
+    val url = concat(lit("http://"), host, lit("/"), lang, lit("/p"),
+      gs, lit(".html"))
+    def tag(l: String): Column = {
+      val href = when(pmod(did, lit(4)) === 0,
+          concat(lit(s"/$l/p"), gs, lit(".html")))
+        .otherwise(concat(lit("http://"), host, lit(s"/$l/p"), gs,
+          lit(".html")))
+      when(pmod(did, lit(2)) === 0,
+        concat(lit(s"""<link rel="alternate" hreflang="$l" href=""""),
+          href, lit("\">")))
+        .otherwise(concat(lit("<link href='"), href,
+          lit(s"' hreflang='$l' rel='alternate'>")))
+    }
+    val xdef = concat(
+      lit("<link rel=\"alternate\" hreflang=\"x-default\" href=\"http://"),
+      host, lit("/en/p"), gs, lit(".html\">"))
+    val links = when(pmod(did, lit(7)) === 0, lit(""))
+      .otherwise(concat(tag("en"), tag("de"), tag("fr"), xdef))
+    val html = concat(
+      lit("<html><head><link rel=\"stylesheet\" href=\"/s.css\">" +
+        "<link rel=\"alternate\" type=\"application/rss+xml\" " +
+        "href=\"/feed.xml\">"),
+      links, lit("</head><body>x</body></html>"))
+    t(s, d, "documents").select(url.as("url"), html.as("html"))
+  }
+
   private def linkPages(s: SparkSession, d: String): DataFrame = {
     val did = col("doc_id").cast("long")
     def m(k: Long, a: Long, mod: Long): Column =
@@ -3781,6 +3845,38 @@ object SparkEntry {
         FROM (SELECT * FROM a UNION ALL SELECT * FROM bq
           UNION ALL SELECT * FROM cq UNION ALL SELECT * FROM dq)
         ORDER BY url, block_pos""",
+    // q105: resolved-absolute rows re-derived from the plant — every
+    // tag/quote/relative-href variant must normalize to these
+    "q105_hreflang" ->
+      """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents
+          WHERE CAST(doc_id AS BIGINT) % 7 <> 0),
+        u AS (SELECT d, d // 3 AS g,
+          CASE CAST(d % 3 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+            ELSE 'fr' END AS l FROM b),
+        u2 AS (SELECT d, g, l,
+          'http://t' || CAST(g % 13 AS VARCHAR) || '.example.com' AS base
+          FROM u)
+        SELECT base || '/' || l || '/p' || CAST(g AS VARCHAR) || '.html'
+            AS url,
+          CAST(v.pos AS INTEGER) AS link_pos, v.hl AS hreflang,
+          base || '/' || v.tl || '/p' || CAST(g AS VARCHAR) || '.html'
+            AS href_abs
+        FROM u2 CROSS JOIN (VALUES (0, 'en', 'en'), (1, 'de', 'de'),
+          (2, 'fr', 'fr'), (3, 'x-default', 'en')) v(pos, hl, tl)
+        ORDER BY url, link_pos""",
+    // q106: the planted triples ARE the components; label = min url
+    // (the de page — lexicographic), 3 members whenever any sibling
+    // declared the group
+    "q106_translation_clusters" ->
+      """WITH g0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) // 3 AS g
+          FROM documents WHERE CAST(doc_id AS BIGINT) % 7 <> 0),
+        urls AS (SELECT g,
+          'http://t' || CAST(g % 13 AS VARCHAR) || '.example.com/' || l
+            || '/p' || CAST(g AS VARCHAR) || '.html' AS url
+          FROM g0 CROSS JOIN (SELECT unnest(['en', 'de', 'fr']) AS l))
+        SELECT url, min(url) OVER (PARTITION BY g) AS cluster,
+          CAST(3 AS BIGINT) AS n_members
+        FROM urls ORDER BY url""",
     "q75_link_extract" -> q75Sql,
     "q76_link_graph" -> q76Sql,
     // q82: transitive closure via recursive CTE = the ground truth the

@@ -156,6 +156,41 @@ object MetaExtractor {
         .cast("int").as("n_meta_tags"))
   }
 
+  // ---- hreflang alternate links ----
+
+  /** `<link rel="alternate" hreflang=…>` rows — the publisher-declared
+    * translation graph: one row per hreflang-bearing link tag in
+    * document order, href resolved RFC 3986-style against the page
+    * url, language code lowercased (BCP 47 codes are
+    * case-insensitive). Alternate links WITHOUT hreflang (RSS/atom
+    * feeds, stylesheets) never match; `link_pos` indexes the page's
+    * hreflang-bearing tags. A crawl corpus uses these to group
+    * translations BEFORE language-stratified sampling (the groups are
+    * also ready-made candidates for margin-based bitext mining —
+    * SimSearch.marginMining). Pure per-row regexp Columns; the only
+    * explode is over a page's own link tags.
+    */
+  def hreflangLinks(pages: DataFrame, urlCol: String, htmlCol: String)
+      : DataFrame = {
+    val tags = regexp_extract_all(col(htmlCol),
+      lit("(?is)<link\\b[^>]*\\bhreflang\\s*=\\s*[\"'][^\"']*[\"'][^>]*>"),
+      lit(0))
+    val t = col("_t")
+    val dq = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
+    val sq = "(?is)\\bhref\\s*=\\s*'([^']*)'"
+    val href = when(t.rlike(dq), regexp_extract(t, dq, 1))
+      .when(t.rlike(sq), regexp_extract(t, sq, 1))
+      .otherwise(lit(""))
+    pages
+      .select(col(urlCol), posexplode(tags).as(Seq("link_pos", "_t")))
+      .filter(t.rlike("(?is)\\brel\\s*=\\s*[\"']alternate[\"']"))
+      .select(col(urlCol), col("link_pos"),
+        lower(regexp_extract(t,
+          "(?is)\\bhreflang\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+          .as("hreflang"),
+        LinkExtractor.resolveUrl(col(urlCol), href).as("href_abs"))
+  }
+
   // ---- JSON-LD structured data (schema.org) ----
 
   /** All `<script type="application/ld+json">` payloads of a page, in

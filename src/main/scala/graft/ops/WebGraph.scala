@@ -337,6 +337,38 @@ object WebGraph {
         resolved.as("resolved"))
   }
 
+  /** Translation clusters from publisher-declared hreflang alternates
+    * (extract.MetaExtractor.hreflangLinks rows, or any (page,
+    * alternate) edge table): pages connected by alternate links —
+    * directly or through a shared alternate target, declarations are
+    * rarely symmetric in the wild — form one cluster, labeled by the
+    * component's min url via the same O(log n)-round star contraction
+    * dedup clustering uses ([[graft.ops.Dedup.canonicalizeStar]]).
+    * Nodes are BOTH sides of the edges, so a page that declares no
+    * links itself still clusters when a sibling references it.
+    * Returns (url, cluster, n_members) for every node.
+    *
+    * Scale shape: edges are thin (url, url) pairs — the contraction
+    * never moves page content; x-default rows may be kept (they point
+    * inside the cluster by construction and cannot merge two true
+    * clusters unless the publisher itself declared them equivalent).
+    */
+  def translationClusters(links: DataFrame, urlCol: String = "url",
+      hrefCol: String = "href_abs"): DataFrame = {
+    val e = links.select(col(urlCol).cast("string").as("a"),
+        col(hrefCol).cast("string").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nodes = e.select(explode(array(col("a"), col("b"))).as("url"))
+      .distinct()
+    val lab = Dedup.canonicalizeStar(nodes, "url", e)
+    lab.join(
+        lab.groupBy(col("canonical_id").as("cluster"))
+          .agg(count(lit(1)).as("n_members")),
+        lab("canonical_id") === col("cluster"))
+      .select(col("id").as("url"), col("cluster"),
+        col("n_members").cast("long").as("n_members"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
