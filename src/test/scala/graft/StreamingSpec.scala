@@ -64,6 +64,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length === 60 && streamed.toSeq === batch.toSeq)
   }
 
+  test("JSON-LD + hreflang extraction on a stream == batch " +
+      "(stateless per-row projections)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pages = (0L until 40L).map { i =>
+      val ld = "<script type=\"application/ld+json\">{\"@type\":" +
+        "\"Article\",\"headline\":\"H" + i + "\"}</script>"
+      val hl = "<link rel=\"alternate\" hreflang=\"de\" href=\"/de/p" +
+        (i / 2) + ".html\">"
+      (s"http://h$i.com/en/x.html", s"<html><head>$ld$hl</head></html>")
+    }
+    val stream = MemoryStream[(String, String)]
+    val in = stream.toDF().toDF("url", "html")
+    val proj = graft.extract.MetaExtractor.jsonLd(in, "url", "html")
+      .join(graft.extract.MetaExtractor.hreflangLinks(in, "url", "html")
+        .select(col("url"), col("href_abs")), Seq("url"))
+    val q = proj.writeStream.format("memory")
+      .queryName("ld_stream_out").outputMode("append").start()
+    stream.addData(pages.slice(0, 20)); q.processAllAvailable()
+    stream.addData(pages.slice(20, 40)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ld_stream_out").collect()
+      .map(_.toString).sorted
+    val bIn = pages.toDF("url", "html")
+    val batch = graft.extract.MetaExtractor.jsonLd(bIn, "url", "html")
+      .join(graft.extract.MetaExtractor.hreflangLinks(bIn, "url", "html")
+        .select(col("url"), col("href_abs")), Seq("url"))
+      .collect().map(_.toString).sorted
+    assert(streamed.length === 40 && streamed.toSeq === batch.toSeq)
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
