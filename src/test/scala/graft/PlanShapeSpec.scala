@@ -371,6 +371,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: raw corpus vectors reach only the exact re-rank " +
+      "join, never the ADC candidate shuffle") {
+    withPlainPlan {
+      import spark.implicits._
+      val emb = (0L until 64L)
+        .map(i => (i, Seq.tabulate(16)(j => ((i * 7 + j) % 13).toFloat)))
+        .toDF("vec_id", "embedding")
+      val out = graft.ops.SimSearch.ivfPqTopK(emb,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 2,
+        nCells = 4, nProbe = 2, m = 4, ksub = 4, rerank = 6)
+      // the window over ADC candidates partitions by query_id; that
+      // exchange must carry codes/rn2, NOT the raw corpus vector. The
+      // only shuffles allowed to carry cv are the re-rank join's (its
+      // input is rerank rows per query) and the window by query_id
+      // AFTER the exact cosine (cv already consumed).
+      val adcShuffles = shuffledNames(out).filter(_.contains("adc"))
+      assert(adcShuffles.nonEmpty, "expected the ADC rank exchange")
+      assert(adcShuffles.forall(s => !s.contains("cv")),
+        s"ADC candidate shuffle must not carry raw vectors: $adcShuffles")
+    }
+  }
+
   test("registrableDomain: zero shuffles — every PSL depth join " +
       "broadcasts") {
     withPlainPlan {
