@@ -1419,6 +1419,53 @@ object SparkEntry {
         .withColumn("entry_pos", col("entry_pos").cast("long"))
         .orderBy("host", "entry_pos")
     }),
+    // crawl discovery: RSS 2.0 / Atom feed parsing — per-host feeds
+    // (RSS on even hosts, Atom on odd), CDATA + markup titles, items
+    // without links dropped with position gaps, Atom alternate-link
+    // selection skipping rel=self, published falling back to updated.
+    // The oracle re-derives every row from the plant formulas
+    "q107_feeds" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val host = concat(col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com"))
+      val hosts = t(s, d, "documents")
+        .select(host.as("host"), pmod(did, lit(7)).as("k"))
+        .distinct()
+        .withColumn("ks", col("k").cast("string"))
+        .withColumn("k1", (col("k") + 1).cast("string"))
+      val rssXml = concat(
+        lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+          "<title>Feed</title><link>http://"), col("host"),
+        lit("/</link>\n<item><title><![CDATA[First <b>story</b> "),
+        col("ks"), lit("]]></title><link> http://"), col("host"),
+        lit("/news/a-"), col("ks"),
+        lit(".html </link><pubDate>Mon, 0"), col("k1"),
+        lit(" Jan 2026 10:00:00 GMT</pubDate></item>\n" +
+          "<item><title>No link item</title><pubDate>x</pubDate>" +
+          "</item>\n<item><link>http://"), col("host"),
+        lit("/news/b-"), col("ks"),
+        lit(".html</link></item>\n</channel></rss>"))
+      val atomXml = concat(
+        lit("<?xml version=\"1.0\"?>" +
+          "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+          "<title>AF</title><link rel=\"self\" href=\"http://"),
+        col("host"),
+        lit("/feed\"/>\n<entry><title>Entry one "), col("ks"),
+        lit("</title><link rel=\"self\" href=\"http://"), col("host"),
+        lit("/feed#1\"/><link rel=\"alternate\" href=\"http://"),
+        col("host"), lit("/posts/p-"), col("ks"),
+        lit(".html\"/><published>2026-02-0"), col("k1"),
+        lit("</published></entry>\n<entry><title>E2</title>" +
+          "<link href='http://"), col("host"), lit("/posts/q-"),
+        col("ks"), lit(".html'/><updated>2026-03-0"), col("k1"),
+        lit("</updated></entry>\n<entry><title>No link</title>" +
+          "<published>z</published></entry>\n</feed>"))
+      val xml = when(pmod(col("k"), lit(2)) === 0, rssXml)
+        .otherwise(atomXml)
+      Robots.parseFeed(
+          hosts.select(col("host"), xml.as("xml")), "host", "xml")
+        .orderBy("host", "entry_pos")
+    }),
     // corpus gating: soft-error-page detection (HTTP-200 "not found"
     // shells) — error tokens in the title / error phrases in the body
     // gate ONLY together with a short body (a long article ABOUT 404s
@@ -3951,6 +3998,44 @@ object SparkEntry {
             '2025-12-31', 500000 FROM h)
         SELECT host, entry_pos, loc, lastmod, priority_ppm FROM r
         ORDER BY host, entry_pos""",
+    // q107: every feed row re-derived from the plant — RSS hosts emit
+    // item 0 (full) and item 2 (bare link; 1 dropped for no link),
+    // Atom hosts emit entry 0 (alternate link, published) and entry 1
+    // (no-rel link, updated fallback; 2 dropped)
+    "q107_feeds" ->
+      """WITH h AS (SELECT DISTINCT concat(source, '-',
+          CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR),
+          '.example.com') AS host,
+          CAST(doc_id AS BIGINT) % 7 AS k FROM documents),
+        r AS (
+          SELECT host, 0 AS entry_pos, 'rss' AS kind,
+            'http://' || host || '/news/a-' || CAST(k AS VARCHAR)
+              || '.html' AS link,
+            'First story ' || CAST(k AS VARCHAR) AS title,
+            'Mon, 0' || CAST(k + 1 AS VARCHAR)
+              || ' Jan 2026 10:00:00 GMT' AS published
+          FROM h WHERE k % 2 = 0
+          UNION ALL
+          SELECT host, 2, 'rss',
+            'http://' || host || '/news/b-' || CAST(k AS VARCHAR)
+              || '.html', '', ''
+          FROM h WHERE k % 2 = 0
+          UNION ALL
+          SELECT host, 0, 'atom',
+            'http://' || host || '/posts/p-' || CAST(k AS VARCHAR)
+              || '.html',
+            'Entry one ' || CAST(k AS VARCHAR),
+            '2026-02-0' || CAST(k + 1 AS VARCHAR)
+          FROM h WHERE k % 2 = 1
+          UNION ALL
+          SELECT host, 1, 'atom',
+            'http://' || host || '/posts/q-' || CAST(k AS VARCHAR)
+              || '.html', 'E2',
+            '2026-03-0' || CAST(k + 1 AS VARCHAR)
+          FROM h WHERE k % 2 = 1)
+        SELECT host, CAST(entry_pos AS INTEGER) AS entry_pos, kind,
+          link, title, published
+        FROM r ORDER BY host, entry_pos""",
     // q85: every signal re-derived from the plant's four page shapes;
     // the long error-mentioning page (case 1) must NOT be flagged
     "q85_soft_errors" ->

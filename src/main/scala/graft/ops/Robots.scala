@@ -163,4 +163,70 @@ object Robots {
         "(?is)<loc>(.*?)</loc>", 1)))
       .filter(col("loc") =!= "")
       .drop("_sm_b")
+
+  /** RSS 2.0 / Atom feed parsing — the recency-discovery complement
+    * of the sitemap (publishers surface NEW urls in feeds long before
+    * sitemaps regenerate): each `<item>` (RSS) or `<entry>` (Atom)
+    * block becomes one (hostCol, entry_pos, kind, link, title,
+    * published) row.
+    *
+    * Subset contract: blocks scan case-insensitively in document
+    * order (RSS items first, then Atom entries — a real feed carries
+    * one kind); `entry_pos` is 0-based among ALL blocks, dropped
+    * blocks leave gaps (audit pointer, same contract as
+    * [[parseSitemap]]). RSS link = `<link>text</link>`; Atom link =
+    * the FIRST `<link …>` tag with `rel="alternate"` or no rel at all
+    * (self/enclosure/hub links skipped). Blocks without a link are
+    * dropped. Title is CDATA-unwrapped, markup-stripped,
+    * whitespace-collapsed. `published` is kept verbatim-trimmed from
+    * `<pubDate>` (RSS) else `<published>` else `<updated>` (Atom) —
+    * date normalization is the validator family's job, not the
+    * parser's.
+    *
+    * Scale shape: per-row regexps + one posexplode of a feed's own
+    * blocks; no shuffle, no UDF.
+    */
+  def parseFeed(feeds: DataFrame, hostCol: String, xmlCol: String)
+      : DataFrame = {
+    val rss = regexp_extract_all(col(xmlCol),
+      lit("(?is)<item\\b[^>]*>.*?</item>"), lit(0))
+    val atom = regexp_extract_all(col(xmlCol),
+      lit("(?is)<entry\\b[^>]*>.*?</entry>"), lit(0))
+    val b = col("_fd_b")
+    val rssLink = trim(regexp_extract(b, "(?is)<link>(.*?)</link>", 1))
+    val atomTags = regexp_extract_all(b, lit("(?is)<link\\b[^>]*>"),
+      lit(0))
+    // try_element_at: an entry with zero admissible links yields null
+    // (ANSI element_at throws on the empty array)
+    val altTag = try_element_at(filter(atomTags, t =>
+      !t.rlike("(?is)\\brel\\s*=") ||
+        t.rlike("(?is)\\brel\\s*=\\s*[\"']alternate[\"']")), lit(1))
+    val dq = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
+    val sq = "(?is)\\bhref\\s*=\\s*'([^']*)'"
+    val atomLink = when(altTag.isNull, lit(""))
+      .when(altTag.rlike(dq), regexp_extract(altTag, dq, 1))
+      .when(altTag.rlike(sq), regexp_extract(altTag, sq, 1))
+      .otherwise(lit(""))
+    val title = trim(regexp_replace(regexp_replace(
+      regexp_replace(regexp_extract(b,
+        "(?is)<title[^>]*>(.*?)</title>", 1),
+        "(?s)<!\\[CDATA\\[(.*?)\\]\\]>", "$1"),
+      "<[^>]*>", " "), "\\s+", " "))
+    val pub = Seq("pubDate", "published", "updated").map(tag =>
+        trim(regexp_extract(b, s"(?is)<$tag[^>]*>(.*?)</$tag>", 1)))
+      .reduce((a, c) => when(a =!= "", a).otherwise(c))
+    feeds
+      .select(col(hostCol),
+        posexplode(concat(rss, atom)).as(Seq("entry_pos", "_fd_b")),
+        size(rss).as("_fd_nr"))
+      .withColumn("kind",
+        when(col("entry_pos") < col("_fd_nr"), lit("rss"))
+          .otherwise(lit("atom")))
+      .withColumn("link",
+        when(col("kind") === "rss", rssLink).otherwise(atomLink))
+      .filter(col("link") =!= "")
+      .withColumn("title", title)
+      .withColumn("published", pub)
+      .drop("_fd_b", "_fd_nr")
+  }
 }
