@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** Dot product, left-to-right fold in double. */
+  /** Dot product, left-to-right fold in double — the native codegen
+    * expression (functions.DotProduct), bit-identical to the HOF form
+    * `aggregate(zip_with(a, b, _ * _), 0d, _ + _)` it replaced
+    * (FunctionsSpec pins the parity bitwise; the swap's effect on the
+    * 25M-pair q102 candidate matrix is recorded in BASELINE.md).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductCol(a, b)
+
+  /** The interpreted HOF formulation, kept for the parity test. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

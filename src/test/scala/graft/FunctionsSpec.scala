@@ -94,4 +94,39 @@ class FunctionsSpec extends AnyFunSuite {
     val want = df.select(hof).as[Long].collect().toSeq
     assert(native === want)
   }
+
+  test("DotProduct native == interpreted HOF fold, bitwise") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // adversarial magnitudes: FP addition order matters, so bitwise
+    // equality here proves the loop order matches the HOF fold
+    val rows = (0 until 200).map { i =>
+      val d = 1 + (i % 7)
+      (Seq.fill(d)(rng.nextDouble() * math.pow(10, rng.nextInt(13) - 6)
+         * (if (rng.nextBoolean()) 1 else -1)),
+       Seq.fill(d)(rng.nextDouble() * math.pow(10, rng.nextInt(13) - 6)
+         * (if (rng.nextBoolean()) 1 else -1)))
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.DotProductCol(col("a"), col("b")).as("n"),
+      graft.ops.SimSearch.dotHof(col("a"), col("b")).as("h")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null array -> null (standard null-safe binary eval)
+    val nr = Seq((Seq(1.0, 2.0), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(graft.functions.DotProductCol(col("a"),
+        col("b").cast("array<double>"))).collect()
+    assert(nr.head.isNullAt(0))
+    // length mismatch throws loudly (HOF would null-pad silently)
+    val ex = intercept[Exception] {
+      Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+        .select(graft.functions.DotProductCol(col("a"), col("b")))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
