@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * is interpreted: Catalyst evaluates the lambda per element through
   * boxed rows (two allocations + virtual calls per component), and at
   * a 5000×5000 candidate matrix (25M pairs × 64 dims) that interpreter
-  * overhead IS the query (q102's whole min-of-3 was 16.4 s before
-  * this expression replaced the HOF form — BASELINE.md's round-4 rows
-  * carry the before/after; same move as the SimHash kernel's 101×). This
+  * overhead IS the query (q102 min-of-3 measured 16.4 s with the HOF
+  * form, 2.0 s with this expression, same harness/window protocol —
+  * 8×; the whole 81-query headline dropped 89.4 s → 58.6 s; same move
+  * as the SimHash kernel's 101×). This
   * expression compiles to a tight primitive loop over the two
   * ArrayData buffers in whole-stage codegen (and runs the same loop
   * via nullSafeEval when interpreted).

