@@ -92,7 +92,8 @@ object Bench {
       "q96_span_dedup_confirmed", "q97_bm25", "q98_edit_verified",
       "q99_trustrank", "q100_dsir", "q101_winnow", "q102_margin_mining",
       "q103_ann_ivfpq", "q104_jsonld", "q105_hreflang",
-      "q106_translation_clusters", "q107_feeds")
+      "q106_translation_clusters", "q107_feeds", "q108_zorder",
+      "q109_heavy_hitters")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

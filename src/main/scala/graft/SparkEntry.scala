@@ -2,7 +2,7 @@ package graft
 
 import graft.extract.{CharsetSniffer, ErrorPages, LinkExtractor, MetaExtractor}
 import graft.gen.PagesGen
-import graft.ops.{Bpe, Curation, Dedup, Multimodal, Retrieval, Robots, SimSearch, Skew, TextAnalysis, WebGraph}
+import graft.ops.{Bpe, Curation, Dedup, Layout, Multimodal, Retrieval, Robots, SimSearch, Skew, TextAnalysis, WebGraph}
 import graft.pipeline.ExtractionPipeline
 import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1465,6 +1465,48 @@ object SparkEntry {
       Robots.parseFeed(
           hosts.select(col("host"), xml.as("xml")), "host", "xml")
         .orderBy("host", "entry_pos")
+    }),
+    // storage layout: Z-order (Morton) clustering key for data-skipping
+    // file layouts — exact [min,max]→[0,2^8) integral codes per column,
+    // bit-interleaved so one sort key gives BOTH columns per-file
+    // min/max locality (the key Delta OPTIMIZE ZORDER / Iceberg
+    // z-ordered rewrites sort by). The oracle re-derives the bounds,
+    // the clamped integral-DIV codes and the interleave in SQL
+    "q108_zorder" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bounds = Layout.columnBounds(docs, Seq("n_chars", "doc_id"))
+      val bits = 8
+      val codeChars =
+        Layout.rangeCode(col("n_chars"), bounds(0)._1, bounds(0)._2, bits)
+      val codeId =
+        Layout.rangeCode(col("doc_id"), bounds(1)._1, bounds(1)._2, bits)
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+          codeChars.as("code_chars"), codeId.as("code_id"),
+          Layout.zValue(Seq(codeChars, codeId), bits).as("z"))
+        .orderBy(col("z"), col("doc_id"))
+        .limit(256)
+    }),
+    // skew: bounded-shuffle heavy-hitter detection — viral paragraphs
+    // (the %3 promo + %5 footer plants, q40's corpus) found via
+    // width-bounded bucket counts + broadcast-filtered exact confirm,
+    // never a corpus-wide one-row-per-distinct-paragraph shuffle. The
+    // oracle is the PLAIN exact groupBy-HAVING — pinning that the
+    // two-pass bounded form returns exactly the exact answer
+    "q109_heavy_hitters" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val aug = concat_ws("\n\n",
+        when(pmod(did, lit(3)) === 0,
+          lit("Subscribe to our newsletter for updates.")),
+        col("text"),
+        when(pmod(did, lit(5)) === 0,
+          lit("All rights reserved. Terms of use apply.")))
+      val paras = t(s, d, "documents")
+        .select(posexplode(Curation.paragraphs(aug)).as(Seq("_p", "para")))
+      Skew.heavyHitters(paras, col("para"), minCount = 50L,
+          width = 1 << 12, out = "para")
+        .select(md5(col("para")).as("para_md5"),
+          length(col("para")).cast("long").as("para_len"), col("n"))
+        .orderBy(desc("n"), col("para_md5"))
     }),
     // corpus gating: soft-error-page detection (HTTP-200 "not found"
     // shells) — error tokens in the title / error phrases in the body
@@ -4036,6 +4078,48 @@ object SparkEntry {
         SELECT host, CAST(entry_pos AS INTEGER) AS entry_pos, kind,
           link, title, published
         FROM r ORDER BY host, entry_pos""",
+    // q108: bounds, clamped integral codes and the Morton interleave
+    // re-derived in SQL (DuckDB '//' is floor division; both operands
+    // are non-negative here, so it equals Spark's truncating div)
+    "q108_zorder" -> {
+      val inter = (0 until 8).flatMap(b => Seq(
+        s"(((code_chars >> $b) & 1) << ${2 * b + 1})",
+        s"(((code_id >> $b) & 1) << ${2 * b})")).mkString(" | ")
+      s"""WITH b AS (SELECT min(n_chars) AS lo1, max(n_chars) AS hi1,
+          min(CAST(doc_id AS BIGINT)) AS lo2,
+          max(CAST(doc_id AS BIGINT)) AS hi2 FROM documents),
+        c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          least(255, greatest(0,
+            ((n_chars - lo1) * 255) // greatest(1, hi1 - lo1)))
+            AS code_chars,
+          least(255, greatest(0,
+            ((CAST(doc_id AS BIGINT) - lo2) * 255)
+              // greatest(1, hi2 - lo2))) AS code_id
+          FROM documents, b)
+        SELECT doc_id, CAST(code_chars AS BIGINT) AS code_chars,
+          CAST(code_id AS BIGINT) AS code_id,
+          CAST($inter AS BIGINT) AS z
+        FROM c ORDER BY z, doc_id LIMIT 256"""
+    },
+    // q109: the oracle is the PLAIN exact groupBy-HAVING over the same
+    // paragraph plant — it never sees the hash buckets, so a green row
+    // proves the bounded two-pass form equals the exact answer
+    "q109_heavy_hitters" ->
+      """WITH f AS (SELECT concat_ws(chr(10)||chr(10),
+          CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+            THEN 'Subscribe to our newsletter for updates.' END,
+          text,
+          CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0
+            THEN 'All rights reserved. Terms of use apply.' END) AS aug
+          FROM documents),
+        p AS (SELECT unnest(list_filter(list_transform(
+            regexp_split_to_array(aug, '\n{2,}'), q -> trim(q)),
+            q -> q != '')) AS para FROM f),
+        e AS (SELECT para, count(*) AS n FROM p
+          GROUP BY para HAVING count(*) >= 50)
+        SELECT md5(para) AS para_md5,
+          CAST(length(para) AS BIGINT) AS para_len, CAST(n AS BIGINT) AS n
+        FROM e ORDER BY n DESC, para_md5""",
     // q85: every signal re-derived from the plant's four page shapes;
     // the long error-mentioning page (case 1) must NOT be flagged
     "q85_soft_errors" ->

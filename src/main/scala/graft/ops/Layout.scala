@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional file clustering (Z-order / Morton curve) for
+  * data-skipping file layouts.
+  *
+  * At the 10^12-document design scale the scan-side win that matters
+  * most AFTER predicate pushdown is FILE skipping: table formats
+  * (Iceberg manifests, Delta stats, plain parquet footers) record
+  * per-file min/max per column, and the planner prunes every file whose
+  * range excludes the predicate. Those stats are only selective if each
+  * file covers a small box of the value space. A linear sort makes
+  * files selective on ONE column and useless on every other — a
+  * predicate on the second column still touches every file. The Z-order
+  * curve (Morton code: bit-interleave of fixed-width per-column codes —
+  * Morton 1966, the layout Delta OPTIMIZE ZORDER and Iceberg
+  * rewrite-with-zorder apply) gives every clustered column locality at
+  * once: consecutive z-values differ in low-order interleaved bits, so
+  * a z-contiguous file spans a small range in EVERY dimension.
+  *
+  * Everything here is exact integer Column arithmetic (integral DIV +
+  * shift/mask), codegen-friendly, no UDFs; the only actions are a
+  * 4-long min/max collect per clustered column (an agg the scan
+  * computes map-side). The write path is `repartitionByRange` on the
+  * z-value — Spark's sampled range partitioner splits skewed z-regions
+  * by ROW COUNT, which equal-width z-buckets would not — followed by
+  * `sortWithinPartitions` so parquet row-group stats inside each file
+  * are tight too (row-group pruning nests inside file pruning).
+  */
+object Layout {
+
+  /** Exact linear code of `v` from [lo, hi] into [0, 2^bits): integral
+    * DIV (exact at any magnitude — no double rounding), clamped so
+    * out-of-bounds values land on the boundary cells rather than
+    * corrupting the interleave. Caller contract: (hi - lo) * (2^bits - 1)
+    * must fit a signed long — at the default 16 bits that allows value
+    * ranges up to ~1.4e14, far past any length/score/timestamp-micros
+    * column this engine clusters on.
+    */
+  def rangeCode(v: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    val levels = (1L << bits) - 1
+    val range = math.max(1L, hi - lo)
+    val scaled = call_function("div",
+      (v.cast("long") - lit(lo)) * lit(levels), lit(range))
+    least(lit(levels), greatest(lit(0L), scaled))
+  }
+
+  /** Morton z-value: interleave the low `bits` of each code column.
+    * Code j's bit b lands at output bit b * n + (n - 1 - j), so the
+    * FIRST column owns the most-significant bit of each group — column
+    * order is a (mild) priority order, as in every Z-order
+    * implementation. n * bits must be <= 63. Pure shift/mask Column
+    * fold: bits * n codegen'd terms, no UDF.
+    */
+  def zValue(codes: Seq[Column], bits: Int): Column = {
+    val n = codes.size
+    require(n >= 1, "zValue needs at least one code column")
+    require(n * bits <= 63, s"n*bits = ${n * bits} exceeds 63")
+    val terms = for {
+      b <- 0 until bits
+      (c, j) <- codes.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)),
+      b * n + (n - 1 - j))
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Column bounds for the clustered columns: one map-side-combined agg,
+    * collected as 2 longs per column (the same stats a table format
+    * already tracks — on Iceberg these come free from the manifest).
+    */
+  def columnBounds(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+  }
+
+  /** Add the Morton z-value of `cols` as `zCol` (given precomputed
+    * bounds — pass [[columnBounds]] output, or the table format's
+    * manifest stats to avoid the extra scan).
+    */
+  def withZValue(df: DataFrame, cols: Seq[String],
+      bounds: Seq[(Long, Long)], bits: Int = 16,
+      zCol: String = "_z"): DataFrame = {
+    require(cols.size == bounds.size, "one (lo, hi) per column")
+    val codes = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      rangeCode(col(c), lo, hi, bits)
+    }
+    df.withColumn(zCol, zValue(codes, bits))
+  }
+
+  /** Write `df` as `nFiles` z-clustered parquet files: range-partition
+    * on the z-value (sampled boundaries — equal ROWS per file even when
+    * the value space is skewed), sort within each file so row-group
+    * stats nest tightly, drop the helper column on disk.
+    */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], nFiles: Int,
+      path: String, bits: Int = 16): Unit = {
+    val bounds = columnBounds(df, cols)
+    withZValue(df, cols, bounds, bits)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max stats over `cols` for a written table — exactly
+    * what an Iceberg manifest / Delta stats column stores per data
+    * file, reconstructed here with one grouped scan so tests (and
+    * operators without a manifest) can measure skipping selectivity.
+    */
+  def fileStats(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"${c}_min"),
+      max(col(c).cast("long")).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** How many files a conjunctive range predicate must read under the
+    * given per-file stats — the manifest-pruning count. `ranges` maps
+    * column -> inclusive [lo, hi]; a file survives if every column's
+    * stats interval intersects its range.
+    */
+  def filesTouched(stats: DataFrame,
+      ranges: Seq[(String, (Long, Long))]): Long = {
+    val cond = ranges.map { case (c, (lo, hi)) =>
+      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
+    }.reduce(_ && _)
+    stats.filter(cond).count()
+  }
+}

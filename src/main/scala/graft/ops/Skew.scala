@@ -78,4 +78,54 @@ object Skew {
   def hotKeys(df: DataFrame, key: Column, threshold: Long): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
+
+  /** Bounded-shuffle heavy-hitter detection: all keys with >= `minCount`
+    * occurrences, WITHOUT a corpus-wide groupBy on the key.
+    *
+    * [[hotKeys]] is exact but its map-side partial aggregation emits one
+    * row per DISTINCT KEY per task — at the 10^12-doc design scale with
+    * ~10^11 distinct paragraphs, that is a 10^11-row shuffle to find the
+    * handful of viral ones. This two-pass form bounds the shuffle by
+    * construction (the same prefilter + exact-confirm discipline as the
+    * Bloom decontamination):
+    *
+    *   pass 1 — count hash BUCKETS, not keys: groupBy on
+    *     md5(key:salt) % width. Map-side combine caps each task's
+    *     partial output at `width` rows no matter how many distinct
+    *     keys it saw; the reducer sees <= tasks * width thin
+    *     (bucket, count) rows. Buckets reaching `minCount` are
+    *     collected — bounded by min(width, totalRows / minCount) ids.
+    *   pass 2 — exact confirm: rows are filtered to candidate buckets
+    *     by a broadcast join (map-side, no shuffle of the corpus), and
+    *     only the survivors' keys are grouped exactly. Key text moves
+    *     ONLY for candidate-bucket rows.
+    *
+    * No false negatives: bucket_count >= count(key) for every member
+    * key, so a heavy key's bucket always passes pass 1. False positives
+    * (light keys sharing a bucket with a heavy one, or many light keys
+    * summing past the threshold) are killed by the exact confirm.
+    * Expected pass-2 input beyond true hitters is rows/width per
+    * candidate bucket — size `width` so that totalRows / width <<
+    * minCount. Null keys are excluded (a null is not a key).
+    * Deterministic: the bucket is a content hash, stable across runs,
+    * retries and partitionings. Output: (`out` = key, n).
+    */
+  def heavyHitters(df: DataFrame, key: Column, minCount: Long,
+      width: Int = 1 << 14, salt: String = "hh",
+      out: String = "key"): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val bucket = pmod(graft.functions.Md5Prefix32(
+      concat(key.cast("string"), lit(":" + salt))), lit(width))
+    val keyed = df.filter(key.isNotNull)
+      .select(key.as("_hk"), bucket.as("_hb"))
+    val cands = keyed.groupBy(col("_hb"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") >= minCount)
+      .select(col("_hb"))
+    keyed.join(broadcast(cands), "_hb")
+      .groupBy(col("_hk"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("_hk").as(out), col("n"))
+  }
 }

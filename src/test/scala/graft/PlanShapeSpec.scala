@@ -408,4 +408,24 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(bcasts.nonEmpty, "rule joins must be broadcast")
     }
   }
+
+  test("heavyHitters: candidate filter broadcasts; the only key-carrying " +
+      "shuffle is the post-filter exact confirm") {
+    withPlainPlan {
+      val out = graft.ops.Skew.heavyHitters(docs, col("text"),
+        minCount = 2L, width = 16, out = "k")
+      // pass 2's candidate-bucket filter must be a broadcast join —
+      // the corpus is never shuffled just to be filtered
+      val bcasts = out.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bcasts.nonEmpty, "candidate filter must broadcast")
+      // exactly one shuffle carries the key (the exact-confirm groupBy
+      // over candidate-bucket survivors); the pass-1 bucket-count
+      // shuffle carries only (bucket, count) thin rows
+      val withKey = shuffledNames(out).filter(_.exists(_.contains("_hk")))
+      assert(withKey.size === 1,
+        s"expected exactly one key-carrying shuffle, got: $withKey")
+    }
+  }
 }
