@@ -1508,6 +1508,29 @@ object SparkEntry {
           length(col("para")).cast("long").as("para_len"), col("n"))
         .orderBy(desc("n"), col("para_md5"))
     }),
+    // crawl ops: recrawl scheduling from observed snapshot churn —
+    // per-url change ratio over a planted snapshot history (2-5 weekly
+    // snapshots, content version bumps on (did+i)%3==0 steps, %7 urls
+    // have a single snapshot = maximum-ignorance default) interpolates
+    // the revisit interval; overdue days = the recrawl priority
+    "q110_recrawl" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val k = when(pmod(did, lit(7)) === 0, lit(1L))
+        .otherwise(lit(2L) + pmod(did, lit(4)))
+      val snaps = t(s, d, "documents")
+        .select(concat(lit("http://"), col("source"),
+            lit(".example.com/d"), col("doc_id").cast("string")).as("url"),
+          did.as("did"), explode(sequence(lit(0L), k - 1)).as("i"))
+        .select(col("url"),
+          (pmod(col("did"), lit(30)) + col("i") * 7).as("day"),
+          concat(lit("v"),
+            (call_function("div", col("did") + col("i"), lit(3L)) -
+              call_function("div", col("did"), lit(3L)))
+              .cast("string")).as("h"))
+      Robots.revisitSchedule(snaps, "url", "day", "h", nowDay = 90L,
+          minDays = 2L, maxDays = 45L)
+        .orderBy("url")
+    }),
     // corpus gating: soft-error-page detection (HTTP-200 "not found"
     // shells) — error tokens in the title / error phrases in the body
     // gate ONLY together with a short body (a long article ABOUT 404s
@@ -4120,6 +4143,40 @@ object SparkEntry {
         SELECT md5(para) AS para_md5,
           CAST(length(para) AS BIGINT) AS para_len, CAST(n AS BIGINT) AS n
         FROM e ORDER BY n DESC, para_md5""",
+    // q110: the oracle rebuilds the snapshot plant and re-derives the
+    // change ratio with its own lag window, then the same integral
+    // interval interpolation (45 - 43*ppm // 1e6, nowDay 90)
+    "q110_recrawl" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS did,
+          'http://' || source || '.example.com/d'
+            || CAST(doc_id AS VARCHAR) AS url FROM documents),
+        k AS (SELECT did, url,
+          CASE WHEN did % 7 = 0 THEN 1 ELSE 2 + did % 4 END AS k
+          FROM docs),
+        s AS (SELECT did, url, unnest(range(0, k)) AS i FROM k),
+        snap AS (SELECT url, did % 30 + i * 7 AS day,
+          'v' || CAST((did + i) // 3 - did // 3 AS VARCHAR) AS h FROM s),
+        st AS (SELECT url, day, h,
+          lag(h) OVER (PARTITION BY url ORDER BY day) AS prev FROM snap),
+        agg AS (SELECT url, count(*) AS n_snaps,
+          sum(CASE WHEN prev IS NOT NULL AND h != prev
+            THEN 1 ELSE 0 END) AS n_changes,
+          max(day) AS last_day FROM st GROUP BY url),
+        c AS (SELECT url, n_snaps, n_changes, last_day,
+          CASE WHEN n_snaps < 2 THEN 500000
+            ELSE (n_changes * 1000000) // (n_snaps - 1) END AS change_ppm
+          FROM agg),
+        f AS (SELECT url, n_snaps, n_changes, change_ppm, last_day,
+          45 - (43 * change_ppm) // 1000000 AS interval_days FROM c)
+        SELECT url, CAST(n_snaps AS BIGINT) AS n_snaps,
+          CAST(n_changes AS BIGINT) AS n_changes,
+          CAST(change_ppm AS BIGINT) AS change_ppm,
+          CAST(interval_days AS BIGINT) AS interval_days,
+          CAST(last_day AS BIGINT) AS last_day,
+          CAST(last_day + interval_days AS BIGINT) AS next_due_day,
+          CAST(greatest(0, 90 - (last_day + interval_days)) AS BIGINT)
+            AS overdue_days
+        FROM f ORDER BY url""",
     // q85: every signal re-derived from the plant's four page shapes;
     // the long error-mentioning page (case 1) must NOT be flagged
     "q85_soft_errors" ->

@@ -229,4 +229,57 @@ object Robots {
       .withColumn("published", pub)
       .drop("_fd_b", "_fd_nr")
   }
+
+  /** Recrawl scheduling from observed snapshot churn — the refresh
+    * policy side of the crawler (the estimation idea of Cho &
+    * Garcia-Molina 2003, "Effective Page Refresh Policies for Web
+    * Crawlers", kept integer-exact: the observed change RATIO drives a
+    * linear interval interpolation instead of the paper's Poisson
+    * log-estimator, which needs floats).
+    *
+    * Input: one row per (url, crawl day, content hash) from past
+    * snapshots. Per url the snapshots are ordered by day and adjacent
+    * pairs compared: `n_changes` = pairs with differing hashes,
+    * `n_obs` = pairs. The change ratio in ppm (single-snapshot urls
+    * default to 500000 — maximum ignorance) interpolates the revisit
+    * interval between `maxDays` (never changes) and `minDays` (changes
+    * every observation): interval = maxDays - (maxDays - minDays) *
+    * ratio / 10^6, integral DIV. `next_due_day` = last seen day +
+    * interval; `overdue_days` = max(0, nowDay - next_due_day) is the
+    * recrawl priority.
+    *
+    * Scale shape: one window per url over its OWN snapshot history —
+    * partitions bounded by the crawl-history depth (dozens), the same
+    * by-construction-tiny window contract as latestSnapshotAsOf; the
+    * rest is per-row integer Columns. Output: (url, n_snaps, n_changes,
+    * change_ppm, interval_days, last_day, next_due_day, overdue_days).
+    */
+  def revisitSchedule(snaps: DataFrame, urlCol: String, dayCol: String,
+      hashCol: String, nowDay: Long, minDays: Long = 1L,
+      maxDays: Long = 60L): DataFrame = {
+    require(minDays >= 1 && maxDays >= minDays,
+      "need 1 <= minDays <= maxDays")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol)).orderBy(col(dayCol))
+    val stepped = snaps.select(col(urlCol), col(dayCol).cast("long"),
+        col(hashCol))
+      .withColumn("_prev", lag(col(hashCol), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNull, lit(0L))
+          .otherwise(when(col(hashCol) =!= col("_prev"), lit(1L))
+            .otherwise(lit(0L))))
+    stepped.groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("n_snaps"), sum(col("_chg")).as("n_changes"),
+        max(col(dayCol).cast("long")).as("last_day"))
+      .withColumn("change_ppm",
+        when(col("n_snaps") < 2, lit(500000L))
+          .otherwise(call_function("div",
+            col("n_changes") * lit(1000000L), col("n_snaps") - 1)))
+      .withColumn("interval_days",
+        lit(maxDays) - call_function("div",
+          lit(maxDays - minDays) * col("change_ppm"), lit(1000000L)))
+      .withColumn("next_due_day", col("last_day") + col("interval_days"))
+      .withColumn("overdue_days",
+        greatest(lit(0L), lit(nowDay) - col("next_due_day")))
+  }
 }

@@ -90,4 +90,35 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parseSitemap(
       Seq(("h", xml)).toDF("host", "xml"), "host", "xml").isEmpty)
   }
+
+  test("revisitSchedule: never/always/sometimes-changing and " +
+      "single-snapshot urls get the right intervals; overdue clamps") {
+    import spark.implicits._
+    val snaps = Seq(
+      // static: 3 snapshots, same hash -> ratio 0, interval = maxDays
+      ("u-static", 0L, "a"), ("u-static", 7L, "a"), ("u-static", 14L, "a"),
+      // churner: changes every step -> ratio 1e6, interval = minDays
+      ("u-churn", 0L, "a"), ("u-churn", 7L, "b"), ("u-churn", 14L, "c"),
+      // half: 1 change in 2 observations -> 500000 ppm
+      ("u-half", 0L, "a"), ("u-half", 7L, "a"), ("u-half", 14L, "b"),
+      // single snapshot -> default 500000 ppm
+      ("u-one", 14L, "a")
+    ).toDF("url", "day", "h")
+    val got = Robots.revisitSchedule(snaps, "url", "day", "h",
+        nowDay = 40L, minDays = 2L, maxDays = 30L)
+      .collect().map(r => r.getAs[String]("url") -> r).toMap
+    def f(u: String, c: String) = got(u).getAs[Long](c)
+    assert(f("u-static", "change_ppm") === 0L)
+    assert(f("u-static", "interval_days") === 30L)
+    assert(f("u-static", "next_due_day") === 44L)
+    assert(f("u-static", "overdue_days") === 0L) // due in the future
+    assert(f("u-churn", "change_ppm") === 1000000L)
+    assert(f("u-churn", "interval_days") === 2L)
+    assert(f("u-churn", "overdue_days") === 40L - 16L)
+    assert(f("u-half", "change_ppm") === 500000L)
+    assert(f("u-half", "interval_days") === 30L - 14L) // 30 - 28/2
+    assert(f("u-one", "n_snaps") === 1L)
+    assert(f("u-one", "change_ppm") === 500000L)
+    assert(f("u-one", "interval_days") === 16L)
+  }
 }
