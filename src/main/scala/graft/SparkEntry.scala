@@ -1531,6 +1531,21 @@ object SparkEntry {
           minDays = 2L, maxDays = 45L)
         .orderBy("url")
     }),
+    // dedup refinement: duplicate-cluster survivor by QUALITY — the
+    // q32 near-dup clusters, but keeping each cluster's longest doc
+    // (max n_chars, ties to min id) instead of the arbitrary min-id
+    // canonical; two thin agg passes, never a per-cluster window
+    "q111_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
+      val labels = Dedup.canonicalize(docs, "doc_id", pairs)
+      Dedup.keepBestPerCluster(labels,
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("score", col("score").cast("long"))
+        .orderBy("doc_id")
+    }),
     // corpus gating: soft-error-page detection (HTTP-200 "not found"
     // shells) — error tokens in the title / error phrases in the body
     // gate ONLY together with a short body (a long article ABOUT 404s
@@ -3258,6 +3273,30 @@ object SparkEntry {
         FROM routed GROUP BY 1, 2, 3 ORDER BY 1, 2"""
     },
     "q32_dedup_cluster" -> dedupClusterOracleSql,
+    // q111: the same recursive-CTE component labeling, then the
+    // argmax(score)/min-id survivor re-derived relationally
+    "q111_keep_best" ->
+      s"""WITH RECURSIVE ${lshPairsCtesOver(3)},
+        edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
+          UNION SELECT b, a FROM pairs WHERE est_jaccard >= 0.5),
+        comp(id, canon) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a, c.canon FROM edges e JOIN comp c ON c.id = e.b),
+        lab AS (SELECT id, MIN(canon) AS canonical_id
+          FROM comp GROUP BY 1),
+        sc AS (SELECT l.id, l.canonical_id,
+          CAST(d.n_chars AS BIGINT) AS score
+          FROM lab l JOIN documents d ON d.doc_id = l.id),
+        mx AS (SELECT canonical_id, max(score) AS ms FROM sc GROUP BY 1),
+        bid AS (SELECT s.canonical_id, min(s.id) AS bid
+          FROM sc s JOIN mx ON s.canonical_id = mx.canonical_id
+            AND s.score = mx.ms
+          GROUP BY 1)
+        SELECT s.id AS doc_id, s.canonical_id, s.score,
+          s.id = b.bid AS survivor
+        FROM sc s JOIN bid b ON s.canonical_id = b.canonical_id
+        ORDER BY doc_id""",
     // q62: the star-contraction path must produce the identical
     // component labeling — same oracle
     "q62_dedup_star" -> dedupClusterOracleSql,

@@ -829,6 +829,40 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
 
+  /** Duplicate-cluster survivor selection by QUALITY: within each
+    * near-dup cluster keep the highest-scoring member instead of the
+    * arbitrary min-id canonical — the curation-quality refinement over
+    * plain `filter(id === canonical_id)` (when a page and its mirror
+    * differ only in boilerplate damage, min-id keeps a coin flip;
+    * max-quality keeps the clean one).
+    *
+    * `labels` is [[canonicalize]]/[[canonicalizeStar]] output
+    * (id, canonical_id) — singletons are their own cluster and survive
+    * trivially. The survivor is argmax(score), ties broken by min id,
+    * computed as TWO thin aggregations (max score per cluster, then min
+    * id among the maxima) plus join-backs — never a per-cluster window:
+    * cluster sizes are adversarial at corpus scale (one viral spam
+    * template can cluster 10^8 docs, and a window partition is one
+    * task), while agg partials combine map-side regardless of cluster
+    * size. Only (id, canonical_id, score) rows shuffle. Deterministic
+    * for any orderable score type; exact ties fall to the id order.
+    * Output: (id, canonical_id, score, survivor).
+    */
+  def keepBestPerCluster(labels: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val l = labels.select(col("id"), col("canonical_id"))
+      .join(scored.select(col(idCol).as("id"),
+        col(scoreCol).as("score")), Seq("id"))
+    val best = l.groupBy(col("canonical_id"))
+      .agg(max(col("score")).as("_ms"))
+    val bestId = l.join(best, Seq("canonical_id"))
+      .filter(col("score") === col("_ms"))
+      .groupBy(col("canonical_id")).agg(min(col("id")).as("_bid"))
+    l.join(bestId, Seq("canonical_id"))
+      .select(col("id"), col("canonical_id"), col("score"),
+        (col("id") === col("_bid")).as("survivor"))
+  }
+
   /** REC_DUP events (reference error_system.py:23, stage record_dedup):
     * one WARN event per document dropped by dedup — every canonicalize
     * output row whose id is not its own canonical survivor. Same column

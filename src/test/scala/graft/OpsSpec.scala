@@ -2025,6 +2025,27 @@ class OpsSpec extends AnyFunSuite {
     assert(post.map(r => (r.getString(0), r.getLong(1))).distinct.length
       === post.length)
   }
+
+  test("keepBestPerCluster: max-score survivor, min-id ties, " +
+      "singletons survive") {
+    import spark.implicits._
+    // cluster 1 (canon 1): scores 10, 30, 30 -> survivor = min id of
+    // the maxima (3); cluster 7: singleton; cluster 4: all-equal tie
+    val labels = Seq((1L, 1L), (3L, 1L), (5L, 1L), (7L, 7L),
+      (4L, 4L), (6L, 4L)).toDF("id", "canonical_id")
+    val scored = Seq((1L, 10L), (3L, 30L), (5L, 30L), (7L, 2L),
+      (4L, 9L), (6L, 9L)).toDF("doc_id", "q")
+    val got = Dedup.keepBestPerCluster(labels, scored, "doc_id", "q")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(3L) === ((30L, true)))
+    assert(got(5L) === ((30L, false))) // same score, larger id loses
+    assert(got(1L) === ((10L, false)))
+    assert(got(7L) === ((2L, true)))  // singleton
+    assert(got(4L) === ((9L, true)))  // all-equal tie -> min id
+    assert(got(6L) === ((9L, false)))
+    assert(got.size === 6)
+  }
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
