@@ -93,7 +93,8 @@ object Bench {
       "q99_trustrank", "q100_dsir", "q101_winnow", "q102_margin_mining",
       "q103_ann_ivfpq", "q104_jsonld", "q105_hreflang",
       "q106_translation_clusters", "q107_feeds", "q108_zorder",
-      "q109_heavy_hitters", "q110_recrawl", "q111_keep_best")
+      "q109_heavy_hitters", "q110_recrawl", "q111_keep_best",
+      "q112_nfc")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

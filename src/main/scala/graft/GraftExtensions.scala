@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{IsinValid, Md5Prefix32, SimHashMd5, SimHashXx64}
+import graft.functions.{IsinValid, Md5Prefix32, SimHashMd5, SimHashXx64, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
   *
-  * Injects the same four functions `GraftFunctions.register` adds to a
-  * live session (isin_valid, md5_prefix32, simhash16, simhash64) —
+  * Injects the same functions `GraftFunctions.register` adds to a
+  * live session (isin_valid, md5_prefix32, simhash16, simhash64, nfc,
+  * nfkc) —
   * this is the config-driven path a platform team ships in its base
   * image, where user code never gets a chance to call register().
   */
@@ -32,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(str) - 64-bit xxhash simhash"),
       exprs => SimHashXx64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("nfc"),
+      info("nfc", "nfc(str) - Unicode NFC normalization"),
+      exprs => UnicodeNormalize(exprs.head, "NFC")))
+    ext.injectFunction((FunctionIdentifier("nfkc"),
+      info("nfkc", "nfkc(str) - Unicode NFKC compatibility normalization"),
+      exprs => UnicodeNormalize(exprs.head, "NFKC")))
   }
 }

@@ -1546,6 +1546,29 @@ object SparkEntry {
         .withColumn("score", col("score").cast("long"))
         .orderBy("doc_id")
     }),
+    // text hygiene: Unicode NFC normalization (native codegen
+    // expression) — composed U+00E9 and decomposed e+U+0301 render
+    // identically but defeat every hash-based dedup stage; the plant
+    // puts composed/decomposed twins in each id-group and the md5 of
+    // the normalized text collapses them (checked row-exactly by the
+    // DuckDB nfc_normalize twin)
+    "q112_nfc" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val g = call_function("div", did, lit(3L)).cast("string")
+      val v = pmod(did, lit(3))
+      val raw = concat(
+        when(v === 0, lit("caf\u00e9 menu "))
+          .when(v === 1, lit("cafe\u0301 menu "))
+          .otherwise(lit("A\u030a resort ")), lit("g"), g)
+      t(s, d, "documents").select(did.as("doc_id"), raw.as("_raw"))
+        .select(col("doc_id"),
+          length(col("_raw")).cast("long").as("raw_cp"),
+          length(graft.functions.UnicodeNormalize(col("_raw")))
+            .cast("long").as("nfc_cp"),
+          md5(graft.functions.UnicodeNormalize(col("_raw")))
+            .as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
     // corpus gating: soft-error-page detection (HTTP-200 "not found"
     // shells) — error tokens in the title / error phrases in the body
     // gate ONLY together with a short body (a long article ABOUT 404s
@@ -3297,6 +3320,23 @@ object SparkEntry {
           s.id = b.bid AS survivor
         FROM sc s JOIN bid b ON s.canonical_id = b.canonical_id
         ORDER BY doc_id""",
+    // q112: the same composed/decomposed plant rebuilt with chr()
+    // codepoints, normalized by DuckDB's own nfc_normalize — an
+    // INDEPENDENT ICU-class implementation agreeing byte-for-byte with
+    // the JDK Normalizer is the strongest cross-check available here
+    "q112_nfc" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+        r AS (SELECT did,
+          (CASE did % 3
+            WHEN 0 THEN 'caf' || chr(233) || ' menu '
+            WHEN 1 THEN 'cafe' || chr(769) || ' menu '
+            ELSE 'A' || chr(778) || ' resort ' END)
+            || 'g' || CAST(did // 3 AS VARCHAR) AS raw FROM p)
+        SELECT did AS doc_id,
+          CAST(length(raw) AS BIGINT) AS raw_cp,
+          CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_cp,
+          md5(nfc_normalize(raw)) AS nfc_md5
+        FROM r ORDER BY doc_id""",
     // q62: the star-contraction path must produce the identical
     // component labeling — same oracle
     "q62_dedup_star" -> dedupClusterOracleSql,

@@ -135,5 +135,9 @@ object GraftFunctions {
       "simhash16", exprs => SimHashMd5(exprs.head, 16), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHashXx64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc", exprs => UnicodeNormalize(exprs.head, "NFC"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfkc", exprs => UnicodeNormalize(exprs.head, "NFKC"), "scala_udf")
   }
 }

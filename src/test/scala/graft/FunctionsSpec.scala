@@ -129,4 +129,45 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("UnicodeNormalize: NFC collapses composed/decomposed twins, " +
+      "NFKC folds compatibility forms, nulls pass through") {
+    import spark.implicits._
+    val composed = "caf\u00e9"        // U+00E9
+    val decomposed = "cafe\u0301"     // e + combining acute
+    val ligature = "\ufb01le"         // fi ligature + "le"
+    val fullwidth = "\uff21BC"        // full-width A + "BC"
+    val rows = Seq(composed, decomposed, ligature, fullwidth, "plain")
+      .toDF("s")
+    val nfc = rows.select(
+      graft.functions.UnicodeNormalize(col("s")).as("n")).as[String]
+      .collect()
+    assert(nfc(0) === nfc(1), "NFC must collapse the twins")
+    assert(nfc(0) === composed, "NFC canonical form is the composed one")
+    assert(nfc(2) === ligature, "NFC must NOT fold compatibility forms")
+    assert(nfc(3) === fullwidth)
+    assert(nfc(4) === "plain") // fast path: already normalized
+    val nfkc = rows.select(
+      graft.functions.UnicodeNormalize(col("s"), "NFKC").as("n"))
+      .as[String].collect()
+    assert(nfkc(2) === "file", "NFKC folds the ligature")
+    assert(nfkc(3) === "ABC", "NFKC folds full-width forms")
+    // parity with the JDK scalar on every row (codegen == interpreted)
+    val scalar = Seq(composed, decomposed, ligature, fullwidth, "plain")
+      .map(s => java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFKC))
+    assert(nfkc.toSeq === scalar)
+    // nulls stay null; SQL registration resolves
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = Seq((decomposed: String), (null: String)).toDF("s")
+      .selectExpr("nfc(s)").collect()
+    assert(viaSql(0).getString(0) === composed)
+    assert(viaSql(1).isNullAt(0))
+    // bad form rejected at analysis
+    val ex2 = intercept[Exception] {
+      rows.select(graft.functions.UnicodeNormalize(col("s"), "NFX"))
+        .collect()
+    }
+    assert(ex2.getMessage != null)
+  }
 }
