@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *     [--span-scrub-n 8] [--max-rare-bigram-ppm 400000] \
   *     [--audit-leakage true] [--write-index true | --index <priorOut>] \
   *     [--resample-keep 0.5 [--resample-alpha 0.5]] [--seq-len 2048 [--shards 64]]
+  *     [--zorder true [--zorder-files 16]]
   *
   * Incremental ingestion: a bootstrap run with --write-index true
   * persists <out>/index_sigs; a later batch run with --index <priorOut>
@@ -256,11 +257,34 @@ object CurateApp {
     // in-place mode never rewrites the landed corpus: `accepted` would
     // be the (usually empty) re-ingest delta, and overwriting
     // $output/curated with it would destroy the corpus this dir holds
+    //
+    // --zorder true: cluster the curated files on the Morton code of
+    // (clean-text length, id hash) within each split — per-file min/max
+    // stats then prune length-band scans (packing/curriculum consumers
+    // select by length constantly) while the hash dim keeps point
+    // lookups local; plain split-partitioned write otherwise
+    val zorder = opts.get("zorder").exists(_.toBoolean)
+    val zFiles = opts.getOrElse("zorder-files", "16").toInt
     if (!inPlace) {
-      landed
+      val withSplit = landed
         .withColumn("split", Curation.hashSplit(col(idCol0), splits))
-        .write.mode("overwrite").partitionBy("split")
-        .parquet(s"$output/curated")
+      if (zorder) {
+        val keyed = withSplit
+          .withColumn("_zl", length(col("clean_text")).cast("long"))
+          .withColumn("_zh",
+            graft.functions.Md5Prefix32(col(idCol0).cast("string")))
+        val bounds = graft.ops.Layout.columnBounds(keyed, Seq("_zl", "_zh"))
+        graft.ops.Layout.withZValue(keyed, Seq("_zl", "_zh"), bounds,
+            bits = 12)
+          .repartitionByRange(zFiles, col("split"), col("_z"))
+          .sortWithinPartitions("split", "_z")
+          .drop("_zl", "_zh", "_z")
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(s"$output/curated")
+      } else {
+        withSplit.write.mode("overwrite").partitionBy("split")
+          .parquet(s"$output/curated")
+      }
     }
     // an EMPTY curated corpus (e.g. an incremental batch that was 100%
     // already-ingested) writes no parquet part files — reading the dir
