@@ -94,7 +94,7 @@ object Bench {
       "q103_ann_ivfpq", "q104_jsonld", "q105_hreflang",
       "q106_translation_clusters", "q107_feeds", "q108_zorder",
       "q109_heavy_hitters", "q110_recrawl", "q111_keep_best",
-      "q112_nfc")
+      "q112_nfc", "q113_strat_sample", "q114_url_features")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

@@ -1569,6 +1569,43 @@ object SparkEntry {
             .as("nfc_md5"))
         .orderBy("doc_id")
     }),
+    // sampling: deterministic EXACT-k per-stratum sample (eval-set
+    // carving: exactly 40 docs per language by md5-hash order, strata
+    // smaller than k keep everything) — global rank via the sharded
+    // window, no per-stratum window partition
+    "q113_strat_sample" -> ((s, d) =>
+      Curation.stratifiedSampleExact(
+          t(s, d, "documents").select(col("doc_id").cast("long")
+            .as("doc_id"), col("lang")),
+          "doc_id", "lang", k = 40)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy("lang", "sample_rank")),
+    // URL-quality features: depth / digit-heavy slugs / dynamic-param
+    // counts / tracking params — the pre-fetch URL gate signals; the
+    // plant spans no-path, deep-path, date-slug, tracking and
+    // fragment-bearing shapes
+    "q114_url_features" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val v = pmod(did, lit(5))
+      val ds = did.cast("string")
+      val url = when(v === 0, concat(lit("http://"), col("source"),
+          lit(".example.com/a/b/c/page"), ds, lit(".html")))
+        .when(v === 1, concat(lit("https://"), col("source"),
+          lit(".Example.COM/p?id="), ds, lit("&utm_source=feed&x=1")))
+        .when(v === 2, concat(lit("http://"), col("source"),
+          lit(".example.com/2024/01/"), ds))
+        .when(v === 3, concat(lit("http://"), col("source"),
+          lit(".example.com")))
+        .otherwise(concat(lit("http://"), col("source"),
+          lit(".example.com/search?q=a&page=2&fbclid=zz#frag")))
+      Curation.urlFeatures(
+          t(s, d, "documents").select(did.as("doc_id"), url.as("url")),
+          "url")
+        .select(col("doc_id"), col("url_host"), col("path_depth"),
+          col("path_digit_ppm"), col("n_params"), col("has_tracking"),
+          col("url_len"))
+        .orderBy("doc_id")
+    }),
     // corpus gating: soft-error-page detection (HTTP-200 "not found"
     // shells) — error tokens in the title / error phrases in the body
     // gate ONLY together with a short body (a long article ABOUT 404s
@@ -3337,6 +3374,56 @@ object SparkEntry {
           CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_cp,
           md5(nfc_normalize(raw)) AS nfc_md5
         FROM r ORDER BY doc_id""",
+    // q113: the oracle ranks with a plain per-language window over the
+    // same md5 sample hash — pinning that the sharded global rank
+    // equals the single-window rank
+    "q113_strat_sample" ->
+      """WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'),
+            1, 8)) AS BIGINT) AS hh FROM documents),
+        r AS (SELECT doc_id, lang,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY hh, doc_id) AS BIGINT) AS sample_rank FROM h)
+        SELECT doc_id, lang, sample_rank FROM r
+        WHERE sample_rank <= 40 ORDER BY lang, sample_rank""",
+    // q114: the same URL plant re-built in SQL; features re-derived
+    // with the identical regexes and length-minus-replace arithmetic
+    "q114_url_features" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS did, source
+          FROM documents),
+        u AS (SELECT did AS doc_id,
+          CASE did % 5
+            WHEN 0 THEN 'http://' || source || '.example.com/a/b/c/page'
+              || CAST(did AS VARCHAR) || '.html'
+            WHEN 1 THEN 'https://' || source || '.Example.COM/p?id='
+              || CAST(did AS VARCHAR) || '&utm_source=feed&x=1'
+            WHEN 2 THEN 'http://' || source || '.example.com/2024/01/'
+              || CAST(did AS VARCHAR)
+            WHEN 3 THEN 'http://' || source || '.example.com'
+            ELSE 'http://' || source
+              || '.example.com/search?q=a&page=2&fbclid=zz#frag'
+          END AS url FROM p),
+        f AS (SELECT doc_id, url,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS url_host,
+          regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+          list_filter(string_split(
+            regexp_extract(url, '\?([^#]*)', 1), '&'),
+            q -> q != '') AS params FROM u)
+        SELECT doc_id, url_host,
+          CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+            AS path_depth,
+          CAST(CASE WHEN length(path) = 0 THEN 0
+            ELSE ((length(path) -
+              length(regexp_replace(path, '[0-9]', '', 'g'))) * 1000000)
+              // length(path) END AS BIGINT) AS path_digit_ppm,
+          CAST(len(params) AS BIGINT) AS n_params,
+          len(list_filter(params, q -> regexp_matches(q,
+            '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)')))
+            > 0 AS has_tracking,
+          CAST(length(url) AS BIGINT) AS url_len
+        FROM f ORDER BY doc_id""",
     // q62: the star-contraction path must produce the identical
     // component labeling — same oracle
     "q62_dedup_star" -> dedupClusterOracleSql,

@@ -1423,6 +1423,29 @@ object Curation {
       salt: String = "sample"): Column =
     hashSlot(id, salt) < lit(math.round(fraction * 10000).toInt)
 
+  /** Deterministic EXACT-k per-stratum sample — the eval-set carving
+    * primitive ([[sampledByHash]] keeps a hash FRACTION, which drifts
+    * with stratum size; a benchmark slice needs exactly k docs per
+    * language, no more, no fewer, and strata smaller than k keep
+    * everything). Rows are ranked inside their stratum by the md5
+    * sample hash (uniform, engine-stable, re-drawn only by changing
+    * `salt`), ties by id, via [[ScaleWindow.shardedRank]] — the global
+    * rank is exact with NO per-stratum window partition, so a
+    * 10^11-row stratum never lands in one task. Appends `sample_rank`
+    * (1-based within the stratum); callers keep `sample_rank <= k`
+    * rows, already filtered here.
+    */
+  def stratifiedSampleExact(df: DataFrame, idCol: String,
+      strataCol: String, k: Int, salt: String = "strat"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ranked = ScaleWindow.shardedRank(
+      df.withColumn("_ssx_h", graft.functions.Md5Prefix32(
+        concat(col(idCol).cast("string"), lit(":" + salt)))),
+      Seq(strataCol), Seq(col("_ssx_h"), col(idCol)),
+      "sample_rank", "_ssx_n")
+    ranked.filter(col("sample_rank") <= k).drop("_ssx_h", "_ssx_n")
+  }
+
   /** Keep the best `keepPpm`/1e6 of each stratum by a numeric score —
     * the rank-based quality gate (keep the top X% per language by
     * classifier score) that adapts to the score distribution instead
@@ -2155,6 +2178,45 @@ object Curation {
     when(scheme === "", url).otherwise(concat(scheme, lit("://"), host,
       path,
       when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
+  }
+
+  /** URL shape features for URL-level quality filtering — the signal
+    * set the URL-based gates in CCNet/RefinedWeb-style pipelines score
+    * on without touching page content (cheap enough to run on the
+    * frontier, before fetch): deep paths, digit-heavy slugs and
+    * parameter-heavy dynamic URLs correlate with calendars, session
+    * pages and faceted-search spam. Appends:
+    *   - `url_host` (lowercased authority),
+    *   - `path_depth` ("/" count in the path),
+    *   - `path_digit_ppm` (digit fraction of the path, integral ppm,
+    *     0 for an empty path),
+    *   - `n_params` (query parameters; 0 without a query),
+    *   - `has_tracking` (any [[TrackingParams]] parameter),
+    *   - `url_len` (whole-URL length).
+    * All per-row Columns in the shared Java-regex/RE2 subset (the
+    * character-count arithmetic uses length-minus-replace, identical
+    * in any engine), no explode, no shuffle.
+    */
+  def urlFeatures(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val host = lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val path = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p => p =!= "")
+    val digits = length(path) - length(regexp_replace(path, "[0-9]", ""))
+    df.withColumn("url_host", host)
+      .withColumn("path_depth",
+        (length(path) - length(regexp_replace(path, "/", "")))
+          .cast("long"))
+      .withColumn("path_digit_ppm",
+        when(length(path) === 0, lit(0L)).otherwise(call_function("div",
+          digits.cast("long") * lit(1000000L), length(path).cast("long"))))
+      .withColumn("n_params", size(params).cast("long"))
+      .withColumn("has_tracking",
+        exists(params, p => p.rlike(TrackingParams)))
+      .withColumn("url_len", length(u).cast("long"))
   }
 
   // ---- DSIR-style importance resampling (Xie et al., NeurIPS 2023,

@@ -2046,6 +2046,58 @@ class OpsSpec extends AnyFunSuite {
     assert(got(6L) === ((9L, false)))
     assert(got.size === 6)
   }
+
+  test("stratifiedSampleExact: exact k per stratum, small strata " +
+      "survive whole, deterministic across repartitionings") {
+    import spark.implicits._
+    val docs = ((0L until 100L).map(i => (i, "en")) ++
+      (100L until 110L).map(i => (i, "de")) ++ Seq((200L, "fr")))
+      .toDF("id", "lang")
+    val got = Curation.stratifiedSampleExact(docs, "id", "lang", k = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val byLang = got.groupBy(_._1)
+    assert(byLang("en").length === 7)   // capped at k
+    assert(byLang("de").length === 7)
+    assert(byLang("fr").length === 1)   // stratum smaller than k: all
+    assert(got.forall(_._3 <= 7))
+    // ranks are 1..n contiguous per stratum
+    assert(byLang("en").map(_._3).sorted.toSeq === (1L to 7L))
+    // deterministic: same kept ids under a different partitioning
+    val again = Curation.stratifiedSampleExact(
+      docs.repartition(7, col("lang")), "id", "lang", k = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(again.sortBy(x => (x._1, x._3)).toSeq ===
+      got.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
+  test("urlFeatures: path-less, deep, digit-slug, tracking and " +
+      "schemeless shapes") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://a.example.com",                       // no path
+      "http://a.example.com/a/b/c/page7.html",      // deep path
+      "https://A.Example.COM/p?id=42&utm_source=f&x=1",
+      "http://a.example.com/2024/01/55",            // digit slug
+      "not a url at all")                           // schemeless
+      .toDF("url")
+    val f = Curation.urlFeatures(urls, "url").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(f("http://a.example.com") === (("a.example.com", 0L, 0L, 0L,
+      false)))
+    val deep = f("http://a.example.com/a/b/c/page7.html")
+    assert(deep._2 === 4L)       // /a/b/c/page7.html -> 4 slashes
+    assert(deep._4 === 0L)
+    val track = f("https://A.Example.COM/p?id=42&utm_source=f&x=1")
+    assert(track._1 === "a.example.com") // lowercased
+    assert(track._4 === 3L)
+    assert(track._5, "utm param must flag has_tracking")
+    val slug = f("http://a.example.com/2024/01/55")
+    // "/2024/01/55": 8 digits over 11 chars
+    assert(slug._3 === 8L * 1000000L / 11L)
+    assert(f("not a url at all")._1 === "") // schemeless: empty host
+  }
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
