@@ -4,7 +4,7 @@ import graft.gen.PagesGen
 import graft.streaming.StreamingPipeline
 import graft.streaming.StreamingPipeline.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, encode}
+import org.apache.spark.sql.functions.{col, encode, md5}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -92,6 +92,37 @@ class StreamingSpec extends AnyFunSuite {
       .join(graft.extract.MetaExtractor.hreflangLinks(bIn, "url", "html")
         .select(col("url"), col("href_abs")), Seq("url"))
       .collect().map(_.toString).sorted
+    assert(streamed.length === 40 && streamed.toSeq === batch.toSeq)
+  }
+
+  test("urlFeatures + NFC normalization on a stream == batch " +
+      "(stateless per-row projections)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 40L).map { i =>
+      val url =
+        if (i % 2 == 0) s"http://h$i.com/a/b/$i.html?x=1&utm_source=f"
+        else s"https://H$i.COM/p$i"
+      // alternating composed/decomposed text — NFC must collapse both
+      val text = if (i % 2 == 0) "caf\u00e9 " + i else "cafe\u0301 " + i
+      (url, text)
+    }
+    val stream = MemoryStream[(String, String)]
+    val in = stream.toDF().toDF("url", "text")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.urlFeatures(df, "url")
+        .withColumn("nfc_md5",
+          md5(graft.functions.UnicodeNormalize(col("text"))))
+        .drop("text")
+    val q = proj(in).writeStream.format("memory")
+      .queryName("urlf_stream_out").outputMode("append").start()
+    stream.addData(rows.slice(0, 20)); q.processAllAvailable()
+    stream.addData(rows.slice(20, 40)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("urlf_stream_out").collect()
+      .map(_.toString).sorted
+    val batch = proj(rows.toDF("url", "text")).collect()
+      .map(_.toString).sorted
     assert(streamed.length === 40 && streamed.toSeq === batch.toSeq)
   }
 
