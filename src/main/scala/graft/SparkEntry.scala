@@ -1606,6 +1606,58 @@ object SparkEntry {
           col("url_len"))
         .orderBy("doc_id")
     }),
+    // crawl politeness: Crawl-delay parsing (the non-RFC directive a
+    // polite fetch scheduler budgets on) + per-host hourly fetch
+    // budget. Plant spans: no delay, first-wins double delay, a
+    // non-numeric value, a foreign (googlebot-only) group, a
+    // fractional value, an explicit 0, and a delay BEFORE any group
+    // header (all ignored except the valid in-group firsts)
+    "q115_crawl_delay" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val k = pmod(did, lit(7))
+      val host = concat(col("source"), lit("-"), k.cast("string"),
+        lit(".example.com"))
+      val txt = when(k === 0, lit("User-agent: *\nDisallow: /a\n"))
+        .when(k === 1,
+          lit("User-agent: *\nCrawl-delay: 10\nCrawl-delay: 99\n"))
+        .when(k === 2, lit("User-agent: *\nCrawl-delay: abc\n"))
+        .when(k === 3, lit("User-agent: googlebot\nCrawl-delay: 3\n\n" +
+          "User-agent: *\nDisallow: /y\n"))
+        .when(k === 4, lit("User-agent: *\nCrawl-delay: 2.5\n"))
+        .when(k === 5, lit("User-agent: *\nCrawl-delay: 0\n"))
+        .otherwise(lit("Crawl-delay: 7\nUser-agent: *\nDisallow: /z\n"))
+      t(s, d, "documents").select(host.as("host"), txt.as("txt"))
+        .distinct()
+        .select(col("host"),
+          Robots.crawlDelay(col("txt")).as("crawl_delay"),
+          Robots.fetchBudget(Robots.crawlDelay(col("txt")), 3600L, 5L)
+            .as("fetches_per_hour"))
+        .orderBy("host")
+    }),
+    // crawl discovery: RSS/Atom feed AUTODISCOVERY from page HTML —
+    // the step that finds parseFeed's (q107) inputs. Plant per page:
+    // stylesheet link (no), absolute rss feed (yes), hreflang
+    // alternate (no), attribute-order-swapped single-quoted atom feed
+    // with a RELATIVE href (yes, resolved), hrefless feed link
+    // (dropped) — positions keep the gaps
+    "q116_feed_discovery" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val url = concat(lit("http://"), col("source"),
+        lit(".example.com/blog/post"), did.cast("string"), lit(".html"))
+      val html = concat(
+        lit("<html><head><link rel=\"stylesheet\" href=\"/s.css\">" +
+          "<link rel=\"alternate\" type=\"application/rss+xml\" " +
+          "href=\"/feed.xml\">" +
+          "<link rel=\"alternate\" hreflang=\"de\" href=\"/de/p.html\">" +
+          "<link type='application/atom+xml' rel='alternate' " +
+          "href='atom"), did.cast("string"),
+        lit(".xml'><link rel=\"alternate\" " +
+          "type=\"application/rss+xml\"></head></html>"))
+      MetaExtractor.feedLinks(
+          t(s, d, "documents").select(url.as("url"), html.as("html")),
+          "url", "html")
+        .orderBy("url", "link_pos")
+    }),
     // corpus gating: soft-error-page detection (HTTP-200 "not found"
     // shells) — error tokens in the title / error phrases in the body
     // gate ONLY together with a short body (a long article ABOUT 404s
@@ -3424,6 +3476,41 @@ object SparkEntry {
             > 0 AS has_tracking,
           CAST(length(url) AS BIGINT) AS url_len
         FROM f ORDER BY doc_id""",
+    // q115: expected delay/budget re-derived from the plant formula
+    // (valid in-group firsts: k=1 -> 10, k=4 -> 2 via leading digits,
+    // k=5 -> declared 0; everything else -1; budget = 3600 div
+    // max(delay if > 0 else default 5))
+    "q115_crawl_delay" ->
+      """WITH h AS (SELECT DISTINCT source || '-'
+          || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+          || '.example.com' AS host,
+          CAST(doc_id AS BIGINT) % 7 AS k FROM documents)
+        SELECT host,
+          CAST(CASE k WHEN 1 THEN 10 WHEN 4 THEN 2 WHEN 5 THEN 0
+            ELSE -1 END AS BIGINT) AS crawl_delay,
+          CAST(CASE k WHEN 1 THEN 360 WHEN 4 THEN 1800
+            ELSE 720 END AS BIGINT) AS fetches_per_hour
+        FROM h ORDER BY host""",
+    // q116: the two surviving feed rows per page re-derived from the
+    // plant (positions 1 and 3 — the stylesheet, hreflang and hrefless
+    // tags leave gaps; the atom href resolves relative to /blog/)
+    "q116_feed_discovery" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS did, source
+          FROM documents),
+        u AS (SELECT
+          'http://' || source || '.example.com/blog/post'
+            || CAST(did AS VARCHAR) || '.html' AS url,
+          'http://' || source || '.example.com' AS origin,
+          'http://' || source || '.example.com/blog/' AS dir,
+          did FROM p),
+        r AS (
+          SELECT url, 1 AS link_pos, 'rss' AS kind,
+            origin || '/feed.xml' AS feed_url FROM u
+          UNION ALL
+          SELECT url, 3, 'atom',
+            dir || 'atom' || CAST(did AS VARCHAR) || '.xml' FROM u)
+        SELECT url, CAST(link_pos AS INTEGER) AS link_pos, kind, feed_url
+        FROM r ORDER BY url, link_pos""",
     // q62: the star-contraction path must produce the identical
     // component labeling — same oracle
     "q62_dedup_star" -> dedupClusterOracleSql,

@@ -191,6 +191,43 @@ object MetaExtractor {
         LinkExtractor.resolveUrl(col(urlCol), href).as("href_abs"))
   }
 
+  /** RSS/Atom feed AUTODISCOVERY — `<link rel="alternate"
+    * type="application/rss+xml|application/atom+xml">` rows, one per
+    * feed-typed link tag in document order: how a crawler finds a
+    * site's feeds from any page without guessing paths (the discovery
+    * step that FEEDS ops.Robots.parseFeed). href resolved RFC
+    * 3986-style against the page url; `kind` is "rss" or "atom" from
+    * the MIME type; attribute order and quote style free; alternate
+    * links with other types (hreflang translations, stylesheets) never
+    * match; linkless tags are dropped. `link_pos` indexes the page's
+    * <link> tags, so gaps are audit pointers to the non-feed links in
+    * between. Pure per-row regexp Columns; the only explode is over a
+    * page's own link tags.
+    */
+  def feedLinks(pages: DataFrame, urlCol: String, htmlCol: String)
+      : DataFrame = {
+    val typePat = "(?is)\\btype\\s*=\\s*[\"']application/" +
+      "(rss|atom)\\+xml[\"']"
+    val tags = regexp_extract_all(col(htmlCol),
+      lit("(?is)<link\\b[^>]*>"), lit(0))
+    val t = col("_t")
+    val dq = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
+    val sq = "(?is)\\bhref\\s*=\\s*'([^']*)'"
+    val href = when(t.rlike(dq), regexp_extract(t, dq, 1))
+      .when(t.rlike(sq), regexp_extract(t, sq, 1))
+      .otherwise(lit(""))
+    pages
+      .select(col(urlCol), posexplode(tags).as(Seq("link_pos", "_t")))
+      .filter(t.rlike("(?is)\\brel\\s*=\\s*[\"']alternate[\"']") &&
+        t.rlike(typePat))
+      // hrefless tags drop BEFORE resolution (an empty RFC 3986
+      // reference resolves to the page itself, which is not a feed)
+      .filter(href =!= "")
+      .select(col(urlCol), col("link_pos"),
+        lower(regexp_extract(t, typePat, 1)).as("kind"),
+        LinkExtractor.resolveUrl(col(urlCol), href).as("feed_url"))
+  }
+
   // ---- JSON-LD structured data (schema.org) ----
 
   /** All `<script type="application/ld+json">` payloads of a page, in

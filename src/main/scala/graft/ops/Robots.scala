@@ -62,6 +62,53 @@ object Robots {
     folded("rules")
   }
 
+  /** The `*` group's Crawl-delay in seconds (long), -1 when absent or
+    * non-numeric. Crawl-delay is outside RFC 9309 but ubiquitous in
+    * the wild and the one robots directive a polite fetch scheduler
+    * budgets on; same group-selection semantics as [[starGroupRules]]
+    * (consecutive UA headers accumulate; directives in foreign groups
+    * never apply), FIRST valid value in the `*` group wins (the
+    * behavior of the common parsers). Integer seconds only — the rare
+    * fractional form rounds down via the leading-digits match.
+    */
+  def crawlDelay(txt: Column): Column = {
+    val lines = split(txt, "\r?\n")
+    val init = struct(lit(false).as("active"), lit(false).as("lastua"),
+      lit(-1L).as("delay"))
+    val folded = aggregate(lines, init, (acc, l0) => {
+      val l = trim(regexp_replace(l0, "#.*$", ""))
+      val low = lower(l)
+      val value = trim(regexp_replace(l, "^[^:]*:", ""))
+      val isUa = low.startsWith("user-agent:")
+      val isDelay = low.startsWith("crawl-delay:")
+      val active = when(isUa && acc("lastua"),
+          acc("active") || value === "*")
+        .when(isUa, value === "*")
+        .otherwise(acc("active"))
+      val num = regexp_extract(value, "^([0-9]+)", 1)
+      val delay = when(isDelay && acc("active") && acc("delay") === -1L &&
+          num =!= "", num.cast("long"))
+        .otherwise(acc("delay"))
+      struct(active.as("active"), isUa.as("lastua"), delay.as("delay"))
+    })
+    folded("delay")
+  }
+
+  /** Per-host fetch budget over a scheduling horizon: how many fetches
+    * the [[crawlDelay]] allows in `horizonSec` seconds (hosts without
+    * a declared delay get `defaultDelaySec` — a polite crawler never
+    * treats silence as permission to hammer). Integral DIV; a declared
+    * delay of 0 also falls to the default (0 means "no delay declared
+    * correctly", not "infinite rate").
+    */
+  def fetchBudget(delay: Column, horizonSec: Long,
+      defaultDelaySec: Long): Column = {
+    require(defaultDelaySec >= 1 && horizonSec >= 1,
+      "need positive horizon and default delay")
+    val eff = when(delay > 0L, delay).otherwise(lit(defaultDelaySec))
+    call_function("div", lit(horizonSec), eff)
+  }
+
   /** Parse a (host, robots_txt) table into per-host packed rule
     * arrays: (hostCol, rules). Hosts whose file yields no `*` rules
     * keep an empty array (distinct from absent-from-table).

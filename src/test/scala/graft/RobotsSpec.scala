@@ -91,6 +91,35 @@ class RobotsSpec extends AnyFunSuite {
       Seq(("h", xml)).toDF("host", "xml"), "host", "xml").isEmpty)
   }
 
+  test("crawlDelay: group selection, first-wins, invalid and " +
+      "fractional values; fetchBudget floors and defaults") {
+    import spark.implicits._
+    def delay(txt: String): Long =
+      Seq(txt).toDF("t").select(Robots.crawlDelay(col("t")))
+        .collect()(0).getLong(0)
+    // accumulated UA headers: * shares the group with bingbot
+    assert(delay("User-agent: bingbot\nUser-agent: *\nCrawl-delay: 4") === 4L)
+    // foreign group only
+    assert(delay("User-agent: googlebot\nCrawl-delay: 3") === -1L)
+    // first valid wins
+    assert(delay("User-agent: *\nCrawl-delay: 10\nCrawl-delay: 2") === 10L)
+    // non-numeric ignored, later valid taken
+    assert(delay("User-agent: *\nCrawl-delay: x\nCrawl-delay: 6") === 6L)
+    // fractional rounds down via leading digits
+    assert(delay("User-agent: *\nCrawl-delay: 2.9") === 2L)
+    // before any group header: inactive
+    assert(delay("Crawl-delay: 7\nUser-agent: *\nDisallow: /") === -1L)
+    // comments and case-insensitivity
+    assert(delay("USER-AGENT: *\ncrawl-DELAY: 5 # be nice") === 5L)
+    val b = Seq((10L, 0L, -1L)).toDF("a", "b", "c")
+      .select(Robots.fetchBudget(col("a"), 3600L, 5L),
+        Robots.fetchBudget(col("b"), 3600L, 5L),
+        Robots.fetchBudget(col("c"), 3600L, 5L)).collect()(0)
+    assert(b.getLong(0) === 360L)
+    assert(b.getLong(1) === 720L) // declared 0 -> default, not infinity
+    assert(b.getLong(2) === 720L)
+  }
+
   test("revisitSchedule: never/always/sometimes-changing and " +
       "single-snapshot urls get the right intervals; overdue clamps") {
     import spark.implicits._
