@@ -269,18 +269,28 @@ object CurateApp {
       val withSplit = landed
         .withColumn("split", Curation.hashSplit(col(idCol0), splits))
       if (zorder) {
+        // persist before the bounds collect: columnBounds is an eager
+        // action, and without a materialization fence the whole landed
+        // lineage (curation gate + index-verdict join + resample agg)
+        // would execute twice — once for the bounds, once for the
+        // write. (On a real Iceberg table the bounds come free from
+        // the manifest stats and this fence disappears.)
         val keyed = withSplit
           .withColumn("_zl", length(col("clean_text")).cast("long"))
           .withColumn("_zh",
             graft.functions.Md5Prefix32(col(idCol0).cast("string")))
-        val bounds = graft.ops.Layout.columnBounds(keyed, Seq("_zl", "_zh"))
-        graft.ops.Layout.withZValue(keyed, Seq("_zl", "_zh"), bounds,
-            bits = 12)
-          .repartitionByRange(zFiles, col("split"), col("_z"))
-          .sortWithinPartitions("split", "_z")
-          .drop("_zl", "_zh", "_z")
-          .write.mode("overwrite").partitionBy("split")
-          .parquet(s"$output/curated")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val bounds =
+            graft.ops.Layout.columnBounds(keyed, Seq("_zl", "_zh"))
+          graft.ops.Layout.withZValue(keyed, Seq("_zl", "_zh"), bounds,
+              bits = 12)
+            .repartitionByRange(zFiles, col("split"), col("_z"))
+            .sortWithinPartitions("split", "_z")
+            .drop("_zl", "_zh", "_z")
+            .write.mode("overwrite").partitionBy("split")
+            .parquet(s"$output/curated")
+        } finally keyed.unpersist(false)
       } else {
         withSplit.write.mode("overwrite").partitionBy("split")
           .parquet(s"$output/curated")

@@ -1582,11 +1582,12 @@ object SparkEntry {
         .orderBy("lang", "sample_rank")),
     // URL-quality features: depth / digit-heavy slugs / dynamic-param
     // counts / tracking params — the pre-fetch URL gate signals; the
-    // plant spans no-path, deep-path, date-slug, tracking and
-    // fragment-bearing shapes
+    // plant spans no-path, deep-path, date-slug, tracking,
+    // fragment-bearing and '?'-inside-fragment shapes (the last one
+    // must yield ZERO params — a fragment '?' is not a query)
     "q114_url_features" -> ((s, d) => {
       val did = col("doc_id").cast("long")
-      val v = pmod(did, lit(5))
+      val v = pmod(did, lit(6))
       val ds = did.cast("string")
       val url = when(v === 0, concat(lit("http://"), col("source"),
           lit(".example.com/a/b/c/page"), ds, lit(".html")))
@@ -1596,8 +1597,10 @@ object SparkEntry {
           lit(".example.com/2024/01/"), ds))
         .when(v === 3, concat(lit("http://"), col("source"),
           lit(".example.com")))
-        .otherwise(concat(lit("http://"), col("source"),
+        .when(v === 4, concat(lit("http://"), col("source"),
           lit(".example.com/search?q=a&page=2&fbclid=zz#frag")))
+        .otherwise(concat(lit("http://"), col("source"),
+          lit(".example.com/page"), ds, lit("#sec?utm_source=x")))
       Curation.urlFeatures(
           t(s, d, "documents").select(did.as("doc_id"), url.as("url")),
           "url")
@@ -3439,12 +3442,13 @@ object SparkEntry {
         SELECT doc_id, lang, sample_rank FROM r
         WHERE sample_rank <= 40 ORDER BY lang, sample_rank""",
     // q114: the same URL plant re-built in SQL; features re-derived
-    // with the identical regexes and length-minus-replace arithmetic
+    // with the identical regexes (over the fragment-stripped view,
+    // like the Scala side) and length-minus-replace arithmetic
     "q114_url_features" ->
       """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS did, source
           FROM documents),
         u AS (SELECT did AS doc_id,
-          CASE did % 5
+          CASE did % 6
             WHEN 0 THEN 'http://' || source || '.example.com/a/b/c/page'
               || CAST(did AS VARCHAR) || '.html'
             WHEN 1 THEN 'https://' || source || '.Example.COM/p?id='
@@ -3452,17 +3456,21 @@ object SparkEntry {
             WHEN 2 THEN 'http://' || source || '.example.com/2024/01/'
               || CAST(did AS VARCHAR)
             WHEN 3 THEN 'http://' || source || '.example.com'
-            ELSE 'http://' || source
+            WHEN 4 THEN 'http://' || source
               || '.example.com/search?q=a&page=2&fbclid=zz#frag'
+            ELSE 'http://' || source || '.example.com/page'
+              || CAST(did AS VARCHAR) || '#sec?utm_source=x'
           END AS url FROM p),
+        nf AS (SELECT doc_id, url,
+          regexp_replace(url, '#.*$', '') AS nofrag FROM u),
         f AS (SELECT doc_id, url,
-          lower(regexp_extract(url,
+          lower(regexp_extract(nofrag,
             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS url_host,
-          regexp_extract(url,
+          regexp_extract(nofrag,
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
           list_filter(string_split(
-            regexp_extract(url, '\?([^#]*)', 1), '&'),
-            q -> q != '') AS params FROM u)
+            regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+            q -> q != '') AS params FROM nf)
         SELECT doc_id, url_host,
           CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
             AS path_depth,
@@ -4410,7 +4418,8 @@ object SparkEntry {
         snap AS (SELECT url, did % 30 + i * 7 AS day,
           'v' || CAST((did + i) // 3 - did // 3 AS VARCHAR) AS h FROM s),
         st AS (SELECT url, day, h,
-          lag(h) OVER (PARTITION BY url ORDER BY day) AS prev FROM snap),
+          lag(h) OVER (PARTITION BY url ORDER BY day, h) AS prev
+            FROM snap),
         agg AS (SELECT url, count(*) AS n_snaps,
           sum(CASE WHEN prev IS NOT NULL AND h != prev
             THEN 1 ELSE 0 END) AS n_changes,

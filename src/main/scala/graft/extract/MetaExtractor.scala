@@ -92,13 +92,9 @@ object MetaExtractor {
       s"(?is)<meta\\b[^>]*\\bproperty\\s*=\\s*[\"']${java.util.regex.Pattern.quote(prop)}[\"'][^>]*>",
       0))))
 
-  private def hrefOfTag(tag: Column): Column = {
-    val dq = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
-    val sq = "(?is)\\bhref\\s*=\\s*'([^']*)'"
-    when(tag.rlike(dq), regexp_extract(tag, dq, 1))
-      .when(tag.rlike(sq), regexp_extract(tag, sq, 1))
-      .otherwise(lit(""))
-  }
+  // ONE href parser for the whole repo (LinkExtractor.hrefOf): double
+  // then single quotes, then the unquoted form; "" when absent
+  private def hrefOfTag(tag: Column): Column = LinkExtractor.hrefOf(tag)
 
   /** Raw href of the first `<link rel="canonical" …>` tag ("" when
     * absent); attribute order free.
@@ -176,11 +172,7 @@ object MetaExtractor {
       lit("(?is)<link\\b[^>]*\\bhreflang\\s*=\\s*[\"'][^\"']*[\"'][^>]*>"),
       lit(0))
     val t = col("_t")
-    val dq = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
-    val sq = "(?is)\\bhref\\s*=\\s*'([^']*)'"
-    val href = when(t.rlike(dq), regexp_extract(t, dq, 1))
-      .when(t.rlike(sq), regexp_extract(t, sq, 1))
-      .otherwise(lit(""))
+    val href = LinkExtractor.hrefOf(t)
     pages
       .select(col(urlCol), posexplode(tags).as(Seq("link_pos", "_t")))
       .filter(t.rlike("(?is)\\brel\\s*=\\s*[\"']alternate[\"']"))
@@ -202,7 +194,9 @@ object MetaExtractor {
     * match; linkless tags are dropped. `link_pos` indexes the page's
     * <link> tags, so gaps are audit pointers to the non-feed links in
     * between. Pure per-row regexp Columns; the only explode is over a
-    * page's own link tags.
+    * page's own link tags. href parsing delegates to
+    * [[LinkExtractor.hrefOf]] — the one shared definition — so
+    * unquoted attributes (href=/feed.xml, valid HTML) resolve too.
     */
   def feedLinks(pages: DataFrame, urlCol: String, htmlCol: String)
       : DataFrame = {
@@ -211,11 +205,7 @@ object MetaExtractor {
     val tags = regexp_extract_all(col(htmlCol),
       lit("(?is)<link\\b[^>]*>"), lit(0))
     val t = col("_t")
-    val dq = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
-    val sq = "(?is)\\bhref\\s*=\\s*'([^']*)'"
-    val href = when(t.rlike(dq), regexp_extract(t, dq, 1))
-      .when(t.rlike(sq), regexp_extract(t, sq, 1))
-      .otherwise(lit(""))
+    val href = LinkExtractor.hrefOf(t)
     pages
       .select(col(urlCol), posexplode(tags).as(Seq("link_pos", "_t")))
       .filter(t.rlike("(?is)\\brel\\s*=\\s*[\"']alternate[\"']") &&

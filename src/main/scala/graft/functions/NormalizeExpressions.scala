@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * full-width Ａ → A) for aggressive matching.
   *
   * One expression call per row, no UDF serialization, stays inside
-  * whole-stage codegen like the other graft natives. The fast path
-  * (`isNormalized`) returns the input UTF8String unchanged — on real
-  * web corpora the vast majority of text is already NFC, so the common
-  * case allocates nothing.
+  * whole-stage codegen like the other graft natives. Two fast paths:
+  * pure-ASCII input (the bulk of English web text) is normalized under
+  * every form by construction and returns the input UTF8String with
+  * zero allocation; otherwise `isNormalized` still returns the input
+  * unchanged, at the cost of the one String view the JDK normalizer
+  * API forces. The Form enum is resolved once per form name (static
+  * table), never per row.
   */
 case class UnicodeNormalize(child: org.apache.spark.sql.catalyst.expressions.Expression,
     form: String) extends UnaryExpression {
@@ -37,12 +40,19 @@ case class UnicodeNormalize(child: org.apache.spark.sql.catalyst.expressions.Exp
         s"unicode_normalize needs STRING, got ${child.dataType}")
     else TypeCheckResult.TypeCheckSuccess
 
-  override protected def nullSafeEval(v: Any): Any =
-    UnicodeNormalize.normalize(v.asInstanceOf[UTF8String], form)
+  // the Form enum constant, resolved ONCE per expression instance —
+  // never a per-row valueOf
+  @transient private lazy val resolvedForm = UnicodeNormalize.formFor(form)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(v: Any): Any =
+    UnicodeNormalize.normalize(v.asInstanceOf[UTF8String], resolvedForm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("nform", resolvedForm,
+      "java.text.Normalizer.Form")
     defineCodeGen(ctx, ev, c =>
-      s"""graft.functions.UnicodeNormalize.normalize($c, "$form")""")
+      s"graft.functions.UnicodeNormalize.normalize($c, $formRef)")
+  }
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
@@ -52,12 +62,24 @@ case class UnicodeNormalize(child: org.apache.spark.sql.catalyst.expressions.Exp
 object UnicodeNormalize {
   val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 
-  def normalize(s: UTF8String, form: String): UTF8String = {
-    val f = java.text.Normalizer.Form.valueOf(form)
+  // resolved once per form NAME, not per row (enum valueOf is a map
+  // lookup with an exception path — wrong thing to pay 10^12 times)
+  private[functions] def formFor(form: String): java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(form)
+
+  def normalize(s: UTF8String,
+      f: java.text.Normalizer.Form): UTF8String = {
+    // ASCII is closed under all four normal forms: nothing to do, and
+    // no String copy — the dominant path on English-heavy web corpora
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
+
+  /** String-form convenience (tests, interpreted callers). */
+  def normalize(s: UTF8String, form: String): UTF8String =
+    normalize(s, formFor(form))
 
   def apply(c: Column, form: String = "NFC"): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(

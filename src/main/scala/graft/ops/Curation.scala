@@ -2147,6 +2147,14 @@ object Curation {
   val TrackingParams =
     "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
 
+  /** Shared URL-component patterns — ONE definition each, used by both
+    * [[canonicalUrl]] and [[urlFeatures]] so the two URL views can
+    * never silently diverge (and every oracle twin quotes the same
+    * literal).
+    */
+  private val UrlAuthorityPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+  private val UrlPathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+
   /** Canonical form of a crawl URL, the key URL-level dedup groups on:
     * fragment removed; scheme and host lowercased; default port
     * stripped (:80 for http, :443 for https); empty path → "/" (path
@@ -2163,13 +2171,11 @@ object Curation {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(noFrag,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val hostport = lower(regexp_extract(noFrag, UrlAuthorityPat, 1))
     val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
-    val path0 = regexp_extract(noFrag,
-      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path0 = regexp_extract(noFrag, UrlPathPat, 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
     val query0 = regexp_extract(noFrag, "\\?(.*)$", 1)
     val keptParams = array_sort(filter(split(query0, "&"),
@@ -2199,11 +2205,13 @@ object Curation {
     */
   def urlFeatures(df: DataFrame, urlCol: String): DataFrame = {
     val u = col(urlCol)
-    val host = lower(regexp_extract(u,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    val path = regexp_extract(u,
-      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // fragment stripped BEFORE the query extraction, like canonicalUrl:
+    // a '?' living inside the fragment ("/p#sec?utm_x=1") is not a
+    // query and must not fabricate params / tracking flags
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val host = lower(regexp_extract(noFrag, UrlAuthorityPat, 1))
+    val path = regexp_extract(noFrag, UrlPathPat, 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
     val params = filter(split(query, "&"), p => p =!= "")
     val digits = length(path) - length(regexp_replace(path, "[0-9]", ""))
     df.withColumn("url_host", host)

@@ -846,17 +846,21 @@ object Dedup {
     * task), while agg partials combine map-side regardless of cluster
     * size. Only (id, canonical_id, score) rows shuffle. Deterministic
     * for any orderable score type; exact ties fall to the id order.
-    * Output: (id, canonical_id, score, survivor).
+    * Null-score rows lose to any non-null score; a cluster whose EVERY
+    * score is null (or whose ids are missing from `scored` — the join
+    * is left) still keeps exactly one survivor, the min id, instead of
+    * silently vanishing. Output: (id, canonical_id, score, survivor).
     */
   def keepBestPerCluster(labels: DataFrame, scored: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
     val l = labels.select(col("id"), col("canonical_id"))
       .join(scored.select(col(idCol).as("id"),
-        col(scoreCol).as("score")), Seq("id"))
+        col(scoreCol).as("score")), Seq("id"), "left")
     val best = l.groupBy(col("canonical_id"))
-      .agg(max(col("score")).as("_ms"))
+      .agg(max(col("score")).as("_ms")) // null iff ALL scores null
     val bestId = l.join(best, Seq("canonical_id"))
-      .filter(col("score") === col("_ms"))
+      .filter(col("score") <=> col("_ms")) // null-safe: all-null
+      // clusters match every member and fall to the min-id tiebreak
       .groupBy(col("canonical_id")).agg(min(col("id")).as("_bid"))
     l.join(bestId, Seq("canonical_id"))
       .select(col("id"), col("canonical_id"), col("score"),

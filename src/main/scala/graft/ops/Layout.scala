@@ -70,12 +70,17 @@ object Layout {
   /** Column bounds for the clustered columns: one map-side-combined agg,
     * collected as 2 longs per column (the same stats a table format
     * already tracks — on Iceberg these come free from the manifest).
+    * An empty frame (or an all-null column) yields (0, 0) — the
+    * degenerate-but-valid bounds [[rangeCode]] already handles — so an
+    * empty incremental batch clusters to zero files instead of NPEing
+    * at the finish line.
     */
   def columnBounds(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    def at(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    cols.indices.map(i => (at(2 * i), at(2 * i + 1)))
   }
 
   /** Add the Morton z-value of `cols` as `zCol` (given precomputed

@@ -306,8 +306,11 @@ object Robots {
       maxDays: Long = 60L): DataFrame = {
     require(minDays >= 1 && maxDays >= minDays,
       "need 1 <= minDays <= maxDays")
+    // hash tiebreak: two crawls of one url on the SAME day would
+    // otherwise order arbitrarily per run/task retry, flipping
+    // n_changes (and the recrawl priority) between executions
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(urlCol)).orderBy(col(dayCol))
+      .partitionBy(col(urlCol)).orderBy(col(dayCol), col(hashCol))
     val stepped = snaps.select(col(urlCol), col(dayCol).cast("long"),
         col(hashCol))
       .withColumn("_prev", lag(col(hashCol), 1).over(w))

@@ -121,4 +121,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(got2.map(_.getString(0)).toSet === Set("viral-footer",
       "promo-line"))
   }
+
+  test("columnBounds: empty frames and all-null columns yield (0,0) " +
+      "instead of NPE — the empty-incremental-batch zorder path") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Layout.columnBounds(empty, Seq("a", "b"))
+      === Seq((0L, 0L), (0L, 0L)))
+    val allNull = Seq((Option.empty[Long], 5L), (None, 9L))
+      .toDF("a", "b")
+    assert(Layout.columnBounds(allNull, Seq("a", "b"))
+      === Seq((0L, 0L), (5L, 9L)))
+    // degenerate bounds still produce a usable (constant-zero) z-key
+    val z = Layout.withZValue(allNull, Seq("a", "b"),
+      Seq((0L, 0L), (5L, 9L)), bits = 4).collect()
+    assert(z.length === 2)
+  }
 }

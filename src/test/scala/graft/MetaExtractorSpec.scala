@@ -85,4 +85,23 @@ class MetaExtractorSpec extends AnyFunSuite {
     assert(row.getAs[String]("ld_type") === "Article")
     assert(row.isNullAt(row.fieldIndex("author_name")))
   }
+
+  test("feedLinks: UNQUOTED hrefs are valid HTML and must be " +
+      "discovered; genuinely hrefless feed tags still drop") {
+    import spark.implicits._
+    val pages = Seq(("http://h.example.com/blog/p.html",
+      "<head>" +
+        "<link rel=\"alternate\" type=\"application/rss+xml\" " +
+        "href=/feed.xml>" + // unquoted absolute-path href
+        "<link rel=\"alternate\" type=\"application/atom+xml\" " +
+        "href=atom.xml>" +  // unquoted relative href
+        "<link rel=\"alternate\" type=\"application/rss+xml\">" +
+        "</head>")).toDF("url", "html")
+    val got = MetaExtractor.feedLinks(pages, "url", "html")
+      .orderBy("link_pos").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (0, "rss", "http://h.example.com/feed.xml"),
+      (1, "atom", "http://h.example.com/blog/atom.xml")))
+  }
 }

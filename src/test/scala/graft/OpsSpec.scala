@@ -2047,6 +2047,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size === 6)
   }
 
+  test("keepBestPerCluster: all-null-score clusters and ids missing " +
+      "from `scored` keep a min-id survivor instead of vanishing") {
+    import spark.implicits._
+    // cluster 1: both scores null; cluster 5: id 7 missing from
+    // `scored` entirely, id 5 has a real score; cluster 9: null loses
+    // to non-null
+    val labels = Seq((1L, 1L), (3L, 1L), (5L, 5L), (7L, 5L),
+      (9L, 9L), (11L, 9L)).toDF("id", "canonical_id")
+    val scored = Seq((1L, Option.empty[Long]), (3L, None),
+      (5L, Some(4L)), (9L, None), (11L, Some(2L)))
+      .toDF("doc_id", "q")
+    val got = Dedup.keepBestPerCluster(labels, scored, "doc_id", "q")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size === 6, "no row may vanish")
+    assert(got(1L) === ((-1L, true)))   // all-null cluster: min id wins
+    assert(got(3L) === ((-1L, false)))
+    assert(got(5L) === ((4L, true)))    // real score beats missing
+    assert(got(7L) === ((-1L, false)))  // missing-from-scored kept
+    assert(got(11L) === ((2L, true)))   // non-null beats null
+    assert(got(9L) === ((-1L, false)))
+  }
+
   test("stratifiedSampleExact: exact k per stratum, small strata " +
       "survive whole, deterministic across repartitionings") {
     import spark.implicits._
@@ -2078,7 +2103,8 @@ class OpsSpec extends AnyFunSuite {
       "http://a.example.com/a/b/c/page7.html",      // deep path
       "https://A.Example.COM/p?id=42&utm_source=f&x=1",
       "http://a.example.com/2024/01/55",            // digit slug
-      "not a url at all")                           // schemeless
+      "not a url at all",                           // schemeless
+      "http://a.example.com/p#sec?utm_source=x")    // '?' in fragment
       .toDF("url")
     val f = Curation.urlFeatures(urls, "url").collect()
       .map(r => r.getString(0) ->
@@ -2097,6 +2123,10 @@ class OpsSpec extends AnyFunSuite {
     // "/2024/01/55": 8 digits over 11 chars
     assert(slug._3 === 8L * 1000000L / 11L)
     assert(f("not a url at all")._1 === "") // schemeless: empty host
+    // a '?' inside the fragment is NOT a query: no params, no tracking
+    val frag = f("http://a.example.com/p#sec?utm_source=x")
+    assert(frag._4 === 0L, "fragment '?' must not fabricate params")
+    assert(!frag._5, "fragment '?' must not flag tracking")
   }
 }
 

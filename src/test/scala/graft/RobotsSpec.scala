@@ -150,4 +150,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(f("u-one", "change_ppm") === 500000L)
     assert(f("u-one", "interval_days") === 16L)
   }
+
+  test("revisitSchedule: two snapshots on the SAME day order by hash " +
+      "— n_changes is stable across partitionings") {
+    import spark.implicits._
+    // day 7 has two crawls ("a" then "b" in hash order): pairs are
+    // (a,a)=0, (a,b)=1, (b,c)=1 -> n_changes 2 under ANY partitioning
+    val snaps = Seq(("u", 0L, "a"), ("u", 7L, "b"), ("u", 7L, "a"),
+      ("u", 14L, "c")).toDF("url", "day", "h")
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      Robots.revisitSchedule(df, "url", "day", "h", nowDay = 40L)
+        .collect()(0).getAs[Long]("n_changes")
+    assert(run(snaps) === 2L)
+    assert(run(snaps.repartition(7)) === 2L)
+    assert(run(snaps.repartition(3).sortWithinPartitions(desc("h")))
+      === 2L)
+  }
 }
