@@ -1661,6 +1661,77 @@ object SparkEntry {
           "url", "html")
         .orderBy("url", "link_pos")
     }),
+    // crawl index: SURT sort keys (host labels reversed — one host =
+    // one contiguous key range). Plant spans: uppercase www host +
+    // default :443 + unsorted query, http :80 default port, deep
+    // subdomain, schemeless fallback, www2 + NON-default port kept,
+    // trailing-dot FQDN, mixed-case path+query lowering, and a
+    // tracking param that SURT keeps (unlike canonicalUrl)
+    "q117_surt" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val v = pmod(did, lit(8))
+      val ds = did.cast("string")
+      val url = when(v === 0, concat(lit("https://WWW.News."), col("source"),
+          lit(".COM:443/Path/Article"), ds, lit("?b=2&a=1")))
+        .when(v === 1, lit("http://example.com:80/"))
+        .when(v === 2, concat(lit("http://sub.blog."), col("source"),
+          lit(".org/p/"), ds))
+        .when(v === 3, concat(lit("not a url "), ds))
+        .when(v === 4, concat(lit("http://www2."), col("source"),
+          lit(".net:8080/x?z=1#frag")))
+        .when(v === 5, concat(lit("https://"), col("source"),
+          lit(".com./a"), ds))
+        .when(v === 6, lit("HTTP://EXAMPLE.COM/MiXeD/CaSe?Q=V"))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".example.com/dup?utm_source=x&b=1")))
+      t(s, d, "documents").select(did.as("doc_id"), url.as("url"))
+        .withColumn("surt_key", Curation.surtKey(col("url")))
+        .orderBy("doc_id")
+    }),
+    // crawl discovery: robots.txt Sitemap: directives — the
+    // autodiscovery step that feeds the sitemap parser (q84) its fetch
+    // frontier. Cross-group semantics: a directive inside a FOREIGN
+    // agent's group still applies (unlike Allow/Crawl-delay). Plant
+    // spans: in-group, two directives (both kept, in order), foreign
+    // group, commented-out + relative value (both dropped), case
+    // variant with padding, and no directive at all
+    "q119_sitemap_directive" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val k = pmod(did, lit(6))
+      val host = concat(col("source"), lit("-"), k.cast("string"),
+        lit(".example.com"))
+      val txt = when(k === 0, concat(
+          lit("User-agent: *\nDisallow: /a\nSitemap: https://"), host,
+          lit("/s.xml\n")))
+        .when(k === 1, concat(lit("Sitemap: https://"), host,
+          lit("/a.xml\nUser-agent: *\nDisallow: /b\nSitemap: https://"),
+          host, lit("/b.xml\n")))
+        .when(k === 2, concat(
+          lit("User-agent: googlebot\nDisallow: /\nSitemap: http://"),
+          host, lit("/g.xml\n")))
+        .when(k === 3, concat(lit("# Sitemap: https://"), host,
+          lit("/x.xml\nSitemap: /local.xml\n")))
+        .when(k === 4, concat(lit("SITEMAP:   https://"), host,
+          lit("/S2.XML  \n")))
+        .otherwise(lit("User-agent: *\nDisallow: /z\n"))
+      Robots.sitemapDirectives(
+          t(s, d, "documents").select(host.as("host"), txt.as("txt"))
+            .distinct(),
+          "host", "txt")
+        .orderBy("host", "map_pos")
+    }),
+    // output layout: byte-balanced shard assignment — cumulative-weight
+    // bins over a deterministic hash order (a row-count split skews
+    // wildly when document sizes do); cum/total ride along so the
+    // oracle pins the running sum itself, not just the bin id
+    "q118_balanced_shards" -> ((s, d) =>
+      Layout.balancedShards(
+          t(s, d, "documents").select(col("doc_id").cast("long")
+            .as("doc_id"), coalesce(col("n_chars"), lit(0L)).as("w")),
+          "doc_id", col("w"), nShards = 8)
+        .select(col("doc_id"), col("cum_bytes"), col("total_bytes"),
+          col("shard"))
+        .orderBy("doc_id")),
     // corpus gating: soft-error-page detection (HTTP-200 "not found"
     // shells) — error tokens in the title / error phrases in the body
     // gate ONLY together with a short body (a long article ABOUT 404s
@@ -3519,6 +3590,94 @@ object SparkEntry {
             dir || 'atom' || CAST(did AS VARCHAR) || '.xml' FROM u)
         SELECT url, CAST(link_pos AS INTEGER) AS link_pos, kind, feed_url
         FROM r ORDER BY url, link_pos""",
+    // q117: the same URL plant re-built in SQL; the SURT key re-derived
+    // with the identical regexes + list_reverse/list_sort in place of
+    // Spark's reverse/array_sort
+    "q117_surt" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS did, source
+          FROM documents),
+        u AS (SELECT did AS doc_id,
+          CASE did % 8
+            WHEN 0 THEN 'https://WWW.News.' || source || '.COM:443'
+              || '/Path/Article' || CAST(did AS VARCHAR) || '?b=2&a=1'
+            WHEN 1 THEN 'http://example.com:80/'
+            WHEN 2 THEN 'http://sub.blog.' || source || '.org/p/'
+              || CAST(did AS VARCHAR)
+            WHEN 3 THEN 'not a url ' || CAST(did AS VARCHAR)
+            WHEN 4 THEN 'http://www2.' || source || '.net:8080/x?z=1#frag'
+            WHEN 5 THEN 'https://' || source || '.com./a'
+              || CAST(did AS VARCHAR)
+            WHEN 6 THEN 'HTTP://EXAMPLE.COM/MiXeD/CaSe?Q=V'
+            ELSE 'https://' || source || '.example.com/dup?utm_source=x&b=1'
+          END AS url FROM p),
+        nf AS (SELECT doc_id, url,
+          regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        f AS (SELECT doc_id, url, nofrag,
+          lower(regexp_extract(nofrag,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_extract(nofrag,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+          lower(regexp_extract(nofrag,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)) AS path0,
+          lower(regexp_extract(nofrag, '\?(.*)$', 1)) AS query0 FROM nf),
+        h AS (SELECT doc_id, url, scheme, path0, query0,
+          regexp_replace(regexp_replace(
+            CASE scheme
+              WHEN 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END,
+            '\.$', ''), '^www[0-9]*\.', '') AS host FROM f),
+        k AS (SELECT doc_id, url, scheme,
+          array_to_string(list_reverse(string_split(host, '.')), ',')
+            AS revhost,
+          CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+          coalesce(array_to_string(list_sort(list_filter(
+            string_split(query0, '&'), q -> q != '')), '&'), '') AS canonq
+          FROM h)
+        SELECT doc_id, url,
+          CASE WHEN scheme = '' THEN url
+            ELSE revhost || ')' || path ||
+              CASE WHEN canonq = '' THEN '' ELSE '?' || canonq END
+          END AS surt_key
+        FROM k ORDER BY doc_id""",
+    // q119: expected directive rows re-derived from the plant (k=0
+    // in-group, k=1 both in order, k=2 foreign group still applies,
+    // k=3 comment + relative both dropped, k=4 case/padding, k=5 none)
+    "q119_sitemap_directive" ->
+      """WITH h AS (SELECT DISTINCT source || '-'
+          || CAST(CAST(doc_id AS BIGINT) % 6 AS VARCHAR)
+          || '.example.com' AS host,
+          CAST(doc_id AS BIGINT) % 6 AS k FROM documents),
+        r AS (
+          SELECT host, 0 AS map_pos,
+            'https://' || host || '/s.xml' AS sitemap_url
+          FROM h WHERE k = 0
+          UNION ALL SELECT host, 0, 'https://' || host || '/a.xml'
+          FROM h WHERE k = 1
+          UNION ALL SELECT host, 1, 'https://' || host || '/b.xml'
+          FROM h WHERE k = 1
+          UNION ALL SELECT host, 0, 'http://' || host || '/g.xml'
+          FROM h WHERE k = 2
+          UNION ALL SELECT host, 0, 'https://' || host || '/S2.XML'
+          FROM h WHERE k = 4)
+        SELECT host, CAST(map_pos AS INTEGER) AS map_pos, sitemap_url
+        FROM r ORDER BY host, map_pos""",
+    // q118: the running weight sum is a plain global window in SQL
+    // (fine at oracle scale — the Spark side shards it); shard id =
+    // exclusive-prefix DIV ceil(total/8), clamped to 7
+    "q118_balanced_shards" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(coalesce(n_chars, 0) AS BIGINT) AS w,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+            1, 8)) AS BIGINT) AS hh FROM documents),
+        s AS (SELECT doc_id, w,
+          CAST(sum(w) OVER (ORDER BY hh, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes,
+          CAST(sum(w) OVER () AS BIGINT) AS total_bytes FROM d)
+        SELECT doc_id, cum_bytes, total_bytes,
+          CAST(least(7, (cum_bytes - w) //
+            greatest((total_bytes + 7) // 8, 1)) AS BIGINT) AS shard
+        FROM s ORDER BY doc_id""",
     // q62: the star-contraction path must produce the identical
     // component labeling — same oracle
     "q62_dedup_star" -> dedupClusterOracleSql,

@@ -2186,6 +2186,48 @@ object Curation {
       when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the
+    * web-archive-standard crawl-index sort key (OpenWayback/pywb CDX,
+    * the Common-Crawl URL index): host labels REVERSED and
+    * comma-joined so one host's captures — and one registrable
+    * domain's hosts — are a contiguous key range
+    * ("com,example,news)/path?a=1"). Normalization, pywb-style:
+    * whole key lowercased (it is a SORT key, not a fetch URL — the
+    * original url rides along in the index row); scheme dropped;
+    * leading "www", "www2", … label dropped (so www/apex captures of
+    * the same site collocate); default port stripped (:80 http, :443
+    * https), any other port stays attached to its (first-reversed)
+    * label; trailing-dot FQDN form stripped; fragment dropped; empty
+    * path → "/"; query parameters sorted (ALL kept — an index must
+    * key exactly what was captured, unlike [[canonicalUrl]] which
+    * strips tracking params for dedup). A string without a scheme
+    * comes back unchanged (deterministic fallback, never null).
+    *
+    * Pure regex/array Columns in the shared Java-regex/RE2 subset —
+    * the DuckDB twin runs the literally identical patterns with
+    * list_reverse/list_sort in place of reverse/array_sort.
+    */
+  def surtKey(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, UrlAuthorityPat, 1))
+    val host0 = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(
+      regexp_replace(host0, "\\.$", ""), "^www[0-9]*\\.", "")
+    val revHost = array_join(reverse(split(host, "\\.")), ",")
+    val path0 = lower(regexp_extract(noFrag, UrlPathPat, 1))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query0 = lower(regexp_extract(noFrag, "\\?(.*)$", 1))
+    val keptParams = array_sort(filter(split(query0, "&"), p => p =!= ""))
+    val canonQ = array_join(keptParams, "&")
+    when(scheme === "", url).otherwise(concat(revHost, lit(")"), path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
+  }
+
   /** URL shape features for URL-level quality filtering — the signal
     * set the URL-based gates in CCNet/RefinedWeb-style pipelines score
     * on without touching page content (cheap enough to run on the

@@ -139,4 +139,92 @@ object Layout {
     }.reduce(_ && _)
     stats.filter(cond).count()
   }
+
+  // ---- CDX-style crawl index layout (SURT-keyed, range-clustered) ----
+
+  /** Write a CDX-style crawl index: one row per capture, keyed by
+    * ([[Curation.surtKey]], capture timestamp), laid out as `nFiles`
+    * range-clustered parquet files sorted within each file — the
+    * web-archive index layout (OpenWayback/pywb CDXJ, the Common-Crawl
+    * URL index) rebuilt as a Spark table. Because SURT reverses host
+    * labels, one host — and one registrable domain — is a CONTIGUOUS
+    * key range, so a per-host or per-domain lookup binary-searches the
+    * file manifest ([[fileKeyStats]]) to a handful of files instead of
+    * scanning the corpus; `repartitionByRange`'s sampled boundaries
+    * keep files row-balanced even though key space is wildly skewed
+    * toward big hosts. Scale shape: one range exchange + local sort,
+    * no corpus-sized window, no collect.
+    */
+  def writeCdxIndex(pages: DataFrame, urlCol: String, tsCol: String,
+      nFiles: Int, path: String): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    pages
+      .withColumn("surt_key", Curation.surtKey(col(urlCol)))
+      .repartitionByRange(nFiles, col("surt_key"), col(tsCol))
+      .sortWithinPartitions("surt_key", tsCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max of a STRING key for a written table — the
+    * manifest row a SURT-range lookup prunes on (the string twin of
+    * [[fileStats]], which casts to long).
+    */
+  def fileKeyStats(spark: SparkSession, path: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"))
+
+  /** How many files a key-PREFIX lookup (one host: "com,example)",
+    * one domain: "com,example") must read under the given per-file key
+    * stats. Keys with prefix p lie in [p, p + "￿"] for any
+    * ASCII-keyed index (SURT keys are ASCII by construction — they come
+    * out of lowercased authority/path bytes), so a file survives iff
+    * its [key_min, key_max] intersects that interval.
+    */
+  def filesForPrefix(stats: DataFrame, prefix: String): Long =
+    stats.filter(col("key_max") >= lit(prefix) &&
+      col("key_min") <= lit(prefix + "￿")).count()
+
+  // ---- byte-balanced output shards ----
+
+  /** Assign every document to one of `nShards` byte-balanced output
+    * shards — the "write 100 TB as N equal-weight files" primitive
+    * (token-balanced training shards, size-capped export files). A
+    * row-count split (`repartition(n)`) skews wildly when document
+    * sizes do (a shard of 10 KB pages vs a shard of 10 MB PDFs);
+    * this assigns by CUMULATIVE WEIGHT: rows are ordered by a
+    * deterministic md5 hash of the id (uniform, engine-stable — so
+    * shard contents are a random-but-reproducible mix, not correlated
+    * with crawl order), the inclusive running weight sum is computed
+    * via [[ScaleWindow.shardedRunningSum]] (NO corpus-sized window
+    * partition), and shard = exclusive-prefix DIV ceil(total/n),
+    * clamped to n−1. Every shard's weight lands within one max-document
+    * of the target — exact bin boundaries, not sampled approximations.
+    *
+    * Appends `cum_bytes` (inclusive running weight), `total_bytes`
+    * (corpus total) and `shard` (0-based). `weight` is any non-negative
+    * integer cost column (bytes, token count); negative values clamp
+    * to 0. Deterministic across runs, partitionings and engines —
+    * the DuckDB twin is a plain global-window running sum with the
+    * same DIV arithmetic.
+    */
+  def balancedShards(df: DataFrame, idCol: String, weight: Column,
+      nShards: Int, salt: String = "shard", shards: Int = 0): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val withW = df
+      .withColumn("_bs_w", greatest(weight.cast("long"), lit(0L)))
+      .withColumn("_bs_h", graft.functions.Md5Prefix32(
+        concat(col(idCol).cast("string"), lit(":" + salt))))
+    val summed = ScaleWindow.shardedRunningSum(withW, Seq.empty,
+      Seq(col("_bs_h"), col(idCol)), col("_bs_w"),
+      "cum_bytes", "total_bytes", shards)
+    val target = greatest(call_function("div",
+      col("total_bytes") + lit(nShards.toLong - 1L), lit(nShards.toLong)),
+      lit(1L))
+    summed
+      .withColumn("shard", least(lit(nShards.toLong - 1L),
+        call_function("div", col("cum_bytes") - col("_bs_w"), target)))
+      .drop("_bs_w", "_bs_h")
+  }
 }

@@ -196,6 +196,39 @@ object Robots {
       .drop("_sm_b")
   }
 
+  /** All `Sitemap:` directive URLs declared in a robots.txt — the
+    * DISCOVERY step that feeds [[parseSitemap]]/[[sitemapIndexLocs]]
+    * their fetch frontier (the sitemaps.org autodiscovery convention).
+    * Unlike Allow/Disallow/Crawl-delay, `Sitemap:` is independent of
+    * any user-agent group — it applies file-wide wherever it appears,
+    * including inside a foreign agent's group — so this is a plain
+    * per-line scan, not a group fold. Multiple directives are all
+    * kept in file order; comments strip first; the value must be an
+    * absolute http(s) URL (the protocol requires absolute — a
+    * relative value is malformed and dropped). Case-insensitive
+    * directive, value case preserved (URLs are case-sensitive).
+    * Per-row array ops only — no explode, no shuffle.
+    */
+  def sitemapUrls(txt: Column): Column = {
+    val lines = split(txt, "\r?\n")
+    val vals = transform(lines, l0 => {
+      val l = trim(regexp_replace(l0, "#.*$", ""))
+      when(lower(l).startsWith("sitemap:"),
+        trim(regexp_replace(l, "^[^:]*:", ""))).otherwise(lit(""))
+    })
+    filter(vals, v => v.rlike("^https?://"))
+  }
+
+  /** DataFrame form of [[sitemapUrls]]: one (hostCol, map_pos,
+    * sitemap_url) row per declared sitemap, 0-based position in
+    * declaration order; hosts without directives yield no rows.
+    */
+  def sitemapDirectives(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame =
+    robots.select(col(hostCol),
+      posexplode(sitemapUrls(col(txtCol)))
+        .as(Seq("map_pos", "sitemap_url")))
+
   /** Nested sitemap locations of a `<sitemapindex>` file — the
     * fetch-frontier rows a crawler enqueues before calling
     * [[parseSitemap]] on each fetched child.

@@ -137,4 +137,73 @@ class LayoutSpec extends AnyFunSuite {
       Seq((0L, 0L), (5L, 9L)), bits = 4).collect()
     assert(z.length === 2)
   }
+
+  test("cdx index layout: disjoint file key ranges, prefix lookup prunes") {
+    import spark.implicits._
+    val hosts = Seq("alpha.com", "beta.org", "gamma.net", "delta.io")
+    val pages = (0 until 400).map { i =>
+      (s"http://${hosts(i % 4)}/p/${i / 4}", i.toLong)
+    }.toDF("url", "warc_ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx").toString
+    Layout.writeCdxIndex(pages, "url", "warc_ts", nFiles = 8, dir)
+    val stats = Layout.fileKeyStats(spark, dir, "surt_key").collect()
+    val nFiles = stats.length
+    assert(nFiles >= 4, s"range split produced only $nFiles files")
+    // files cover DISJOINT key ranges: sorted by min, each file's min
+    // is >= the previous file's max (ties only at exact boundaries)
+    val sorted = stats.map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(bMin >= aMax, s"overlapping file ranges: $aMax vs $bMin")
+      case _ =>
+    }
+    // one host = one contiguous range: the prefix lookup touches a
+    // strict subset of files, and the pruned read still sees ALL of
+    // the host's rows
+    val statsDf = Layout.fileKeyStats(spark, dir, "surt_key")
+    val touched = Layout.filesForPrefix(statsDf, "com,alpha)")
+    assert(touched >= 1 && touched < nFiles,
+      s"prefix lookup touched $touched of $nFiles")
+    val viaPrefix = spark.read.parquet(dir)
+      .filter(col("surt_key").startsWith("com,alpha)")).count()
+    assert(viaPrefix === 100L)
+  }
+
+  test("balancedShards: byte-balanced bins, skew-safe, deterministic") {
+    import spark.implicits._
+    // skewed sizes: one 50 KB whale among 10-100 B pages
+    val rows = (0L until 300L).map(i =>
+      (i, if (i == 7L) 50000L else 10L + i % 91L))
+    val df = rows.toDF("doc_id", "w")
+    val out = Layout.balancedShards(df, "doc_id", col("w"), nShards = 4)
+      .select("doc_id", "cum_bytes", "total_bytes", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 300)
+    val total = rows.map(_._2).sum
+    assert(out.forall(_._3 === total), "total_bytes = corpus total everywhere")
+    val target = (total + 3) / 4
+    val wById = rows.toMap
+    val byShard = out.groupBy(_._4)
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    // every shard's weight <= target + its largest single doc (a bin
+    // overflows by at most the doc that crosses its boundary)
+    byShard.foreach { case (sh, members) =>
+      val ws = members.map(m => wById(m._1))
+      assert(ws.sum <= target + ws.max,
+        s"shard $sh weight ${ws.sum} > $target + ${ws.max}")
+    }
+    // cum is an exact inclusive running sum: its max is the total
+    assert(out.map(_._2).max === total)
+    // deterministic under arbitrary pre-partitioning
+    val out2 = Layout.balancedShards(df.repartition(7), "doc_id",
+        col("w"), nShards = 4)
+      .select("doc_id", "cum_bytes", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out2 === out.map(t => (t._1, t._2, t._4)).sortBy(_._1))
+    // nShards = 1: everything lands in shard 0
+    val one = Layout.balancedShards(df, "doc_id", col("w"), nShards = 1)
+      .select("shard").distinct().collect().map(_.getLong(0))
+    assert(one.toSeq === Seq(0L))
+  }
 }

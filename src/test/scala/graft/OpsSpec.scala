@@ -2128,6 +2128,28 @@ class OpsSpec extends AnyFunSuite {
     assert(frag._4 === 0L, "fragment '?' must not fabricate params")
     assert(!frag._5, "fragment '?' must not flag tracking")
   }
+
+  test("surtKey: host reversal, www/port/case/fragment normalization") {
+    import spark.implicits._
+    def k(u: String): String =
+      Seq(u).toDF("url").select(Curation.surtKey(col("url"))).head.getString(0)
+    // whole key lowercased; www + default :443 dropped; params sorted
+    assert(k("https://WWW.News.Example.COM:443/Path/A?b=2&a=1")
+      === "com,example,news)/path/a?a=1&b=2")
+    assert(k("http://example.com:80/") === "com,example)/") // default :80
+    assert(k("http://example.com") === "com,example)/") // empty path -> /
+    // one host is a contiguous prefix: deeper paths share the host prefix
+    assert(k("http://example.com/z").startsWith("com,example)"))
+    // non-default port KEPT (distinct capture origin), www2 dropped
+    assert(k("http://www2.example.net:8080/x?z=1#frag")
+      === "net:8080,example)/x?z=1")
+    assert(k("https://example.com./a") === "com,example)/a") // FQDN dot
+    // SURT keeps tracking params (index keys what was captured) —
+    // canonicalUrl strips them (dedup key); the two views must differ
+    assert(k("https://a.com/p?utm_source=x&b=1") === "com,a)/p?b=1&utm_source=x")
+    assert(k("not a url 7") === "not a url 7") // schemeless fallback
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode

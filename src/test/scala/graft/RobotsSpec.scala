@@ -166,4 +166,26 @@ class RobotsSpec extends AnyFunSuite {
     assert(run(snaps.repartition(3).sortWithinPartitions(desc("h")))
       === 2L)
   }
+
+  test("sitemapUrls: cross-group directive, order, comments, " +
+      "relative and case handling") {
+    import spark.implicits._
+    def urls(txt: String): Seq[String] =
+      Seq(txt).toDF("t").select(Robots.sitemapUrls(col("t")))
+        .head.getSeq[String](0)
+    // applies file-wide, even inside a FOREIGN agent's group
+    assert(urls("User-agent: googlebot\nDisallow: /\n" +
+      "Sitemap: http://h/g.xml\n") === Seq("http://h/g.xml"))
+    // multiple directives all kept, file order preserved
+    assert(urls("Sitemap: https://h/a.xml\nUser-agent: *\n" +
+      "Sitemap: https://h/b.xml\n")
+      === Seq("https://h/a.xml", "https://h/b.xml"))
+    // comments strip first; relative values are malformed -> dropped;
+    // directive case-insensitive, value case/trim preserved-stripped
+    assert(urls("# Sitemap: https://h/x.xml\nSitemap: /local.xml\n")
+      === Seq.empty)
+    assert(urls("SITEMAP:   https://h/S2.XML  \n")
+      === Seq("https://h/S2.XML"))
+    assert(urls("User-agent: *\nDisallow: /z\n") === Seq.empty)
+  }
 }
