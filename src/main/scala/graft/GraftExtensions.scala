@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{IsinValid, Md5Prefix32, SimHashMd5, SimHashXx64, UnicodeNormalize}
+import graft.functions.{IdnToUnicode, IsinValid, Md5Prefix32, SimHashMd5, SimHashXx64, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfkc"),
       info("nfkc", "nfkc(str) - Unicode NFKC compatibility normalization"),
       exprs => UnicodeNormalize(exprs.head, "NFKC")))
+    ext.injectFunction((FunctionIdentifier("idn_to_unicode"),
+      info("idn_to_unicode",
+        "idn_to_unicode(host) - punycode/ACE host to Unicode (RFC 3490)"),
+      exprs => IdnToUnicode(exprs.head)))
   }
 }

@@ -1720,6 +1720,28 @@ object SparkEntry {
           "host", "txt")
         .orderBy("host", "map_pos")
     }),
+    // internationalized domains: punycode/ACE hosts decoded to Unicode
+    // (native IdnToUnicode expression) + the UTS#39 single-label
+    // mixed-script homograph flag. Plant spans: German umlaut label,
+    // Han TLD label, plain ASCII (fast path), the Cyrillic-а "аpple"
+    // homograph (the one that must flag), and a second Latin-script
+    // decode that must NOT flag
+    "q120_idn" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val k = pmod(did, lit(5))
+      val host = concat(col("source"), lit("."),
+        when(k === 0, lit("www.xn--mnchen-3ya.example.com"))
+          .when(k === 1, lit("xn--fiqs8s.cn"))
+          .when(k === 2, lit("plain.example.com"))
+          .when(k === 3, lit("xn--pple-43d.com"))
+          .otherwise(lit("xn--bcher-kva.org")))
+      t(s, d, "documents").select(did.as("doc_id"), host.as("host"))
+        .withColumn("host_unicode",
+          graft.functions.IdnToUnicode(col("host")))
+        .withColumn("mixed_script",
+          Curation.mixedScriptHost(col("host_unicode")))
+        .orderBy("doc_id")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -3662,6 +3684,29 @@ object SparkEntry {
           FROM h WHERE k = 4)
         SELECT host, CAST(map_pos AS INTEGER) AS map_pos, sitemap_url
         FROM r ORDER BY host, map_pos""",
+    // q120: DuckDB has no punycode decoder, so the oracle pins the
+    // expected Unicode forms as literals (the decode pairs are the
+    // canonical RFC 3492 examples, independently checked in
+    // FunctionsSpec against the JDK); mixed_script = exactly the
+    // Cyrillic-а homograph variant
+    "q120_idn" ->
+      ("""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+          CAST(doc_id AS BIGINT) % 5 AS k FROM documents)
+        SELECT doc_id,
+          source || '.' || CASE k
+            WHEN 0 THEN 'www.xn--mnchen-3ya.example.com'
+            WHEN 1 THEN 'xn--fiqs8s.cn'
+            WHEN 2 THEN 'plain.example.com'
+            WHEN 3 THEN 'xn--pple-43d.com'
+            ELSE 'xn--bcher-kva.org' END AS host,
+          source || '.' || CASE k
+            WHEN 0 THEN 'www.m""" + "ü" + """nchen.example.com'
+            WHEN 1 THEN '""" + "中国" + """.cn'
+            WHEN 2 THEN 'plain.example.com'
+            WHEN 3 THEN '""" + "а" + """pple.com'
+            ELSE 'b""" + "ü" + """cher.org' END AS host_unicode,
+          k = 3 AS mixed_script
+        FROM p ORDER BY doc_id"""),
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -139,5 +139,7 @@ object GraftFunctions {
       "nfc", exprs => UnicodeNormalize(exprs.head, "NFC"), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfkc", exprs => UnicodeNormalize(exprs.head, "NFKC"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "idn_to_unicode", exprs => IdnToUnicode(exprs.head), "scala_udf")
   }
 }

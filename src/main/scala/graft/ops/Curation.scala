@@ -1971,6 +1971,25 @@ object Curation {
       regexp_replace(lower(hostOf(url)), ":[0-9]+$", ""),
       "\\.$", "")
 
+  /** Confusable-script homograph flag over a DECODED host (apply
+    * [[graft.functions.IdnToUnicode]] first — the wire form of a
+    * non-ASCII host is punycode, where the mix is invisible): true
+    * when any single label mixes Latin with Cyrillic or Greek, or
+    * Cyrillic with Greek — the UTS #39 single-script confusable
+    * heuristic that catches "аpple.com" (Cyrillic а, U+0430) posing
+    * as "apple.com". Whole-label script mixing only: "中国.cn" or
+    * "münchen.example.com" are single-script labels and pass; a
+    * legitimate multilingual SITE mixes scripts across labels, not
+    * within one. Pure per-row Columns, no shuffle.
+    */
+  def mixedScriptHost(decodedHost: Column): Column =
+    exists(split(decodedHost, "\\."), l => {
+      val latin = l.rlike("[a-zA-Z]")
+      val cyr = l.rlike("[Ѐ-ӿ]")
+      val greek = l.rlike("[Ͱ-Ͽ]")
+      (latin && (cyr || greek)) || (cyr && greek)
+    })
+
   /** Suffix set of a host — "a.b.example.com" yields itself and every
     * parent domain down to the TLD. The unit a domain blocklist matches
     * on: an entry blocks the domain and every subdomain, which is

@@ -373,8 +373,10 @@ object Dedup {
     spreadPairs(cand)
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      // sets are array_sort(collect_set(..)) -> the sorted-merge count
+      // kernel applies (allocation-free; see SortedIntersectCount)
       .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        graft.functions.SortedIntersectCountCol(col("sha"), col("shb")))
       .withColumn("sza", size(col("sha")).cast("long"))
       .withColumn("szb", size(col("shb")).cast("long"))
       .withColumn("contain_a_ppm", when(col("sza") > 0,
@@ -491,8 +493,9 @@ object Dedup {
     spreadPairs(cand)
       .join(sets.select(col("id").as("a"), col("fps").as("fpa")), "a")
       .join(sets.select(col("id").as("b"), col("fps").as("fpb")), "b")
+      // fps are array_sort(collect_set(..)) -> sorted-merge count kernel
       .withColumn("shared_fps",
-        size(array_intersect(col("fpa"), col("fpb"))).cast("long"))
+        graft.functions.SortedIntersectCountCol(col("fpa"), col("fpb")))
       .withColumn("a_fps", size(col("fpa")).cast("long"))
       .withColumn("b_fps", size(col("fpb")).cast("long"))
       .withColumn("overlap_ppm",

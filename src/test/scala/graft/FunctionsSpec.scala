@@ -170,4 +170,80 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage != null)
   }
+
+  test("IdnToUnicode: canonical punycode pairs, fast path, hostile " +
+      "input, SQL registration") {
+    import spark.implicits._
+    def dec(h: String): String =
+      Seq(h).toDF("h").select(graft.functions.IdnToUnicode(col("h")))
+        .head.getString(0)
+    // the canonical RFC 3492 examples (the q120 oracle literals pin
+    // these same pairs in SQL)
+    assert(dec("xn--mnchen-3ya.example.com") === "münchen.example.com")
+    assert(dec("xn--bcher-kva.org") === "bücher.org")
+    assert(dec("xn--fiqs8s.cn") === "中国.cn")
+    // the Cyrillic-а homograph: decoded label mixes scripts
+    assert(dec("xn--pple-43d.com") === "аpple.com")
+    // plain ASCII host: fast path, unchanged
+    assert(dec("plain.example.com") === "plain.example.com")
+    // already-Unicode input: no ACE label, unchanged
+    assert(dec("münchen.example.com") === "münchen.example.com")
+    // hostile/malformed ACE: never throws, keeps the wire form label
+    assert(dec("xn--ébogus.example.com") != null)
+    // null-safe
+    val n = Seq((null: String)).toDF("h")
+      .select(graft.functions.IdnToUnicode(col("h"))).head
+    assert(n.isNullAt(0))
+    // SQL registration
+    GraftFunctions.register(spark)
+    assert(Seq("xn--bcher-kva.org").toDF("h")
+      .selectExpr("idn_to_unicode(h)").head.getString(0)
+      === "bücher.org")
+  }
+
+  test("mixedScriptHost: single-label script mixing flags, " +
+      "cross-label and single-script hosts pass") {
+    import spark.implicits._
+    def f(h: String): Boolean =
+      Seq(h).toDF("h")
+        .select(graft.ops.Curation.mixedScriptHost(col("h")))
+        .head.getBoolean(0)
+    assert(f("аpple.com"), "Cyrillic-a + Latin in ONE label")
+    assert(f("pαypal.example.com"), "Greek alpha + Latin")
+    assert(!f("münchen.example.com"), "Latin-only label")
+    assert(!f("中国.cn"), "Han is not in the confusable pairs")
+    assert(!f("пример.example.com"),
+      "pure-Cyrillic label + pure-Latin labels: mixing across labels " +
+        "is a multilingual site, not a homograph")
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on " +
+      "sorted-distinct sets, incl. empty/disjoint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      (i.toLong, a, b)
+    } ++ Seq((200L, Seq.empty[Long], Seq(1L, 2L)),
+      (201L, Seq(1L, 2L), Seq.empty[Long]),
+      (202L, Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)))
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        graft.functions.SortedIntersectCountCol(col("a"), col("b"))
+          .as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long")
+          .as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"mismatch at id ${r.getLong(0)}"))
+    // null arrays null-safe
+    val n = Seq((Option.empty[Seq[Long]], Option(Seq(1L))))
+      .toDF("a", "b")
+      .select(graft.functions.SortedIntersectCountCol(col("a"), col("b")))
+      .head
+    assert(n.isNullAt(0))
+  }
 }

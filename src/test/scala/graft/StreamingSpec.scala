@@ -113,6 +113,8 @@ class StreamingSpec extends AnyFunSuite {
       graft.ops.Curation.urlFeatures(df, "url")
         .withColumn("nfc_md5",
           md5(graft.functions.UnicodeNormalize(col("text"))))
+        .withColumn("surt_key",
+          graft.ops.Curation.surtKey(col("url")))
         .drop("text")
     val q = proj(in).writeStream.format("memory")
       .queryName("urlf_stream_out").outputMode("append").start()
