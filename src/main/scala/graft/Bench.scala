@@ -96,7 +96,8 @@ object Bench {
       "q109_heavy_hitters", "q110_recrawl", "q111_keep_best",
       "q112_nfc", "q113_strat_sample", "q114_url_features",
       "q115_crawl_delay", "q116_feed_discovery", "q117_surt",
-      "q118_balanced_shards", "q119_sitemap_directive", "q120_idn")
+      "q118_balanced_shards", "q119_sitemap_directive", "q120_idn",
+      "q121_term_gate")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

@@ -1742,6 +1742,20 @@ object SparkEntry {
           Curation.mixedScriptHost(col("host_unicode")))
         .orderBy("doc_id")
     }),
+    // term-lexicon gate: banned-word / policy-phrase stats in ONE text
+    // pass (native Aho-Corasick kernel) — overlap-inclusive occurrence
+    // count + distinct-terms-hit + the C4-style >= k distinct gate.
+    // The term set nests on purpose ("scan"/"can"/"an",
+    // "window"/"win"/"ndo") to exercise fail-chain output folding, and
+    // includes one absent term that must count zero everywhere
+    "q121_term_gate" -> ((s, d) =>
+      TextAnalysis.termGate(
+          t(s, d, "documents").select(col("doc_id").cast("long")
+            .as("doc_id"), col("text")),
+          "text", Q121Terms, minDistinct = 4)
+        .select(col("doc_id"), col("term_matches"), col("n_terms_hit"),
+          col("term_flagged"))
+        .orderBy("doc_id")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -2815,6 +2829,13 @@ object SparkEntry {
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
+  /** q121 lexicon: nested terms ("scan"/"can"/"an", "window"/"win"/
+    * "ndo") exercise the automaton's fail-chain output folding;
+    * "zzzqq" is planted absent.
+    */
+  private val Q121Terms = Seq("scan", "can", "an", "window", "win",
+    "ndo", "join", "order", "rde", "zzzqq", "fast", "ast")
+
   /** Page-classification CASE generated from the rule set (priority-desc
     * when-chain, contains over the lowercased header expression).
     */
@@ -3707,6 +3728,32 @@ object SparkEntry {
             ELSE 'b""" + "ü" + """cher.org' END AS host_unicode,
           k = 3 AS mixed_script
         FROM p ORDER BY doc_id"""),
+    // q121: the oracle re-derives overlap-inclusive multi-pattern
+    // occurrence counts by brute force — a lateral position sweep per
+    // (doc, term) with substr equality (exactly the position-set
+    // semantics the one-pass automaton computes); fine at oracle scale
+    // (500 docs x ~300 chars x 12 terms), which is the POINT: this is
+    // the O(len x terms) plan the kernel replaces
+    "q121_term_gate" -> {
+      val termVals = Q121Terms.map(tm => s"('${sqlLit(tm)}')").mkString(", ")
+      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          lower(text) AS tx FROM documents),
+        terms AS (SELECT term FROM (VALUES $termVals) v(term)),
+        pos AS (SELECT unnest(range(1,
+            (SELECT max(length(tx)) + 1 FROM t))) AS i),
+        m AS (SELECT t.doc_id, te.term FROM t, terms te, pos
+          WHERE pos.i <= length(t.tx) - length(te.term) + 1
+            AND substr(t.tx, CAST(pos.i AS INTEGER), length(te.term))
+              = te.term),
+        g AS (SELECT doc_id, count(*) AS tm,
+            count(DISTINCT term) AS nt FROM m GROUP BY doc_id)
+        SELECT t.doc_id,
+          CAST(coalesce(g.tm, 0) AS BIGINT) AS term_matches,
+          CAST(coalesce(g.nt, 0) AS BIGINT) AS n_terms_hit,
+          coalesce(g.nt, 0) >= 4 AS term_flagged
+        FROM t LEFT JOIN g ON g.doc_id = t.doc_id
+        ORDER BY t.doc_id"""
+    },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

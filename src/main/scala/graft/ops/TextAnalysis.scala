@@ -296,4 +296,34 @@ object TextAnalysis {
       i => Dedup.tokHash(array_join(slice(toks, i + 1, lit(n)), " ")))
     array_join(slice(array_sort(array_distinct(shingles)), 1, k), "-")
   }
+
+  /** Term-lexicon gate statistics — banned-word / policy-phrase
+    * counting over a document in ONE pass via the native Aho-Corasick
+    * kernel ([[graft.functions.AhoCorasickStats]]; the per-term
+    * `contains` spelling pays one full text scan per term). Matching
+    * is case-insensitive (text is lowercased; callers pass lowercase
+    * terms). Appends:
+    *   - `term_matches` — all (term, end-position) occurrences,
+    *     overlaps included (position-set semantics, oracle-exact);
+    *   - `n_terms_hit`  — distinct lexicon terms present;
+    *   - `term_flagged` — `n_terms_hit >= minDistinct` (the C4-style
+    *     page gate thresholds on distinct terms so one unlucky word
+    *     doesn't kill a page).
+    * Per-row Columns, no shuffle; the automaton builds once on the
+    * driver and ships as a codegen reference (≤64 terms per kernel —
+    * larger lexicons chunk into 64-term groups and sum).
+    */
+  def termGate(df: DataFrame, textCol: String, terms: Seq[String],
+      minDistinct: Int = 2): DataFrame = {
+    require(terms.forall(t => t == toLowerAscii(t)),
+      "termGate terms must be lowercase (matching lowercases the text)")
+    val st = graft.functions.AhoCorasickStats(lower(col(textCol)), terms)
+    df.withColumn("_ac", st)
+      .withColumn("term_matches", col("_ac").getItem(0))
+      .withColumn("n_terms_hit", col("_ac").getItem(1))
+      .withColumn("term_flagged", col("n_terms_hit") >= minDistinct)
+      .drop("_ac")
+  }
+
+  private def toLowerAscii(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 }

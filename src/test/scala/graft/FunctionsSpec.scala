@@ -217,6 +217,57 @@ class FunctionsSpec extends AnyFunSuite {
         "is a multilingual site, not a homograph")
   }
 
+  test("AhoCorasickStats == brute-force position sweep on random " +
+      "text with nested/overlapping terms; build guards; null-safe") {
+    import spark.implicits._
+    val terms = Seq("scan", "can", "an", "a", "window", "win", "ndo",
+      "zzz", "aa")
+    // brute force: every (term, end-position) occurrence + distinct terms
+    def brute(s: String): (Long, Long) = {
+      val hits = for {
+        t <- terms
+        i <- 0 to s.length - t.length
+        if s.regionMatches(i, t, 0, t.length)
+      } yield t
+      (hits.size.toLong, hits.distinct.size.toLong)
+    }
+    val rnd = new scala.util.Random(11)
+    val alpha = "scanwido z"
+    val texts = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(80)).map(_ => alpha(rnd.nextInt(alpha.length)))
+        .mkString
+    } ++ Seq("", "scan", "aaa", "windowindow", "zzzz")
+    val out = texts.toDF("t")
+      .select(col("t"),
+        graft.functions.AhoCorasickStats(col("t"), terms).as("st"))
+      .collect()
+    out.foreach { r =>
+      val (m, d) = brute(r.getString(0))
+      val arr = r.getSeq[Long](1)
+      assert(arr(0) === m, s"matches mismatch on '${r.getString(0)}'")
+      assert(arr(1) === d, s"distinct mismatch on '${r.getString(0)}'")
+    }
+    // "aaa" overlap sanity pinned by hand: "a" x3 + "aa" x2
+    val aaa = Seq("aaa").toDF("t")
+      .select(graft.functions.AhoCorasickStats(col("t"), terms))
+      .head.getSeq[Long](0)
+    assert(aaa(0) === 5L && aaa(1) === 2L)
+    // null-safe
+    val n = Seq((null: String)).toDF("t")
+      .select(graft.functions.AhoCorasickStats(col("t"), terms)).head
+    assert(n.isNullAt(0))
+    // build guards: >64 terms, empty term, duplicate term
+    intercept[IllegalArgumentException] {
+      new graft.functions.AcAutomaton((1 to 65).map("t" + _).toArray)
+    }
+    intercept[IllegalArgumentException] {
+      new graft.functions.AcAutomaton(Array("ok", ""))
+    }
+    intercept[IllegalArgumentException] {
+      new graft.functions.AcAutomaton(Array("dup", "dup"))
+    }
+  }
+
   test("SortedIntersectCount == size(array_intersect) on " +
       "sorted-distinct sets, incl. empty/disjoint") {
     import spark.implicits._
