@@ -2,7 +2,7 @@ package graft
 
 import graft.extract.{CharsetSniffer, ErrorPages, LinkExtractor, MetaExtractor}
 import graft.gen.PagesGen
-import graft.ops.{Bpe, Curation, Dedup, Layout, Multimodal, Retrieval, Robots, SimSearch, Skew, TextAnalysis, WebGraph}
+import graft.ops.{Bpe, Curation, Dedup, Layout, Multimodal, Retrieval, Robots, SimSearch, Sketch, Skew, TextAnalysis, WebGraph}
 import graft.pipeline.ExtractionPipeline
 import graft.rules.{PageRule, PluginHeader, RecordRule, RuleCompiler, RuleSet, RuleSets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1756,6 +1756,30 @@ object SparkEntry {
         .select(col("doc_id"), col("term_matches"), col("n_terms_hit"),
           col("term_flagged"))
         .orderBy("doc_id")),
+    // cross-corpus overlap sketch: KMV bottom-k estimates of
+    // |A ∪ B| / Jaccard / |A ∩ B| from k 32-bit hashes per side —
+    // the planning query BEFORE an ingestion dedup (a full answer is
+    // a distinct-join over both corpora; the decision needs ~percent
+    // accuracy). Plant: A = 350 keys, B = the same shifted by 100
+    // (true union 450 / intersection 250); k=64 forces the estimator
+    // path, and the exact counts ride along so estimate quality is
+    // visible in the result itself
+    "q122_kmv_overlap" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(pmod(col("doc_id").cast("long"), lit(350)).as("v"))
+      val a = base.select(concat(lit("e"), col("v").cast("string"))
+        .as("key"))
+      val b = base.select(concat(lit("e"), (col("v") + 100)
+        .cast("string")).as("key"))
+      val sk = Sketch.kmvOverlap(a, b, "key", k = 64)
+      val exact = a.distinct().select(col("key"), lit(1).as("ia"))
+        .join(b.distinct().select(col("key"), lit(1).as("ib")),
+          Seq("key"), "full")
+        .agg(count(lit(1)).cast("long").as("exact_union"),
+          sum(when(col("ia") === 1 && col("ib") === 1, 1L)
+            .otherwise(0L)).cast("long").as("exact_inter"))
+      sk.crossJoin(exact)
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -3754,6 +3778,44 @@ object SparkEntry {
         FROM t LEFT JOIN g ON g.doc_id = t.doc_id
         ORDER BY t.doc_id"""
     },
+    // q122: the oracle re-derives the KMV sketch and every estimator
+    // in SQL — same md5-prefix hashes, same bottom-64, same integer
+    // floor-division arithmetic (// in DuckDB, div in Spark)
+    "q122_kmv_overlap" ->
+      """WITH v AS (SELECT DISTINCT CAST(doc_id AS BIGINT) % 350 AS v
+          FROM documents),
+        a AS (SELECT DISTINCT 'e' || CAST(v AS VARCHAR) AS key FROM v),
+        b AS (SELECT DISTINCT 'e' || CAST(v + 100 AS VARCHAR) AS key
+          FROM v),
+        sa AS (SELECT CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT)
+          AS h FROM a ORDER BY h LIMIT 64),
+        sb AS (SELECT CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT)
+          AS h FROM b ORDER BY h LIMIT 64),
+        mg AS (SELECT coalesce(sa.h, sb.h) AS h,
+            CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+            CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+          FROM sa FULL JOIN sb ON sa.h = sb.h),
+        mk AS (SELECT * FROM mg ORDER BY h LIMIT 64),
+        ag AS (SELECT count(*) AS nus, max(h) AS vk,
+            sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS sik
+          FROM mk),
+        ue AS (SELECT nus, vk, sik,
+            CASE WHEN nus < 64 THEN nus
+              ELSE (63 * 4294967296) // vk END AS uest,
+            CASE WHEN nus < 64 THEN nus ELSE 64 END AS denom FROM ag),
+        ex AS (SELECT count(*) AS exact_union,
+            sum(CASE WHEN a2.key IS NOT NULL AND b2.key IS NOT NULL
+              THEN 1 ELSE 0 END) AS exact_inter
+          FROM a a2 FULL JOIN b b2 ON a2.key = b2.key)
+        SELECT CAST(nus AS BIGINT) AS n_union_sketch,
+          CAST(vk AS BIGINT) AS vk,
+          CAST(sik AS BIGINT) AS shared_in_k,
+          CAST(uest AS BIGINT) AS union_est,
+          CAST((sik * 1000000) // denom AS BIGINT) AS jaccard_ppm,
+          CAST((sik * uest) // denom AS BIGINT) AS inter_est,
+          CAST(exact_union AS BIGINT) AS exact_union,
+          CAST(exact_inter AS BIGINT) AS exact_inter
+        FROM ue, ex""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

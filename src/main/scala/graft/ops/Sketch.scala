@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-size set sketches for corpus-vs-corpus comparison.
+  *
+  * The cross-corpus overlap question — "how much of snapshot B is
+  * already in corpus A?" — is the planning step BEFORE an ingestion
+  * dedup: a full answer is a distinct-join over two 10^12-row key
+  * sets, but the decision (skip / incremental-ingest / full-dedup)
+  * only needs the cardinalities to a few percent. The KMV (k minimum
+  * values) bottom-k sketch answers it with k 64-bit values per side:
+  * one scan + per-partition top-k per corpus, then sketch-vs-sketch
+  * arithmetic on ≤2k rows. Bar-Yossef et al. 2002 (distinct-element
+  * counting) and Beyer et al. 2007 (distinct-value synopses for
+  * set operations) are the public constructions.
+  *
+  * Deterministic by design: the element hash is the md5-prefix hash
+  * (engine-portable, content-keyed), so the sketch — and every
+  * estimate — is a pure function of the key sets. Same discipline as
+  * the rest of the repo: no rand(), identical results on any cluster
+  * width, and a DuckDB oracle can re-derive the estimates exactly.
+  */
+object Sketch {
+
+  /** KMV overlap sketch between two corpora's key columns. Returns a
+    * ONE-row frame:
+    *   - `n_union_sketch` — |k smallest of S_A ∪ S_B| (< k ⇔ the
+    *     union is smaller than k: the sketch saw EVERYTHING and the
+    *     "estimates" below are exact);
+    *   - `vk` — the k-th smallest union hash (the KMV threshold);
+    *   - `shared_in_k` — union-sketch values present in both sides;
+    *   - `union_est` — distinct |A ∪ B|: (k-1)·2^32 div vk on the
+    *     estimator path (hash domain [0, 2^32)), the exact sketch
+    *     size on the saw-everything path;
+    *   - `jaccard_ppm` — shared_in_k·10^6 div denom (denom = k, or
+    *     the sketch size when exact);
+    *   - `inter_est` — jaccard × union: shared_in_k·union_est div
+    *     denom.
+    * All integer arithmetic (div = floor division on non-negative
+    * operands) — engine-exact, no float drift.
+    *
+    * Plan shape at scale: each side is distinct-hash → per-partition
+    * top-k → global top-k (Spark's TakeOrderedAndProject — partial
+    * top-k map-side, k·partitions rows to the final merge; the corpus
+    * is scanned once and never shuffled). Everything after operates
+    * on ≤2k rows. k trades accuracy for sketch size: relative error
+    * of the distinct estimate ~ 1/sqrt(k).
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvOverlap needs k >= 2, got $k")
+    def bottomK(df: DataFrame): DataFrame =
+      df.select(graft.functions.Md5Prefix32(col(keyCol).cast("string"))
+          .as("h"))
+        .where(col("h").isNotNull)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    val sa = bottomK(a)
+    val sb = bottomK(b)
+    // ≤ 2k rows from here on: the union sketch is the k smallest of
+    // the merged sides, and membership flags ride along via outer join
+    val merged = sa.select(col("h"), lit(1).as("in_a"))
+      .join(sb.select(col("h"), lit(1).as("in_b")), Seq("h"), "full")
+      .select(col("h"), coalesce(col("in_a"), lit(0)).as("in_a"),
+        coalesce(col("in_b"), lit(0)).as("in_b"))
+      .orderBy("h")
+      .limit(k)
+    val agg = merged.agg(
+      count(lit(1)).as("n_union_sketch"),
+      max(col("h")).as("vk"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+        .otherwise(0L)).as("shared_in_k"))
+    val exact = col("n_union_sketch") < k
+    val denom = when(exact, col("n_union_sketch")).otherwise(lit(k.toLong))
+    agg.select(
+        col("n_union_sketch").cast("long").as("n_union_sketch"),
+        col("vk").cast("long").as("vk"),
+        col("shared_in_k").cast("long").as("shared_in_k"),
+        when(exact, col("n_union_sketch"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) div vk"))
+          .cast("long").as("union_est"),
+        denom.cast("long").as("_denom"))
+      .select(col("n_union_sketch"), col("vk"), col("shared_in_k"),
+        col("union_est"),
+        when(col("_denom") > 0,
+            expr("(shared_in_k * 1000000) div _denom"))
+          .otherwise(lit(0L)).cast("long").as("jaccard_ppm"),
+        when(col("_denom") > 0,
+            expr("(shared_in_k * union_est) div _denom"))
+          .otherwise(lit(0L)).cast("long").as("inter_est"))
+  }
+}

@@ -2150,6 +2150,44 @@ class OpsSpec extends AnyFunSuite {
     assert(k("not a url 7") === "not a url 7") // schemeless fallback
   }
 
+  test("kmvOverlap: exact when union <= k; estimator within 1/sqrt(k) " +
+      "band at 20x k; disjoint and identical corpora; determinism") {
+    import spark.implicits._
+    def keys(r: Range): DataFrame = r.map(i => s"k$i").toDF("key")
+    // exact path: union 30 <= k=64 -> estimates ARE the true values
+    val ex = graft.ops.Sketch.kmvOverlap(
+      keys(0 until 20), keys(10 until 30), "key", k = 64).head
+    assert(ex.getAs[Long]("n_union_sketch") === 30L)
+    assert(ex.getAs[Long]("union_est") === 30L)
+    assert(ex.getAs[Long]("shared_in_k") === 10L)
+    assert(ex.getAs[Long]("inter_est") === 10L)
+    assert(ex.getAs[Long]("jaccard_ppm") === 10L * 1000000L / 30L)
+    // estimator path: |A|=4000, |B|=4000, inter 2000, union 6000 at
+    // k=256 (~6% rel-error band at 1/sqrt(k); assert a loose 4x band
+    // so the test pins the math, not one hash draw)
+    val est = graft.ops.Sketch.kmvOverlap(
+      keys(0 until 4000), keys(2000 until 6000), "key", k = 256).head
+    val ue = est.getAs[Long]("union_est")
+    val ie = est.getAs[Long]("inter_est")
+    assert(ue > 4500 && ue < 7500, s"union_est $ue vs true 6000")
+    assert(ie > 1200 && ie < 2800, s"inter_est $ie vs true 2000")
+    // disjoint: zero shared, zero intersection estimate
+    val dj = graft.ops.Sketch.kmvOverlap(
+      keys(0 until 1000), keys(5000 until 6000), "key", k = 64).head
+    assert(dj.getAs[Long]("shared_in_k") === 0L)
+    assert(dj.getAs[Long]("inter_est") === 0L)
+    // identical corpora: jaccard exactly 1e6, inter_est == union_est
+    val id = graft.ops.Sketch.kmvOverlap(
+      keys(0 until 3000), keys(0 until 3000), "key", k = 128).head
+    assert(id.getAs[Long]("jaccard_ppm") === 1000000L)
+    assert(id.getAs[Long]("inter_est") === id.getAs[Long]("union_est"))
+    // deterministic: same inputs repartitioned arbitrarily -> same row
+    val r1 = graft.ops.Sketch.kmvOverlap(
+      keys(0 until 4000).repartition(7), keys(2000 until 6000)
+        .repartition(13), "key", k = 256).head
+    assert(r1 === est)
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
