@@ -1780,6 +1780,14 @@ object SparkEntry {
             .otherwise(0L)).cast("long").as("exact_inter"))
       sk.crossJoin(exact)
     }),
+    // phrase induction: top-50 adjacent-token bigrams by PMI over the
+    // corpus — ranked by the exact lift ratio c_xy·N/(c_x·c_y) in
+    // decimal ppm (log-free: log is monotone, so lift order IS PMI
+    // order), min-count 5 against hapax-pair degeneracy
+    "q123_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(
+        t(s, d, "documents").select(col("text")),
+        "text", minCount = 5, topK = 50)),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -3816,6 +3824,34 @@ object SparkEntry {
           CAST(exact_union AS BIGINT) AS exact_union,
           CAST(exact_inter AS BIGINT) AS exact_inter
         FROM ue, ex""",
+    // q123: bigrams via zipped unnest + position self-join (fine at
+    // oracle scale; the Spark side builds them with per-row array
+    // arithmetic); lift in HUGEINT floor division = Spark's
+    // decimal(38) div, exactly
+    "q123_collocations" ->
+      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          $toksSql AS tk FROM documents),
+        p AS (SELECT doc_id, unnest(tk) AS w,
+          unnest(range(1, len(tk) + 1)) AS pos FROM t),
+        uni AS (SELECT w, count(*) AS c_w FROM p GROUP BY w),
+        nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tok FROM uni),
+        b0 AS (SELECT a.w AS w1, b.w AS w2 FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        bi AS (SELECT w1, w2, count(*) AS c_xy FROM b0
+          GROUP BY w1, w2 HAVING count(*) >= 5),
+        sc AS (SELECT bi.w1, bi.w2, bi.c_xy, ux.c_w AS c_x,
+            uy.c_w AS c_y,
+            CAST((CAST(bi.c_xy AS HUGEINT) * nt.n_tok * 1000000)
+              // (CAST(ux.c_w AS HUGEINT) * uy.c_w) AS BIGINT)
+              AS lift_ppm
+          FROM bi JOIN uni ux ON ux.w = bi.w1
+          JOIN uni uy ON uy.w = bi.w2, nt),
+        r AS (SELECT *, row_number()
+          OVER (ORDER BY lift_ppm DESC, w1, w2) AS rank FROM sc)
+        SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
+          CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+          CAST(c_y AS BIGINT) AS c_y, lift_ppm
+        FROM r WHERE rank <= 50 ORDER BY rank""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

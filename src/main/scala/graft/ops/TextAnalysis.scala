@@ -326,4 +326,56 @@ object TextAnalysis {
   }
 
   private def toLowerAscii(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Corpus-level collocation mining: top-k adjacent-token bigrams by
+    * PMI — the phrase-induction primitive (multi-word expressions for
+    * a tokenizer vocabulary, AutoPhrase-style seed phrases). PMI(x,y)
+    * = log P(xy)/(P(x)P(y)); log is monotone, so ranking by the LIFT
+    * ratio c_xy·N/(c_x·c_y) ranks by PMI with no float log at all —
+    * `lift_ppm` is that ratio in ppm via exact decimal(38) integral
+    * division (engine-portable: DuckDB recomputes it in HUGEINT; at
+    * 10^12 tokens the numerator c_xy·N·10^6 overflows bigint, which
+    * is why the arithmetic is decimal on BOTH sides).
+    *
+    * Plan shape: bigram construction is per-row array arithmetic (no
+    * position self-join); unigram and bigram counts are two thin
+    * hash aggregations; the two count joins key on single tokens
+    * (vocabulary-sized, not corpus-sized); top-k is orderBy+limit
+    * (TakeOrderedAndProject — per-partition partial top-k, only
+    * k·partitions rows reach the driver-side merge). `minCount`
+    * guards degenerate high-PMI hapax pairs (two tokens that appear
+    * once, together, have maximal PMI and zero evidence).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val based = df.select(toks.as("_tk"))
+    val uni = based.select(explode(col("_tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nTok = uni.agg(sum(col("c_w")).cast("long").as("n_tok"))
+    val bi = based
+      .where(size(col("_tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("_tk")) - 2),
+        i => struct(element_at(col("_tk"), i + 1).as("w1"),
+          element_at(col("_tk"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+      .crossJoin(nTok)
+      .withColumn("lift_ppm", expr(
+        """(CAST(c_xy AS DECIMAL(38,0)) * CAST(n_tok AS DECIMAL(38,0))
+           * 1000000) div
+           (CAST(c_x AS DECIMAL(38,0)) * CAST(c_y AS DECIMAL(38,0)))"""))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+    // rank over the surviving <= topK rows only (bounded window)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))))
+      .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
+        col("c_xy"), col("c_x"), col("c_y"), col("lift_ppm"))
+  }
 }

@@ -2150,6 +2150,30 @@ class OpsSpec extends AnyFunSuite {
     assert(k("not a url 7") === "not a url 7") // schemeless fallback
   }
 
+  test("collocations: planted rigid phrase outranks frequent-word " +
+      "pair; hapax pairs cut by minCount; exact lift arithmetic") {
+    import spark.implicits._
+    // "kuala lumpur": always together (lift = N/c). "the cat": both
+    // words frequent and promiscuous -> lift near 1e6. "rare gem"
+    // appears twice -> cut by minCount=3.
+    val rows = (0 until 20).map(i =>
+      s"the cat saw the dog kuala lumpur and the cat ran off") ++
+      Seq("rare gem", "rare gem")
+    val out = TextAnalysis.collocations(rows.toDF("text"), "text",
+      minCount = 3, topK = 10).collect()
+    val byPair = out.map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    assert(byPair.contains(("kuala", "lumpur")))
+    assert(!byPair.keySet.exists(_._1 == "rare"), "minCount must cut")
+    val kl = byPair(("kuala", "lumpur"))
+    val tc = byPair.getOrElse(("the", "cat"),
+      fail("'the cat' (count 40) must survive minCount"))
+    assert(kl.getAs[Long]("rank") < tc.getAs[Long]("rank"),
+      "rigid phrase must outrank the frequent pair")
+    // exact lift check: c_xy=20, c_x=c_y=20, n_tok = 20*12 + 4 = 244
+    assert(kl.getAs[Long]("c_xy") === 20L)
+    assert(kl.getAs[Long]("lift_ppm") === 20L * 244L * 1000000L / (20L * 20L))
+  }
+
   test("kmvOverlap: exact when union <= k; estimator within 1/sqrt(k) " +
       "band at 20x k; disjoint and identical corpora; determinism") {
     import spark.implicits._
