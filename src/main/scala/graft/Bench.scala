@@ -97,7 +97,8 @@ object Bench {
       "q112_nfc", "q113_strat_sample", "q114_url_features",
       "q115_crawl_delay", "q116_feed_discovery", "q117_surt",
       "q118_balanced_shards", "q119_sitemap_directive", "q120_idn",
-      "q121_term_gate", "q122_kmv_overlap", "q123_collocations")
+      "q121_term_gate", "q122_kmv_overlap", "q123_collocations",
+      "q124_f1_threshold")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

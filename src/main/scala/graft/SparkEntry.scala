@@ -1788,6 +1788,22 @@ object SparkEntry {
       TextAnalysis.collocations(
         t(s, d, "documents").select(col("text")),
         "text", minCount = 5, topK = 50)),
+    // classifier calibration: exact F1 sweep over every observed score
+    // threshold + the argmax cut — the step between rankAuc (q73:
+    // "the ranking is good") and gating the corpus ("cut HERE").
+    // Plant: score = (7919·id mod 1000)·1000 ppm; label = score plus
+    // bounded md5 noise clears 900000 — correlated but imperfect, so
+    // the sweep has a real interior maximum
+    "q124_f1_threshold" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val score = pmod(did * 7919, lit(1000)) * 1000
+      val noise = pmod(graft.functions.Md5Prefix32(
+        concat(did.cast("string"), lit(":lab"))), lit(400000))
+      Curation.f1Sweep(
+        t(s, d, "documents").select(score.as("score_ppm"),
+          (score + noise >= 900000L).cast("int").as("label")),
+        "score_ppm", "label")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -3852,6 +3868,38 @@ object SparkEntry {
           CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
           CAST(c_y AS BIGINT) AS c_y, lift_ppm
         FROM r WHERE rank <= 50 ORDER BY rank""",
+    // q124: same plant, same histogram-then-cumulative sweep, HUGEINT
+    // floor division for the ppm ratios; best = max f1, tie to the
+    // highest threshold
+    "q124_f1_threshold" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+        s AS (SELECT (did * 7919) % 1000 * 1000 AS score,
+          CASE WHEN (did * 7919) % 1000 * 1000
+            + (CAST(('0x' || substr(md5(CAST(did AS VARCHAR) || ':lab'),
+                1, 8)) AS BIGINT) % 400000) >= 900000
+            THEN 1 ELSE 0 END AS lab FROM d),
+        h AS (SELECT score, sum(lab) AS p_s, sum(1 - lab) AS m_s
+          FROM s GROUP BY score),
+        c AS (SELECT score,
+            sum(p_s) OVER (ORDER BY score DESC) AS tp,
+            sum(m_s) OVER (ORDER BY score DESC) AS fp FROM h),
+        t AS (SELECT sum(lab) AS ptot FROM s),
+        f AS (SELECT score AS threshold, tp, fp, t.ptot - tp AS fn,
+            (CAST(tp AS HUGEINT) * 1000000) // (tp + fp)
+              AS precision_ppm,
+            (CAST(tp AS HUGEINT) * 1000000) // t.ptot AS recall_ppm,
+            (2 * CAST(tp AS HUGEINT) * 1000000) // (tp + fp + t.ptot)
+              AS f1_ppm
+          FROM c, t)
+        SELECT CAST(threshold AS BIGINT) AS threshold,
+          CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+          CAST(fn AS BIGINT) AS fn,
+          CAST(precision_ppm AS BIGINT) AS precision_ppm,
+          CAST(recall_ppm AS BIGINT) AS recall_ppm,
+          CAST(f1_ppm AS BIGINT) AS f1_ppm,
+          row_number() OVER (ORDER BY f1_ppm DESC, threshold DESC) = 1
+            AS is_best
+        FROM f ORDER BY threshold""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -1903,6 +1903,57 @@ object Curation {
         .otherwise(lit(null).cast("long")).as("auc_ppm"))): _*)
   }
 
+  /** Exact F1 sweep + argmax threshold over a scored, labeled corpus —
+    * the calibration step between training a quality classifier
+    * ([[tokenClassWeights]]) and letting it gate the corpus: AUC
+    * ([[rankAuc]]) says the ranking is good, this says WHERE to cut.
+    * Candidate thresholds are the distinct observed scores ("predict
+    * positive ⟺ score ≥ t"); per threshold, emits tp/fp/fn and
+    * precision/recall/F1 as integer ppm (decimal(38) integral DIV —
+    * exact in any aggregation order and engine; 2·TP·10^6 crosses
+    * 2^63 at 10^13 docs), plus `is_best` on the max-F1 row (ties →
+    * the HIGHEST threshold: the most selective cut with the same F1).
+    *
+    * Scale shape: the corpus collapses to a per-score histogram first
+    * (one partial-agg groupBy), so the cumulative tp/fp window runs
+    * over the histogram, never the corpus — ≤ ~10^6 rows for
+    * integer-ppm scores at any corpus size (the [[corpusProfile]] /
+    * [[rankAuc]] bounded-domain argument; quantize unbounded scores
+    * first). One scalar total-positives aggregate rides along via
+    * crossJoin broadcast.
+    */
+  def f1Sweep(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("boolean")
+    val hist = df.filter(lbl.isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("threshold"))
+      .agg(sum(when(lbl, 1L).otherwise(0L)).as("_p"),
+        sum(when(lbl, 0L).otherwise(1L)).as("_m"))
+    val wCum = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.agg(sum(col("_p")).as("_ptot"))
+    val dec = "decimal(38,0)"
+    val swept = hist
+      .withColumn("tp", sum(col("_p")).over(wCum))
+      .withColumn("fp", sum(col("_m")).over(wCum))
+      .crossJoin(totals)
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("_ptot") - col("tp")).as("fn"),
+        call_function("div",
+          (col("tp") * lit(1000000L)).cast(dec),
+          (col("tp") + col("fp")).cast(dec)).as("precision_ppm"),
+        when(col("_ptot") > 0L, call_function("div",
+            (col("tp") * lit(1000000L)).cast(dec),
+            col("_ptot").cast(dec)))
+          .otherwise(lit(null).cast("long")).as("recall_ppm"),
+        call_function("div",
+          (lit(2L) * col("tp") * lit(1000000L)).cast(dec),
+          (col("tp") + col("fp") + col("_ptot")).cast(dec)).as("f1_ppm"))
+    // argmax flag: a window over the histogram-sized sweep only
+    swept.withColumn("is_best", row_number().over(
+        Window.orderBy(col("f1_ppm").desc, col("threshold").desc)) === 1)
+      .orderBy("threshold")
+  }
+
   // ---- URL / host operators ----
 
   /** Host part of an URL (empty string when the shape doesn't match —

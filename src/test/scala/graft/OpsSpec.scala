@@ -2150,6 +2150,33 @@ class OpsSpec extends AnyFunSuite {
     assert(k("not a url 7") === "not a url 7") // schemeless fallback
   }
 
+  test("f1Sweep: hand-computed sweep, argmax flag, tie to highest " +
+      "threshold, null-label rows excluded") {
+    import spark.implicits._
+    // scores/labels (P=3): t=30 -> tp2 fp0 fn1 (f1 = 4/5); t=20 ->
+    // tp3 fp0 fn0 (f1 = 6/6 = 1.0); t=10 -> tp3 fp2 fn0 (f1 = 6/8)
+    val df = Seq((30L, 1), (30L, 1), (20L, 1), (10L, 0), (10L, 0))
+      .toDF("s", "lab")
+      .union(Seq((5L, Option.empty[Int])).toDF("s", "lab")) // ignored
+    val out = Curation.f1Sweep(df, "s", "lab").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 20L, 30L))
+    val at = out.map(r => r.getLong(0) -> r).toMap
+    assert(at(30L).getAs[Long]("tp") === 2L)
+    assert(at(30L).getAs[Long]("f1_ppm") === 800000L)
+    assert(at(20L).getAs[Long]("f1_ppm") === 1000000L)
+    assert(at(20L).getAs[Boolean]("is_best"))
+    assert(at(10L).getAs[Long]("fp") === 2L)
+    assert(at(10L).getAs[Long]("f1_ppm") === 750000L)
+    assert(out.count(_.getAs[Boolean]("is_best")) === 1)
+    // tie case: t=4 (tp1 fp0, f1=2/3) and t=1 (tp2 fp2, f1=4/6) tie
+    // at the max -> best must be the HIGHEST threshold
+    val tie = Curation.f1Sweep(
+      Seq((4L, 1), (3L, 0), (2L, 0), (1L, 1)).toDF("s", "lab"),
+      "s", "lab").collect()
+    assert(tie.filter(_.getAs[Boolean]("is_best"))
+      .map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
   test("collocations: planted rigid phrase outranks frequent-word " +
       "pair; hapax pairs cut by minCount; exact lift arithmetic") {
     import spark.implicits._
