@@ -1804,6 +1804,17 @@ object SparkEntry {
           (score + noise >= 900000L).cast("int").as("label")),
         "score_ppm", "label")
     }),
+    // weight-proportional sampling: sequential Poisson (k smallest
+    // (u+1)/w priorities) — token-mass-weighted carving with zero
+    // rand(); the float priority is ONE IEEE division of exact-double
+    // integers, so the sample is bit-reproducible across engines
+    "q125_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(
+          t(s, d, "documents").select(col("doc_id").cast("long")
+            .as("doc_id"), coalesce(col("n_chars"), lit(0L)).as("w")),
+          "doc_id", "w", k = 50)
+        .select(col("doc_id"), col("w"), col("sample_rank"))
+        .orderBy("sample_rank")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -3900,6 +3911,20 @@ object SparkEntry {
           row_number() OVER (ORDER BY f1_ppm DESC, threshold DESC) = 1
             AS is_best
         FROM f ORDER BY threshold""",
+    // q125: same hash, same single IEEE double division — the oracle
+    // pins that the float priority order is engine-identical
+    "q125_weighted_sample" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(coalesce(n_chars, 0) AS BIGINT) AS w FROM documents),
+        p AS (SELECT doc_id, w,
+            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || ':wps'), 1, 8)) AS BIGINT) + 1.0) / w AS pri
+          FROM d WHERE w > 0),
+        r AS (SELECT doc_id, w, CAST(row_number()
+            OVER (ORDER BY pri, doc_id) AS BIGINT) AS sample_rank
+          FROM p)
+        SELECT doc_id, w, sample_rank FROM r
+        WHERE sample_rank <= 50 ORDER BY sample_rank""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

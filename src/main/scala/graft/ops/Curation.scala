@@ -1423,6 +1423,42 @@ object Curation {
       salt: String = "sample"): Column =
     hashSlot(id, salt) < lit(math.round(fraction * 10000).toInt)
 
+  /** Deterministic weight-proportional sample of exactly k rows —
+    * sequential Poisson sampling (Ohlsson 1998; Rosén's order
+    * sampling family): each row gets priority (u+1)/w with u the
+    * md5-prefix hash of its id (uniform on [0, 2^32), engine-stable,
+    * re-drawn only via `salt`), and the k SMALLEST priorities win, so
+    * inclusion probability is approximately proportional to `w` —
+    * token-mass-weighted eval carving, importance-weighted corpus
+    * subsampling — without rand()'s run-to-run drift. Rows with
+    * w <= 0 or null never qualify. Appends `sample_rank` (1-based by
+    * priority, ties to id).
+    *
+    * Cross-engine determinism of the FLOAT priority: u+1 and w are
+    * integers that cast to double exactly (u < 2^32; weights past
+    * 2^53 would round — clamp upstream), and one IEEE-754 division is
+    * correctly rounded identically on the JVM and in DuckDB, so the
+    * order — and the sample — is bit-reproducible. Plan shape: no
+    * window over the corpus; top-k is orderBy+limit
+    * (TakeOrderedAndProject: per-partition partial top-k, k·partitions
+    * rows to the final merge), then the rank window runs over k rows.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wps"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = graft.functions.Md5Prefix32(
+      concat(col(idCol).cast("string"), lit(":" + salt)))
+    val picked = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_wps_pri",
+        (u.cast("double") + lit(1.0d)) / col(weightCol).cast("double"))
+      .orderBy(col("_wps_pri"), col(idCol))
+      .limit(k)
+    picked.withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("_wps_pri"), col(idCol))).cast("long"))
+      .drop("_wps_pri")
+  }
+
   /** Deterministic EXACT-k per-stratum sample — the eval-set carving
     * primitive ([[sampledByHash]] keeps a hash FRACTION, which drifts
     * with stratum size; a benchmark slice needs exactly k docs per

@@ -2150,6 +2150,36 @@ class OpsSpec extends AnyFunSuite {
     assert(k("not a url 7") === "not a url 7") // schemeless fallback
   }
 
+  test("weightedSample: exact parity with the scalar formula; heavy " +
+      "rows overrepresented; w<=0/null dropped; repartition-stable") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // 900 weight-1 rows + 100 weight-9 rows (equal total mass) + junk
+    val rows = (0L until 900L).map(i => (i, 1L)) ++
+      (900L until 1000L).map(i => (i, 9L)) ++
+      Seq((1000L, 0L), (1001L, -5L))
+    val df = rows.toDF("id", "w")
+    val out = Curation.weightedSample(df, "id", "w", k = 100).collect()
+    assert(out.length === 100)
+    // scalar reference: same hash, same single IEEE division
+    val expect = rows.filter(_._2 > 0).map { case (id, w) =>
+      val u = graft.functions.Md5Prefix32.hash(
+        UTF8String.fromString(s"$id:wps"))
+      (id, (u.toDouble + 1.0) / w.toDouble)
+    }.sortBy { case (id, pri) => (pri, id) }.take(100).map(_._1)
+    assert(out.map(_.getLong(0)).toSeq === expect.toSeq)
+    assert(!out.map(_.getLong(0)).contains(1000L))
+    // equal total mass -> roughly half the sample from each block;
+    // the heavy block is 10% of rows, so anything >> 10 heavy picks
+    // shows the weighting works (band is loose: the draw is fixed)
+    val heavy = out.count(_.getLong(0) >= 900L)
+    assert(heavy > 25 && heavy < 75, s"heavy picks $heavy of 100")
+    // partitioning must not change the sample
+    val rep = Curation.weightedSample(df.repartition(17), "id", "w",
+      k = 100).collect().map(_.getLong(0)).toSeq
+    assert(rep === out.map(_.getLong(0)).toSeq)
+  }
+
   test("f1Sweep: hand-computed sweep, argmax flag, tie to highest " +
       "threshold, null-label rows excluded") {
     import spark.implicits._
