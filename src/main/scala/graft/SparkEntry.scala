@@ -1815,6 +1815,34 @@ object SparkEntry {
           "doc_id", "w", k = 50)
         .select(col("doc_id"), col("w"), col("sample_rank"))
         .orderBy("sample_rank")),
+    // RFC 9309 wildcard robots gate: `*` / trailing-`$` patterns with
+    // most-octets precedence. Plant spans: star-suffix disallow, an
+    // anchored Allow that outranks it, the star-leading .php$
+    // extension form, /p* outranking Allow /p by one octet, a literal
+    // mid-pattern $, and a no-match path
+    "q126_robots_wildcards" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val k = pmod(did, lit(6))
+      val host = concat(col("source"), lit(".example.com"))
+      val path = when(k === 0, lit("/fish/deep/x"))
+        .when(k === 1, lit("/fish/ok"))
+        .when(k === 2, lit("/site/index.php"))
+        .when(k === 3, lit("/pq"))
+        .when(k === 4, lit("/a$b/z"))
+        .otherwise(lit("/zzz"))
+      val urls = t(s, d, "documents").select(did.as("doc_id"),
+        concat(lit("http://"), host, path).as("url"))
+      val txt = "User-agent: *\nDisallow: /fish*\nAllow: /fish/ok$\n" +
+        "Disallow: /*.php$\nAllow: /p\nDisallow: /p*\nDisallow: /a$b\n"
+      val robots = t(s, d, "documents").select(host.as("host"))
+        .distinct().withColumn("txt", lit(txt))
+      Robots.allowedByRobots(urls, "url",
+          Robots.parseRobots(robots, "host", "txt"),
+          rfcWildcards = true)
+        .select(col("doc_id"), col("url"), col("matched_prefix"),
+          col("allowed"))
+        .orderBy("doc_id")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -3925,6 +3953,23 @@ object SparkEntry {
           FROM p)
         SELECT doc_id, w, sample_rank FROM r
         WHERE sample_rank <= 50 ORDER BY sample_rank""",
+    // q126: DuckDB has no robots parser — the oracle re-derives every
+    // planted decision shape as literals (same protocol as q119/q120;
+    // the matching semantics themselves are pinned by RobotsSpec
+    // against hand-worked RFC examples)
+    "q126_robots_wildcards" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+          CAST(doc_id AS BIGINT) % 6 AS k FROM documents)
+        SELECT doc_id,
+          'http://' || source || '.example.com' || CASE k
+            WHEN 0 THEN '/fish/deep/x' WHEN 1 THEN '/fish/ok'
+            WHEN 2 THEN '/site/index.php' WHEN 3 THEN '/pq'
+            WHEN 4 THEN '/a$b/z' ELSE '/zzz' END AS url,
+          CASE k WHEN 0 THEN '/fish*' WHEN 1 THEN '/fish/ok$'
+            WHEN 2 THEN '/*.php$' WHEN 3 THEN '/p*'
+            WHEN 4 THEN '/a$b' ELSE '' END AS matched_prefix,
+          k IN (1, 5) AS allowed
+        FROM p ORDER BY doc_id""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -119,13 +119,27 @@ object Robots {
 
   /** Admission decision per URL against parsed per-host rules
     * ([[parseRobots]] output). Appends (matched_prefix, allowed):
-    * longest matching prefix wins, Allow beats Disallow on ties, no
-    * match (or no robots row for the host) → allowed with
-    * matched_prefix "".
+    * the most specific (longest-pattern) matching rule wins, Allow
+    * beats Disallow on ties, no match (or no robots row for the
+    * host) → allowed with matched_prefix "".
+    *
+    * `rfcWildcards = true` turns on the RFC 9309 §2.2.3 pattern
+    * forms the spec REQUIRES of parsers: `*` matches any character
+    * run anywhere in the path, a TRAILING `$` anchors the match to
+    * the path end ("/fish*$", or the star-leading ".php$" extension
+    * form — written here without its leading slash-star because Scala
+    * block comments nest); a mid-pattern `$` stays
+    * literal. Precedence is still pattern octet-length (RFC: "most
+    * octets"), wildcard characters counted — so "/p*" (2 octets of
+    * prefix + the star) outranks "/p" exactly as the spec's
+    * most-specific rule dictates. Wildcard-free rules take the same
+    * `startsWith` fast path as before (the regex compile only runs
+    * for rules that actually carry `*`/`$`), so flipping the flag on
+    * a wildcard-free rule table changes nothing — and costs nothing.
     */
   def allowedByRobots(urls: DataFrame, urlCol: String, rules: DataFrame,
-      hostCol: String = "host", broadcastRules: Boolean = true)
-      : DataFrame = {
+      hostCol: String = "host", broadcastRules: Boolean = true,
+      rfcWildcards: Boolean = false): DataFrame = {
     val host = Curation.matchHost(col(urlCol))
     val path0 = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
@@ -136,8 +150,23 @@ object Robots {
       .withColumn("_rb_h", host).withColumn("_rb_p", path)
       .join(if (broadcastRules) broadcast(side) else side,
         col("_rb_h") === col("_rb_host"), "left")
-    val matched = filter(col("_rb_rules"),
-      r => col("_rb_p").startsWith(r("prefix")))
+    // rule pattern → anchored regex: escape every non-alnum char,
+    // then un-escape `\*` into `.*` and a TRAILING `\$` into the `$`
+    // anchor (a mid-pattern `$` stays escaped = literal, per RFC)
+    def ruleRx(p: Column): Column = concat(lit("^"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(p, "([^A-Za-z0-9])", "\\\\$1"),
+          "\\\\\\*", ".*"),
+        "\\\\\\$$", "\\$"))
+    def ruleMatches(r: Column): Column =
+      if (!rfcWildcards) col("_rb_p").startsWith(r("prefix"))
+      else when(!r("prefix").contains("*") &&
+          !r("prefix").endsWith("$"),
+          col("_rb_p").startsWith(r("prefix")))
+        .otherwise(call_function("rlike", col("_rb_p"),
+          ruleRx(r("prefix"))))
+    val matched = filter(col("_rb_rules"), r => ruleMatches(r))
     // best = max over (prefix length, allow) — longest wins, allow
     // beats disallow on equal length; prefix rides along for output
     val best = array_max(transform(matched,

@@ -68,6 +68,56 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("allowedByRobots rfcWildcards: star/anchor patterns, literal " +
+    "mid-pattern dollar, wildcard length precedence, regex-metachar " +
+    "paths stay literal, flag off = prefix semantics") {
+    import spark.implicits._
+    val txt = """User-agent: *
+                |Disallow: /fish*
+                |Allow: /fish/ok$
+                |Disallow: /*.php$
+                |Allow: /p
+                |Disallow: /p*
+                |Disallow: /a$b
+                |Disallow: /q+r
+                |""".stripMargin
+    val parsed = Robots.parseRobots(
+      Seq(("w.com", txt)).toDF("host", "txt"), "host", "txt")
+    val urls = Seq(
+      "http://w.com/fish/deep/x", // /fish* star matches any suffix
+      "http://w.com/fish/ok", // anchored Allow (8 octets) beats /fish* (6)
+      "http://w.com/fish/ok2", // $ anchor must NOT match a longer path
+      "http://w.com/site/index.php", // mid-path star + anchor
+      "http://w.com/site/index.php?x=1", // query excluded from path? no — path ends at ?, so .php$ matches
+      "http://w.com/pq", // /p* (3) outranks Allow /p (2) -> disallowed
+      "http://w.com/a$b/z", // mid-pattern $ is a literal character
+      "http://w.com/q+r/z", // '+' in a rule must not act as regex
+      "http://w.com/zzz" // no rule
+    ).toDF("url")
+    val got = Robots.allowedByRobots(urls, "url", parsed,
+        rfcWildcards = true)
+      .select("url", "allowed", "matched_prefix")
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got("http://w.com/fish/deep/x") === ((false, "/fish*")))
+    assert(got("http://w.com/fish/ok") === ((true, "/fish/ok$")))
+    assert(got("http://w.com/fish/ok2") === ((false, "/fish*")))
+    assert(got("http://w.com/site/index.php") === ((false, "/*.php$")))
+    assert(got("http://w.com/site/index.php?x=1") ===
+      ((false, "/*.php$")))
+    assert(got("http://w.com/pq") === ((false, "/p*")))
+    assert(got("http://w.com/a$b/z") === ((false, "/a$b")))
+    assert(got("http://w.com/q+r/z") === ((false, "/q+r")))
+    assert(got("http://w.com/zzz") === ((true, "")))
+    // flag off: star and dollar are literal prefix characters
+    val off = Robots.allowedByRobots(urls, "url", parsed)
+      .select("url", "allowed").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(off("http://w.com/fish/deep/x"), "literal '/fish*' prefix " +
+      "must not match without the flag")
+    assert(off("http://w.com/a$b/z") === false) // plain prefix rule
+  }
+
   test("sitemapIndexLocs: nested sitemap fetch frontier") {
     import spark.implicits._
     val xml =
