@@ -1843,6 +1843,27 @@ object SparkEntry {
           col("allowed"))
         .orderBy("doc_id")
     }),
+    // Luhn-validated card redaction: a bare 13-19-digit regex is
+    // mostly false positives; the checksum gate redacts only real
+    // card shapes. Plant spans: spaced valid Visa, the SAME number
+    // off by one (Luhn fail — must stay), compact valid Amex, dashed
+    // valid Discover, a 12-digit too-short run, and a 24-digit run
+    // (every interior cut fails the word boundary — no partial match)
+    "q127_cc_redact" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val k = pmod(did, lit(6))
+      val txt = when(k === 0, lit("call 4539 1488 0343 6467 now"))
+        .when(k === 1, lit("call 4539 1488 0343 6468 now"))
+        .when(k === 2, lit("amex 378282246310005 ok"))
+        .when(k === 3, lit("disc 6011-1111-1111-1117 end"))
+        .when(k === 4, lit("short 601111111111 end"))
+        .otherwise(lit("run 123456789012345678901234 x"))
+      t(s, d, "documents").select(did.as("doc_id"), txt.as("text"))
+        .withColumn("cc_redacted", Curation.ccRedact(col("text")))
+        .withColumn("n_cc",
+          size(Curation.ccValidSpans(col("text"))).cast("long"))
+        .orderBy("doc_id")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -3969,6 +3990,30 @@ object SparkEntry {
             WHEN 2 THEN '/*.php$' WHEN 3 THEN '/p*'
             WHEN 4 THEN '/a$b' ELSE '' END AS matched_prefix,
           k IN (1, 5) AS allowed
+        FROM p ORDER BY doc_id""",
+    // q127: the oracle pins each planted shape's redaction as
+    // literals (q120/q126 protocol; the Luhn math and the general
+    // multi-candidate fold are pinned by OpsSpec against a scalar
+    // reference — the four planted numbers are the published test
+    // vectors, checksum-verified out of band)
+    "q127_cc_redact" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(doc_id AS BIGINT) % 6 AS k FROM documents)
+        SELECT doc_id,
+          CASE k WHEN 0 THEN 'call 4539 1488 0343 6467 now'
+            WHEN 1 THEN 'call 4539 1488 0343 6468 now'
+            WHEN 2 THEN 'amex 378282246310005 ok'
+            WHEN 3 THEN 'disc 6011-1111-1111-1117 end'
+            WHEN 4 THEN 'short 601111111111 end'
+            ELSE 'run 123456789012345678901234 x' END AS text,
+          CASE k WHEN 0 THEN 'call <CC> now'
+            WHEN 1 THEN 'call 4539 1488 0343 6468 now'
+            WHEN 2 THEN 'amex <CC> ok'
+            WHEN 3 THEN 'disc <CC> end'
+            WHEN 4 THEN 'short 601111111111 end'
+            ELSE 'run 123456789012345678901234 x' END AS cc_redacted,
+          CAST(CASE WHEN k IN (0, 2, 3) THEN 1 ELSE 0 END AS BIGINT)
+            AS n_cc
         FROM p ORDER BY doc_id""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =

@@ -154,6 +154,15 @@ object Bpe {
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
 
+  /** Inverse of [[encode]]: concatenate the symbol stream and turn
+    * each end-of-word marker back into one space — the exact
+    * round-trip of the whitespace-normalized lowercase token stream
+    * encode consumed (BPE merges only ever regroup characters inside
+    * a word, so decode is merge-table-free). Pure per-row Columns.
+    */
+  def decode(bpeTokens: Column): Column =
+    trim(replace(concat_ws("", bpeTokens), lit(EndOfWord), lit(" ")))
+
   /** Merge table as a DataFrame (step, left, right, merged,
     * pair_count) — the persistable tokenizer artifact.
     */

@@ -45,6 +45,46 @@ object Curation {
       regexp_replace(c, re, tag)
     }
 
+  /** Payment-card candidate: 13–19 digits with optional single
+    * space/dash separators, word-bounded on both ends (so a longer
+    * digit run — a tracking number, a timestamp — can never yield a
+    * partial match: every interior cut point fails the boundary).
+    */
+  val CcCandidateRe = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn checksum over a digits-only string, in pure integer
+    * Columns: reverse, double every second digit (−9 past 9), sum
+    * mod 10 — no UDF, stays in codegen.
+    */
+  def luhnValid(digits: Column): Column = {
+    val ds = filter(split(reverse(digits), ""), c => c =!= "")
+    val terms = transform(ds, (c, i) => {
+      val d = c.cast("int")
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(terms, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** The Luhn-VALIDATED card spans of a text (raw spellings,
+    * separators included). A bare card regex is mostly false
+    * positives — order ids, tracking numbers, timestamps — but a
+    * random digit string passes the Luhn checksum only 10% of the
+    * time, so validation cuts the false-positive rate 10× while
+    * never missing a real card (every issued card number is
+    * Luhn-valid by construction).
+    */
+  def ccValidSpans(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CcCandidateRe), lit(0)),
+      c => luhnValid(regexp_replace(c, "[ -]", "")))
+
+  /** Text with validated card spans replaced by `<CC>` (invalid
+    * candidates untouched). Per-row Columns, no shuffle.
+    */
+  def ccRedact(text: Column): Column =
+    aggregate(ccValidSpans(text), text,
+      (acc, c) => replace(acc, c, lit("<CC>")))
+
   // ---- Gopher-style repetition / structural features ----
 
   /** Non-blank trimmed lines. */

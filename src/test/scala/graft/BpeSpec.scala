@@ -127,6 +127,22 @@ class BpeSpec extends AnyFunSuite {
     assert(rebuilt === "low lower lowest low low")
   }
 
+  test("decode(encode(x)) == whitespace-normalized lowercase token " +
+      "stream, for every corpus doc") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val merges = Bpe.trainBpe(df, "text", numMerges = 6)
+    val out = Bpe.encode(df, "text", merges)
+      .select(col("doc_id"),
+        Bpe.decode(col("bpe_tokens")).as("decoded"),
+        array_join(graft.ops.Dedup.tokens(col("text")), " ")
+          .as("expected"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"doc ${r.getLong(0)}"))
+    assert(out.nonEmpty)
+  }
+
   test("trainBpe stops early when no pair reaches minPairCount") {
     import spark.implicits._
     val df = Seq((0L, "ab cd ef")).toDF("doc_id", "text")

@@ -2150,6 +2150,40 @@ class OpsSpec extends AnyFunSuite {
     assert(k("not a url 7") === "not a url 7") // schemeless fallback
   }
 
+  test("ccRedact: Luhn column == scalar reference on random digit " +
+      "strings; multi-candidate fold; boundaries") {
+    import spark.implicits._
+    def scalarLuhn(s: String): Boolean = {
+      val d = s.reverse.map(_ - '0')
+      d.zipWithIndex.map { case (x, i) =>
+        if (i % 2 == 1) { val y = x * 2; if (y > 9) y - 9 else y }
+        else x
+      }.sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(3)
+    val digs = (0 until 200).map { _ =>
+      val len = 13 + rnd.nextInt(7)
+      (0 until len).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString
+    } :+ "4539148803436467" :+ "378282246310005"
+    val got = digs.toDF("d")
+      .select(col("d"), Curation.luhnValid(col("d")).as("v")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    digs.foreach(d => assert(got(d) === scalarLuhn(d), d))
+    // two valid cards in one doc, one invalid between them: the fold
+    // must redact both valid spellings and leave the invalid one
+    val doc = "a 4539 1488 0343 6467 b 4539 1488 0343 6468 " +
+      "c 6011-1111-1111-1117 d"
+    val red = Seq(doc).toDF("text")
+      .select(Curation.ccRedact(col("text"))).head.getString(0)
+    assert(red === "a <CC> b 4539 1488 0343 6468 c <CC> d")
+    // embedded in a longer digit run: no partial redaction
+    val run = Seq("x 45391488034364679 y").toDF("text") // 17 digits, luhn?
+      .select(Curation.ccRedact(col("text"))).head.getString(0)
+    // whether or not that 17-digit run validates, the ORIGINAL 16-digit
+    // card inside it must never be partially matched
+    assert(!run.contains("<CC> 9") && !run.contains("9<CC>"))
+  }
+
   test("weightedSample: exact parity with the scalar formula; heavy " +
       "rows overrepresented; w<=0/null dropped; repartition-stable") {
     import spark.implicits._
