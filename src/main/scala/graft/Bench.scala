@@ -99,7 +99,8 @@ object Bench {
       "q118_balanced_shards", "q119_sitemap_directive", "q120_idn",
       "q121_term_gate", "q122_kmv_overlap", "q123_collocations",
       "q124_f1_threshold", "q125_weighted_sample",
-      "q126_robots_wildcards", "q127_cc_redact", "q128_jl_project")
+      "q126_robots_wildcards", "q127_cc_redact", "q128_jl_project",
+      "q129_entropy")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

@@ -1889,6 +1889,16 @@ object SparkEntry {
             .as("cos_proj"))
         .orderBy("pair_id")
     }),
+    // quality signals: character- and token-level Shannon entropy per
+    // document — the compressibility/garble proxy (base64 blobs score
+    // high char entropy, repeated-phrase spam scores low token
+    // entropy); pure per-row Columns
+    "q129_entropy" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("char_entropy"),
+        TextAnalysis.tokenEntropy(col("text")).as("token_entropy"))
+        .orderBy("doc_id")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4063,6 +4073,39 @@ object SparkEntry {
           round(${cosSql("pa", "pb")}, 6) AS cos_proj
         FROM pairs ORDER BY pair_id"""
     },
+    // q129: char entropy replays the identical binary-sorted-alphabet
+    // summation order (replace-count per distinct char); token entropy
+    // counts by the same md5-prefix token hash, terms summed in hash
+    // order = the Spark side's sorted run-length fold; `+ 0.0`
+    // canonicalizes -0.0 on degenerate single-symbol docs
+    "q129_entropy" ->
+      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+          FROM documents),
+        ch AS (SELECT doc_id, text, length(text) AS n,
+          list_sort(list_distinct(list_transform(
+            generate_series(1, greatest(length(text), 1)),
+            i -> substr(text, i, 1)))) AS ds FROM t),
+        ce AS (SELECT doc_id, CASE WHEN n IS NULL OR n <= 0 THEN 0.0
+          ELSE round(-list_sum(list_transform(ds, c ->
+            ((n - length(replace(text, c, ''))) / CAST(n AS DOUBLE)) *
+            log2((n - length(replace(text, c, ''))) /
+              CAST(n AS DOUBLE)))), 6) + 0.0 END AS char_entropy
+          FROM ch),
+        tok AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS th
+          FROM (SELECT doc_id, unnest($toksSql) AS tk FROM t)),
+        cnts AS (SELECT doc_id, th, COUNT(*) AS c
+          FROM tok GROUP BY doc_id, th),
+        tots AS (SELECT doc_id, SUM(c) AS n FROM cnts GROUP BY doc_id),
+        te AS (SELECT c.doc_id,
+            round(-list_sum(list_transform(
+              list(CAST(c.c AS DOUBLE) / tots.n ORDER BY c.th),
+              p -> p * log2(p))), 6) + 0.0 AS token_entropy
+          FROM cnts c JOIN tots USING (doc_id) GROUP BY c.doc_id)
+        SELECT t.doc_id, ce.char_entropy,
+          COALESCE(te.token_entropy, 0.0) AS token_entropy
+        FROM t JOIN ce USING (doc_id) LEFT JOIN te USING (doc_id)
+        ORDER BY t.doc_id""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -280,6 +280,75 @@ object TextAnalysis {
         when(f("n_tokens") >= 20, 0.2).otherwise(f("n_tokens") / 100.0))), 6)
   }
 
+  /** Character-level Shannon entropy of the text, in bits/char
+    * (rounded to 6 decimals; empty/null-length text → 0.0). A cheap,
+    * language-agnostic garble detector: natural prose sits ~3.5–4.5
+    * bits/char, base64 blobs and hex dumps ≥ 5.5, single-char spam and
+    * padding runs ≈ 0 — the compressibility proxy CCNet-style
+    * pipelines gate on without running a compressor. Pure per-row
+    * Columns, no shuffle, no UDF.
+    *
+    * Shape: the distinct alphabet is extracted once (O(len) array),
+    * then each of the ≤|alphabet| distinct characters costs one
+    * `replace` scan — O(len·|alphabet|) per row with |alphabet|
+    * bounded by the script (~10² for real text), not the document.
+    * The entropy fold runs over BINARY-sorted distinct characters so
+    * the DuckDB oracle replays the identical summation order; the
+    * trailing `+ 0.0` canonicalizes -0.0 (single-char texts).
+    */
+  def charEntropy(text: Column): Column = {
+    val n = length(text)
+    val nd = n.cast("double")
+    val ds = array_sort(array_distinct(
+      transform(sequence(lit(1), greatest(n, lit(1))),
+        i => text.substr(i, lit(1)))))
+    val s = aggregate(
+      transform(ds, ch => {
+        val c = (n - length(replace(text, ch))).cast("double")
+        (c / nd) * log2(c / nd)
+      }),
+      lit(0.0), (acc, t) => acc + t)
+    when(n.isNull || n <= 0, lit(0.0))
+      .otherwise(round(-s, 6) + lit(0.0))
+  }
+
+  /** Shannon entropy of the whitespace-token distribution, in
+    * bits/token (rounded to 6 decimals; tokenless text → 0.0). The
+    * type/token structure signal charEntropy can't see: a page that
+    * repeats "buy cheap meds now" 200 times has normal char entropy
+    * but near-zero token entropy, while healthy prose lands around
+    * log2(type count) minus the Zipf mass concentration. Complements
+    * the Gopher repetition fractions with a single scale-free number.
+    *
+    * Shape: tokens hash to int64 ([[graft.ops.Dedup.tokHash]], the
+    * oracle-portable md5 prefix), the hash array sorts, and ONE
+    * run-length fold (struct accumulator: previous hash, run length,
+    * entropy sum) computes all term contributions — O(n log n) per
+    * row, never the O(n·distinct) filter-per-type form that goes
+    * quadratic on all-distinct documents. Hash collisions inside one
+    * doc merge types (same documented trade as tokenDfStats).
+    */
+  def tokenEntropy(text: Column): Column = {
+    val hs = array_sort(transform(Dedup.tokens(text),
+      t => Dedup.tokHash(t).cast("long")))
+    val n = size(hs).cast("double")
+    def term(c: Column) = (c / n) * log2(c / n)
+    def st(prev: Column, cnt: Column, acc: Column) =
+      struct(prev.as("prev"), cnt.as("cnt"), acc.as("acc"))
+    val folded = aggregate(hs,
+      st(lit(0L), lit(0.0), lit(0.0)),
+      (s, h) => when(s.getField("cnt") > 0 && h === s.getField("prev"),
+          st(s.getField("prev"), s.getField("cnt") + 1.0,
+            s.getField("acc")))
+        .otherwise(st(h, lit(1.0),
+          s.getField("acc") + when(s.getField("cnt") > 0,
+            term(s.getField("cnt"))).otherwise(lit(0.0)))),
+      s => s.getField("acc") + when(s.getField("cnt") > 0,
+        term(s.getField("cnt"))).otherwise(lit(0.0)))
+    when(size(hs) <= 0, lit(0.0))
+      .otherwise(round(-folded, 6) + lit(0.0))
+  }
+
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase
     * text (engine-portable).
     */

@@ -2359,6 +2359,43 @@ class OpsSpec extends AnyFunSuite {
     assert(self.getDouble(0) === 1.0 && self.getDouble(1) === 1.0)
   }
 
+  test("char/token entropy: hand-computed values, degenerate cases, " +
+      "and the spam-vs-prose separation both signals exist for") {
+    import spark.implicits._
+    val spam = ("buy cheap meds now " * 50).trim
+    val prose = "the quick brown fox jumps over a lazy dog while " +
+      "seventeen other animals watch from various distant hills nearby"
+    val df = Seq(
+      (1L, "aabb"), (2L, "a b a b"), (3L, "aaaa"), (4L, ""),
+      (5L, spam), (6L, prose),
+      (7L, "QmFzZTY0K2Jsb2JzR28wMTIzNDU2Nzg5YWJjZGVmZ2hpamtsbW5vcHFy" +
+        "c3R1dnd4eXpBQkNERUZHSElKS0xNTk9QUVJTVFVWV1hZWis0dz09"))
+      .toDF("id", "text")
+      .select(col("id"), col("text"),
+        TextAnalysis.charEntropy(col("text")).as("ce"),
+        TextAnalysis.tokenEntropy(col("text")).as("te"))
+    val m = df.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // "aabb": two chars at p=1/2 -> exactly 1 bit; one token -> 0
+    assert(m(1) === (1.0, 0.0))
+    // "a b a b": chars a(2) b(2) sp(3) of 7; tokens a,b at p=1/2
+    def h(ps: Seq[Double]) = BigDecimal(-ps.map(p =>
+      p * math.log(p) / math.log(2.0)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(m(2)._1 - h(Seq(2/7.0, 2/7.0, 3/7.0))) < 2e-6)
+    assert(m(2)._2 === 1.0)
+    // degenerate: single symbol and empty are +0.0, never -0.0
+    assert(m(3)._1 === 0.0 && m(3)._2 === 0.0)
+    assert(java.lang.Double.doubleToLongBits(m(3)._1) ===
+      java.lang.Double.doubleToLongBits(0.0))
+    assert(m(4) === (0.0, 0.0))
+    // phrase spam: char entropy looks normal, token entropy collapses
+    // to log2(4) = 2 bits; prose separates on tokens, base64 on chars
+    assert(m(5)._1 > 3.0 && m(5)._2 === 2.0)
+    assert(m(6)._2 > 3.5, s"prose token entropy ${m(6)._2}")
+    assert(m(7)._1 > m(6)._1, "base64 must out-entropy prose chars")
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
