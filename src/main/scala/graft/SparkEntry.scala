@@ -1899,6 +1899,18 @@ object SparkEntry {
         TextAnalysis.charEntropy(col("text")).as("char_entropy"),
         TextAnalysis.tokenEntropy(col("text")).as("token_entropy"))
         .orderBy("doc_id")),
+    // clustering-quality metrics: pairwise P/R/F1 + B-cubed (integer
+    // ppm, one floor per group) grading one partition of the corpus
+    // against another — here the lang partition scored against source
+    // as reference (the dedup-clustering report card, exercised on
+    // real columns)
+    "q130_cluster_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.clusterEval(
+        docs.select(col("doc_id"), col("lang")),
+        docs.select(col("doc_id"), col("source")),
+        "doc_id", "lang", "source")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4106,6 +4118,45 @@ object SparkEntry {
           COALESCE(te.token_entropy, 0.0) AS token_entropy
         FROM t JOIN ce USING (doc_id) LEFT JOIN te USING (doc_id)
         ORDER BY t.doc_id""",
+    // q130: identical contingency arithmetic — HUGEINT floor division
+    // staged exactly like the Spark side (one floor per cluster/class,
+    // C(n,2) = n(n-1)//2)
+    "q130_cluster_eval" ->
+      """WITH j AS (SELECT doc_id, lang AS c, source AS t
+          FROM documents),
+        cells AS (SELECT c, t, COUNT(*) AS n_ct FROM j GROUP BY c, t),
+        perc AS (SELECT c, SUM(n_ct) AS n_c,
+            SUM(n_ct * (n_ct - 1) // 2) AS tp_c,
+            SUM(n_ct * n_ct) AS sq_c FROM cells GROUP BY c),
+        pert AS (SELECT t, SUM(n_ct) AS n_t,
+            SUM(n_ct * n_ct) AS sq_t FROM cells GROUP BY t),
+        a AS (SELECT SUM(n_c) AS n_items, COUNT(*) AS n_clusters,
+            SUM(tp_c) AS pair_tp,
+            SUM(n_c * (n_c - 1) // 2) AS pred_pairs,
+            SUM(sq_c * 1000000 // n_c) AS bp_sum FROM perc),
+        b AS (SELECT COUNT(*) AS n_classes,
+            SUM(n_t * (n_t - 1) // 2) AS truth_pairs,
+            SUM(sq_t * 1000000 // n_t) AS br_sum FROM pert)
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+          CAST(n_clusters AS BIGINT) AS n_clusters,
+          CAST(n_classes AS BIGINT) AS n_classes,
+          CAST(pair_tp AS BIGINT) AS pair_tp,
+          CAST(pred_pairs AS BIGINT) AS pred_pairs,
+          CAST(truth_pairs AS BIGINT) AS truth_pairs,
+          CAST(CASE WHEN pred_pairs > 0
+            THEN pair_tp * 1000000 // pred_pairs END AS BIGINT)
+            AS pair_precision_ppm,
+          CAST(CASE WHEN truth_pairs > 0
+            THEN pair_tp * 1000000 // truth_pairs END AS BIGINT)
+            AS pair_recall_ppm,
+          CAST(CASE WHEN pred_pairs + truth_pairs > 0
+            THEN pair_tp * 2000000 // (pred_pairs + truth_pairs)
+            END AS BIGINT) AS pair_f1_ppm,
+          CAST(CASE WHEN n_items > 0 THEN bp_sum // n_items
+            END AS BIGINT) AS bcubed_precision_ppm,
+          CAST(CASE WHEN n_items > 0 THEN br_sum // n_items
+            END AS BIGINT) AS bcubed_recall_ppm
+        FROM a, b""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

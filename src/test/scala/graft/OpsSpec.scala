@@ -2396,6 +2396,43 @@ class OpsSpec extends AnyFunSuite {
     assert(m(7)._1 > m(6)._1, "base64 must out-entropy prose chars")
   }
 
+  test("clusterEval: hand-computed pairwise + B-cubed ppm, perfect " +
+      "clustering scores 1e6 everywhere, unmatched ids excluded") {
+    import spark.implicits._
+    val pred = Seq(1L -> "A", 2L -> "A", 3L -> "A", 4L -> "B",
+      5L -> "B", 6L -> "C", 9L -> "orphan").toDF("id", "cl")
+    val truth = Seq(1L -> "X", 2L -> "X", 3L -> "Y", 4L -> "Y",
+      5L -> "Y", 6L -> "Z", 8L -> "orphan").toDF("id", "lb")
+    val r = Curation.clusterEval(pred, truth, "id", "cl", "lb").head()
+    // contingency AX=2 AY=1 BY=2 CZ=1: tp=2, pred=4, truth=4 pairs
+    assert(r.getAs[Long]("n_items") === 6L)
+    assert(r.getAs[Long]("n_clusters") === 3L)
+    assert(r.getAs[Long]("n_classes") === 3L)
+    assert(r.getAs[Long]("pair_tp") === 2L)
+    assert(r.getAs[Long]("pred_pairs") === 4L)
+    assert(r.getAs[Long]("truth_pairs") === 4L)
+    assert(r.getAs[Long]("pair_precision_ppm") === 500000L)
+    assert(r.getAs[Long]("pair_recall_ppm") === 500000L)
+    assert(r.getAs[Long]("pair_f1_ppm") === 500000L)
+    // B-cubed: (5e6//3 + 4e6//2 + 1e6)//6 both sides = 777777
+    assert(r.getAs[Long]("bcubed_precision_ppm") === 777777L)
+    assert(r.getAs[Long]("bcubed_recall_ppm") === 777777L)
+    // a clustering that IS the truth scores perfect everywhere
+    val p = Curation.clusterEval(truth.toDF("id", "cl"), truth,
+      "id", "cl", "lb").head()
+    Seq("pair_precision_ppm", "pair_recall_ppm", "pair_f1_ppm",
+      "bcubed_precision_ppm", "bcubed_recall_ppm")
+      .foreach(c => assert(p.getAs[Long](c) === 1000000L, c))
+    // all-singleton prediction: no predicted pairs -> precision null,
+    // recall 0, B-cubed precision exactly 1e6
+    val s1 = Curation.clusterEval(
+      truth.select(col("id"), col("id").cast("string").as("cl")),
+      truth, "id", "cl", "lb").head()
+    assert(s1.isNullAt(s1.fieldIndex("pair_precision_ppm")))
+    assert(s1.getAs[Long]("pair_recall_ppm") === 0L)
+    assert(s1.getAs[Long]("bcubed_precision_ppm") === 1000000L)
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
