@@ -1911,6 +1911,23 @@ object SparkEntry {
         docs.select(col("doc_id"), col("source")),
         "doc_id", "lang", "source")
     }),
+    // HyperLogLog distinct-count sketch: 2^8 registers estimate the
+    // corpus 3-gram vocabulary in one scan (no distinct(), register
+    // sums exact-integer so agg order can't move the estimate); exact
+    // count and error ride along as the accuracy report
+    "q131_hll" -> ((s, d) => {
+      val keys = t(s, d, "documents")
+        .select(Dedup.tokens(col("text")).as("tk"))
+        .select(explode(Dedup.shinglesOf(col("tk"), 3)).as("key"))
+        .where(length(col("key")) > 0)
+      val est = Sketch.hllEstimate(Sketch.hllRegisters(keys, "key"), 8)
+      val exact = keys.agg(
+        countDistinct(col("key")).cast("long").as("exact_distinct"))
+      est.crossJoin(exact).select(
+        col("m"), col("n_nonzero"), col("est"), col("exact_distinct"),
+        floor(abs(col("est") - col("exact_distinct")) * 1000000.0 /
+          col("exact_distinct")).cast("long").as("err_ppm"))
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4157,6 +4174,46 @@ object SparkEntry {
           CAST(CASE WHEN n_items > 0 THEN br_sum // n_items
             END AS BIGINT) AS bcubed_recall_ppm
         FROM a, b""",
+    // q131: registers re-derived from the same 60-bit md5-prefix hash
+    // and bit-length rho; the indicator sum replays the exact-integer
+    // 2^(61-rho) staging in HUGEINT, then one double division with the
+    // identical Scala-printed alpha*m^2*2^61 constant; shingle support
+    // mirrors shinglesOf (clamped slice, '' filtered)
+    "q131_hll" -> {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val c = alpha * m * m * 2305843009213693952.0d
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+        keys AS (SELECT unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 2, 1)),
+            i -> array_to_string(tk[i:i+2], ' '))) AS key FROM t),
+        k AS (SELECT key FROM keys WHERE length(key) > 0),
+        h AS (SELECT CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT)
+          AS hv FROM k),
+        r AS (SELECT hv // 4503599627370496 AS reg,
+          hv % 4503599627370496 AS w FROM h),
+        rr AS (SELECT reg, MAX(CASE WHEN w = 0 THEN 53
+          ELSE 52 - (length(bin(w)) - 1) END) AS rho_max
+          FROM r GROUP BY reg),
+        agg AS (SELECT COUNT(*) AS n_nonzero,
+          SUM(2305843009213693952 >> rho_max) AS s_nz FROM rr),
+        z AS (SELECT n_nonzero, CAST(s_nz +
+          CAST($m - n_nonzero AS HUGEINT) *
+          CAST(2305843009213693952 AS HUGEINT) AS DOUBLE) AS z61
+          FROM agg),
+        e AS (SELECT CAST($m AS BIGINT) AS m,
+          CAST(n_nonzero AS BIGINT) AS n_nonzero,
+          round(CASE WHEN ($c / z61) <= ${2.5 * m} AND
+              ($m - n_nonzero) > 0
+            THEN $m.0 * ln($m.0 / CAST($m - n_nonzero AS DOUBLE))
+            ELSE $c / z61 END, 6) AS est FROM z),
+        x AS (SELECT COUNT(DISTINCT key) AS exact_distinct FROM k)
+        SELECT m, n_nonzero, est,
+          CAST(exact_distinct AS BIGINT) AS exact_distinct,
+          CAST(floor(abs(est - exact_distinct) * 1000000.0 /
+            exact_distinct) AS BIGINT) AS err_ppm
+        FROM e, x"""
+    },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -92,4 +92,82 @@ object Sketch {
             expr("(shared_in_k * union_est) div _denom"))
           .otherwise(lit(0L)).cast("long").as("inter_est"))
   }
+
+  /** HyperLogLog register table (Flajolet, Fuss, Gandouet, Meunier,
+    * AofA 2007) over a value column: one row per NONZERO register,
+    * `(reg, rho_max)`, at most 2^p rows total — the sketch that
+    * answers "how many distinct keys" in ONE scan with 2^p bytes of
+    * state where KMV keeps k full hashes. The 100 TB shape: per-row
+    * register/rank extraction (pure Columns), one map-side-combinable
+    * max-aggregation on a 2^p-key domain — no distinct(), no second
+    * pass, and sketches MERGE by register-wise max ([[hllMerge]]), so
+    * per-partition / per-day sketches roll up for free.
+    *
+    * Determinism: the 60-bit hash is the md5 prefix (15 hex chars —
+    * positive in signed 64-bit in every engine); register = top p
+    * bits, rank rho = leading zeros of the (60-p)-bit suffix + 1,
+    * computed as `bits - (length(bin(w)) - 1)` — bit-length, no float
+    * log (the q67 trick). Input rows need not be pre-distinct:
+    * max-per-register over duplicates equals max over distincts.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8)
+      : DataFrame = {
+    require(p >= 4 && p <= 14, s"hll precision p in [4,14], got $p")
+    val bits = 60 - p
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val w = h.bitwiseAND(lit((1L << bits) - 1L))
+    df.where(col(keyCol).isNotNull)
+      .select(shiftright(h, bits).as("reg"),
+        when(w === 0L, lit(bits + 1))
+          .otherwise(lit(bits) - (length(bin(w)) - 1)).as("_rho"))
+      .groupBy(col("reg"))
+      .agg(max(col("_rho")).cast("int").as("rho_max"))
+  }
+
+  /** Merge HLL sketches: register-wise max. The union sketch of the
+    * two underlying key sets — exactly (not approximately) the sketch
+    * a single pass over the concatenated input would build.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("reg"))
+      .agg(max(col("rho_max")).cast("int").as("rho_max"))
+
+  /** Cardinality estimate from an HLL register table: one row,
+    * `(m, n_nonzero, est)`. The indicator sum Z = Σ 2^-rho (empty
+    * registers contribute 1) is computed EXACTLY as the integer
+    * Σ 2^(61-rho) in decimal(38) — sums of powers of two in floating
+    * point are order-sensitive past 52 bits of spread, and agg order
+    * is the one thing a distributed sum won't promise — then cast to
+    * double once for the final alpha·m²/Z, with the standard
+    * linear-counting fallback (E ≤ 2.5m and empty registers exist →
+    * m·ln(m/V)). Rounded to 6 decimals; the oracle replays the exact
+    * integer staging and the same one-shot double math.
+    */
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"hll precision p in [4,14], got $p")
+    val m = 1 << p
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697
+      else if (p == 6) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    val dec = "decimal(38,0)"
+    val two61 = lit(2305843009213693952L) // 2^61
+    regs.agg(
+        count(lit(1)).cast("long").as("n_nonzero"),
+        coalesce(sum(call_function("shiftright", two61,
+            col("rho_max")).cast(dec)),
+          lit(0).cast(dec)).as("_s_nz"))
+      .select(col("n_nonzero"),
+        (col("_s_nz") + (lit(m.toLong) - col("n_nonzero")).cast(dec)
+          * two61.cast(dec)).cast("double").as("_z61"),
+        col("n_nonzero").as("_nn"))
+      .select(lit(m.toLong).as("m"), col("n_nonzero"), {
+        val raw = lit(alpha * m.toDouble * m.toDouble *
+          2305843009213693952.0d) / col("_z61")
+        val v = lit(m.toLong) - col("_nn") // empty registers
+        round(when(raw <= lit(2.5 * m) && v > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+          .otherwise(raw), 6).as("est")
+      })
+  }
 }

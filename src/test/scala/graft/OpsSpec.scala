@@ -2433,6 +2433,39 @@ class OpsSpec extends AnyFunSuite {
     assert(s1.getAs[Long]("bcubed_precision_ppm") === 1000000L)
   }
 
+  test("HLL: estimate inside the 3-sigma band, duplicates free, " +
+      "merge of split sketches IS the global sketch, linear-counting " +
+      "path exact-ish at tiny cardinality") {
+    import spark.implicits._
+    val n = 20000
+    val keys = spark.range(n).select(
+      concat(lit("key:"), col("id")).as("k"))
+    val regs = graft.ops.Sketch.hllRegisters(keys, "k", p = 8)
+    val est = graft.ops.Sketch.hllEstimate(regs, p = 8)
+      .head().getAs[Double]("est")
+    // stderr = 1.04/sqrt(256) = 6.5%; 3 sigma = 19.5%
+    assert(math.abs(est - n) / n < 0.2, s"HLL est $est for n=$n")
+    // duplicating every key must not move a single register
+    val dup = graft.ops.Sketch.hllRegisters(
+      keys.unionAll(keys).repartition(7), "k", p = 8)
+    assert(regs.orderBy("reg").collect().toSeq ===
+      dup.orderBy("reg").collect().toSeq)
+    // merge property: sketch(A) ⊔ sketch(B) == sketch(A ∪ B), exactly
+    val a = keys.where(col("k") < lit("key:5"))   // lexicographic split
+    val b = keys.where(col("k") >= lit("key:5"))
+    val merged = graft.ops.Sketch.hllMerge(
+      graft.ops.Sketch.hllRegisters(a, "k", 8),
+      graft.ops.Sketch.hllRegisters(b, "k", 8))
+    assert(merged.orderBy("reg").collect().toSeq ===
+      regs.orderBy("reg").collect().toSeq)
+    // tiny cardinality rides linear counting and lands within 15%
+    val tiny = graft.ops.Sketch.hllEstimate(
+      graft.ops.Sketch.hllRegisters(
+        spark.range(40).select(concat(lit("t"), col("id")).as("k")),
+        "k", 8), 8).head().getAs[Double]("est")
+    assert(math.abs(tiny - 40.0) / 40.0 < 0.15, s"LC est $tiny")
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
