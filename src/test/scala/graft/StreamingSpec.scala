@@ -552,4 +552,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted === (0 until 40)
       .filter(i => i % 4 >= 2).map(i => s"http://h$i.com/p").toSet)
   }
+
+  test("streaming HLL registers: live distinct-count monitor with " +
+      "2^p rows of state == batch sketch, estimate included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // hllRegisters is a plain grouped max-agg, so it runs UNCHANGED on
+    // a stream: Spark keeps one state row per register (<= 2^p rows
+    // total, forever) — the ingest-side cardinality monitor that never
+    // needs a distinct() over what streamed past
+    val q = graft.ops.Sketch.hllRegisters(stream.toDF().toDF("k"), "k", 8)
+      .writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode(OutputMode.Complete).start()
+    stream.addData((0 until 500).map(i => s"key:$i"): _*)
+    q.processAllAvailable()
+    // second batch overlaps the first — duplicates must not move state
+    stream.addData((300 until 900).map(i => s"key:$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val live = spark.table("hll_stream_out")
+    val batch = graft.ops.Sketch.hllRegisters(
+      spark.range(900).select(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("key:"), col("id")).as("k")),
+      "k", 8)
+    assert(live.orderBy("reg").collect().toSeq ===
+      batch.orderBy("reg").collect().toSeq)
+    val est = graft.ops.Sketch.hllEstimate(live, 8)
+      .head().getAs[Double]("est")
+    assert(math.abs(est - 900.0) / 900.0 < 0.2, s"live HLL est $est")
+  }
 }
