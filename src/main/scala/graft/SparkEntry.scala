@@ -1928,6 +1928,19 @@ object SparkEntry {
         floor(abs(col("est") - col("exact_distinct")) * 1000000.0 /
           col("exact_distinct")).cast("long").as("err_ppm"))
     }),
+    // mixture design: exact water-filling allocation of a 15k-token
+    // budget across languages toward target weights (de's 35% target
+    // exceeds its supply -> capped, surplus redistributes; es absent
+    // from the target map -> zero); closed form, stratum-histogram
+    // windows only
+    "q132_mix_waterfill" -> ((s, d) =>
+      Curation.mixWaterFill(
+        t(s, d, "documents").select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_toks")),
+        "lang", "n_toks",
+        Map("en" -> 250000L, "de" -> 350000L, "fr" -> 200000L,
+          "zh" -> 200000L),
+        budget = 15000L).orderBy("stratum")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4214,6 +4227,52 @@ object SparkEntry {
             exact_distinct) AS BIGINT) AS err_ppm
         FROM e, x"""
     },
+    // q132: the oracle replays the quantized-ratio sort, the HUGEINT
+    // cross-multiplication prefix test, and the same floor divisions
+    "q132_mix_waterfill" ->
+      s"""WITH sup AS (SELECT lang AS stratum,
+          CAST(SUM(len($toksSql)) AS BIGINT) AS supply
+          FROM documents GROUP BY lang),
+        w AS (SELECT stratum, supply,
+          CASE stratum WHEN 'en' THEN 250000 WHEN 'de' THEN 350000
+            WHEN 'fr' THEN 200000 WHEN 'zh' THEN 200000
+            ELSE 0 END AS weight_ppm FROM sup),
+        k AS (SELECT *, CASE WHEN weight_ppm > 0
+          THEN CAST(supply AS HUGEINT) * 1000000000000 // weight_ppm
+          ELSE CAST('1000000000000000000000000000000' AS HUGEINT)
+          END AS r FROM w),
+        st AS (SELECT *, COALESCE(SUM(supply) OVER (ORDER BY r, stratum
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS sb,
+          SUM(weight_ppm) OVER (ORDER BY r, stratum
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wf
+          FROM k),
+        t2 AS (SELECT *, CASE WHEN weight_ppm > 0 AND
+          CAST(supply AS HUGEINT) * wf <=
+          CAST(weight_ppm AS HUGEINT) * (15000 - sb)
+          THEN 1 ELSE 0 END AS t FROM st),
+        c AS (SELECT *, MIN(t) OVER (ORDER BY r, stratum
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+          AS capped FROM t2),
+        g AS (SELECT *,
+          COALESCE(SUM(CASE WHEN capped THEN supply END) OVER (), 0)
+            AS scap,
+          COALESCE(SUM(CASE WHEN NOT capped THEN weight_ppm END)
+            OVER (), 0) AS wunc,
+          SUM(supply) OVER () AS stot FROM c),
+        a AS (SELECT stratum, supply,
+          CAST(weight_ppm AS BIGINT) AS weight_ppm,
+          CAST(CASE WHEN stot <= 15000 THEN supply
+            WHEN capped THEN supply
+            WHEN wunc > 0 THEN CAST(weight_ppm AS HUGEINT) *
+              greatest(0, 15000 - scap) // wunc
+            ELSE 0 END AS BIGINT) AS alloc FROM g)
+        SELECT stratum, supply, weight_ppm, alloc,
+          CAST(CASE WHEN supply > 0
+            THEN CAST(alloc AS HUGEINT) * 1000000 // supply
+            ELSE 0 END AS BIGINT) AS rate_ppm,
+          alloc = supply AS capped
+        FROM a ORDER BY stratum""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

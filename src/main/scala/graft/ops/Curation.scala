@@ -1373,6 +1373,99 @@ object Curation {
     * Returns the input plus `keep_slots` (the per-stratum cut in
     * [0, 10000]) and `kept`.
     */
+  /** Exact water-filling mixture allocation — the static data-mixing
+    * step (hit target domain weights under per-domain supply caps; the
+    * mixture-design problem behind the Pile's reweighting / DoReMi's
+    * static baseline) solved in CLOSED FORM, no iteration: maximize
+    * water level λ with alloc_d = min(supply_d, λ·weight_d) subject to
+    * Σ alloc = budget. A stratum whose supply saturates below the
+    * level keeps everything; its unused share redistributes over the
+    * rest (the level rises).
+    *
+    * Exactness + portability: strata sort by saturation level
+    * r_d = supply_d/weight_d via the quantized integer key
+    * supply·10^12 DIV weight (both engines sort identically;
+    * zero-weight strata take a 10^30 sentinel = saturate last; ties
+    * resolve by stratum name). In that order the capped set is a
+    * PREFIX, detected per-row by the exact decimal(38) cross-
+    * multiplication supply_i·W_≥i ≤ weight_i·(budget − S_<i) closed
+    * under a running-conjunction window (a later row passing the test
+    * spuriously — e.g. the zero-weight 0 ≤ 0 — can't re-enter the
+    * prefix). Uncapped strata get weight_d·(budget − S_capped) DIV
+    * W_uncapped (floor; Σ alloc ≤ budget with slack < |uncapped|).
+    * Total supply ≤ budget degenerates to alloc = supply everywhere.
+    *
+    * Every window runs over the stratum histogram (bounded domain —
+    * languages/sources), never the corpus: the q49/q124 bounded-
+    * window argument. Returns one row per stratum present in `df`:
+    * (stratum, supply, weight_ppm, alloc, rate_ppm, capped) — feed
+    * rate_ppm to [[sampledByHash]]-style gates or alloc to
+    * [[tokenBudgetAssign]] per stratum.
+    */
+  def mixWaterFill(df: DataFrame, strataCol: String, supplyCol: String,
+      weightsPpm: Map[String, Long], budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
+    val dec = "decimal(38,0)"
+    def d(c: Column) = c.cast(dec)
+    val wMap = typedlit(weightsPpm)
+    val sup = df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(col(supplyCol)).cast("long").as("supply"))
+      .withColumn("weight_ppm",
+        coalesce(element_at(wMap, col("stratum")), lit(0L)))
+    val sentinel = lit("1" + "0" * 30).cast(dec) // 10^30 > any s/w key
+    val keyed = sup.withColumn("_r",
+      when(col("weight_ppm") > 0L,
+        call_function("div",
+          d(col("supply")) * d(lit(1000000000000L)),
+          d(col("weight_ppm"))))
+        .otherwise(sentinel))
+    val ord = Window.orderBy(col("_r"), col("stratum"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val from = ord.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val prefix = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = keyed
+      .withColumn("_sb", coalesce(sum(col("supply")).over(before),
+        lit(0L)))
+      .withColumn("_wf", sum(col("weight_ppm")).over(from))
+      // a zero-weight stratum is NEVER capped: capped means
+      // supply <= lambda*weight, and lambda*0 = 0 < supply — without
+      // this guard the degenerate 0 <= 0 cross-test marks it capped
+      // (full supply kept, budget overspent) whenever every positive-
+      // weight stratum saturated before it
+      .withColumn("_t", when(col("weight_ppm") === 0L, lit(0))
+        .when(
+          d(col("supply")) * d(col("_wf")) <=
+            d(col("weight_ppm")) * (d(lit(budget)) - d(col("_sb"))),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("_capped", min(col("_t")).over(prefix) === 1)
+      .withColumn("_scap",
+        coalesce(sum(when(col("_capped"), col("supply"))).over(all),
+          lit(0L)))
+      .withColumn("_wunc",
+        coalesce(sum(when(!col("_capped"), col("weight_ppm")))
+          .over(all), lit(0L)))
+      .withColumn("_stot", sum(col("supply")).over(all))
+    staged.select(col("stratum"), col("supply"), col("weight_ppm"), {
+        val level = greatest(lit(0L).cast(dec),
+          d(lit(budget)) - d(col("_scap")))
+        when(col("_stot") <= budget, col("supply"))
+          .when(col("_capped"), col("supply"))
+          .when(col("_wunc") > 0L, call_function("div",
+            d(col("weight_ppm")) * level, d(col("_wunc")))
+            .cast("long"))
+          .otherwise(lit(0L)).as("alloc")
+      })
+      .withColumn("rate_ppm", when(col("supply") > 0L,
+        call_function("div", d(col("alloc")) * d(lit(1000000L)),
+          d(col("supply"))).cast("long")).otherwise(lit(0L)))
+      .withColumn("capped", col("alloc") === col("supply"))
+  }
+
   def temperatureResample(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double = 0.5, keepFraction: Double = 0.5,
       salt: String = "resample"): DataFrame = {

@@ -2466,6 +2466,42 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(tiny - 40.0) / 40.0 < 0.15, s"LC est $tiny")
   }
 
+  test("mixWaterFill: hand-computed saturation + redistribution, " +
+      "surplus degenerate case, budget never exceeded") {
+    import spark.implicits._
+    // supplies: a=1000 b=4000 c=5000; weights 50/25/25; budget 8000
+    // level check: a saturates (its 50% share would be 4000 > 1000);
+    // remaining 7000 split 25/25 -> b,c get 3500 each
+    val df = Seq.fill(10)("a" -> 100L)
+      .++(Seq.fill(10)("b" -> 400L)).++(Seq.fill(10)("c" -> 500L))
+      .toDF("dom", "toks")
+    val w = Map("a" -> 500000L, "b" -> 250000L, "c" -> 250000L)
+    val r = Curation.mixWaterFill(df, "dom", "toks", w, 8000L)
+      .orderBy("stratum").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(3),
+        x.getLong(4), x.getBoolean(5)))
+    assert(r === Array(("a", 1000L, 1000L, 1000000L, true),
+      ("b", 4000L, 3500L, 875000L, false),
+      ("c", 5000L, 3500L, 700000L, false)))
+    // budget >= total supply: everyone keeps everything
+    val full = Curation.mixWaterFill(df, "dom", "toks", w, 100000L)
+      .orderBy("stratum").collect()
+    assert(full.forall(x => x.getLong(3) === x.getLong(1) &&
+      x.getBoolean(5)))
+    // sum(alloc) never exceeds the budget, across budget sweep
+    for (b <- Seq(0L, 1L, 999L, 5000L, 9999L, 10000L)) {
+      val tot = Curation.mixWaterFill(df, "dom", "toks", w, b)
+        .agg(sum("alloc")).head().getLong(0)
+      assert(tot <= b || b >= 10000L, s"budget $b overspent: $tot")
+      if (b >= 10000L) assert(tot === 10000L)
+    }
+    // zero-weight stratum gets nothing when water-limited
+    val z = Curation.mixWaterFill(df, "dom", "toks",
+      Map("a" -> 600000L, "b" -> 400000L), 5000L)
+      .orderBy("stratum").collect()
+    assert(z.find(_.getString(0) == "c").get.getLong(3) === 0L)
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
