@@ -1941,6 +1941,29 @@ object SparkEntry {
         Map("en" -> 250000L, "de" -> 350000L, "fr" -> 200000L,
           "zh" -> 200000L),
         budget = 15000L).orderBy("stratum")),
+    // file skipping: relational per-shard Bloom index — 20 present +
+    // 20 absent probe keys report candidate-shard counts and the
+    // no-false-negative hit flag (present keys MUST surface their
+    // true shard; absent keys measure the fp rate)
+    "q133_bloom_index" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("doc:"), col("doc_id")).as("key"),
+        pmod(col("doc_id"), lit(8)).cast("long").as("shard"))
+      val idx = Curation.bloomShardIndex(docs, "shard", "key", 4096)
+      val probes = docs.where(col("doc_id") < 20)
+        .select(col("key"), col("shard").as("true_shard"))
+        .unionByName(docs.where(col("doc_id") < 20)
+          .select(concat(lit("missing:"), col("doc_id")).as("key"),
+            lit(null).cast("long").as("true_shard")))
+      val cands = Curation.bloomShardLookup(idx, probes, "key", 4096)
+      probes.join(cands, Seq("key"), "left")
+        .groupBy(col("key"), col("true_shard"))
+        .agg(count(col("shard")).as("n_cand"),
+          max(when(col("shard") === col("true_shard"), 1L)
+            .otherwise(0L)).as("hit"))
+        .select(col("key"), col("n_cand"), col("hit"))
+        .orderBy("key")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4273,6 +4296,46 @@ object SparkEntry {
             ELSE 0 END AS BIGINT) AS rate_ppm,
           alloc = supply AS capped
         FROM a ORDER BY stratum""",
+    // q133: full relational re-derivation — same md5-prefix hash, same
+    // Fibonacci probe pair, 32-bit words via bit_or, same two-probe
+    // lookup joins
+    "q133_bloom_index" ->
+      """WITH docs AS (SELECT doc_id, 'doc:' || doc_id AS key,
+          doc_id % 8 AS shard FROM documents),
+        hx AS (SELECT shard,
+          CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) AS h
+          FROM docs),
+        pos AS (SELECT shard,
+          unnest([h & 4095, ((h * 40503) >> 13) & 4095]) AS p FROM hx),
+        idx AS (SELECT shard, p >> 5 AS word_idx,
+          bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS word
+          FROM pos GROUP BY shard, p >> 5),
+        pr0 AS (SELECT 'doc:' || doc_id AS key,
+            CAST(doc_id % 8 AS BIGINT) AS true_shard
+          FROM documents WHERE doc_id < 20
+          UNION ALL SELECT 'missing:' || doc_id, NULL
+          FROM documents WHERE doc_id < 20),
+        ph AS (SELECT key, true_shard,
+          CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) AS h
+          FROM pr0),
+        pw AS (SELECT key, true_shard,
+          (h & 4095) >> 5 AS w1,
+          CAST(1 AS BIGINT) << CAST(h & 31 AS INT) AS b1,
+          (((h * 40503) >> 13) & 4095) >> 5 AS w2,
+          CAST(1 AS BIGINT) <<
+            CAST(((h * 40503) >> 13) & 31 AS INT) AS b2
+          FROM ph),
+        c1 AS (SELECT pw.key, pw.true_shard, i.shard, pw.w2, pw.b2
+          FROM pw JOIN idx i
+          ON i.word_idx = pw.w1 AND (i.word & pw.b1) != 0),
+        c2 AS (SELECT c1.key, c1.true_shard, c1.shard
+          FROM c1 JOIN idx i ON i.shard = c1.shard
+          AND i.word_idx = c1.w2 AND (i.word & c1.b2) != 0)
+        SELECT p.key, CAST(COUNT(c.shard) AS BIGINT) AS n_cand,
+          CAST(COALESCE(MAX(CASE WHEN c.shard = p.true_shard
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS hit
+        FROM pr0 p LEFT JOIN c2 c ON c.key = p.key
+        GROUP BY p.key, p.true_shard ORDER BY p.key""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -927,6 +927,77 @@ object Curation {
     df.crossJoin(broadcast(Seq(Tuple1(words.toSeq)).toDF("_bloomw")))
   }
 
+  /** Per-shard Bloom index for point lookups — the FILE-SKIPPING
+    * sidecar: "which output shards can contain key X" answered from a
+    * table of (shard, word_idx, word) bitset fragments instead of
+    * scanning shards. Built RELATIONALLY (unlike the driver-side
+    * [[bloomBuild]], which serves filters the driver must hold): each
+    * key emits its two probe positions, positions group to 32-bit
+    * words by `bit_or` — map-side combinable, no collect, and only
+    * NON-ZERO words materialize, so a sparse shard costs rows
+    * proportional to its keys, not its bit width. 32-bit words because
+    * the oracle engine rejects the `1 << 63` overflow a 64-bit word
+    * layout needs; same two Fibonacci probes as [[bloomMightContain]]
+    * (p1 = h & (bits-1), p2 = ((h·40503) >>> 13) & (bits-1)).
+    *
+    * At 100 TB: the index is (shards × occupied words) rows — for 10^5
+    * shards at 2^15 bits that is ≤ 10^8 thin rows, a small bucketed
+    * table the lookup side equi-joins on word_idx. No false negatives
+    * ever; false-positive rate ≈ (2k/bits)^2 per shard for k keys.
+    */
+  def bloomShardIndex(df: DataFrame, shardCol: String, keyCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 32 && (bits & (bits - 1)) == 0,
+      "bits must be 2^k and at least one 32-bit word")
+    val mask = lit((bits - 1).toLong)
+    val h = Dedup.tokHash(col(keyCol).cast("string"))
+    val p1 = h.bitwiseAND(mask)
+    val p2 = shiftrightunsigned(h * lit(40503L), 13).bitwiseAND(mask)
+    df.select(col(shardCol).as("shard"), p1.as("_p1"), p2.as("_p2"))
+      .select(col("shard"),
+        explode(array(col("_p1"), col("_p2"))).as("_p"))
+      .select(col("shard"), shiftright(col("_p"), 5).as("word_idx"),
+        call_function("shiftleft", lit(1L),
+          col("_p").bitwiseAND(lit(31L)).cast("int")).as("_b"))
+      .groupBy(col("shard"), col("word_idx"))
+      .agg(call_function("bit_or", col("_b")).as("word"))
+  }
+
+  /** Candidate shards per probe key against a [[bloomShardIndex]]:
+    * (key, shard) pairs where BOTH probe words have the key's bits set
+    * — a key absent from a shard's bitset never surfaces (no false
+    * negatives); false positives are the documented Bloom rate and the
+    * caller's point-read of the shard resolves them. Two equi-joins on
+    * (shard, word_idx) — the index is the small side; keys never
+    * compare against shard contents.
+    */
+  def bloomShardLookup(index: DataFrame, probes: DataFrame,
+      keyCol: String, bits: Int): DataFrame = {
+    require(bits >= 32 && (bits & (bits - 1)) == 0,
+      "bits must match the index build")
+    val mask = lit((bits - 1).toLong)
+    val h = Dedup.tokHash(col(keyCol).cast("string"))
+    val p1 = h.bitwiseAND(mask)
+    val p2 = shiftrightunsigned(h * lit(40503L), 13).bitwiseAND(mask)
+    def wb(p: Column) = (shiftright(p, 5),
+      call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(31L)).cast("int")))
+    val (w1, b1) = wb(p1)
+    val (w2, b2) = wb(p2)
+    val pr = probes.select(col(keyCol).as("key"), w1.as("_w1"),
+      b1.as("_b1"), w2.as("_w2"), b2.as("_b2"))
+    val i1 = index.select(col("shard"), col("word_idx").as("_iw1"),
+      col("word").as("_wd1"))
+    val i2 = index.select(col("shard").as("_s2"),
+      col("word_idx").as("_iw2"), col("word").as("_wd2"))
+    pr.join(i1, col("_w1") === col("_iw1"))
+      .where(col("_wd1").bitwiseAND(col("_b1")) =!= 0L)
+      .join(i2, col("shard") === col("_s2") &&
+        col("_iw2") === col("_w2"))
+      .where(col("_wd2").bitwiseAND(col("_b2")) =!= 0L)
+      .select(col("key"), col("shard"))
+  }
+
   /** [[contaminationStats]] with a Bloom prefilter — the 100 TB shape
     * of decontamination: the benchmark's gram hashes compress to a
     * `bloomBits`-bit filter evaluated MAP-SIDE on every corpus gram, so

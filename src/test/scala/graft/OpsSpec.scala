@@ -2502,6 +2502,35 @@ class OpsSpec extends AnyFunSuite {
     assert(z.find(_.getString(0) == "c").get.getLong(3) === 0L)
   }
 
+  test("bloom shard index: zero false negatives at every width, " +
+      "saturated tiny filter degrades to all-candidates not misses, " +
+      "fp fan-out collapses as bits grow") {
+    import spark.implicits._
+    val docs = spark.range(200).select(
+      concat(lit("k"), col("id")).as("key"),
+      pmod(col("id"), lit(4)).cast("long").as("shard"))
+    for (bits <- Seq(64, 512, 4096)) {
+      val idx = Curation.bloomShardIndex(docs, "shard", "key", bits)
+      val cands = Curation.bloomShardLookup(idx,
+        docs.select("key"), "key", bits)
+      val missing = docs.select(col("key"), col("shard"))
+        .exceptAll(cands).count()
+      assert(missing === 0L, s"false negatives at bits=$bits")
+    }
+    val absent = spark.range(500).select(
+      concat(lit("zz"), col("id")).as("key"))
+    def fpCount(bits: Int): Long =
+      Curation.bloomShardLookup(
+        Curation.bloomShardIndex(docs, "shard", "key", bits),
+        absent, "key", bits).count()
+    val (small, big) = (fpCount(64), fpCount(8192))
+    // 50 keys x 2 probes into 64 bits saturates every shard: nearly
+    // every absent probe fans to all 4 shards — still correct, the
+    // point reads resolve it
+    assert(small > 1000L, s"64-bit filter fp $small")
+    assert(big < 40L, s"8192-bit filter fp $big")
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
