@@ -1964,6 +1964,18 @@ object SparkEntry {
         .select(col("key"), col("n_cand"), col("hit"))
         .orderBy("key")
     }),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
+    // with the plain-TF ranking over the same query workload — the
+    // calibration-free list merge (ranks meet, scores never do)
+    "q134_rrf_fusion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bm = Retrieval.bm25(docs, "doc_id", "text", bm25Queries(s),
+        topK = 10).select(col("query_id"), col("doc_id"), col("rank"))
+      val tf = Retrieval.tfTopK(docs, "doc_id", "text", bm25Queries(s),
+        topK = 10).select(col("query_id"), col("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, tf), kRrf = 60, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -2561,6 +2573,41 @@ object SparkEntry {
 
   private def bm25QueriesSql: String =
     bm25QueryRows.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+
+  /** Shared BM25 oracle CTE chain (q97 + the q134 fusion oracle):
+    * ends in `bm25r` = (query_id, doc_id, score_ppm, rank), unbounded
+    * rank — consumers apply their own rank cut. `mt`/`q` stay visible
+    * for the TF arm.
+    */
+  private def bm25CtesSql: String =
+    s"""q(query_id, term) AS (VALUES $bm25QueriesSql),
+        d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(tk)) AS BIGINT) AS sum_dl FROM d),
+        post AS (SELECT id, CAST(dl AS BIGINT) AS dl, term,
+            CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT id, len(tk) AS dl, unnest(tk) AS term FROM d)
+          GROUP BY id, dl, term),
+        mt AS (SELECT * FROM post
+          WHERE term IN (SELECT DISTINCT term FROM q)),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc
+          FROM mt GROUP BY term),
+        sc AS (SELECT q.query_id, m.id,
+            CAST(SUM((CAST(((2*n_docs - 2*dfc + 1) * 1000000)
+                // (2*dfc + 1) AS HUGEINT) *
+              ((CAST(m.tf AS HUGEINT) * 2200000 * 1000000) //
+                (m.tf * 1000000 + (1200000 * ((1000000 - 750000) +
+                  (750000 * m.dl * 1000) //
+                    ((sum_dl * 1000) // n_docs))) // 1000000)))
+              // 1000000) AS BIGINT) AS score_ppm
+          FROM mt m JOIN dft USING (term) JOIN q USING (term)
+          CROSS JOIN stats
+          GROUP BY q.query_id, m.id),
+        bm25r AS (SELECT query_id, id AS doc_id, score_ppm,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_ppm DESC, id) AS BIGINT) AS rank
+          FROM sc)"""
 
   /** Deterministic redirect map for q90: each document is one source
     * URL `u{id}` redirecting up the decade — u(10k+j) → u(10k+j+1) for
@@ -5496,38 +5543,38 @@ object SparkEntry {
         WHERE dist_ppm <= 200000 ORDER BY a, b""",
     // q97: the full BM25 formula re-derived in SQL — same tokenize,
     // same tf/df/dl/avgdl stats, the same truncating-division nesting
-    // at every step, the same (score desc, id) tie-break
+    // at every step, the same (score desc, id) tie-break (CTE chain
+    // shared with the q134 fusion oracle)
     "q97_bm25" ->
-      s"""WITH q(query_id, term) AS (VALUES $bm25QueriesSql),
-        d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
-          FROM documents),
-        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-          CAST(SUM(len(tk)) AS BIGINT) AS sum_dl FROM d),
-        post AS (SELECT id, CAST(dl AS BIGINT) AS dl, term,
-            CAST(COUNT(*) AS BIGINT) AS tf
-          FROM (SELECT id, len(tk) AS dl, unnest(tk) AS term FROM d)
-          GROUP BY id, dl, term),
-        mt AS (SELECT * FROM post
-          WHERE term IN (SELECT DISTINCT term FROM q)),
-        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc
-          FROM mt GROUP BY term),
-        sc AS (SELECT q.query_id, m.id,
-            CAST(SUM((CAST(((2*n_docs - 2*dfc + 1) * 1000000)
-                // (2*dfc + 1) AS HUGEINT) *
-              ((CAST(m.tf AS HUGEINT) * 2200000 * 1000000) //
-                (m.tf * 1000000 + (1200000 * ((1000000 - 750000) +
-                  (750000 * m.dl * 1000) //
-                    ((sum_dl * 1000) // n_docs))) // 1000000)))
-              // 1000000) AS BIGINT) AS score_ppm
-          FROM mt m JOIN dft USING (term) JOIN q USING (term)
-          CROSS JOIN stats
-          GROUP BY q.query_id, m.id)
-        SELECT query_id, doc_id, score_ppm, rank FROM (
-          SELECT query_id, id AS doc_id, score_ppm,
-            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY score_ppm DESC, id) AS BIGINT) AS rank
-          FROM sc)
+      s"""WITH $bm25CtesSql
+        SELECT query_id, doc_id, score_ppm, rank FROM bm25r
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q134: BM25 CTEs reused verbatim; the TF arm ranks summed tf over
+    // the same matched postings; fusion = SUM(10^9 // (60 + rank))
+    // over both top-10 lists, top-5 by (fused desc, doc)
+    "q134_rrf_fusion" ->
+      s"""WITH $bm25CtesSql,
+        tfs AS (SELECT q.query_id, m.id,
+            CAST(SUM(m.tf) AS BIGINT) AS tf_sum
+          FROM mt m JOIN q USING (term) GROUP BY q.query_id, m.id),
+        tfr AS (SELECT query_id, id AS doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY tf_sum DESC, id) AS BIGINT) AS rank
+          FROM tfs),
+        u AS (SELECT query_id, doc_id, rank FROM bm25r
+            WHERE rank <= 10
+          UNION ALL SELECT query_id, doc_id, rank FROM tfr
+            WHERE rank <= 10),
+        f AS (SELECT query_id, doc_id,
+            CAST(SUM(1000000000 // (60 + rank)) AS BIGINT)
+              AS rrf_score_ppb,
+            CAST(COUNT(*) AS BIGINT) AS n_lists
+          FROM u GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, rrf_score_ppb, n_lists, rank
+        FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score_ppb DESC, doc_id) AS BIGINT) AS rank
+          FROM f)
+        WHERE rank <= 5 ORDER BY query_id, rank""",
     // q95: the same rare-shingle blocking + exact list_intersect
     // re-check in SQL; same 32-bit md5-prefix blocking hash, same
     // integer-ppm truncation

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inverted-index construction and BM25-style ranked boolean retrieval
@@ -57,6 +58,66 @@ object Retrieval {
   def corpusStats(df: DataFrame, textCol: String): DataFrame =
     df.select(size(Dedup.tokens(col(textCol))).cast("long").as("_dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("sum_dl"))
+
+  /** Plain term-frequency top-k ranking over the same
+    * (query_id, term) workload [[bm25]] takes — the cheap lexical
+    * ranker (no idf, no length normalization) that serves as the
+    * second arm of hybrid-fusion ([[rrfFuse]]) and as the sanity
+    * baseline BM25 must beat. Returns (query_id, doc_id, tf_sum,
+    * rank), rank <= topK, ties by doc id. Same postings table, same
+    * broadcast workload join — one corpus scan.
+    */
+  def tfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, topK: Int = 10): DataFrame = {
+    require(topK > 0)
+    val qt = queries
+      .select(col("query_id"), lower(col("term")).as("term"))
+      .distinct()
+    val m = postings(docs, idCol, textCol)
+      .join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("tf")).cast("long").as("tf_sum"))
+    m.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("tf_sum").desc, col("id"))).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("id").as("doc_id"), col("tf_sum"),
+        col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N per-query rankings — each input (query_id, doc_id, rank) —
+    * into one list by score = Σ_lists 10^9 DIV (kRrf + rank), the
+    * score-free fusion that needs NO calibration between rankers
+    * (BM25 ppm and cosine ppb never meet; only ranks do). Docs absent
+    * from a list contribute nothing for it; `n_lists` reports how many
+    * lists surfaced each doc. Exact integer (one floor per list
+    * membership — identical in any agg order), ties by doc id.
+    *
+    * Scale shape: the union is N·topK thin rows per query; the fusion
+    * window partitions by query over that bounded set — never the
+    * corpus. The expensive part is the upstream rankers; fusion is
+    * free.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty && kRrf >= 0 && topK > 0)
+    val dec = "decimal(38,0)"
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    u.withColumn("_c", call_function("div",
+        lit(1000000000L).cast(dec),
+        (lit(kRrf.toLong) + col("rank")).cast(dec)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_c")).cast("long").as("rrf_score_ppb"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score_ppb").desc, col("doc_id")))
+        .cast("long"))
+      .where(col("rank") <= topK)
+  }
 
   /** BM25-style top-k retrieval. `queries` is a thin
     * (query_id, term) workload table (broadcast; terms lowercased

@@ -2531,6 +2531,32 @@ class OpsSpec extends AnyFunSuite {
     assert(big < 40L, s"8192-bit filter fp $big")
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank arithmetic, " +
+      "two-list consensus outranks either single-list head, " +
+      "tfTopK agrees with a brute count") {
+    import spark.implicits._
+    val l1 = Seq(("q", 1L, 1L), ("q", 2L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val l2 = Seq(("q", 2L, 1L), ("q", 3L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val f = Retrieval.rrfFuse(Seq(l1, l2), kRrf = 60, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d2 is in both lists: 10^9//61 + 10^9//62 beats either head
+    assert(f === Array(
+      (2L, 1000000000L / 61 + 1000000000L / 62, 2L),
+      (1L, 1000000000L / 61, 1L),
+      (3L, 1000000000L / 62, 1L)))
+    // tfTopK: summed tf of query terms, rank by (tf desc, id)
+    val docs = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma"),
+      (3L, "beta beta beta alpha")).toDF("id", "text")
+    val qs = Seq(("w", "alpha"), ("w", "beta")).toDF("query_id", "term")
+    val tf = Retrieval.tfTopK(docs, "id", "text", qs, topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tf === Array((3L, 4L, 1L), (1L, 3L, 2L), (2L, 1L, 3L)))
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
