@@ -1976,6 +1976,27 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(bm, tf), kRrf = 60, topK = 5)
         .orderBy("query_id", "rank")
     }),
+    // homoglyph spoof gate: hosts fold to their UTS#39-subset skeleton
+    // and hit a trusted list — Cyrillic paypal/google/apple and Greek
+    // amazon plants flag, the EXACT trusted spelling and clean hosts
+    // pass (k=3 pins the skeleton-equal-but-identical case)
+    "q135_homoglyph" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val k = pmod(did, lit(6))
+      val host = when(k === 0, lit("pаypal.com"))
+        .when(k === 1, lit("gооgle.com"))
+        .when(k === 2, lit("amazοn.com"))
+        .when(k === 3, lit("paypal.com"))
+        .when(k === 5, lit("аррӏе.com"))
+        .otherwise(concat(lit("host"), did, lit(".com")))
+      val hosts = t(s, d, "documents").select(did.as("doc_id"),
+        host.as("host"))
+      Curation.spoofedHosts(hosts, "host",
+          Seq("paypal.com", "google.com", "amazon.com", "apple.com"))
+        .select(col("doc_id"), col("host"), col("skeleton"),
+          col("spoof_of"), col("spoofed"))
+        .orderBy("doc_id")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4383,6 +4404,32 @@ object SparkEntry {
             THEN 1 ELSE 0 END), 0) AS BIGINT) AS hit
         FROM pr0 p LEFT JOIN c2 c ON c.key = p.key
         GROUP BY p.key, p.true_shard ORDER BY p.key""",
+    // q135: the oracle folds with the IDENTICAL translate map (the
+    // Scala constants interpolate into the SQL) and replays the
+    // trusted-list join + exact-spelling exemption
+    "q135_homoglyph" -> {
+      val from = graft.ops.Curation.ConfusableFrom
+      val to = graft.ops.Curation.ConfusableTo
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          doc_id % 6 AS k FROM documents),
+        h AS (SELECT doc_id, CASE k
+          WHEN 0 THEN 'pаypal.com' WHEN 1 THEN 'gооgle.com'
+          WHEN 2 THEN 'amazοn.com' WHEN 3 THEN 'paypal.com'
+          WHEN 5 THEN 'аррӏе.com'
+          ELSE 'host' || doc_id || '.com' END AS host FROM d),
+        sk AS (SELECT doc_id, host,
+          translate(lower(host), '$from', '$to') AS skeleton FROM h),
+        tr AS (SELECT tr, translate(lower(tr), '$from', '$to') AS skel
+          FROM (VALUES ('paypal.com'), ('google.com'), ('amazon.com'),
+            ('apple.com')) t(tr)),
+        j AS (SELECT sk.doc_id, sk.host, sk.skeleton,
+          CASE WHEN tr.tr IS NOT NULL AND lower(sk.host) != tr.tr
+            THEN tr.tr END AS spoof_of
+          FROM sk LEFT JOIN tr ON sk.skeleton = tr.skel)
+        SELECT doc_id, host, skeleton, spoof_of,
+          spoof_of IS NOT NULL AS spoofed
+        FROM j ORDER BY doc_id"""
+    },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -2273,6 +2273,54 @@ object Curation {
   def hostOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
 
+  /** Curated 1:1 subset of the Unicode UTS #39 confusables table:
+    * Cyrillic, Greek, and stray Latin letters whose glyphs are
+    * indistinguishable from Basic-Latin in common UI fonts — the
+    * script-mixing raw material of IDN spoofing (pаypal.com with a
+    * Cyrillic а). NOT the full skeleton algorithm (that maps some
+    * sources to SEQUENCES, e.g. ligatures); the 1:1 slice is what
+    * `translate` can apply per-codepoint in one pass in both engines.
+    */
+  val ConfusableFrom: String =
+    "аеорсхуіјѕһԁԛԝӏгѵ" + "οανρτυικχεηωϲ" + "ıɡ"
+  val ConfusableTo: String =
+    "aeopcxyijshdqwlrv" + "oavptuikxenwc" + "ig"
+  require(ConfusableFrom.length == ConfusableTo.length,
+    "confusable map must be 1:1")
+
+  /** Homoglyph skeleton of a hostname: lowercase, then fold every
+    * confusable codepoint to its Basic-Latin look-alike. Two hosts
+    * with equal skeletons render near-identically to a user. Pure
+    * per-row `translate`, codegen'd, oracle-portable.
+    */
+  def homoglyphSkeleton(host: Column): Column =
+    translate(lower(host), ConfusableFrom, ConfusableTo)
+
+  /** Spoofed-host detection against a trusted list: hosts whose
+    * skeleton equals a trusted host's skeleton but whose raw spelling
+    * differs — the homoglyph-phishing gate a crawl frontier runs
+    * before admitting look-alike domains ([[registrableDomain]] owns
+    * the PSL cut; this op owns the glyphs). Broadcast equi-join on the
+    * skeleton (trusted lists are small by nature); per-row otherwise.
+    * Appends `skeleton`, `spoof_of` (null when clean), `spoofed`.
+    */
+  def spoofedHosts(df: DataFrame, hostCol: String,
+      trusted: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tr = trusted.map(t =>
+      (t, t.toLowerCase(java.util.Locale.ROOT))).toDF("_tr", "_trl")
+      .withColumn("_skel", homoglyphSkeleton(col("_trl")))
+      .select(col("_tr"), col("_skel"))
+    df.withColumn("skeleton", homoglyphSkeleton(col(hostCol)))
+      .join(broadcast(tr), col("skeleton") === col("_skel"), "left")
+      .withColumn("spoof_of",
+        when(col("_tr").isNotNull && lower(col(hostCol)) =!= col("_tr"),
+          col("_tr")))
+      .withColumn("spoofed", col("spoof_of").isNotNull)
+      .drop("_tr", "_skel")
+  }
+
   /** Per-key latest-snapshot (as-of) selection: of all crawl snapshots
     * of the same (canonical) URL with `tsCol` <= `cutoff`, keep the one
     * with the greatest timestamp, ties broken by ascending `tieCol` —

@@ -2557,6 +2557,34 @@ class OpsSpec extends AnyFunSuite {
     assert(tf === Array((3L, 4L, 1L), (1L, 3L, 2L), (2L, 1L, 3L)))
   }
 
+  test("homoglyph skeleton: confusables fold to Latin, exact trusted " +
+      "spelling is exempt, clean hosts pass, map is 1:1") {
+    import spark.implicits._
+    val hosts = Seq(
+      "pаypal.com",   // Cyrillic а
+      "PAYPAL.com",   // exact trusted modulo case -> clean
+      "αpple.com",    // Greek α
+      "example.com",  // unrelated
+      "ɡoogle.com"    // Latin script g
+    ).toDF("host")
+    val r = Curation.spoofedHosts(hosts, "host",
+        Seq("paypal.com", "google.com", "apple.com"))
+      .select("host", "spoof_of", "spoofed").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)),
+        x.getBoolean(2))).toSet
+    assert(r === Set(
+      ("pаypal.com", Some("paypal.com"), true),
+      ("PAYPAL.com", None, false),
+      ("αpple.com", Some("apple.com"), true),
+      ("example.com", None, false),
+      ("ɡoogle.com", Some("google.com"), true)))
+    // every confusable codepoint folds to its Latin partner
+    val folded = hosts.sparkSession.range(1).select(
+      Curation.homoglyphSkeleton(lit(Curation.ConfusableFrom)))
+      .head().getString(0)
+    assert(folded === Curation.ConfusableTo)
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
