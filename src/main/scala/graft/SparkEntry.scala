@@ -1997,6 +1997,55 @@ object SparkEntry {
           col("spoof_of"), col("spoofed"))
         .orderBy("doc_id")
     }),
+    // zone-map pruning: per-shard min/max sidecars answer a 2-D box
+    // predicate for a LINEAR layout vs the z-ordered one — the
+    // planner-side file-skipping decision, measured as shards touched
+    // (z-order wins because every z-contiguous shard spans a small box
+    // in BOTH dimensions)
+    "q136_zone_maps" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      val bounds = Layout.columnBounds(docs, Seq("doc_id", "n_chars"))
+      val mx = bounds(0)._2
+      val nSh = 16L
+      val linear = docs.withColumn("shard", least(lit(nSh - 1),
+        call_function("div", col("doc_id") * nSh, lit(mx + 1))))
+      val zed = Layout.withZValue(docs, Seq("doc_id", "n_chars"),
+          bounds, bits = 8)
+        .withColumn("shard",
+          call_function("div", col("_z") * nSh, lit(65536L)))
+      val (loId, hiId) = ((mx + 1) / 5, 2 * (mx + 1) / 5)
+      // three predicate shapes: the first column (linear's home turf),
+      // the SECOND column alone (where a linear sort prunes nothing),
+      // and the 2-D box
+      val preds = Seq(
+        ("id_only", Seq(("doc_id", loId, hiId))),
+        ("chars_only", Seq(("n_chars", 150L, 250L))),
+        ("box", Seq(("doc_id", loId, hiId), ("n_chars", 150L, 250L))))
+      def one(name: String, sharded: DataFrame) = {
+        val zones = Layout.zoneMaps(sharded, "shard",
+          Seq("doc_id", "n_chars"))
+        preds.map { case (p, rs) =>
+          Layout.zonesTouched(zones, rs)
+            .agg(count(lit(1)).cast("long").as("shards_touched"))
+            .withColumn("layout", lit(name))
+            .withColumn("predicate", lit(p))
+        }.reduce(_ unionByName _)
+      }
+      val matched = preds.map { case (p, rs) =>
+        docs.where(rs.map { case (c, lo, hi) =>
+            col(c).between(lo, hi) }.reduce(_ && _))
+          .agg(count(lit(1)).cast("long").as("rows_matched"))
+          .withColumn("predicate", lit(p))
+      }.reduce(_ unionByName _)
+      one("linear", linear).unionByName(one("zorder", zed))
+        .join(matched, "predicate")
+        .select(col("layout"), col("predicate"),
+          lit(nSh).as("shards_total"), col("shards_touched"),
+          col("rows_matched"))
+        .orderBy("layout", "predicate")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4429,6 +4478,61 @@ object SparkEntry {
         SELECT doc_id, host, skeleton, spoof_of,
           spoof_of IS NOT NULL AS spoofed
         FROM j ORDER BY doc_id"""
+    },
+    // q136: the oracle re-derives bounds, the clamped range codes, the
+    // Morton interleave (16 shift terms generated here — disjoint bits,
+    // so + is |), both shard layouts, the zone maps, and the box test
+    "q136_zone_maps" -> {
+      val interleave = (0 until 8).flatMap(b => Seq(
+        s"(((c1 >> $b) & 1) << ${2 * b + 1})",
+        s"(((c2 >> $b) & 1) << ${2 * b})")).mkString(" + ")
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        b AS (SELECT MAX(doc_id) AS mxd, MIN(doc_id) AS mnd,
+          MAX(n_chars) AS mxc, MIN(n_chars) AS mnc FROM d),
+        pr AS (SELECT (mxd + 1) // 5 AS lo_id,
+          2 * (mxd + 1) // 5 AS hi_id FROM b),
+        lin AS (SELECT doc_id, n_chars,
+          least(15, (doc_id * 16) // (mxd + 1)) AS shard FROM d, b),
+        zc AS (SELECT doc_id, n_chars,
+          least(255, greatest(0,
+            (doc_id - mnd) * 255 // greatest(1, mxd - mnd))) AS c1,
+          least(255, greatest(0,
+            (n_chars - mnc) * 255 // greatest(1, mxc - mnc))) AS c2
+          FROM d, b),
+        zs AS (SELECT doc_id, n_chars,
+          (($interleave) * 16) // 65536 AS shard FROM zc),
+        zl AS (SELECT 'linear' AS layout, shard,
+            MIN(doc_id) AS dmin, MAX(doc_id) AS dmax,
+            MIN(n_chars) AS cmin, MAX(n_chars) AS cmax
+          FROM lin GROUP BY shard
+          UNION ALL SELECT 'zorder', shard, MIN(doc_id), MAX(doc_id),
+            MIN(n_chars), MAX(n_chars) FROM zs GROUP BY shard),
+        touched AS (
+          SELECT layout, 'id_only' AS predicate,
+            CAST(COUNT(*) AS BIGINT) AS shards_touched
+          FROM zl, pr WHERE dmin <= hi_id AND dmax >= lo_id
+          GROUP BY layout
+          UNION ALL SELECT layout, 'chars_only', COUNT(*)
+          FROM zl WHERE cmin <= 250 AND cmax >= 150 GROUP BY layout
+          UNION ALL SELECT layout, 'box', COUNT(*)
+          FROM zl, pr WHERE dmin <= hi_id AND dmax >= lo_id
+            AND cmin <= 250 AND cmax >= 150
+          GROUP BY layout),
+        m AS (
+          SELECT 'id_only' AS predicate,
+            CAST(COUNT(*) AS BIGINT) AS rows_matched
+          FROM d, pr WHERE doc_id BETWEEN lo_id AND hi_id
+          UNION ALL SELECT 'chars_only', COUNT(*)
+          FROM d WHERE n_chars BETWEEN 150 AND 250
+          UNION ALL SELECT 'box', COUNT(*)
+          FROM d, pr WHERE doc_id BETWEEN lo_id AND hi_id
+            AND n_chars BETWEEN 150 AND 250)
+        SELECT layout, touched.predicate,
+          CAST(16 AS BIGINT) AS shards_total, shards_touched,
+          rows_matched
+        FROM touched JOIN m ON touched.predicate = m.predicate
+        ORDER BY layout, touched.predicate"""
     },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =

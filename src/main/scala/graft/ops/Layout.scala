@@ -227,4 +227,34 @@ object Layout {
         call_function("div", col("cum_bytes") - col("_bs_w"), target)))
       .drop("_bs_w", "_bs_h")
   }
+
+  /** Zone maps: per-shard min/max of each pruning column — EXACTLY the
+    * stats a table format keeps per file (parquet footers, Iceberg
+    * manifest ranges, Delta stats), as a queryable sidecar table of
+    * one thin row per shard. Map-side-combinable min/max agg; columns
+    * come back as `<col>_min` / `<col>_max` longs.
+    */
+  def zoneMaps(df: DataFrame, shardCol: String,
+      cols: Seq[String]): DataFrame =
+    df.groupBy(col(shardCol).as("shard"))
+      .agg(cols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"${c}_min"),
+          max(col(c).cast("long")).as(s"${c}_max")))
+        .head, cols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"${c}_min"),
+          max(col(c).cast("long")).as(s"${c}_max"))).tail: _*)
+
+  /** Shards a conjunctive box predicate must touch: zone [min,max]
+    * intersects [lo,hi] on EVERY predicate column. The planner-side
+    * file-skipping decision over the zone-map sidecar — shard COUNT
+    * here is the figure of merit a layout (z-order vs linear) is
+    * judged by.
+    */
+  def zonesTouched(zones: DataFrame,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "at least one predicate range")
+    zones.where(ranges.map { case (c, lo, hi) =>
+      col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+    }.reduce(_ && _))
+  }
 }

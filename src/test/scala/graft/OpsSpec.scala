@@ -2585,6 +2585,39 @@ class OpsSpec extends AnyFunSuite {
     assert(folded === Curation.ConfusableTo)
   }
 
+  test("zone maps: a shard holding a matching row is NEVER skipped; " +
+      "z-order prunes on both dimensions, a linear sort only on its " +
+      "own column") {
+    import graft.ops.Layout
+    val df = spark.range(1024).select(col("id").cast("long").as("a"),
+      pmod(col("id") * 7919L, lit(1024L)).cast("long").as("b"))
+    val linear = df.withColumn("shard",
+      call_function("div", col("a") * 16L, lit(1024L)))
+    val bounds = Layout.columnBounds(df, Seq("a", "b"))
+    val zed = Layout.withZValue(df, Seq("a", "b"), bounds, bits = 8)
+      .withColumn("shard", expr("(_z * 16) div 65536"))
+    val predSets = Seq(Seq(("a", 100L, 300L)), Seq(("b", 100L, 300L)),
+      Seq(("a", 100L, 300L), ("b", 100L, 300L)))
+    for (l <- Seq(linear, zed); rs <- predSets) {
+      val zones = Layout.zoneMaps(l, "shard", Seq("a", "b"))
+      val touched = Layout.zonesTouched(zones, rs)
+        .select("shard").collect().map(_.getLong(0)).toSet
+      val needed = l.where(rs.map { case (c, lo, hi) =>
+          col(c).between(lo, hi) }.reduce(_ && _))
+        .select("shard").distinct().collect().map(_.getLong(0)).toSet
+      assert(needed.subsetOf(touched), s"false skip for $rs")
+    }
+    val lz = Layout.zoneMaps(linear, "shard", Seq("a", "b"))
+    val zz = Layout.zoneMaps(zed, "shard", Seq("a", "b"))
+    val bOnly = Seq(("b", 100L, 300L))
+    // b scatters across every a-range shard -> linear prunes nothing
+    assert(Layout.zonesTouched(lz, bOnly).count() === 16L)
+    assert(Layout.zonesTouched(zz, bOnly).count() < 16L)
+    // and z still prunes on a (its first dimension) too
+    assert(Layout.zonesTouched(zz, Seq(("a", 100L, 300L))).count()
+      < 16L)
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
