@@ -2046,6 +2046,26 @@ object SparkEntry {
           col("rows_matched"))
         .orderBy("layout", "predicate")
     }),
+    // resharding: rendezvous (HRW) assignment at 8 and 9 shards —
+    // the minimal-movement property measured: every moved key moves
+    // TO the new shard, ~1/9 of keys total (mod-9 would move 8/9)
+    "q137_rendezvous" -> ((s, d) => {
+      val a = t(s, d, "documents")
+        .select(concat(lit("doc:"), col("doc_id")).as("key"))
+        .withColumn("s8", Layout.rendezvousShard(col("key"), 8))
+        .withColumn("s9", Layout.rendezvousShard(col("key"), 9))
+      val occ = a.groupBy("s8").agg(count(lit(1)).as("c"))
+        .agg(min("c").cast("long").as("min_shard8"),
+          max("c").cast("long").as("max_shard8"))
+      a.agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+            .cast("long").as("n_moved"),
+          sum(when(col("s8") =!= col("s9") && col("s9") === 8L, 1L)
+            .otherwise(0L)).cast("long").as("n_moved_to_new"))
+        .withColumn("moved_ppm",
+          expr("n_moved * 1000000 div n_keys"))
+        .crossJoin(occ)
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4534,6 +4554,37 @@ object SparkEntry {
         FROM touched JOIN m ON touched.predicate = m.predicate
         ORDER BY layout, touched.predicate"""
     },
+    // q137: argmax replayed as ROW_NUMBER over (h DESC, s DESC) — the
+    // same tie direction greatest(struct(h, s)) resolves to
+    "q137_rendezvous" ->
+      """WITH k AS (SELECT 'doc:' || doc_id AS key FROM documents),
+        e8 AS (SELECT key, g.s,
+          CAST(('0x' || substr(md5(key || ':rdv:' || g.s), 1, 8))
+            AS BIGINT) AS h
+          FROM k, generate_series(0, 7) g(s)),
+        s8 AS (SELECT key, s AS s8 FROM (SELECT key, s,
+          ROW_NUMBER() OVER (PARTITION BY key
+            ORDER BY h DESC, s DESC) AS rn FROM e8) WHERE rn = 1),
+        e9 AS (SELECT key, g.s,
+          CAST(('0x' || substr(md5(key || ':rdv:' || g.s), 1, 8))
+            AS BIGINT) AS h
+          FROM k, generate_series(0, 8) g(s)),
+        s9 AS (SELECT key, s AS s9 FROM (SELECT key, s,
+          ROW_NUMBER() OVER (PARTITION BY key
+            ORDER BY h DESC, s DESC) AS rn FROM e9) WHERE rn = 1),
+        j AS (SELECT s8.key, s8.s8, s9.s9 FROM s8 JOIN s9 USING (key)),
+        occ AS (SELECT CAST(MIN(c) AS BIGINT) AS min_shard8,
+          CAST(MAX(c) AS BIGINT) AS max_shard8
+          FROM (SELECT s8, COUNT(*) AS c FROM j GROUP BY s8)),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(CASE WHEN s8 != s9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_moved,
+          CAST(SUM(CASE WHEN s8 != s9 AND s9 = 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved_to_new FROM j)
+        SELECT n_keys, n_moved, n_moved_to_new,
+          CAST(n_moved * 1000000 // n_keys AS BIGINT) AS moved_ppm,
+          min_shard8, max_shard8
+        FROM agg, occ""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

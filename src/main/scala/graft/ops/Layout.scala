@@ -228,6 +228,29 @@ object Layout {
       .drop("_bs_w", "_bs_h")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1998, the consistent-placement scheme behind cache
+    * rings and shard maps: shard(key) = argmax over shards of
+    * h(key, shard). The property a 10^12-key corpus reshards on:
+    * growing n → n+1 shards moves ONLY the keys the new shard wins
+    * (≈ 1/(n+1) of them, all moving TO the new shard) — a mod-n
+    * assignment moves n/(n+1) of everything. Pure per-row Columns:
+    * n md5-prefix hashes + a greatest() over (hash, shard) structs
+    * (field-order comparison; hash ties — 2^-32 per pair — break to
+    * the higher shard, mirrored in the oracle). n is the SHARD count
+    * (bounded), not the corpus.
+    */
+  def rendezvousShard(key: Column, nShards: Int,
+      salt: String = "rdv"): Column = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards in [1,4096], got $nShards")
+    val scored = (0 until nShards).map(s => struct(
+      graft.functions.Md5Prefix32(
+        concat(key.cast("string"), lit(s":$salt:$s"))).as("h"),
+      lit(s.toLong).as("s")))
+    greatest(scored: _*).getField("s")
+  }
+
   /** Zone maps: per-shard min/max of each pruning column — EXACTLY the
     * stats a table format keeps per file (parquet footers, Iceberg
     * manifest ranges, Delta stats), as a queryable sidecar table of

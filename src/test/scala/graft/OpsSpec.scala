@@ -2618,6 +2618,38 @@ class OpsSpec extends AnyFunSuite {
       < 16L)
   }
 
+  test("rendezvous sharding: growing n to n+1 moves only winners of " +
+      "the new shard (all TO it, ~1/(n+1) of keys); mod-n moves " +
+      "almost everything; assignment is content-stable") {
+    import graft.ops.Layout
+    val keys = spark.range(2000).select(
+      concat(lit("k"), col("id")).as("key"))
+    val a = keys
+      .withColumn("s8", Layout.rendezvousShard(col("key"), 8))
+      .withColumn("s9", Layout.rendezvousShard(col("key"), 9))
+    val rows = a.collect().map(r => (r.getLong(1), r.getLong(2)))
+    val moved = rows.filter { case (x, y) => x != y }
+    // every moved key lands on the NEW shard, nowhere else
+    assert(moved.forall(_._2 == 8L), "a moved key missed the new shard")
+    val frac = moved.length.toDouble / rows.length
+    assert(frac > 0.06 && frac < 0.17, s"moved fraction $frac vs 1/9")
+    // occupancy balanced within 2x of ideal at both widths
+    val occ = rows.groupBy(_._1).map(_._2.size)
+    assert(occ.max < 2 * 2000 / 8 && occ.min > 2000 / 16, s"skew $occ")
+    // mod-n resharding is the disaster being avoided
+    val modMoved = spark.range(2000)
+      .where(pmod(col("id"), lit(8)) =!= pmod(col("id"), lit(9)))
+      .count()
+    assert(modMoved > 2000L * 7 / 10)
+    // stability: repartitioned input assigns identically
+    val again = keys.repartition(13)
+      .withColumn("s8", Layout.rendezvousShard(col("key"), 8))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val first = a.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again === first)
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
