@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *     [--audit-leakage true] [--write-index true | --index <priorOut>] \
   *     [--resample-keep 0.5 [--resample-alpha 0.5]] [--seq-len 2048 [--shards 64]]
   *     [--zorder true [--zorder-files 16]]
+  *     [--mix-budget 20000 [--mix-weights en:400000,de:200000,...]]
+  *     [--hll-stats true]
   *
   * Incremental ingestion: a bootstrap run with --write-index true
   * persists <out>/index_sigs; a later batch run with --index <priorOut>
@@ -205,7 +207,7 @@ object CurateApp {
     // keepFraction/shares it stays out (raise keepFraction to admit
     // more) rather than flapping in on a reroll. Deterministic, so the
     // two references below agree.
-    val landed = opts.get("resample-keep") match {
+    val landed0 = opts.get("resample-keep") match {
       case Some(f) => Curation.temperatureResample(accepted, idCol0,
           "lang",
           alpha = opts.getOrElse("resample-alpha", "0.5").toDouble,
@@ -213,6 +215,41 @@ object CurateApp {
         .filter(col("kept")).drop("keep_slots", "kept")
       case None => accepted
     }
+    // --mix-budget B [--mix-weights en:400000,de:200000,...]: exact
+    // water-filling mixture gate — per-language token allocations
+    // toward the target weights under actual supply (mixWaterFill),
+    // enforced per stratum by tokenBudgetAssign's deterministic
+    // hash-order cut. Weights default to uniform over the languages
+    // present; a language absent from an explicit weight list gets
+    // weight 0 (allocated nothing). Runs BEFORE the index merge (same
+    // contract as --resample-keep: the index tracks corpus membership,
+    // and a doc the mix drops is re-offered on a later batch). The
+    // collect is stratum-count rows.
+    val mixAlloc = opts.get("mix-budget").map { b =>
+      val withTok = landed0.withColumn("_mb_tok",
+        graft.ops.TextAnalysis.tokenCount(col("clean_text")))
+        .localCheckpoint()
+      val weights = opts.get("mix-weights")
+        .map(_.split(",").map { kv =>
+          val Array(k, v) = kv.split(":"); k -> v.toLong }.toMap)
+        .getOrElse {
+          val langs = withTok.select("lang").distinct().collect()
+            .flatMap(r => Option(r.getString(0)))
+          val w = 1000000L / math.max(1, langs.length)
+          langs.map(_ -> w).toMap
+        }
+      val fill = Curation.mixWaterFill(withTok, "lang", "_mb_tok",
+        weights, b.toLong)
+      val alloc = fill.collect().map(r =>
+        Option(r.getString(0)).getOrElse("") ->
+          r.getAs[Long]("alloc")).toMap
+      val kept = Curation.tokenBudgetAssign(withTok, idCol0, "lang",
+          "_mb_tok", alloc)
+        .filter(col("kept")).select(col(idCol0).as("_mix_id"))
+      (withTok.join(kept, col(idCol0) === col("_mix_id"), "leftsemi")
+        .drop("_mb_tok"), alloc)
+    }
+    val landed = mixAlloc.map(_._1).getOrElse(landed0)
     if (writeIndex) {
       val acceptedSigs = opts.get("index") match {
         case Some(idxPath) =>
@@ -350,8 +387,26 @@ object CurateApp {
         s""""near":${m.getOrElse("near", 0L)},""" +
         s""""new":${m.getOrElse("new", 0L)}}"""
     }.getOrElse("")
+    val mixJson = mixAlloc.map { case (_, alloc) =>
+      s""","mix_alloc":${alloc.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
+    }.getOrElse("")
+    // --hll-stats true: distinct-token cardinality of the landed
+    // corpus from one scan + 2^12 register rows (the monitoring number
+    // a 10^12-token corpus cannot afford a distinct() for)
+    val hllJson =
+      if (!opts.get("hll-stats").exists(_.toBoolean) || outN == 0L) ""
+      else {
+        val toks = spark.read.parquet(s"$output/curated")
+          .select(explode(graft.ops.Dedup.tokens(col("clean_text")))
+            .as("k"))
+        val est = graft.ops.Sketch.hllEstimate(
+          graft.ops.Sketch.hllRegisters(toks, "k", 12), 12)
+          .head().getAs[Double]("est")
+        s""","distinct_tokens_est":${est.toLong}"""
+      }
     println(f"""{"rows_in":$in,"rows_out":$outN,"rows_packed":${
-      packedN.getOrElse(-1L)},"stages":$stages,"sec":$sec%.2f$leakJson$verdictJson}""")
+      packedN.getOrElse(-1L)},"stages":$stages,"sec":$sec%.2f$leakJson$verdictJson$mixJson$hllJson}""")
     spark.stop()
   }
 }
