@@ -2066,6 +2066,19 @@ object SparkEntry {
           expr("n_moved * 1000000 div n_keys"))
         .crossJoin(occ)
     }),
+    // phrase search: exact consecutive-token occurrences over the
+    // positional index — incl. the repeated-term phrase ("table
+    // table") the distinct-offset count exists for, and a
+    // guaranteed-absent phrase as the negative
+    "q138_phrase" -> ((s, d) =>
+      Retrieval.phraseMatch(t(s, d, "documents"), "doc_id", "text",
+          Seq(("p1_value_table", "value table"),
+            ("p2_fast_table", "fast table"),
+            ("p3_absent", "slow query nevermatches"),
+            ("p4_repeat", "table table")))
+        .select(col("phrase_id"), col("id").cast("long").as("doc_id"),
+          col("n_occurrences"))
+        .orderBy("phrase_id", "doc_id")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4585,6 +4598,34 @@ object SparkEntry {
           CAST(n_moved * 1000000 // n_keys AS BIGINT) AS moved_ppm,
           min_shard8, max_shard8
         FROM agg, occ""",
+    // q138: positional index via indexed list expansion, the same
+    // start = pos − offset normalization and distinct-offset count
+    "q138_phrase" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $toksSql AS tk FROM documents),
+        post AS (SELECT id, u.p.pos AS pos, u.p.term AS term
+          FROM d, unnest(list_transform(generate_series(1, len(tk)),
+            i -> struct_pack(pos := i - 1, term := tk[i]))) u(p)),
+        pt(phrase_id, term, off, phrase_len) AS (VALUES
+          ('p1_value_table', 'value', 0, 2),
+          ('p1_value_table', 'table', 1, 2),
+          ('p2_fast_table', 'fast', 0, 2),
+          ('p2_fast_table', 'table', 1, 2),
+          ('p3_absent', 'slow', 0, 3),
+          ('p3_absent', 'query', 1, 3),
+          ('p3_absent', 'nevermatches', 2, 3),
+          ('p4_repeat', 'table', 0, 2),
+          ('p4_repeat', 'table', 1, 2)),
+        hits AS (SELECT phrase_id, id, pos - off AS start, off,
+            phrase_len
+          FROM post JOIN pt USING (term) WHERE pos - off >= 0),
+        occ AS (SELECT phrase_id, id, start
+          FROM hits GROUP BY phrase_id, id, start, phrase_len
+          HAVING COUNT(DISTINCT off) = phrase_len)
+        SELECT phrase_id, id AS doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM occ GROUP BY phrase_id, id
+        ORDER BY phrase_id, doc_id""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -59,6 +59,59 @@ object Retrieval {
     df.select(size(Dedup.tokens(col(textCol))).cast("long").as("_dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("sum_dl"))
 
+  /** Positional postings: one row per token OCCURRENCE —
+    * `(term, id, pos)` with pos 0-based — the index phrase and
+    * proximity queries need where [[postings]]' tf-compressed form
+    * cannot answer "adjacent". Σ dl rows (the corpus token count);
+    * at scale this is the table you bucket by term.
+    */
+  def positionalPostings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("_tk"))
+      .select(col("id"), posexplode(col("_tk")))
+      .select(col("id"), col("pos"), col("col").as("term"))
+
+  /** Exact phrase occurrences: for each (phrase, doc), how many start
+    * positions carry the phrase's tokens CONSECUTIVELY — the classic
+    * decomposition (Manning/Raghavan/Schütze IR ch. 2): join postings
+    * to the phrase's (term, offset) rows, normalize every hit to its
+    * implied start = pos − offset, and a start where the count of
+    * DISTINCT offsets equals the phrase length is an occurrence (the
+    * distinct-offset count is what makes repeated-term phrases like
+    * "table table" come out right: one position can satisfy two
+    * offsets of the same term, but never the same offset twice).
+    * Returns (phrase_id, id, n_occurrences), matches only.
+    *
+    * Scale shape: the phrase table broadcasts (queries are small); the
+    * postings join is term-selective, so only positions of phrase
+    * terms shuffle — (phrase, id, start) thin rows; everything else is
+    * per-group counting.
+    */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(String, String)]): DataFrame = {
+    require(phrases.nonEmpty, "at least one phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pt = phrases.flatMap { case (pid, p) =>
+      val toks = p.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\s+").filter(_.nonEmpty)
+      toks.zipWithIndex.map { case (t, off) =>
+        (pid, t, off.toLong, toks.length.toLong) }
+    }.toDF("phrase_id", "term", "off", "phrase_len")
+    positionalPostings(docs, idCol, textCol)
+      .join(broadcast(pt), "term")
+      .select(col("phrase_id"), col("id"),
+        (col("pos") - col("off")).as("start"), col("off"),
+        col("phrase_len"))
+      .where(col("start") >= 0)
+      .groupBy(col("phrase_id"), col("id"), col("start"),
+        col("phrase_len"))
+      .agg(countDistinct(col("off")).as("_nhit"))
+      .where(col("_nhit") === col("phrase_len"))
+      .groupBy(col("phrase_id"), col("id"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
   /** Plain term-frequency top-k ranking over the same
     * (query_id, term) workload [[bm25]] takes — the cheap lexical
     * ranker (no idf, no length normalization) that serves as the

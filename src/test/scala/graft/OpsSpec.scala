@@ -2650,6 +2650,24 @@ class OpsSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("phraseMatch: overlapping repeated-term occurrences count, " +
+      "order matters, absent phrases yield no rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a table table table b"),
+      (2L, "value table then value table"),
+      (3L, "table value")).toDF("id", "text")
+    val r = Retrieval.phraseMatch(docs, "id", "text",
+        Seq(("tt", "table table"), ("vt", "value table"),
+          ("zz", "missing phrase")))
+      .collect().map(x => ((x.getString(0), x.getLong(1)),
+        x.getLong(2))).toMap
+    // "table table" overlaps: starts 1 and 2 in doc 1
+    assert(r === Map(("tt", 1L) -> 2L, ("vt", 2L) -> 2L))
+    // doc 3 has both words but reversed -> no vt row (order matters)
+    assert(!r.contains(("vt", 3L)) && !r.keys.exists(_._1 == "zz"))
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
