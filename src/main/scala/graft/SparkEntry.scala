@@ -2079,6 +2079,25 @@ object SparkEntry {
         .select(col("phrase_id"), col("id").cast("long").as("doc_id"),
           col("n_occurrences"))
         .orderBy("phrase_id", "doc_id")),
+    // count-min sketch: 4x256 counters answer token frequencies
+    // without a frequency table; every probe reports estimate vs exact
+    // (overestimate >= 0 ALWAYS — the CMS invariant), absent probes
+    // included
+    "q139_cms" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("key"))
+      val cms = Sketch.cmsTable(toks, "key", d = 4, w = 256)
+      val probes = toks.groupBy("key")
+        .agg(count(lit(1)).cast("long").as("exact"))
+        .unionByName(t(s, d, "documents").where(col("doc_id") < 5)
+          .select(concat(lit("zz"), col("doc_id")).as("key"),
+            lit(0L).as("exact")))
+      Sketch.cmsLookup(cms, probes, "key", d = 4, w = 256)
+        .join(probes, "key")
+        .select(col("key"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overestimate"))
+        .orderBy("key")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4626,6 +4645,30 @@ object SparkEntry {
           CAST(COUNT(*) AS BIGINT) AS n_occurrences
         FROM occ GROUP BY phrase_id, id
         ORDER BY phrase_id, doc_id""",
+    // q139: same md5-prefix row hashes, same mod-w addressing, the
+    // min-over-rows with absent cells as 0
+    "q139_cms" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS key FROM documents),
+        cells AS (SELECT g.r,
+            CAST(('0x' || substr(md5(key || ':cms:' || g.r), 1, 8))
+              AS BIGINT) % 256 AS c
+          FROM toks, generate_series(0, 3) g(r)),
+        cms AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM cells GROUP BY r, c),
+        probes AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS exact
+            FROM toks GROUP BY key
+          UNION ALL SELECT 'zz' || doc_id, 0
+            FROM documents WHERE doc_id < 5),
+        pc AS (SELECT p.key, p.exact, g.r,
+            CAST(('0x' || substr(md5(p.key || ':cms:' || g.r), 1, 8))
+              AS BIGINT) % 256 AS c
+          FROM probes p, generate_series(0, 3) g(r)),
+        est AS (SELECT key, exact,
+            CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS est
+          FROM pc LEFT JOIN cms ON pc.r = cms.r AND pc.c = cms.c
+          GROUP BY key, exact)
+        SELECT key, est, exact, est - exact AS overestimate
+        FROM est ORDER BY key""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -133,6 +133,59 @@ object Sketch {
     a.unionByName(b).groupBy(col("reg"))
       .agg(max(col("rho_max")).cast("int").as("rho_max"))
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): d hash rows ×
+    * w counters answering "how often did key X occur" from d·w cells
+    * instead of a full frequency table — the frequency complement of
+    * the HLL cardinality sketch, and the mergeable summary behind
+    * streaming heavy-hitter monitors. Relational build: every
+    * occurrence explodes to its d (row, column) cells, cells group to
+    * counts map-side — only NONZERO cells materialize, and sketches
+    * MERGE by cell-wise sum ([[cmsMerge]]), so per-partition / per-day
+    * sketches roll up exactly. h_r(key) = md5-prefix(key:cms:r) mod w;
+    * deterministic, engine-portable.
+    */
+  def cmsTable(df: DataFrame, keyCol: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"cms needs d in [1,16], w >= 2")
+    val rows = (0 until d).map(r => struct(lit(r).as("r"),
+      pmod(graft.functions.Md5Prefix32(
+        concat(col(keyCol).cast("string"), lit(s":cms:$r"))),
+        lit(w.toLong)).as("c")))
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array(rows: _*)).as("_rc"))
+      .select(col("_rc.r").as("r"), col("_rc.c").as("c"))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Merge CMS sketches: cell-wise sum — exactly the sketch one pass
+    * over the concatenated input builds.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Point-frequency estimates from a [[cmsTable]]: est(key) = min
+    * over the d rows of the addressed cell (absent cell = 0). NEVER
+    * an underestimate; overestimates by at most the collision mass,
+    * E[err] <= corpus_size · e / w per the standard bound. d left
+    * joins on (r, c) — the sketch is the small side.
+    */
+  def cmsLookup(cms: DataFrame, probes: DataFrame, keyCol: String,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, "d/w must match the build")
+    val rows = (0 until d).map(r => struct(lit(r).as("r"),
+      pmod(graft.functions.Md5Prefix32(
+        concat(col("key"), lit(s":cms:$r"))),
+        lit(w.toLong)).as("c")))
+    probes.select(col(keyCol).cast("string").as("key"))
+      .select(col("key"), explode(array(rows: _*)).as("_rc"))
+      .select(col("key"), col("_rc.r").as("r"), col("_rc.c").as("c"))
+      .join(cms, Seq("r", "c"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).cast("long").as("est"))
+  }
+
   /** Cardinality estimate from an HLL register table: one row,
     * `(m, n_nonzero, est)`. The indicator sum Z = Σ 2^-rho (empty
     * registers contribute 1) is computed EXACTLY as the integer

@@ -2668,6 +2668,36 @@ class OpsSpec extends AnyFunSuite {
     assert(!r.contains(("vt", 3L)) && !r.keys.exists(_._1 == "zz"))
   }
 
+  test("count-min sketch: never underestimates even fully saturated, " +
+      "exact when wide, merge of halves == global") {
+    import spark.implicits._
+    import graft.ops.Sketch
+    // 300 occurrences over 100 keys, zipf-ish (key k appears k%7+1x)
+    val occ = spark.range(100).select(
+        concat(lit("t"), col("id")).as("key"),
+        (pmod(col("id"), lit(7)) + 1).cast("int").as("n"))
+      .select(col("key"), explode(sequence(lit(1), col("n"))))
+      .select("key")
+    val exact = occ.groupBy("key").agg(count(lit(1)).as("exact"))
+    for (w <- Seq(8, 4096)) {
+      val est = Sketch.cmsLookup(Sketch.cmsTable(occ, "key", 4, w),
+          exact, "key", 4, w)
+        .join(exact, "key")
+        .select((col("est") - col("exact")).as("over")).collect()
+        .map(_.getLong(0))
+      assert(est.forall(_ >= 0L), s"UNDERestimate at w=$w")
+      if (w == 4096) assert(est.forall(_ === 0L), "collisions at 4096")
+      else assert(est.exists(_ > 0L), "w=8 must actually collide")
+    }
+    // merge = cell-wise sum, exactly the one-pass sketch
+    val (a, b) = (occ.limit(150), occ.exceptAll(occ.limit(150)))
+    val merged = Sketch.cmsMerge(Sketch.cmsTable(a, "key", 4, 64),
+      Sketch.cmsTable(b, "key", 4, 64))
+    assert(merged.orderBy("r", "c").collect().toSeq ===
+      Sketch.cmsTable(occ, "key", 4, 64).orderBy("r", "c")
+        .collect().toSeq)
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
