@@ -2098,6 +2098,12 @@ object SparkEntry {
           (col("est") - col("exact")).as("overestimate"))
         .orderBy("key")
     }),
+    // keyword extraction: TextRank — PageRank over the adjacent-token
+    // co-occurrence graph (vocabulary-sized, undirected); top-20
+    // central words of the corpus topology
+    "q140_textrank" -> ((s, d) =>
+      TextAnalysis.textRankKeywords(t(s, d, "documents"), "text",
+        iterations = 3, topK = 20)),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4669,6 +4675,25 @@ object SparkEntry {
           GROUP BY key, exact)
         SELECT key, est, exact, est - exact AS overestimate
         FROM est ORDER BY key""",
+    // q140: co-occurrence edges in SQL + the SHARED PageRank round
+    // template (prRoundsSql) — same integral DIV per round
+    "q140_textrank" -> {
+      val rounds = prRoundsSql(3)
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+        pr0 AS (SELECT tk[i] AS a, tk[i + 1] AS b
+          FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM t WHERE len(tk) >= 2)),
+        pu AS (SELECT a, b FROM pr0 WHERE a != b),
+        e AS (SELECT DISTINCT src, dst FROM (SELECT a AS src, b AS dst
+          FROM pu UNION ALL SELECT b, a FROM pu)),
+        nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
+          FROM nd)$rounds
+        SELECT node AS word, rank_ppb FROM r3
+        ORDER BY rank_ppb DESC, word LIMIT 20"""
+    },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -415,6 +415,36 @@ object TextAnalysis {
     * guards degenerate high-PMI hapax pairs (two tokens that appear
     * once, together, have maximal PMI and zero evidence).
     */
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): rank
+    * tokens by PageRank over the adjacent-token co-occurrence graph —
+    * undirected (edges materialize in both directions), self-loops
+    * dropped, distinct edges: the standard unweighted form. The graph
+    * is VOCABULARY-sized (nodes = distinct tokens, edges = distinct
+    * adjacent pairs), so the fixpoint runs over thin rows no matter
+    * the corpus size; ranking reuses the integer-exact
+    * [[graft.ops.WebGraph.pageRank]], so the oracle replays rounds
+    * bit-for-bit. Complements [[collocations]]: PMI finds PHRASES
+    * (rigid pairs), TextRank finds the corpus's central VOCABULARY
+    * (hub words of the co-occurrence topology).
+    */
+  def textRankKeywords(df: DataFrame, textCol: String,
+      iterations: Int = 3, topK: Int = 20): DataFrame = {
+    val based = df.select(Dedup.tokens(col(textCol)).as("_tk"))
+    val pairs = based.where(size(col("_tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("_tk")) - 2),
+        i => struct(element_at(col("_tk"), i + 1).as("a"),
+          element_at(col("_tk"), i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    graft.ops.WebGraph.pageRank(edges, "src", "dst", iterations)
+      .orderBy(col("rank_ppb").desc, col("node"))
+      .limit(topK)
+      .withColumnRenamed("node", "word")
+  }
+
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
       topK: Int = 50): DataFrame = {
     val toks = Dedup.tokens(col(textCol))

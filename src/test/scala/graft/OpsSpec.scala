@@ -2698,6 +2698,22 @@ class OpsSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("textRank: the co-occurrence hub outranks peripheral words; " +
+      "self-adjacency and short docs are ignored") {
+    import spark.implicits._
+    val docs = Seq("hub alpha", "hub beta", "hub gamma", "hub delta",
+      "alpha beta", "solo", "loop loop").toDF("text")
+    val r = TextAnalysis.textRankKeywords(docs, "text",
+        iterations = 3, topK = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.head._1 === "hub", s"expected hub first, got ${r.toSeq}")
+    assert(r.head._2 > r.last._2, "ranks must discriminate")
+    val words = r.map(_._1).toSet
+    // single-word docs and pure self-loops contribute no nodes
+    assert(!words.contains("solo") && !words.contains("loop"))
+    assert(words === Set("hub", "alpha", "beta", "gamma", "delta"))
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
