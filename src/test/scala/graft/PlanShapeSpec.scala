@@ -428,4 +428,51 @@ class PlanShapeSpec extends AnyFunSuite {
         s"expected exactly one key-carrying shuffle, got: $withKey")
     }
   }
+
+  test("phraseMatch: no shuffle carries document text — only thin " +
+      "(phrase, id, start) rows move; the phrase table broadcasts") {
+    withPlainPlan {
+      val out = Retrieval.phraseMatch(docs, "doc_id", "text",
+        Seq(("p", "w1 w1")))
+      shuffledNames(out).foreach(s =>
+        assert(!s.contains("text"), s"text shuffled: $s"))
+      val bcasts = out.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bcasts.nonEmpty, "phrase table must broadcast")
+    }
+  }
+
+  test("sketches: HLL and CMS builds are map-side-combinable aggs " +
+      "whose one shuffle carries only register/cell coordinates") {
+    withPlainPlan {
+      import spark.implicits._
+      val keys = docs.select(col("text").as("k"))
+      val hll = graft.ops.Sketch.hllRegisters(keys, "k", 8)
+      val hs = shuffledNames(hll)
+      assert(hs.size === 1 && !hs.head.contains("k"),
+        s"HLL shuffle must carry registers only: $hs")
+      // partial (map-side) aggregation before the exchange: the plan
+      // contains two HashAggregates around the single shuffle
+      val hashAggs = hll.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(hashAggs.size >= 2, "expected partial+final aggregation")
+      val cms = graft.ops.Sketch.cmsTable(keys, "k", 4, 64)
+      val cs = shuffledNames(cms)
+      assert(cs.size === 1 && !cs.head.contains("k"),
+        s"CMS shuffle must carry cells only: $cs")
+    }
+  }
+
+  test("bloomShardIndex: build aggregates map-side; the shuffle " +
+      "carries (shard, word) fragments, never keys") {
+    withPlainPlan {
+      val out = Curation.bloomShardIndex(
+        docs.withColumn("shard", pmod(col("doc_id"), lit(4L))),
+        "shard", "text", 4096)
+      shuffledNames(out).foreach(s =>
+        assert(!s.contains("text"), s"key column shuffled: $s"))
+    }
+  }
 }
