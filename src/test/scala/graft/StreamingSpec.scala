@@ -583,4 +583,27 @@ class StreamingSpec extends AnyFunSuite {
       .head().getAs[Double]("est")
     assert(math.abs(est - 900.0) / 900.0 < 0.2, s"live HLL est $est")
   }
+
+  test("streaming CMS: the count-min build runs unchanged as a live " +
+      "frequency monitor; final cells == batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // cmsTable = explode-to-cells + grouped count: streaming-legal
+    // as-is, state bounded by d*w cells forever (Complete mode)
+    val q = graft.ops.Sketch.cmsTable(stream.toDF().toDF("k"), "k",
+        d = 4, w = 64)
+      .writeStream.format("memory").queryName("cms_stream_out")
+      .outputMode(OutputMode.Complete).start()
+    stream.addData((0 until 300).map(i => s"t${i % 40}"): _*)
+    q.processAllAvailable()
+    stream.addData((0 until 200).map(i => s"t${i % 25}"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.ops.Sketch.cmsTable(
+      ((0 until 300).map(i => s"t${i % 40}") ++
+        (0 until 200).map(i => s"t${i % 25}")).toDF("k"), "k", 4, 64)
+    assert(spark.table("cms_stream_out").orderBy("r", "c")
+      .collect().toSeq === batch.orderBy("r", "c").collect().toSeq)
+  }
 }
