@@ -2104,6 +2104,23 @@ object SparkEntry {
     "q140_textrank" -> ((s, d) =>
       TextAnalysis.textRankKeywords(t(s, d, "documents"), "text",
         iterations = 3, topK = 20)),
+    // related pages without content: co-citation counts (common
+    // in-linkers, the off-diagonal of A^T A) over a planted two-
+    // generator link graph (40 sources x 97 pages, counts 1..11 — the
+    // q71-family graph is functional, one dst per src, so it plants
+    // its own), hub-capped like every bounded-blocking op
+    "q141_cocitation" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val docs = t(s, d, "documents")
+      def e(dst: Column) = docs.select(
+        concat(lit("s"), pmod(did, lit(40))).as("src"),
+        concat(lit("p"), dst).as("dst"))
+      val edges = e(pmod(did, lit(97)))
+        .unionByName(e(pmod(did * 5L + 2L, lit(97))))
+      WebGraph.coCitation(edges, "src", "dst",
+          minCount = 3, maxOutDeg = 64)
+        .orderBy("a", "b")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4694,6 +4711,24 @@ object SparkEntry {
         SELECT node AS word, rank_ppb FROM r3
         ORDER BY rank_ppb DESC, word LIMIT 20"""
     },
+    // q141: the same planted two-generator graph and the distinct-
+    // edge, hub-cap, a<b self-join staging
+    "q141_cocitation" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          FROM documents),
+        e AS (SELECT 's' || (doc_id % 40) AS src,
+            'p' || (doc_id % 97) AS dst FROM d
+          UNION ALL SELECT 's' || (doc_id % 40),
+            'p' || ((doc_id * 5 + 2) % 97) FROM d),
+        de AS (SELECT DISTINCT src AS s, dst AS dd FROM e),
+        dg AS (SELECT s, COUNT(*) AS od FROM de GROUP BY s),
+        kept AS (SELECT de.s, de.dd FROM de JOIN dg USING (s)
+          WHERE od <= 64)
+        SELECT l.dd AS a, r.dd AS b,
+          CAST(COUNT(*) AS BIGINT) AS cocitations
+        FROM kept l JOIN kept r ON l.s = r.s AND l.dd < r.dd
+        GROUP BY l.dd, r.dd HAVING COUNT(*) >= 3
+        ORDER BY a, b""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -369,6 +369,48 @@ object WebGraph {
         col("n_members").cast("long").as("n_members"))
   }
 
+  /** Co-citation similarity (Small, JASIS 1973): two pages are related
+    * when the same source links to BOTH — the count of common
+    * in-linkers, i.e. the off-diagonal of AᵀA on the link matrix. The
+    * related-pages / related-domains primitive that needs no content:
+    * purely topological, so it works on uncrawled URLs.
+    * (Bibliographic coupling — common OUT-links, Kessler 1963 — is
+    * the same computation with (src, dst) swapped at the call site.)
+    *
+    * Scale shape: the self-join explodes C(outdeg, 2) pairs per
+    * source, so hub sources are capped at `maxOutDeg` distinct
+    * out-links — the same bounded-blocking discipline as the LSH
+    * bucket cap and containment's shingle-df cap;
+    * [[coCitationSkippedSources]] returns what the cap dropped so a
+    * caller sizes it deliberately. Pairs shuffle as thin
+    * (a, b, count) rows; minCount prunes the long tail before it
+    * materializes downstream.
+    */
+  def coCitation(edges: DataFrame, srcCol: String, dstCol: String,
+      minCount: Long = 2, maxOutDeg: Int = 64): DataFrame = {
+    require(minCount >= 1 && maxOutDeg >= 2)
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .distinct()
+    val deg = e.groupBy(col("_s")).agg(count(lit(1)).as("_od"))
+    val kept = e.join(deg.where(col("_od") <= maxOutDeg)
+      .select("_s"), "_s")
+    kept.as("l").join(kept.as("r"),
+        col("l._s") === col("r._s") && col("l._d") < col("r._d"))
+      .groupBy(col("l._d").as("a"), col("r._d").as("b"))
+      .agg(count(lit(1)).cast("long").as("cocitations"))
+      .where(col("cocitations") >= minCount)
+  }
+
+  /** Sources [[coCitation]]'s hub cap dropped: (src, outdeg) with
+    * outdeg > maxOutDeg — the cap accounting, same contract as
+    * `minhashLshSkippedBuckets` / `containmentSkippedShingles`.
+    */
+  def coCitationSkippedSources(edges: DataFrame, srcCol: String,
+      dstCol: String, maxOutDeg: Int = 64): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("_d")).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .where(col("outdeg") > maxOutDeg)
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

@@ -2714,6 +2714,31 @@ class OpsSpec extends AnyFunSuite {
     assert(words === Set("hub", "alpha", "beta", "gamma", "delta"))
   }
 
+  test("coCitation: counts common in-linkers, dedups repeated edges, " +
+      "hub cap drops mega-sources into the accounting table") {
+    import spark.implicits._
+    val edges = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "b"),  // dup edge counts once
+      ("s2", "a"), ("s2", "b"), ("s2", "c"),
+      ("s3", "a"), ("s3", "c")).toDF("src", "dst")
+    val r = WebGraph.coCitation(edges, "src", "dst",
+        minCount = 2, maxOutDeg = 64).collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    // (a,b): s1+s2 = 2; (a,c): s2+s3 = 2; (b,c): only s2 -> pruned
+    assert(r === Map(("a", "b") -> 2L, ("a", "c") -> 2L))
+    // a hub source above the cap contributes no pairs but IS accounted
+    val hub = (0 until 10).map(i => ("hub", s"p$i")).toDF("src", "dst")
+    val capped = WebGraph.coCitation(edges.unionByName(hub),
+      "src", "dst", minCount = 2, maxOutDeg = 5)
+    assert(capped.collect().map(x =>
+      (x.getString(0), x.getString(1))).toSet ===
+      Set(("a", "b"), ("a", "c")))
+    val skipped = WebGraph.coCitationSkippedSources(
+      edges.unionByName(hub), "src", "dst", maxOutDeg = 5).collect()
+    assert(skipped.map(x => (x.getString(0), x.getLong(1))).toSeq ===
+      Seq(("hub", 10L)))
+  }
+
 }
 
 /** A stand-in "real" decoder for the codec-seam test: different decode
