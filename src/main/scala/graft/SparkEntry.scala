@@ -1969,10 +1969,16 @@ object SparkEntry {
     // calibration-free list merge (ranks meet, scores never do)
     "q134_rrf_fusion" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // ONE corpus tokenize pass serves both rankers (matchedPostings
+      // materializes the query-term-restricted postings once)
+      val m = Retrieval.matchedPostings(docs, "doc_id", "text",
+        bm25Queries(s))
       val bm = Retrieval.bm25(docs, "doc_id", "text", bm25Queries(s),
-        topK = 10).select(col("query_id"), col("doc_id"), col("rank"))
+          topK = 10, precomputedMatched = Some(m))
+        .select(col("query_id"), col("doc_id"), col("rank"))
       val tf = Retrieval.tfTopK(docs, "doc_id", "text", bm25Queries(s),
-        topK = 10).select(col("query_id"), col("doc_id"), col("rank"))
+          topK = 10, precomputedMatched = Some(m))
+        .select(col("query_id"), col("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(bm, tf), kRrf = 60, topK = 5)
         .orderBy("query_id", "rank")
     }),

@@ -120,13 +120,30 @@ object Retrieval {
     * rank), rank <= topK, ties by doc id. Same postings table, same
     * broadcast workload join — one corpus scan.
     */
+  /** Query-term-restricted postings, materialized once — the shared
+    * candidate table when several rankers serve the same workload
+    * (one corpus tokenize pass, N consumers: the splitLeakageAudit
+    * discipline). Pass to [[bm25]] / [[tfTopK]] via
+    * `precomputedMatched` — each would otherwise scan the corpus
+    * independently.
+    */
+  def matchedPostings(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame): DataFrame = {
+    val qterms = queries.select(lower(col("term")).as("term")).distinct()
+    postings(docs, idCol, textCol)
+      .join(broadcast(qterms), Seq("term"))
+      .localCheckpoint()
+  }
+
   def tfTopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, topK: Int = 10): DataFrame = {
+      queries: DataFrame, topK: Int = 10,
+      precomputedMatched: Option[DataFrame] = None): DataFrame = {
     require(topK > 0)
     val qt = queries
       .select(col("query_id"), lower(col("term")).as("term"))
       .distinct()
-    val m = postings(docs, idCol, textCol)
+    val m = precomputedMatched
+      .getOrElse(matchedPostings(docs, idCol, textCol, queries))
       .join(broadcast(qt), "term")
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("tf")).cast("long").as("tf_sum"))
@@ -199,7 +216,8 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, topK: Int = 10, k1Ppm: Long = 1200000L,
-      bPpm: Long = 750000L, shards: Int = 0): DataFrame = {
+      bPpm: Long = 750000L, shards: Int = 0,
+      precomputedMatched: Option[DataFrame] = None): DataFrame = {
     require(topK > 0 && k1Ppm >= 0 && bPpm >= 0 && bPpm <= 1000000L)
     val dec = "decimal(38,0)"
     def div(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -207,10 +225,8 @@ object Retrieval {
     val qt = queries
       .select(col("query_id"), lower(col("term")).as("term"))
       .distinct()
-    val qterms = qt.select(col("term")).distinct()
-    val matched = postings(docs, idCol, textCol)
-      .join(broadcast(qterms), Seq("term"))
-      .localCheckpoint()
+    val matched = precomputedMatched
+      .getOrElse(matchedPostings(docs, idCol, textCol, queries))
     // postings are unique per (term, id), so df = row count per term
     val dfT = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("_df"))

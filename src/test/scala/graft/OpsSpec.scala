@@ -2555,6 +2555,18 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("rank").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(tf === Array((3L, 4L, 1L), (1L, 3L, 2L), (2L, 1L, 3L)))
+    // the shared-scan seam: precomputed matched postings yield results
+    // identical to each ranker's own pass
+    val m = Retrieval.matchedPostings(docs, "id", "text", qs)
+    assert(Retrieval.tfTopK(docs, "id", "text", qs, 3, Some(m))
+      .orderBy("rank").collect().toSeq ===
+      Retrieval.tfTopK(docs, "id", "text", qs, 3)
+        .orderBy("rank").collect().toSeq)
+    assert(Retrieval.bm25(docs, "id", "text", qs, topK = 3,
+        precomputedMatched = Some(m))
+      .orderBy("rank", "doc_id").collect().toSeq ===
+      Retrieval.bm25(docs, "id", "text", qs, topK = 3)
+        .orderBy("rank", "doc_id").collect().toSeq)
   }
 
   test("homoglyph skeleton: confusables fold to Latin, exact trusted " +
