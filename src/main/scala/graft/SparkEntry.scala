@@ -2127,6 +2127,16 @@ object SparkEntry {
           minCount = 3, maxOutDeg = 64)
         .orderBy("a", "b")
     }),
+    // search-result highlighting: KWIC context windows around phrase
+    // occurrences, capped at 2 per (phrase, doc); text rejoins only
+    // for matched docs
+    "q142_kwic" -> ((s, d) =>
+      Retrieval.kwicSnippets(t(s, d, "documents"), "doc_id", "text",
+          Seq(("p1", "value table"), ("p4", "table table")),
+          window = 2, maxPerDoc = 2)
+        .select(col("phrase_id"), col("id").cast("long").as("doc_id"),
+          col("start").cast("long").as("start"), col("snippet"))
+        .orderBy("phrase_id", "doc_id", "start")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4735,6 +4745,29 @@ object SparkEntry {
         FROM kept l JOIN kept r ON l.s = r.s AND l.dd < r.dd
         GROUP BY l.dd, r.dd HAVING COUNT(*) >= 3
         ORDER BY a, b""",
+    // q142: q138's occurrence derivation + per-(phrase,doc) cap +
+    // the same clamped slice arithmetic
+    "q142_kwic" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $toksSql AS tk FROM documents),
+        post AS (SELECT id, u.p.pos AS pos, u.p.term AS term
+          FROM d, unnest(list_transform(generate_series(1, len(tk)),
+            i -> struct_pack(pos := i - 1, term := tk[i]))) u(p)),
+        pt(phrase_id, term, off, phrase_len) AS (VALUES
+          ('p1', 'value', 0, 2), ('p1', 'table', 1, 2),
+          ('p4', 'table', 0, 2), ('p4', 'table', 1, 2)),
+        occ AS (SELECT phrase_id, id, pos - off AS start, phrase_len
+          FROM post JOIN pt USING (term) WHERE pos - off >= 0
+          GROUP BY phrase_id, id, pos - off, phrase_len
+          HAVING COUNT(DISTINCT off) = phrase_len),
+        capped AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY phrase_id, id ORDER BY start) AS rn
+          FROM occ) WHERE rn <= 2)
+        SELECT phrase_id, id AS doc_id, CAST(start AS BIGINT) AS start,
+          array_to_string(tk[greatest(start + 1 - 2, 1) :
+            least(start + phrase_len + 2, len(tk))], ' ') AS snippet
+        FROM capped JOIN d USING (id)
+        ORDER BY phrase_id, doc_id, start""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

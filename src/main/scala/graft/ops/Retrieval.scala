@@ -87,7 +87,11 @@ object Retrieval {
     * terms shuffle — (phrase, id, start) thin rows; everything else is
     * per-group counting.
     */
-  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+  /** Every phrase occurrence as `(phrase_id, id, start, phrase_len)`
+    * (start 0-based) — the table [[phraseMatch]] counts over and
+    * [[kwicSnippets]] cuts context windows from.
+    */
+  def phraseOccurrences(docs: DataFrame, idCol: String, textCol: String,
       phrases: Seq[(String, String)]): DataFrame = {
     require(phrases.nonEmpty, "at least one phrase")
     val spark = docs.sparkSession
@@ -108,8 +112,41 @@ object Retrieval {
         col("phrase_len"))
       .agg(countDistinct(col("off")).as("_nhit"))
       .where(col("_nhit") === col("phrase_len"))
+      .drop("_nhit")
+  }
+
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(String, String)]): DataFrame =
+    phraseOccurrences(docs, idCol, textCol, phrases)
       .groupBy(col("phrase_id"), col("id"))
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
+
+  /** Keyword-in-context snippets: for each phrase occurrence, the
+    * `window`-token context on each side, capped at `maxPerDoc`
+    * occurrences per (phrase, doc) — the search-result highlight /
+    * concordance view. Text rejoins ONLY for matched documents (a
+    * semi-join-sized id join), and the per-(phrase, doc) cap window
+    * runs over occurrence rows, never the corpus. Returns
+    * (phrase_id, id, start, snippet).
+    */
+  def kwicSnippets(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(String, String)], window: Int = 3,
+      maxPerDoc: Int = 2): DataFrame = {
+    require(window >= 0 && maxPerDoc >= 1)
+    val occ = phraseOccurrences(docs, idCol, textCol, phrases)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("phrase_id"), col("id"))
+          .orderBy(col("start"))))
+      .where(col("_rn") <= maxPerDoc)
+    val toks = docs.select(col(idCol).as("id"),
+      Dedup.tokens(col(textCol)).as("_tk"))
+    val s1 = greatest(col("start") + 1L - window, lit(1L))
+    val e1 = least(col("start") + col("phrase_len") + window,
+      size(col("_tk")).cast("long"))
+    occ.join(toks, "id")
+      .select(col("phrase_id"), col("id"), col("start"),
+        array_join(slice(col("_tk"), s1.cast("int"),
+          (e1 - s1 + 1L).cast("int")), " ").as("snippet"))
   }
 
   /** Plain term-frequency top-k ranking over the same

@@ -2726,6 +2726,28 @@ class OpsSpec extends AnyFunSuite {
     assert(words === Set("hub", "alpha", "beta", "gamma", "delta"))
   }
 
+  test("kwicSnippets: windows clamp at document edges, occurrences " +
+      "cap per doc by earliest start, snippet contains the phrase") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "match here tail a b c d match here end"),
+      (2L, "x match here y")).toDF("id", "text")
+    val r = Retrieval.kwicSnippets(docs, "id", "text",
+        Seq(("m", "match here")), window = 2, maxPerDoc = 1)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getString(3)))
+      .sortBy(_._1)
+    // doc 1: two occurrences, cap keeps the earliest (start 0), and
+    // the left window clamps at the document start
+    assert(r === Array((1L, 0L, "match here tail a"),
+      (2L, 1L, "x match here y")))
+    // uncapped: the second occurrence's right window clamps at the end
+    val all = Retrieval.kwicSnippets(docs, "id", "text",
+        Seq(("m", "match here")), window = 2, maxPerDoc = 9)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getString(3)))
+      .toSet
+    assert(all.contains((1L, 7L, "c d match here end")))
+  }
+
   test("coCitation: counts common in-linkers, dedups repeated edges, " +
       "hub cap drops mega-sources into the accounting table") {
     import spark.implicits._
