@@ -2137,6 +2137,20 @@ object SparkEntry {
         .select(col("phrase_id"), col("id").cast("long").as("doc_id"),
           col("start").cast("long").as("start"), col("snippet"))
         .orderBy("phrase_id", "doc_id", "start")),
+    // graph density: exact triangle count + global clustering
+    // coefficient via degree-ordered orientation (each doc plants a
+    // 3-clique on a 30-node graph, so the count is rich and exact)
+    "q143_triangles" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val a = pmod(did, lit(30))
+      val b = pmod(did * 7L + 1L, lit(30))
+      val c = pmod(did * 13L + 5L, lit(30))
+      val docs = t(s, d, "documents")
+      val edges = docs.select(a.as("x"), b.as("y"))
+        .unionByName(docs.select(a.as("x"), c.as("y")))
+        .unionByName(docs.select(b.as("x"), c.as("y")))
+      WebGraph.triangleStats(edges, "x", "y")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4768,6 +4782,42 @@ object SparkEntry {
             least(start + phrase_len + 2, len(tk))], ' ') AS snippet
         FROM capped JOIN d USING (id)
         ORDER BY phrase_id, doc_id, start""",
+    // q143: same canonical edges, same (deg, node) orientation, the
+    // wedge join's head-rank ordering, and the closing-edge semi-join
+    "q143_triangles" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          FROM documents),
+        raw AS (SELECT doc_id % 30 AS x, (doc_id * 7 + 1) % 30 AS y
+            FROM d
+          UNION ALL SELECT doc_id % 30, (doc_id * 13 + 5) % 30 FROM d
+          UNION ALL SELECT (doc_id * 7 + 1) % 30,
+            (doc_id * 13 + 5) % 30 FROM d),
+        und AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+          FROM raw WHERE x != y),
+        deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dd
+          FROM (SELECT u AS n FROM und
+            UNION ALL SELECT v FROM und) GROUP BY n),
+        ore AS (SELECT
+            CASE WHEN du.dd <= dv.dd THEN und.u ELSE und.v END AS s,
+            CASE WHEN du.dd <= dv.dd THEN und.v ELSE und.u END AS t,
+            CASE WHEN du.dd <= dv.dd THEN dv.dd ELSE du.dd END AS dt
+          FROM und JOIN deg du ON du.n = und.u
+          JOIN deg dv ON dv.n = und.v),
+        wed AS (SELECT e1.t AS w1, e2.t AS w2
+          FROM ore e1 JOIN ore e2 ON e1.s = e2.s
+          AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+        tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM wed WHERE EXISTS (SELECT 1 FROM ore
+            WHERE ore.s = wed.w1 AND ore.t = wed.w2)),
+        base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(dd * (dd - 1)) // 2 AS BIGINT) AS n_wedges
+          FROM deg),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+          CAST(CASE WHEN n_wedges > 0
+            THEN (n_triangles * 3000000) // n_wedges
+            ELSE 0 END AS BIGINT) AS global_cc_ppm
+        FROM base, ne, tri""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

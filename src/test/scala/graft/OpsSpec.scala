@@ -2726,6 +2726,32 @@ class OpsSpec extends AnyFunSuite {
     assert(words === Set("hub", "alpha", "beta", "gamma", "delta"))
   }
 
+  test("triangleStats: K4 is all triangles, a star has none, " +
+      "triangle+pendant computes the textbook cc, dup/self edges " +
+      "are cleaned") {
+    import spark.implicits._
+    def stats(es: Seq[(Long, Long)]) =
+      WebGraph.triangleStats(es.toDF("x", "y"), "x", "y").head()
+    // K4: 4 triangles, 12 wedges, cc = 1.0
+    val k4 = stats(for (i <- 0L to 3L; j <- 0L to 3L if i < j)
+      yield (i, j))
+    assert((k4.getLong(1), k4.getLong(2), k4.getLong(3),
+      k4.getLong(4)) === ((6L, 12L, 4L, 1000000L)))
+    // star K1,5: plenty of wedges, zero triangles — and the hub's
+    // oriented out-degree is 0, so the wedge join never fans out on it
+    val star = stats((1L to 5L).map(i => (0L, i)))
+    assert(star.getLong(3) === 0L && star.getLong(2) === 10L)
+    // triangle + pendant: 1 triangle, 5 wedges, cc = 600000
+    val tp = stats(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    assert((tp.getLong(2), tp.getLong(3), tp.getLong(4)) ===
+      ((5L, 1L, 600000L)))
+    // duplicate and self edges don't change anything
+    val dirty = stats(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (1L, 3L), (1L, 1L), (1L, 4L), (4L, 1L), (2L, 2L)))
+    assert((dirty.getLong(2), dirty.getLong(3), dirty.getLong(4)) ===
+      ((5L, 1L, 600000L)))
+  }
+
   test("kwicSnippets: windows clamp at document edges, occurrences " +
       "cap per doc by earliest start, snippet contains the phrase") {
     import spark.implicits._
