@@ -2151,6 +2151,24 @@ object SparkEntry {
         .unionByName(docs.select(b.as("x"), c.as("y")))
       WebGraph.triangleStats(edges, "x", "y")
     }),
+    // dense-community core: 5-core of the planted graph (3-clique
+    // hub layer + two pendant tail layers) — the tails peel away in
+    // 3 rounds, the 30-node dense core survives intact
+    "q144_kcore" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val docs = t(s, d, "documents")
+      def e(x: Column, y: Column) =
+        docs.select(x.as("x"), y.as("y"))
+      val a = pmod(did, lit(30))
+      val b = pmod(did * 7L + 1L, lit(30))
+      val c = pmod(did * 13L + 5L, lit(30))
+      val p1 = pmod(did, lit(100)) + 30L
+      val p2 = pmod(did, lit(200)) + 130L
+      val edges = e(a, b).unionByName(e(a, c)).unionByName(e(b, c))
+        .unionByName(e(a, p1)).unionByName(e(p1, p2))
+      WebGraph.kCore(edges, "x", "y", k = 5)
+        .orderBy("u", "v")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4818,6 +4836,38 @@ object SparkEntry {
             THEN (n_triangles * 3000000) // n_wedges
             ELSE 0 END AS BIGINT) AS global_cc_ppm
         FROM base, ne, tri""",
+    // q144: the peel unrolled 6 rounds (the instance converges in 3;
+    // extra rounds are no-ops at the fixpoint, so the unroll depth
+    // only needs to be AT LEAST the peeling depth)
+    "q144_kcore" -> {
+      // MATERIALIZED is load-bearing: each round references the
+      // previous edge set four times (degree union + two IN probes),
+      // and CTE inlining would re-expand the whole upstream tree
+      // 4^rounds times — thousands of concurrent base-table scans
+      val rounds = (1 to 6).map { i =>
+        s""",
+        kp$i AS MATERIALIZED (SELECT n FROM
+            (SELECT n, COUNT(*) AS dd FROM
+            (SELECT u AS n FROM e${i - 1} UNION ALL
+             SELECT v FROM e${i - 1}) GROUP BY n) WHERE dd >= 5),
+        e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+          WHERE u IN (SELECT n FROM kp$i)
+            AND v IN (SELECT n FROM kp$i))"""
+      }.mkString
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          FROM documents),
+        raw AS (SELECT doc_id % 30 AS x, (doc_id * 7 + 1) % 30 AS y
+            FROM d
+          UNION ALL SELECT doc_id % 30, (doc_id * 13 + 5) % 30 FROM d
+          UNION ALL SELECT (doc_id * 7 + 1) % 30,
+            (doc_id * 13 + 5) % 30 FROM d
+          UNION ALL SELECT doc_id % 30, 30 + (doc_id % 100) FROM d
+          UNION ALL SELECT 30 + (doc_id % 100),
+            130 + (doc_id % 200) FROM d),
+        e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u,
+          greatest(x, y) AS v FROM raw WHERE x != y)$rounds
+        SELECT u, v FROM e6 ORDER BY u, v"""
+    },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

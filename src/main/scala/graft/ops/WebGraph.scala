@@ -474,6 +474,54 @@ object WebGraph {
           .otherwise(lit(0L)).as("global_cc_ppm"))
   }
 
+  /** k-core extraction (Seidman 1983): the maximal subgraph where
+    * every node keeps degree >= k INSIDE the subgraph — the dense-
+    * community / link-farm core left after the long tail peels away.
+    * Iterative peel: drop nodes with current degree < k, shrink the
+    * edge set, repeat to fixpoint (the standard distributed form;
+    * rounds = peeling depth, small on web graphs because degree-1
+    * chains collapse a layer per round). Each round is a thin degree
+    * aggregation + two semi-joins over the monotonically shrinking
+    * edge set; convergence costs the ONE count the round's
+    * materialization already pays (previous count carried forward).
+    * Throws on maxIter exhaustion — a truncated peel would return a
+    * subgraph that is NOT a k-core and silently admit spam tails.
+    * Returns the surviving canonical edge set (u, v).
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIter: Int = 32): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    var und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var prevCount = und.count()
+    var converged = prevCount == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val keep = und.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k.toLong).select(col("n"))
+      val next = und
+        .join(keep.select(col("n").as("u")), Seq("u"), "leftsemi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "leftsemi")
+        .localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == prevCount
+      prevCount = nextCount
+      und = next
+      iter += 1
+    }
+    if (!converged && prevCount > 0L)
+      throw new IllegalStateException(
+        s"kCore: not converged after $maxIter rounds — a truncated " +
+          "peel is not a k-core; raise maxIter")
+    // the semi-joins' USING columns reorder the frame to (v, u)
+    und.select(col("u"), col("v"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

@@ -2752,6 +2752,26 @@ class OpsSpec extends AnyFunSuite {
       ((5L, 1L, 600000L)))
   }
 
+  test("kCore: pendant chains peel layer by layer, the dense core " +
+      "survives exactly, over-tight k empties, truncation throws") {
+    import spark.implicits._
+    def core(es: Seq[(Long, Long)], k: Int, maxIter: Int = 32) =
+      WebGraph.kCore(es.toDF("x", "y"), "x", "y", k, maxIter)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // triangle with a 3-node chain hanging off node 1
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (1L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(g, 2) === Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // k above the densest degree empties the graph
+    assert(core(g, 3) === Set.empty)
+    // the chain needs one round per layer: maxIter 1 must THROW, not
+    // return a truncated non-core
+    intercept[IllegalStateException] { core(g, 2, maxIter = 1) }
+    // a clique is its own k-core for every k < size
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(core(k4, 3) === k4.toSet)
+  }
+
   test("kwicSnippets: windows clamp at document edges, occurrences " +
       "cap per doc by earliest start, snippet contains the phrase") {
     import spark.implicits._
