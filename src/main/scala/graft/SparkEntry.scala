@@ -2169,6 +2169,30 @@ object SparkEntry {
       WebGraph.kCore(edges, "x", "y", k = 5)
         .orderBy("u", "v")
     }),
+    // neighborhood function: HyperANF over the planted pendant graph
+    // (HLL sketch per node, 4 merge rounds) — per-round mean estimated
+    // ball size, the average-distance/effective-diameter input a
+    // 10^12-page graph cannot BFS
+    "q145_hyperanf" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val docs = t(s, d, "documents")
+      def e(x: Column, y: Column) = docs.select(x.as("x"), y.as("y"))
+      val a = pmod(did, lit(30))
+      val b = pmod(did * 7L + 1L, lit(30))
+      val c = pmod(did * 13L + 5L, lit(30))
+      val p1 = pmod(did, lit(100)) + 30L
+      val p2 = pmod(did, lit(200)) + 130L
+      val edges = e(a, b).unionByName(e(a, c)).unionByName(e(b, c))
+        .unionByName(e(a, p1)).unionByName(e(p1, p2))
+      WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4)
+        .groupBy("round")
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(round(col("est") * 1000000.0, 0).cast("long"))
+            .cast("long").as("sum_est_micro"))
+        .withColumn("mean_est_micro",
+          expr("sum_est_micro div n_nodes"))
+        .orderBy("round")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4867,6 +4891,68 @@ object SparkEntry {
         e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u,
           greatest(x, y) AS v FROM raw WHERE x != y)$rounds
         SELECT u, v FROM e6 ORDER BY u, v"""
+    },
+    // q145: sketch rounds unrolled (MATERIALIZED — q144's inlining
+    // lesson), same 60-bit hash / p=5 register split, same per-node
+    // estimate arithmetic with the Scala-printed constant, integer
+    // micro-sums so the cross-node mean is order-free
+    "q145_hyperanf" -> {
+      val m = 32
+      val alpha = 0.697
+      val cc = alpha * m * m * 2305843009213693952.0d
+      val estCtes = (0 to 4).map { r =>
+        s"""est$r AS MATERIALIZED (SELECT $r AS round, node,
+          round(CASE WHEN ($cc / z) <= 80.0 AND nn < 32
+            THEN 32.0 * ln(32.0 / CAST(32 - nn AS DOUBLE))
+            ELSE $cc / z END, 6) AS est
+          FROM (SELECT node, COUNT(*) AS nn,
+            CAST(SUM(2305843009213693952 >> rho) +
+              CAST(32 - COUNT(*) AS HUGEINT) *
+              CAST(2305843009213693952 AS HUGEINT) AS DOUBLE) AS z
+            FROM sk$r GROUP BY node))"""
+      }.mkString(",\n        ")
+      val roundCtes = (1 to 4).map { r =>
+        s""",
+        sk$r AS MATERIALIZED (SELECT node, reg, MAX(rho) AS rho FROM (
+          SELECT node, reg, rho FROM sk${r - 1}
+          UNION ALL SELECT e.s AS node, k.reg, k.rho
+          FROM sk${r - 1} k JOIN e ON e.t = k.node)
+          GROUP BY node, reg)"""
+      }.mkString
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          FROM documents),
+        raw AS (SELECT doc_id % 30 AS x, (doc_id * 7 + 1) % 30 AS y
+            FROM d
+          UNION ALL SELECT doc_id % 30, (doc_id * 13 + 5) % 30 FROM d
+          UNION ALL SELECT (doc_id * 7 + 1) % 30,
+            (doc_id * 13 + 5) % 30 FROM d
+          UNION ALL SELECT doc_id % 30, 30 + (doc_id % 100) FROM d
+          UNION ALL SELECT 30 + (doc_id % 100),
+            130 + (doc_id % 200) FROM d),
+        und AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u,
+          greatest(x, y) AS v FROM raw WHERE x != y),
+        e AS MATERIALIZED (SELECT u AS s, v AS t FROM und
+          UNION SELECT v, u FROM und),
+        nd AS (SELECT DISTINCT s AS node FROM e),
+        h AS (SELECT node, CAST(('0x' ||
+          substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM nd),
+        sk0 AS MATERIALIZED (SELECT node,
+          hv // 36028797018963968 AS reg,
+          CASE WHEN hv % 36028797018963968 = 0 THEN 56
+            ELSE 55 - (length(bin(hv % 36028797018963968)) - 1)
+            END AS rho FROM h)$roundCtes,
+        $estCtes,
+        allr AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+          UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3
+          UNION ALL SELECT * FROM est4)
+        SELECT CAST(round AS BIGINT) AS round,
+          CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(CAST(round(est * 1000000, 0) AS BIGINT)) AS BIGINT)
+            AS sum_est_micro,
+          CAST(SUM(CAST(round(est * 1000000, 0) AS BIGINT)) //
+            COUNT(*) AS BIGINT) AS mean_est_micro
+        FROM allr GROUP BY round ORDER BY round"""
     },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =

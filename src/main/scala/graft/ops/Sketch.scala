@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bounded-size set sketches for corpus-vs-corpus comparison.
@@ -110,17 +110,26 @@ object Sketch {
     * log (the q67 trick). Input rows need not be pre-distinct:
     * max-per-register over duplicates equals max over distincts.
     */
+  /** The (register, rank) pair of one key — the per-row arithmetic
+    * [[hllRegisters]] aggregates and [[graft.ops.WebGraph.hyperAnf]]
+    * reuses per graph node.
+    */
+  private[ops] def hllRegRho(key: Column, p: Int): (Column, Column) = {
+    val bits = 60 - p
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = h.bitwiseAND(lit((1L << bits) - 1L))
+    (shiftright(h, bits),
+      when(w === 0L, lit(bits + 1))
+        .otherwise(lit(bits) - (length(bin(w)) - 1)))
+  }
+
   def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8)
       : DataFrame = {
     require(p >= 4 && p <= 14, s"hll precision p in [4,14], got $p")
-    val bits = 60 - p
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15),
-      16, 10).cast("long")
-    val w = h.bitwiseAND(lit((1L << bits) - 1L))
+    val (reg, rho) = hllRegRho(col(keyCol), p)
     df.where(col(keyCol).isNotNull)
-      .select(shiftright(h, bits).as("reg"),
-        when(w === 0L, lit(bits + 1))
-          .otherwise(lit(bits) - (length(bin(w)) - 1)).as("_rho"))
+      .select(reg.as("reg"), rho.as("_rho"))
       .groupBy(col("reg"))
       .agg(max(col("_rho")).cast("int").as("rho_max"))
   }
@@ -197,7 +206,19 @@ object Sketch {
     * m·ln(m/V)). Rounded to 6 decimals; the oracle replays the exact
     * integer staging and the same one-shot double math.
     */
-  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame =
+    hllEstimateBy(regs, Seq.empty, p)
+      .select(col("m"), col("n_nonzero"), col("est"))
+
+  /** [[hllEstimate]] per group: one estimate row per distinct value of
+    * `keys` (e.g. per graph node in [[graft.ops.WebGraph.hyperAnf]],
+    * per day in a rolling-ingest monitor). Identical arithmetic —
+    * exact integer indicator sum, one double division, linear-counting
+    * fallback — grouped instead of global. A key with zero register
+    * rows simply doesn't appear (its estimate would be 0).
+    */
+  def hllEstimateBy(regs: DataFrame, keys: Seq[String], p: Int = 8)
+      : DataFrame = {
     require(p >= 4 && p <= 14, s"hll precision p in [4,14], got $p")
     val m = 1 << p
     val alpha =
@@ -205,22 +226,23 @@ object Sketch {
       else if (p == 6) 0.709 else 0.7213 / (1.0 + 1.079 / m)
     val dec = "decimal(38,0)"
     val two61 = lit(2305843009213693952L) // 2^61
-    regs.agg(
+    val kc = keys.map(col)
+    regs.groupBy(kc: _*).agg(
         count(lit(1)).cast("long").as("n_nonzero"),
         coalesce(sum(call_function("shiftright", two61,
             col("rho_max")).cast(dec)),
           lit(0).cast(dec)).as("_s_nz"))
-      .select(col("n_nonzero"),
+      .select(kc ++ Seq(col("n_nonzero"),
         (col("_s_nz") + (lit(m.toLong) - col("n_nonzero")).cast(dec)
           * two61.cast(dec)).cast("double").as("_z61"),
-        col("n_nonzero").as("_nn"))
-      .select(lit(m.toLong).as("m"), col("n_nonzero"), {
+        col("n_nonzero").as("_nn")): _*)
+      .select(kc ++ Seq(lit(m.toLong).as("m"), col("n_nonzero"), {
         val raw = lit(alpha * m.toDouble * m.toDouble *
           2305843009213693952.0d) / col("_z61")
         val v = lit(m.toLong) - col("_nn") // empty registers
         round(when(raw <= lit(2.5 * m) && v > 0L,
             lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
           .otherwise(raw), 6).as("est")
-      })
+      }): _*)
   }
 }

@@ -522,6 +522,55 @@ object WebGraph {
     und.select(col("u"), col("v"))
   }
 
+  /** HyperANF (Boldi, Rosa & Vigna, WWW 2011): the neighborhood
+    * function N(v, r) = |{u : dist(u, v) <= r}| estimated for EVERY
+    * node at every radius with one HLL sketch per node — the exact
+    * per-node BFS this replaces is O(n·m); the sketch form is r rounds
+    * of "merge your neighbors' sketches" at O(m · 2^p) thin rows per
+    * round, and answers average-distance / effective-diameter
+    * questions a 10^12-page web graph cannot BFS. Undirected here
+    * (edges materialize both directions).
+    *
+    * Returns one row per (round, node): `(round, node, est)` for
+    * round 0..rounds — round 0 is the node itself (est ≈ 1), and a
+    * node's sketch at round r IS the HLL of its r-ball, so once r
+    * reaches the component diameter the estimate equals the
+    * component's key sketch exactly (pinned in OpsSpec). Registers
+    * merge by max — associative, so round composition is exact, not
+    * an approximation of an approximation.
+    */
+  def hyperAnf(edges: DataFrame, aCol: String, bCol: String,
+      p: Int = 5, rounds: Int = 4): DataFrame = {
+    require(rounds >= 0 && rounds <= 16, "rounds in [0,16]")
+    val e = edges.select(col(aCol).as("s"), col(bCol).as("t"))
+      .unionByName(edges.select(col(bCol).as("s"), col(aCol).as("t")))
+      .where(col("s") =!= col("t") && col("s").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("s").as("node")).distinct()
+    val (reg, rho) = Sketch.hllRegRho(col("node"), p)
+    var cur = nodes
+      .select(col("node"), reg.as("reg"), rho.cast("int").as("rho_max"))
+      .localCheckpoint()
+    def snap(r: Int, df: DataFrame): DataFrame =
+      Sketch.hllEstimateBy(df, Seq("node"), p)
+        .select(lit(r.toLong).as("round"), col("node"), col("est"))
+    var out = snap(0, cur)
+    for (r <- 1 to rounds) {
+      // every node absorbs its neighbors' sketches: register-wise max
+      val fromNbr = cur.select(col("node").as("t"), col("reg"),
+          col("rho_max"))
+        .join(e, "t")
+        .select(col("s").as("node"), col("reg"), col("rho_max"))
+      cur = cur.unionByName(fromNbr)
+        .groupBy(col("node"), col("reg"))
+        .agg(max(col("rho_max")).cast("int").as("rho_max"))
+        .localCheckpoint()
+      out = out.unionByName(snap(r, cur))
+    }
+    out
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

@@ -2772,6 +2772,38 @@ class OpsSpec extends AnyFunSuite {
     assert(core(k4, 3) === k4.toSet)
   }
 
+  test("hyperAnf: a node's converged sketch IS its component's key " +
+      "sketch, estimates are monotone per node, disjoint components " +
+      "never mix") {
+    import spark.implicits._
+    import graft.ops.Sketch
+    // two disjoint cliques (diameter 1): K5 on 0-4, K3 on 10-12
+    val k5 = for (i <- 0L to 4L; j <- 0L to 4L if i < j) yield (i, j)
+    val k3 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val anf = WebGraph.hyperAnf((k5 ++ k3).toDF("x", "y"), "x", "y",
+      p = 5, rounds = 2)
+    val byNode = anf.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // after round >= diameter the per-node estimate equals the HLL
+    // estimate of the component's key set — the SAME registers
+    def keyEst(ks: Seq[Long]): Double =
+      Sketch.hllEstimate(Sketch.hllRegisters(
+        ks.toDF("k").select(col("k").cast("string").as("k")), "k", 5), 5)
+        .head().getAs[Double]("est")
+    val (e5, e3) = (keyEst(0L to 4L), keyEst(Seq(10L, 11L, 12L)))
+    for (n <- 0L to 4L) assert(byNode((1L, n)) === e5, s"node $n r1")
+    for (n <- Seq(10L, 11L, 12L)) assert(byNode((1L, n)) === e3)
+    // round 2 changes nothing (fixpoint) and components never mix
+    for (n <- 0L to 4L) assert(byNode((2L, n)) === e5)
+    for (n <- Seq(10L, 11L, 12L)) assert(byNode((2L, n)) === e3)
+    // monotone nondecreasing per node
+    for (((r, n), v) <- byNode if r > 0)
+      assert(v >= byNode((r - 1, n)), s"shrunk at ($r, $n)")
+    // round 0 is just the node itself
+    for (((r, n), v) <- byNode if r == 0)
+      assert(v > 0.5 && v < 2.0, s"round-0 est $v at $n")
+  }
+
   test("kwicSnippets: windows clamp at document edges, occurrences " +
       "cap per doc by earliest start, snippet contains the phrase") {
     import spark.implicits._
