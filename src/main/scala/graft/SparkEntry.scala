@@ -2193,6 +2193,26 @@ object SparkEntry {
           expr("sum_est_micro div n_nodes"))
         .orderBy("round")
     }),
+    // per-source cardinality monitor: keyed HLL — one scan gives every
+    // source its distinct-3-gram estimate (the per-tenant/per-day
+    // rollup shape); exact counts + error ride along
+    "q146_hll_by_source" -> ((s, d) => {
+      val keys = t(s, d, "documents")
+        .select(col("source"), Dedup.tokens(col("text")).as("tk"))
+        .select(col("source"),
+          explode(Dedup.shinglesOf(col("tk"), 3)).as("key"))
+        .where(length(col("key")) > 0)
+      val regs = Sketch.hllRegistersBy(keys, Seq("source"), "key", 8)
+      val est = Sketch.hllEstimateBy(regs, Seq("source"), 8)
+      val exact = keys.groupBy("source")
+        .agg(countDistinct(col("key")).cast("long").as("exact_distinct"))
+      est.join(exact, "source")
+        .select(col("source"), col("n_nonzero"), col("est"),
+          col("exact_distinct"),
+          floor(abs(col("est") - col("exact_distinct")) * 1000000.0 /
+            col("exact_distinct")).cast("long").as("err_ppm"))
+        .orderBy("source")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -4953,6 +4973,45 @@ object SparkEntry {
           CAST(SUM(CAST(round(est * 1000000, 0) AS BIGINT)) //
             COUNT(*) AS BIGINT) AS mean_est_micro
         FROM allr GROUP BY round ORDER BY round"""
+    },
+    // q146: q131's oracle grouped by source — same hash/register
+    // split, same exact-integer staging per group, same constant
+    "q146_hll_by_source" -> {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val c = alpha * m * m * 2305843009213693952.0d
+      s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+        keys AS (SELECT source, unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 2, 1)),
+            i -> array_to_string(tk[i:i+2], ' '))) AS key FROM t),
+        k AS (SELECT source, key FROM keys WHERE length(key) > 0),
+        h AS (SELECT source,
+          CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS hv,
+          key FROM k),
+        r AS (SELECT source, hv // 4503599627370496 AS reg,
+          hv % 4503599627370496 AS w FROM h),
+        rr AS (SELECT source, reg, MAX(CASE WHEN w = 0 THEN 53
+          ELSE 52 - (length(bin(w)) - 1) END) AS rho_max
+          FROM r GROUP BY source, reg),
+        agg AS (SELECT source, COUNT(*) AS n_nonzero,
+          SUM(2305843009213693952 >> rho_max) AS s_nz
+          FROM rr GROUP BY source),
+        z AS (SELECT source, n_nonzero, CAST(s_nz +
+          CAST($m - n_nonzero AS HUGEINT) *
+          CAST(2305843009213693952 AS HUGEINT) AS DOUBLE) AS z61
+          FROM agg),
+        e AS (SELECT source, CAST(n_nonzero AS BIGINT) AS n_nonzero,
+          round(CASE WHEN ($c / z61) <= ${2.5 * m} AND
+              ($m - n_nonzero) > 0
+            THEN $m.0 * ln($m.0 / CAST($m - n_nonzero AS DOUBLE))
+            ELSE $c / z61 END, 6) AS est FROM z),
+        x AS (SELECT source, COUNT(DISTINCT key) AS exact_distinct
+          FROM k GROUP BY source)
+        SELECT e.source, n_nonzero, est,
+          CAST(exact_distinct AS BIGINT) AS exact_distinct,
+          CAST(floor(abs(est - exact_distinct) * 1000000.0 /
+            exact_distinct) AS BIGINT) AS err_ppm
+        FROM e JOIN x ON e.source = x.source ORDER BY e.source"""
     },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =

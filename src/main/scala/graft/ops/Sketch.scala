@@ -134,6 +134,21 @@ object Sketch {
       .agg(max(col("_rho")).cast("int").as("rho_max"))
   }
 
+  /** [[hllRegisters]] per group: one register table per distinct value
+    * of `keys` — the per-tenant / per-source / per-day cardinality
+    * rollup (≤ 2^p rows per group), built in the same single scan.
+    * Groups merge to coarser sketches by register-wise max exactly.
+    */
+  def hllRegistersBy(df: DataFrame, keys: Seq[String], keyCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"hll precision p in [4,14], got $p")
+    val (reg, rho) = hllRegRho(col(keyCol), p)
+    df.where(col(keyCol).isNotNull)
+      .select(keys.map(col) :+ reg.as("reg") :+ rho.as("_rho"): _*)
+      .groupBy(keys.map(col) :+ col("reg"): _*)
+      .agg(max(col("_rho")).cast("int").as("rho_max"))
+  }
+
   /** Merge HLL sketches: register-wise max. The union sketch of the
     * two underlying key sets — exactly (not approximately) the sketch
     * a single pass over the concatenated input would build.

@@ -2772,6 +2772,29 @@ class OpsSpec extends AnyFunSuite {
     assert(core(k4, 3) === k4.toSet)
   }
 
+  test("hllRegistersBy: each group's register slice equals the " +
+      "standalone sketch of that group's keys; group-max merge " +
+      "recovers the global sketch") {
+    import spark.implicits._
+    import graft.ops.Sketch
+    val df = spark.range(600).select(
+      concat(lit("g"), pmod(col("id"), lit(3))).as("grp"),
+      concat(lit("k"), col("id")).as("k"))
+    val by = Sketch.hllRegistersBy(df, Seq("grp"), "k", 8)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = by.where(col("grp") === g).drop("grp")
+        .orderBy("reg").collect().toSeq
+      val solo = Sketch.hllRegisters(df.where(col("grp") === g), "k", 8)
+        .orderBy("reg").collect().toSeq
+      assert(slice === solo, s"group $g slice != standalone sketch")
+    }
+    // register-max across groups == the global sketch
+    val coarse = by.groupBy("reg")
+      .agg(max("rho_max").cast("int").as("rho_max"))
+    assert(coarse.orderBy("reg").collect().toSeq ===
+      Sketch.hllRegisters(df, "k", 8).orderBy("reg").collect().toSeq)
+  }
+
   test("hyperAnf: a node's converged sketch IS its component's key " +
       "sketch, estimates are monotone per node, disjoint components " +
       "never mix") {
