@@ -2213,6 +2213,24 @@ object SparkEntry {
             col("exact_distinct")).cast("long").as("err_ppm"))
         .orderBy("source")
     }),
+    // host-graph centrality with link multiplicities: weighted
+    // PageRank over the two-generator graph where an edge's weight is
+    // its link count — ten links to a host count ten times one
+    "q147_pagerank_weighted" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val docs = t(s, d, "documents")
+      def e(dst: Column) = docs.select(
+        concat(lit("s"), pmod(did, lit(40))).as("src"),
+        concat(lit("p"), dst).as("dst"))
+      val edges = e(pmod(did, lit(97)))
+        .unionByName(e(pmod(did * 5L + 2L, lit(97))))
+        .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
+      WebGraph.pageRankWeighted(edges, "src", "dst", "w",
+          iterations = 3)
+        .select(col("node"), col("rank_ppb").cast("long")
+          .as("rank_ppb"))
+        .orderBy("node")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5012,6 +5030,35 @@ object SparkEntry {
           CAST(floor(abs(est - exact_distinct) * 1000000.0 /
             exact_distinct) AS BIGINT) AS err_ppm
         FROM e JOIN x ON e.source = x.source ORDER BY e.source"""
+    },
+    // q147: the weighted round template — HUGEINT rank×w products,
+    // weight-sum denominators, same teleport constants
+    "q147_pagerank_weighted" -> {
+      val rounds = (1 to 3).map { i =>
+        s""", c$i AS (SELECT e.dst AS node,
+            SUM((CAST(r.rank_ppb AS HUGEINT) * e.w) // d.outw) AS s
+          FROM e JOIN dg d ON d.src = e.src
+          JOIN r${i - 1} r ON r.node = e.src
+          GROUP BY e.dst),
+        r$i AS (SELECT nd.node, CAST(150000000 +
+            (850000 * COALESCE(c.s, 0)) // 1000000 AS BIGINT)
+            AS rank_ppb
+          FROM nd LEFT JOIN c$i c ON c.node = nd.node)"""
+      }.mkString
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          FROM documents),
+        raw AS (SELECT 's' || (doc_id % 40) AS src,
+            'p' || (doc_id % 97) AS dst FROM d
+          UNION ALL SELECT 's' || (doc_id % 40),
+            'p' || ((doc_id * 5 + 2) % 97) FROM d),
+        e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+          FROM raw GROUP BY src, dst),
+        nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        dg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+          FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
+          FROM nd)$rounds
+        SELECT node, rank_ppb FROM r3 ORDER BY node"""
     },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =

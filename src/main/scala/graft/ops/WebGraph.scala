@@ -369,6 +369,58 @@ object WebGraph {
         col("n_members").cast("long").as("n_members"))
   }
 
+  /** Weight-proportional PageRank — the HOST-graph form, where an edge
+    * carries its link multiplicity and a source spreads rank in
+    * proportion to weight (ten links to one host count ten times an
+    * incidental single link): contribution = rank·w(e) DIV W_out(src).
+    * Degenerates to [[pageRank]] on unit weights. Same determinism
+    * and scale discipline: integer ppb ranks, decimal(38) products
+    * (rank × a hub's link count crosses 2^63), truncating division
+    * only, localCheckpoint-fenced rounds with prior blocks released.
+    * Zero/negative-weight edges are dropped up front (they would
+    * contribute nothing but still shuffle).
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val dec = "decimal(38,0)"
+    val teleport = (1000000L - DampingPpm) * (Scale / 1000000L)
+    val e = edges.select(col(srcCol).as("_pr_src"),
+        col(dstCol).as("_pr_dst"), col(wCol).cast("long").as("_pr_w"))
+      .where(col("_pr_w") > 0L)
+    val outW = e.groupBy(col("_pr_src"))
+      .agg(sum(col("_pr_w")).as("_pr_outw"))
+    val withW = e.join(outW, Seq("_pr_src")).localCheckpoint()
+    val nodeTable = nodes(edges, srcCol, dstCol).localCheckpoint()
+    var ranks = nodeTable.withColumn("rank_ppb", lit(Scale))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iterations) {
+      val contribs = withW
+        .join(ranks.withColumnRenamed("node", "_pr_src"),
+          Seq("_pr_src"))
+        .select(col("_pr_dst").as("node"),
+          call_function("div",
+            col("rank_ppb").cast(dec) * col("_pr_w").cast(dec),
+            col("_pr_outw").cast(dec)).as("_pr_c"))
+        .groupBy(col("node"))
+        .agg(sum(col("_pr_c")).cast(dec).as("_pr_sum"))
+      val next = nodeTable
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            call_function("div",
+              lit(DampingPpm).cast(dec) *
+                coalesce(col("_pr_sum"), lit(0L).cast(dec)),
+              lit(1000000L))).as("rank_ppb"))
+        .localCheckpoint()
+      unpersistCheckpoint(ranks)
+      ranks = next
+      iter += 1
+    }
+    ranks
+  }
+
   /** Co-citation similarity (Small, JASIS 1973): two pages are related
     * when the same source links to BOTH — the count of common
     * in-linkers, i.e. the off-diagonal of AᵀA on the link matrix. The

@@ -2795,6 +2795,37 @@ class OpsSpec extends AnyFunSuite {
       Sketch.hllRegisters(df, "k", 8).orderBy("reg").collect().toSeq)
   }
 
+  test("pageRankWeighted: mass splits in weight proportion, unit " +
+      "weights reproduce pageRank exactly, zero-weight edges carry " +
+      "nothing") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 1L), ("a", "c", 3L)).toDF("s", "t", "w")
+    def asLong(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("node", "CAST(rank_ppb AS BIGINT) AS r")
+    val r = asLong(WebGraph.pageRankWeighted(e, "s", "t", "w", 1))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // a spreads 1e9 as 1:3 -> b gets 250e6, c 750e6; +teleport/damping
+    assert(r === Map("a" -> 150000000L, "b" -> 362500000L,
+      "c" -> 787500000L))
+    // unit weights == the unweighted kernel, bit for bit
+    val g = Seq(("x", "y"), ("y", "z"), ("z", "x"), ("x", "z"))
+      .toDF("s", "t")
+    val unit = asLong(WebGraph.pageRankWeighted(
+        g.withColumn("w", lit(1L)), "s", "t", "w", 3))
+      .orderBy("node").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val plain = asLong(WebGraph.pageRank(g, "s", "t", 3))
+      .orderBy("node").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(unit.toSeq === plain.toSeq)
+    // a zero-weight edge contributes no mass (teleport only at dst)
+    val z = asLong(WebGraph.pageRankWeighted(
+        Seq(("a", "b", 0L), ("a", "c", 2L)).toDF("s", "t", "w"),
+        "s", "t", "w", 1))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(z("b") === 150000000L && z("c") === 1000000000L)
+  }
+
   test("hyperAnf: a node's converged sketch IS its component's key " +
       "sketch, estimates are monotone per node, disjoint components " +
       "never mix") {
