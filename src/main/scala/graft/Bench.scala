@@ -105,7 +105,8 @@ object Bench {
       "q135_homoglyph", "q136_zone_maps", "q137_rendezvous",
       "q138_phrase", "q139_cms", "q140_textrank", "q141_cocitation",
       "q142_kwic", "q143_triangles", "q144_kcore", "q145_hyperanf",
-      "q146_hll_by_source", "q147_pagerank_weighted")
+      "q146_hll_by_source", "q147_pagerank_weighted",
+      "q148_code_switch")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

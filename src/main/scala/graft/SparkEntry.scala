@@ -2231,6 +2231,23 @@ object SparkEntry {
           .as("rank_ppb"))
         .orderBy("node")
     }),
+    // code-switch detection: three planted script-snippet sentences
+    // per doc, language-ID'd individually — mixed-language pages
+    // (partial translations, foreign boilerplate) that a whole-doc
+    // language ID averages away
+    "q148_code_switch" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val txt = concat(
+        pickCol(did, ScriptSnippets, 0), lit(". "),
+        pickCol(did, ScriptSnippets, 1), lit(". "),
+        pickCol(did, ScriptSnippets, 2))
+      TextAnalysis.codeSwitchStats(
+          t(s, d, "documents").select(did.as("doc_id"), txt.as("text")),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_sents"), col("n_langs"),
+          col("major_lang"), col("mixed"))
+        .orderBy("doc_id")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5059,6 +5076,31 @@ object SparkEntry {
         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
           FROM nd)$rounds
         SELECT node, rank_ppb FROM r3 ORDER BY node"""
+    },
+    // q148: same snippet picks, same RE2 sentence split, the SHARED
+    // langIdSqlParts case expression per sentence, and ROW_NUMBER
+    // (c DESC, lang) = the Spark min-of-(-c, lang) majority tie rule
+    "q148_code_switch" -> {
+      val (scCols, caseExpr) = langIdSqlParts
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          ${pickSql(ScriptSnippets, 0)} || '. ' ||
+          ${pickSql(ScriptSnippets, 1)} || '. ' ||
+          ${pickSql(ScriptSnippets, 2)} AS t FROM documents),
+        sents AS (SELECT id, unnest(list_filter(list_transform(
+            regexp_split_to_array(t, '[.!?]\\s+'), x -> trim(x)),
+            x -> x != '')) AS text FROM d),
+        sl AS (SELECT id, $caseExpr AS slang
+          FROM (SELECT id, text, $scCols FROM sents)),
+        pl AS (SELECT id, slang, COUNT(*) AS c
+          FROM sl GROUP BY id, slang),
+        agg AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_sents,
+          CAST(COUNT(*) AS BIGINT) AS n_langs FROM pl GROUP BY id),
+        mj AS (SELECT id, slang AS major_lang FROM
+          (SELECT id, slang, ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY c DESC, slang) AS rn FROM pl) WHERE rn = 1)
+        SELECT a.id AS doc_id, n_sents, n_langs, major_lang,
+          n_langs > 1 AS mixed
+        FROM agg a JOIN mj ON a.id = mj.id ORDER BY doc_id"""
     },
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =

@@ -415,6 +415,36 @@ object TextAnalysis {
     * guards degenerate high-PMI hapax pairs (two tokens that appear
     * once, together, have maximal PMI and zero evidence).
     */
+  /** Sentence-level code-switch detection: split on terminal
+    * punctuation ([.!?] + whitespace — RE2-safe, no lookbehind, so
+    * the oracle splits identically), language-ID each sentence with
+    * [[langId]], and report the per-document mixture — the signal
+    * that catches partially-translated pages, foreign boilerplate
+    * around native content, and bilingual spam that a whole-document
+    * language ID averages away. Majority language = most sentences,
+    * ties to the alphabetically first (via one min-of-struct
+    * aggregation — no per-doc window). Sentence rows are thin
+    * (id, lang); everything else is per-row.
+    * Returns (id, n_sents, n_langs, major_lang, mixed).
+    */
+  def codeSwitchStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sents = df.select(col(idCol).as("id"),
+        explode(filter(
+          transform(split(col(textCol), "[.!?]\\s+"), s => trim(s)),
+          s => s =!= "")).as("_sent"))
+      .select(col("id"), langId(col("_sent")).as("_slang"))
+    val perLang = sents.groupBy(col("id"), col("_slang"))
+      .agg(count(lit(1)).as("_c"))
+    perLang.groupBy(col("id"))
+      .agg(sum(col("_c")).cast("long").as("n_sents"),
+        count(lit(1)).cast("long").as("n_langs"),
+        // argmax count, tie -> min lang: min over (-count, lang)
+        min(struct((-col("_c")).as("nc"), col("_slang").as("l")))
+          .getField("l").as("major_lang"))
+      .withColumn("mixed", col("n_langs") > 1L)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): rank
     * tokens by PageRank over the adjacent-token co-occurrence graph —
     * undirected (edges materialize in both directions), self-loops

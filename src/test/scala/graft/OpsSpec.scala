@@ -2795,6 +2795,26 @@ class OpsSpec extends AnyFunSuite {
       Sketch.hllRegisters(df, "k", 8).orderBy("reg").collect().toSeq)
   }
 
+  test("codeSwitchStats: monolingual docs stay unmixed, majority by " +
+      "sentence count, language ties break alphabetically") {
+    import spark.implicits._
+    val en1 = "the quick brown fox jumps over the lazy dog and the cat"
+    val de1 = "der hund und die katze ist nicht ein pferd"
+    val zh1 = "这是一个简单的中文句子没有任何其他文字"
+    val docs = Seq(
+      (1L, s"$en1. $en1! $en1"),            // pure en
+      (2L, s"$en1. $en1. $zh1"),            // majority en, mixed
+      (3L, s"$en1. $de1")                   // 1-1 tie -> de (alpha)
+    ).toDF("id", "text")
+    val r = TextAnalysis.codeSwitchStats(docs, "id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3), x.getBoolean(4)))
+      .toMap
+    assert(r(1L) === ((3L, 1L, "en", false)))
+    assert(r(2L) === ((3L, 2L, "en", true)))
+    assert(r(3L) === ((2L, 2L, "de", true)))
+  }
+
   test("pageRankWeighted: mass splits in weight proportion, unit " +
       "weights reproduce pageRank exactly, zero-weight edges carry " +
       "nothing") {
