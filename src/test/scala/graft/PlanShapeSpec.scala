@@ -475,4 +475,22 @@ class PlanShapeSpec extends AnyFunSuite {
         assert(!s.contains("text"), s"key column shuffled: $s"))
     }
   }
+
+  test("per-row scalar ops introduce NO exchange: rendezvous shard, " +
+      "homoglyph skeleton, entropy signals, JL projection in one " +
+      "shuffle-free projection") {
+    withPlainPlan {
+      val signs = graft.ops.SimSearch.jlSigns(8, 4)
+      val out = docs.select(
+        graft.ops.Layout.rendezvousShard(col("text"), 16).as("shard"),
+        Curation.homoglyphSkeleton(col("text")).as("skel"),
+        graft.ops.TextAnalysis.charEntropy(col("text")).as("ce"),
+        graft.ops.TextAnalysis.tokenEntropy(col("text")).as("te"),
+        graft.ops.SimSearch.signProject(
+          array(lit(1.0), lit(2.0), lit(3.0), lit(4.0)), signs)
+          .as("pv"))
+      assert(shuffledNames(out).isEmpty,
+        "scalar ops must stay inside the scan's stage")
+    }
+  }
 }
