@@ -49,22 +49,39 @@ object StreamingPipeline {
     * streaming source (one semantics, two execution modes) — no
     * watermark, no state store.
     */
+  /** Streaming ingest verdicts. `trustedHosts` (optional) arms the
+    * homoglyph spoof gate: a page whose HOST folds to a trusted
+    * host's confusable skeleton under a different raw spelling is
+    * rejected at the door (`spoofed` rides along for audit) — the
+    * per-row gate costs one `translate`, stateless like the rest of
+    * the chain.
+    */
   def ingestStream(pages: DataFrame, urlCol: String = "url",
-      binCol: String = "payload"): DataFrame = {
+      binCol: String = "payload",
+      trustedHosts: Seq[String] = Seq.empty): DataFrame = {
     val dec = graft.extract.CharsetSniffer.decodePages(
       pages, urlCol, binCol)
     val html = col("text")
-    dec.select(col(urlCol), col("charset"), col("charset_supported"),
-        col("n_bytes"),
+    val base = dec.select(col(urlCol), col("charset"),
+        col("charset_supported"), col("n_bytes"),
         graft.extract.MetaExtractor.titleOf(html).as("title"),
         graft.extract.MetaExtractor.canonicalHrefOf(html)
           .as("canonical_raw"),
         graft.extract.MetaExtractor.robotsDirective(html, "noindex")
           .as("noindex"),
         graft.extract.ErrorPages.softErrorOf(html).as("soft_error"))
-      .withColumn("admitted",
-        !col("noindex") && !col("soft_error") &&
-          col("charset_supported"))
+    val gated =
+      if (trustedHosts.isEmpty) base.withColumn("spoofed", lit(false))
+      else {
+        val hosts = base.withColumn("_host",
+          graft.ops.Curation.hostOf(col(urlCol)))
+        graft.ops.Curation
+          .spoofedHosts(hosts, "_host", trustedHosts)
+          .drop("_host", "skeleton", "spoof_of")
+      }
+    gated.withColumn("admitted",
+      !col("noindex") && !col("soft_error") &&
+        col("charset_supported") && !col("spoofed"))
   }
 
   def windowedCounts(events: DataFrame): DataFrame =

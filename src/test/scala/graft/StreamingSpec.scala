@@ -553,6 +553,34 @@ class StreamingSpec extends AnyFunSuite {
       .filter(i => i % 4 >= 2).map(i => s"http://h$i.com/p").toSet)
   }
 
+  test("ingest stream homoglyph gate: spoofed hosts rejected at the " +
+      "door, exact trusted spelling and clean hosts admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Array[Byte])]
+    val body = "<html><head><title>ok page</title></head>" +
+      "<body>plenty of ordinary body content here so the soft " +
+      "error gate stays quiet for this page</body></html>"
+    val q = StreamingPipeline.ingestStream(
+        stream.toDF().toDF("url", "payload"),
+        trustedHosts = Seq("paypal.com", "example.com"))
+      .writeStream.format("memory").queryName("spoof_gate_out")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(
+      ("http://pаypal.com/login", body.getBytes("UTF-8")),  // Cyr а
+      ("http://paypal.com/login", body.getBytes("UTF-8")),  // exact
+      ("http://other.org/x", body.getBytes("UTF-8")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("spoof_gate_out")
+      .select("url", "spoofed", "admitted").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(rows("http://pаypal.com/login") === ((true, false)))
+    assert(rows("http://paypal.com/login") === ((false, true)))
+    assert(rows("http://other.org/x") === ((false, true)))
+  }
+
   test("streaming HLL registers: live distinct-count monitor with " +
       "2^p rows of state == batch sketch, estimate included") {
     import spark.implicits._
