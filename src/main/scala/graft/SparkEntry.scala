@@ -2248,6 +2248,22 @@ object SparkEntry {
           col("major_lang"), col("mixed"))
         .orderBy("doc_id")
     }),
+    // graded ranking evaluation: nDCG@10 of the BM25 ranking against
+    // planted integer relevance grades — the judged-retrieval metric
+    // completing rankAuc (binary AUC) and f1Sweep (binary cut)
+    "q149_ndcg" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ranking = Retrieval.bm25(docs, "doc_id", "text",
+          bm25Queries(s), topK = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val labels = docs.select(col("doc_id").cast("long").as("doc_id"))
+        .crossJoin(bm25Queries(s).select("query_id").distinct())
+        .select(col("query_id"), col("doc_id"),
+          pmod(col("doc_id") * 3L + length(col("query_id")), lit(4L))
+            .as("rel"))
+      Retrieval.ndcgAtK(ranking, labels, k = 10)
+        .orderBy("query_id")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5102,6 +5118,34 @@ object SparkEntry {
           n_langs > 1 AS mixed
         FROM agg a JOIN mj ON a.id = mj.id ORDER BY doc_id"""
     },
+    // q149: BM25 CTEs reused; same planted grades, same integer gains
+    // over a log2 discount with the round-6 cosine protocol, the same
+    // ideal top-k tie rule
+    "q149_ndcg" ->
+      s"""WITH $bm25CtesSql,
+        qs AS (SELECT DISTINCT query_id FROM q),
+        lbl AS (SELECT qs.query_id, d.id AS doc_id,
+          (d.id * 3 + length(qs.query_id)) % 4 AS rel FROM qs, d),
+        rk AS (SELECT query_id, doc_id, rank FROM bm25r
+          WHERE rank <= 10),
+        dcg AS (SELECT rk.query_id, round(SUM(
+            ((1 << COALESCE(l.rel, 0)) - 1) / log2(rank + 1.0)), 6)
+            AS dcg
+          FROM rk LEFT JOIN lbl l ON rk.query_id = l.query_id
+            AND rk.doc_id = l.doc_id
+          GROUP BY rk.query_id),
+        ideal AS (SELECT query_id, round(SUM(
+            ((1 << rel) - 1) / log2(irank + 1.0)), 6) AS idcg
+          FROM (SELECT query_id, rel, ROW_NUMBER() OVER
+              (PARTITION BY query_id ORDER BY rel DESC, doc_id)
+              AS irank
+            FROM lbl WHERE rel > 0)
+          WHERE irank <= 10 GROUP BY query_id)
+        SELECT g.query_id, g.dcg, COALESCE(i.idcg, 0.0) AS idcg,
+          CASE WHEN COALESCE(i.idcg, 0) > 0
+            THEN round(g.dcg / i.idcg, 6) END AS ndcg
+        FROM dcg g LEFT JOIN ideal i ON g.query_id = i.query_id
+        ORDER BY g.query_id""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -2795,6 +2795,36 @@ class OpsSpec extends AnyFunSuite {
       Sketch.hllRegisters(df, "k", 8).orderBy("reg").collect().toSeq)
   }
 
+  test("ndcgAtK: perfect ranking scores 1.0, reversal discounts by " +
+      "position, unlabeled docs gain nothing, no-relevant query is " +
+      "null") {
+    import spark.implicits._
+    val labels = Seq(("q", 1L, 3L), ("q", 2L, 1L), ("q", 3L, 0L),
+      ("z", 9L, 0L)).toDF("query_id", "doc_id", "rel")
+    def rk(ds: Seq[Long], q: String = "q") =
+      ds.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+        .toDF("query_id", "doc_id", "rank")
+    def nd(r: org.apache.spark.sql.DataFrame) =
+      Retrieval.ndcgAtK(r, labels, k = 3).collect()
+        .map(x => x.getString(0) ->
+          (x.getDouble(1), x.getDouble(2), if (x.isNullAt(3)) None
+            else Some(x.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ideal = r6(7.0 / 1.0 + 1.0 / (math.log(3.0) / math.log(2.0)))
+    val perfect = nd(rk(Seq(1L, 2L, 3L)))("q")
+    assert(perfect === ((ideal, ideal, Some(1.0))))
+    // reversed: rel-3 doc discounted to rank 3
+    val revDcg = r6(1.0 / (math.log(3.0) / math.log(2.0)) + 7.0 / 2.0)
+    val rev = nd(rk(Seq(3L, 2L, 1L)))("q")
+    assert(rev._1 === revDcg)
+    assert(rev._3 === Some(r6(revDcg / ideal)))
+    // a ranking of only unlabeled docs scores dcg 0; a query whose
+    // labels are all rel-0 yields idcg 0 -> ndcg null
+    val z = nd(rk(Seq(7L, 8L), q = "z"))
+    assert(z("z") === ((0.0, 0.0, None)))
+  }
+
   test("codeSwitchStats: monolingual docs stay unmixed, majority by " +
       "sentence count, language ties break alphabetically") {
     import spark.implicits._
