@@ -2264,6 +2264,18 @@ object SparkEntry {
       Retrieval.ndcgAtK(ranking, labels, k = 10)
         .orderBy("query_id")
     }),
+    // field-weighted retrieval: simple BM25F with title (first five
+    // tokens, weight 3) and body (weight 1) — a title hit counts like
+    // three body hits under one global length saturation
+    "q150_bm25f" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("text"),
+        array_join(slice(Dedup.tokens(col("text")), 1, 5), " ")
+          .as("title"))
+      Retrieval.bm25f(docs, "doc_id",
+          Seq(("title", 3L), ("text", 1L)), bm25Queries(s), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5146,6 +5158,48 @@ object SparkEntry {
             THEN round(g.dcg / i.idcg, 6) END AS ndcg
         FROM dcg g LEFT JOIN ideal i ON g.query_id = i.query_id
         ORDER BY g.query_id""",
+    // q150: weighted tf/dl staged in SQL (3x title + body), then
+    // q97's exact scoring nesting over the virtual postings
+    "q150_bm25f" ->
+      s"""WITH q(query_id, term) AS (VALUES $bm25QueriesSql),
+        d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        d AS (SELECT id, tk, tk[1:5] AS ttk FROM d0),
+        tp AS (SELECT id, term, CAST(3 * COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT id, unnest(ttk) AS term FROM d)
+          GROUP BY id, term),
+        bp AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT id, unnest(tk) AS term FROM d)
+          GROUP BY id, term),
+        post AS (SELECT id, term, CAST(SUM(tf) AS BIGINT) AS tf
+          FROM (SELECT * FROM tp UNION ALL SELECT * FROM bp)
+          GROUP BY id, term),
+        dlt AS (SELECT id, CAST(3 * len(ttk) + len(tk) AS BIGINT)
+          AS dl FROM d),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dlt),
+        mt AS (SELECT post.id, post.term, post.tf, dlt.dl
+          FROM post JOIN dlt USING (id)
+          WHERE term IN (SELECT DISTINCT term FROM q)),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc
+          FROM mt GROUP BY term),
+        sc AS (SELECT q.query_id, m.id,
+            CAST(SUM((CAST(((2*n_docs - 2*dfc + 1) * 1000000)
+                // (2*dfc + 1) AS HUGEINT) *
+              ((CAST(m.tf AS HUGEINT) * 2200000 * 1000000) //
+                (m.tf * 1000000 + (1200000 * ((1000000 - 750000) +
+                  (750000 * m.dl * 1000) //
+                    ((sum_dl * 1000) // n_docs))) // 1000000)))
+              // 1000000) AS BIGINT) AS score_ppm
+          FROM mt m JOIN dft USING (term) JOIN q USING (term)
+          CROSS JOIN stats
+          GROUP BY q.query_id, m.id)
+        SELECT query_id, doc_id, score_ppm, rank FROM (
+          SELECT query_id, id AS doc_id, score_ppm,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_ppm DESC, id) AS BIGINT) AS rank
+          FROM sc)
+        WHERE rank <= 10 ORDER BY query_id, rank""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -192,6 +192,47 @@ object Retrieval {
         col("rank"))
   }
 
+  /** Simple BM25F (Robertson & Zaragoza, FnTIR 2009 §: the
+    * field-weighted extension): term frequencies and document lengths
+    * are WEIGHTED sums over fields — tf = Σ_f w_f·tf_{f}, dl =
+    * Σ_f w_f·dl_f — and standard BM25 runs over the weighted
+    * quantities, so a title hit with weight 3 counts like three body
+    * hits while length saturation still applies globally. Integer
+    * weights keep every quantity exact; the scoring kernel, df
+    * counting, top-k sharding, and the oracle arithmetic are
+    * [[bm25]]'s own (the virtual weighted postings feed it through
+    * `precomputedMatched`/`precomputedStats`). Fields missing a term
+    * contribute 0; docs empty in every field never match.
+    */
+  def bm25f(docs: DataFrame, idCol: String,
+      fields: Seq[(String, Long)], queries: DataFrame, topK: Int = 10,
+      k1Ppm: Long = 1200000L, bPpm: Long = 750000L,
+      shards: Int = 0): DataFrame = {
+    require(fields.nonEmpty && fields.forall(_._2 > 0L),
+      "at least one field, positive integer weights")
+    val qterms = queries.select(lower(col("term")).as("term")).distinct()
+    val tfTab = fields.map { case (c, w) =>
+      postings(docs, idCol, c)
+        .select(col("term"), col("id"), (col("tf") * w).as("tf"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("term"), col("id"))
+      .agg(sum(col("tf")).cast("long").as("tf"))
+    val dlTab = fields.map { case (c, w) =>
+      docs.select(col(idCol).as("id"),
+        (size(Dedup.tokens(col(c))).cast("long") * w).as("_dl"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(sum(col("_dl")).cast("long").as("dl"))
+    val matched = tfTab.join(broadcast(qterms), Seq("term"))
+      .join(dlTab, Seq("id"))
+      .select(col("term"), col("id"), col("dl"), col("tf"))
+      .localCheckpoint()
+    val stats = dlTab.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    bm25(docs, idCol, fields.head._1, queries, topK, k1Ppm, bPpm,
+      shards, precomputedMatched = Some(matched),
+      precomputedStats = Some(stats))
+  }
+
   /** nDCG@k (Järvelin & Kekäläinen, TOIS 2002): graded ranking
     * quality per query — DCG = Σ_{rank<=k} (2^rel − 1)/log2(rank+1)
     * over the system ranking, normalized by the ideal DCG from the
@@ -302,7 +343,8 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, topK: Int = 10, k1Ppm: Long = 1200000L,
       bPpm: Long = 750000L, shards: Int = 0,
-      precomputedMatched: Option[DataFrame] = None): DataFrame = {
+      precomputedMatched: Option[DataFrame] = None,
+      precomputedStats: Option[DataFrame] = None): DataFrame = {
     require(topK > 0 && k1Ppm >= 0 && bPpm >= 0 && bPpm <= 1000000L)
     val dec = "decimal(38,0)"
     def div(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -315,7 +357,7 @@ object Retrieval {
     // postings are unique per (term, id), so df = row count per term
     val dfT = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("_df"))
-    val stats = corpusStats(docs, textCol)
+    val stats = precomputedStats.getOrElse(corpusStats(docs, textCol))
     val contrib = {
       val avgdlMilli = div(col("sum_dl") * lit(1000L), col("n_docs"))
       val normPpm = lit(1000000L - bPpm) +

@@ -2795,6 +2795,29 @@ class OpsSpec extends AnyFunSuite {
       Sketch.hllRegisters(df, "k", 8).orderBy("reg").collect().toSeq)
   }
 
+  test("bm25f: a title hit outranks the same term in the body, and " +
+      "a single unit-weight field reproduces plain bm25 exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "target word", "filler filler filler filler"),
+      (2L, "other words", "target filler filler filler"),
+      (3L, "other words", "filler filler filler filler")
+    ).toDF("id", "title", "body")
+    val qs = Seq(("w", "target")).toDF("query_id", "term")
+    val r = Retrieval.bm25f(docs, "id",
+        Seq(("title", 3L), ("body", 1L)), qs, topK = 5)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(r.toSeq === Seq(1L, 2L), "title hit must rank first")
+    // degenerate single unit-weight field == plain bm25
+    val one = Retrieval.bm25f(docs, "id", Seq(("body", 1L)), qs, 5)
+      .orderBy("rank", "doc_id").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    val plain = Retrieval.bm25(docs, "id", "body", qs, 5)
+      .orderBy("rank", "doc_id").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(one === plain)
+  }
+
   test("ndcgAtK: perfect ranking scores 1.0, reversal discounts by " +
       "position, unlabeled docs gain nothing, no-relevant query is " +
       "null") {
