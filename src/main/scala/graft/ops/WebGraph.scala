@@ -561,6 +561,11 @@ object WebGraph {
         .join(keep.select(col("n").as("v")), Seq("v"), "leftsemi")
         .localCheckpoint()
       val nextCount = next.count()
+      // next is materialized (eager checkpoint + the count above):
+      // the previous round's blocks are dead weight — release them
+      // (the canonicalize discipline; a 32-round peel would otherwise
+      // hold 32 copies of the shrinking edge set)
+      unpersistCheckpoint(und)
       converged = nextCount == prevCount
       prevCount = nextCount
       und = next
@@ -604,9 +609,15 @@ object WebGraph {
     var cur = nodes
       .select(col("node"), reg.as("reg"), rho.cast("int").as("rho_max"))
       .localCheckpoint()
+    // per-round estimate snapshots are checkpointed EAGERLY (they are
+    // nodes-sized — 2^p times smaller than the sketch tables), so each
+    // round's sketch blocks can be released as soon as the next
+    // round's sketch is materialized instead of holding `rounds`
+    // copies of the O(n·2^p) register table to the end
     def snap(r: Int, df: DataFrame): DataFrame =
       Sketch.hllEstimateBy(df, Seq("node"), p)
         .select(lit(r.toLong).as("round"), col("node"), col("est"))
+        .localCheckpoint()
     var out = snap(0, cur)
     for (r <- 1 to rounds) {
       // every node absorbs its neighbors' sketches: register-wise max
@@ -614,10 +625,12 @@ object WebGraph {
           col("rho_max"))
         .join(e, "t")
         .select(col("s").as("node"), col("reg"), col("rho_max"))
-      cur = cur.unionByName(fromNbr)
+      val next = cur.unionByName(fromNbr)
         .groupBy(col("node"), col("reg"))
         .agg(max(col("rho_max")).cast("int").as("rho_max"))
         .localCheckpoint()
+      unpersistCheckpoint(cur)
+      cur = next
       out = out.unionByName(snap(r, cur))
     }
     out
