@@ -174,7 +174,8 @@ object Retrieval {
 
   def tfTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, topK: Int = 10,
-      precomputedMatched: Option[DataFrame] = None): DataFrame = {
+      precomputedMatched: Option[DataFrame] = None,
+      shards: Int = 0): DataFrame = {
     require(topK > 0)
     val qt = queries
       .select(col("query_id"), lower(col("term")).as("term"))
@@ -184,12 +185,13 @@ object Retrieval {
       .join(broadcast(qt), "term")
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("tf")).cast("long").as("tf_sum"))
-    m.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("tf_sum").desc, col("id"))).cast("long"))
-      .where(col("rank") <= topK)
+    // sharded per-query rank, same as bm25: a stopword-ish query
+    // matching 10^11 docs must never become ONE window task
+    ScaleWindow.shardedRank(m, Seq("query_id"),
+        Seq(col("tf_sum").desc, col("id")), "rank", "_sw_n", shards)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("id").as("doc_id"), col("tf_sum"),
-        col("rank"))
+        col("rank").cast("long").as("rank"))
   }
 
   /** Simple BM25F (Robertson & Zaragoza, FnTIR 2009 §: the
