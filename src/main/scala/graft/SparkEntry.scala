@@ -2276,6 +2276,18 @@ object SparkEntry {
           Seq(("title", 3L), ("text", 1L)), bm25Queries(s), topK = 10)
         .orderBy("query_id", "rank")
     }),
+    // pseudo-relevance feedback: the 3 heaviest non-query terms of
+    // each query's BM25 top-5 become expansion terms — the relational
+    // Rocchio loop (the expanded workload feeds bm25 again with no
+    // driver round-trip)
+    "q151_prf_expand" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ranking = Retrieval.bm25(docs, "doc_id", "text",
+        bm25Queries(s), topK = 10)
+      Retrieval.expandQueries(docs, "doc_id", "text", bm25Queries(s),
+          ranking, k = 5, m = 3)
+        .orderBy("query_id", "exp_rank")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5200,6 +5212,26 @@ object SparkEntry {
               ORDER BY score_ppm DESC, id) AS BIGINT) AS rank
           FROM sc)
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q151: BM25 CTEs reused for the top-5; expansion = full postings
+    // of those docs, len>=3, anti-joined against the original terms,
+    // top-3 by (tf desc, term)
+    "q151_prf_expand" ->
+      s"""WITH $bm25CtesSql,
+        top AS (SELECT query_id, doc_id AS id FROM bm25r
+          WHERE rank <= 5),
+        cand AS (SELECT t.query_id, p.term,
+            CAST(SUM(p.tf) AS BIGINT) AS exp_tf
+          FROM post p JOIN top t ON p.id = t.id
+          WHERE length(p.term) >= 3
+          GROUP BY t.query_id, p.term),
+        filt AS (SELECT c.query_id, c.term, c.exp_tf FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM q
+            WHERE q.query_id = c.query_id AND q.term = c.term))
+        SELECT query_id, term, exp_tf,
+          CAST(exp_rank AS BIGINT) AS exp_rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY exp_tf DESC, term) AS exp_rank FROM filt)
+        WHERE exp_rank <= 3 ORDER BY query_id, exp_rank""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -235,6 +235,41 @@ object Retrieval {
       precomputedStats = Some(stats))
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    * RM1-lite): assume the top-`k` ranked docs are relevant, mine
+    * their `m` heaviest terms (summed tf, original query terms and
+    * sub-`minTermLen` tokens excluded), and emit them as additional
+    * (query_id, term) workload rows — feed the union straight back to
+    * [[bm25]]/[[bm25f]] (queries are a DataFrame, so the expansion
+    * loop is fully relational: no collect, no driver round-trip).
+    * Returns (query_id, term, exp_tf, exp_rank), exp_rank 1..m.
+    *
+    * Scale shape: the postings join is restricted to the k·|queries|
+    * top docs (broadcast), and the per-query rank runs over candidate
+    * terms of ≤k docs — bounded by construction, the same argument as
+    * [[ndcgAtK]]'s label sets.
+    */
+  def expandQueries(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, ranking: DataFrame, k: Int = 5, m: Int = 3,
+      minTermLen: Int = 3): DataFrame = {
+    require(k >= 1 && m >= 1)
+    val top = ranking.where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("id"))
+    val qt = queries
+      .select(col("query_id"), lower(col("term")).as("term"))
+      .distinct()
+    val cand = postings(docs, idCol, textCol)
+      .join(broadcast(top), Seq("id"))
+      .where(length(col("term")) >= minTermLen)
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).cast("long").as("exp_tf"))
+      .join(qt, Seq("query_id", "term"), "left_anti")
+    cand.withColumn("exp_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("exp_tf").desc, col("term"))).cast("long"))
+      .where(col("exp_rank") <= m)
+  }
+
   /** nDCG@k (Järvelin & Kekäläinen, TOIS 2002): graded ranking
     * quality per query — DCG = Σ_{rank<=k} (2^rel − 1)/log2(rank+1)
     * over the system ranking, normalized by the ideal DCG from the

@@ -2795,6 +2795,30 @@ class OpsSpec extends AnyFunSuite {
       Sketch.hllRegisters(df, "k", 8).orderBy("reg").collect().toSeq)
   }
 
+  test("expandQueries: mines top-doc terms minus the originals, and " +
+      "the relational loop recalls a doc the original query missed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple fruit basket"),
+      (2L, "fruit salad bowl"),
+      (3L, "unrelated words here")).toDF("id", "text")
+    val qs = Seq(("w", "apple")).toDF("query_id", "term")
+    val r0 = Retrieval.bm25(docs, "id", "text", qs, topK = 5)
+    assert(r0.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L), "original query must only find doc 1")
+    val exp = Retrieval.expandQueries(docs, "id", "text", qs, r0,
+      k = 5, m = 2)
+    val terms = exp.collect().map(_.getString(1)).toSet
+    assert(terms.subsetOf(Set("fruit", "basket")) && terms.nonEmpty)
+    assert(!terms.contains("apple"), "originals must be excluded")
+    // feed the union back: doc 2 is now reachable through 'fruit'
+    val expanded = qs.unionByName(
+      exp.select(col("query_id"), col("term")))
+    val r1 = Retrieval.bm25(docs, "id", "text", expanded, topK = 5)
+    assert(r1.select("doc_id").collect().map(_.getLong(0)).toSet
+      .contains(2L), "expansion must recall doc 2")
+  }
+
   test("bm25f: a title hit outranks the same term in the body, and " +
       "a single unit-weight field reproduces plain bm25 exactly") {
     import spark.implicits._
