@@ -2288,6 +2288,21 @@ object SparkEntry {
           ranking, k = 5, m = 3)
         .orderBy("query_id", "exp_rank")
     }),
+    // known-item retrieval metric: reciprocal rank of the first
+    // relevant doc per query (same planted grades as q149, rel >= 2)
+    "q152_mrr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ranking = Retrieval.bm25(docs, "doc_id", "text",
+          bm25Queries(s), topK = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val labels = docs.select(col("doc_id").cast("long").as("doc_id"))
+        .crossJoin(bm25Queries(s).select("query_id").distinct())
+        .select(col("query_id"), col("doc_id"),
+          pmod(col("doc_id") * 3L + length(col("query_id")), lit(4L))
+            .as("rel"))
+      Retrieval.mrrAtK(ranking, labels, k = 10, minRel = 2L)
+        .orderBy("query_id")
+    }),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5232,6 +5247,25 @@ object SparkEntry {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY exp_tf DESC, term) AS exp_rank FROM filt)
         WHERE exp_rank <= 3 ORDER BY query_id, exp_rank""",
+    // q152: BM25 CTEs + q149's planted grades; first relevant rank
+    // per query, rr = round(1/rank, 6), 0 when none in the top k
+    "q152_mrr" ->
+      s"""WITH $bm25CtesSql,
+        qs AS (SELECT DISTINCT query_id FROM q),
+        lbl AS (SELECT qs.query_id, d.id AS doc_id,
+          (d.id * 3 + length(qs.query_id)) % 4 AS rel FROM qs, d),
+        rk AS (SELECT query_id, doc_id, rank FROM bm25r
+          WHERE rank <= 10),
+        first AS (SELECT rk.query_id,
+            CAST(MIN(rank) AS BIGINT) AS first_rel_rank
+          FROM rk JOIN lbl ON rk.query_id = lbl.query_id
+            AND rk.doc_id = lbl.doc_id
+          WHERE lbl.rel >= 2 GROUP BY rk.query_id),
+        allq AS (SELECT DISTINCT query_id FROM bm25r)
+        SELECT a.query_id, f.first_rel_rank,
+          COALESCE(round(1.0 / f.first_rel_rank, 6), 0.0) AS rr
+        FROM allq a LEFT JOIN first f ON a.query_id = f.query_id
+        ORDER BY a.query_id""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -235,6 +235,29 @@ object Retrieval {
       precomputedStats = Some(stats))
   }
 
+  /** Reciprocal rank @k per query: 1/rank of the FIRST relevant doc
+    * (rel >= minRel) in the top k, 0 when none — the known-item /
+    * navigational metric completing [[ndcgAtK]] (graded, full-list)
+    * and rankAuc (binary, threshold-free); average `rr` downstream
+    * for MRR. One thin join + a per-query min. Returns
+    * (query_id, first_rel_rank nullable, rr).
+    */
+  def mrrAtK(ranking: DataFrame, labels: DataFrame, k: Int = 10,
+      minRel: Long = 1L): DataFrame = {
+    require(k >= 1)
+    val rel = labels.where(col("rel").cast("long") >= minRel)
+      .select(col("query_id"), col("doc_id"))
+    val first = ranking.where(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+    ranking.select(col("query_id")).distinct()
+      .join(first, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(round(lit(1.0) / col("first_rel_rank"), 6), lit(0.0))
+          .as("rr"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (Rocchio 1971 /
     * RM1-lite): assume the top-`k` ranked docs are relevant, mine
     * their `m` heaviest terms (summed tf, original query terms and

@@ -2795,6 +2795,26 @@ class OpsSpec extends AnyFunSuite {
       Sketch.hllRegisters(df, "k", 8).orderBy("reg").collect().toSeq)
   }
 
+  test("mrrAtK: reciprocal of the first relevant rank, zero when " +
+      "nothing relevant lands in the top k, threshold respected") {
+    import spark.implicits._
+    val ranking = Seq(("q", 10L, 1L), ("q", 20L, 2L), ("q", 30L, 3L),
+      ("z", 40L, 1L)).toDF("query_id", "doc_id", "rank")
+    val labels = Seq(("q", 20L, 2L), ("q", 30L, 3L), ("z", 99L, 3L))
+      .toDF("query_id", "doc_id", "rel")
+    val r = Retrieval.mrrAtK(ranking, labels, k = 10, minRel = 2L)
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)),
+          x.getDouble(2))).toMap
+    assert(r("q") === ((Some(2L), 0.5)))
+    assert(r("z") === ((None, 0.0)))
+    // raising the threshold past doc 20's grade moves first to rank 3
+    val strict = Retrieval.mrrAtK(ranking, labels, 10, minRel = 3L)
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(strict("q") === Some(3L))
+  }
+
   test("expandQueries: mines top-doc terms minus the originals, and " +
       "the relational loop recalls a doc the original query missed") {
     import spark.implicits._
