@@ -281,7 +281,13 @@ object Retrieval {
     val qt = queries
       .select(col("query_id"), lower(col("term")).as("term"))
       .distinct()
-    val cand = postings(docs, idCol, textCol)
+    // semi-join the CORPUS down to the k·|queries| top docs BEFORE
+    // building postings — the full postings build is a corpus-wide
+    // (term, id) shuffle, absurd for a probe this small
+    val topDocs = docs.join(
+      broadcast(top.select(col("id").as(idCol)).distinct()),
+      Seq(idCol), "leftsemi")
+    val cand = postings(topDocs, idCol, textCol)
       .join(broadcast(top), Seq("id"))
       .where(length(col("term")) >= minTermLen)
       .groupBy(col("query_id"), col("term"))
