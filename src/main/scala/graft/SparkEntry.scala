@@ -2303,6 +2303,16 @@ object SparkEntry {
       Retrieval.mrrAtK(ranking, labels, k = 10, minRel = 2L)
         .orderBy("query_id")
     }),
+    // near-dup candidates without MinHash: pigeonhole-blocked simhash
+    // pairs (Manku et al., WWW 2007) — exact recall for hamming <= 1
+    // on the portable 16-bit fingerprint (2 blocks x 8 bits); the
+    // production path is 64-bit / 4 blocks / hamming <= 3 (OpsSpec)
+    "q153_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(
+          t(s, d, "documents").select(
+            col("doc_id").cast("long").as("doc_id"), col("text")),
+          "doc_id", "text", bits = 16, nBlocks = 2, maxHamming = 1)
+        .orderBy("a", "b")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5266,6 +5276,19 @@ object SparkEntry {
           COALESCE(round(1.0 / f.first_rel_rank, 6), 0.0) AS rr
         FROM allq a LEFT JOIN first f ON a.query_id = f.query_id
         ORDER BY a.query_id""",
+    // q153: same pigeonhole construction — 2 bands of 8 bits over the
+    // portable 16-bit simhash, bucket self-join, exact popcount verify
+    "q153_simhash_pairs" ->
+      s"""WITH sigs AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $simhash16Sql AS sh FROM documents),
+        blk AS (SELECT id, sh, b AS band, (sh >> (b * 8)) & 255 AS bucket
+          FROM sigs, generate_series(0, 1) AS t(b)),
+        cand AS (SELECT DISTINCT l.id AS a, r.id AS b,
+            CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+          FROM blk l JOIN blk r ON l.band = r.band
+            AND l.bucket = r.bucket AND l.id < r.id)
+        SELECT a, b, hamming FROM cand WHERE hamming <= 1
+        ORDER BY a, b""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -217,6 +217,54 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs by pigeonhole blocking (Manku, Jain
+    * & Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW
+    * 2007): split the B-bit fingerprint into `nBlocks` contiguous
+    * blocks; two fingerprints within hamming distance < nBlocks must
+    * agree EXACTLY on at least one block, so bucketing on (block
+    * index, block value) finds every such pair — candidates are then
+    * verified with the exact popcount, so the result is exact recall
+    * for hamming <= maxHamming (require maxHamming < nBlocks).
+    *
+    * Scale shape: only (id, fingerprint) rows shuffle — ~16 bytes a
+    * row regardless of document size, nBlocks rows per doc — and the
+    * within-bucket self-join is guarded by the shared big-bucket cap
+    * (capBuckets, same contract + accounting as minhashLshPairs).
+    * bits=16 is the engine-portable md5 variant (DuckDB-checkable);
+    * bits=64 the production xxhash64 variant. The reference has no
+    * near-dup stage at all; this is the graft-side scale path next to
+    * MinHash-LSH: cheaper signatures (one long vs k ints) at the cost
+    * of detecting only small-edit near-dups.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, nBlocks: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    require(bits == 16 || bits == 64, "bits must be 16 (portable) or 64")
+    require(bits % nBlocks == 0, s"nBlocks ($nBlocks) must divide $bits")
+    require(maxHamming < nBlocks,
+      s"pigeonhole recall needs maxHamming < nBlocks ($maxHamming >= $nBlocks)")
+    val width = bits / nBlocks
+    val sig =
+      if (bits == 16) simhash16(col(textCol)) else simhash64(col(textCol))
+    // one simhash per doc, then nBlocks thin rows; checkpoint so the
+    // self-join's two sides share one signature computation
+    val blocked = df.select(col(idCol).as("id"), sig.as("sh"))
+      .select(col("id"), col("sh"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("band"))
+      .withColumn("bucket",
+        call_function("shiftrightunsigned", col("sh"),
+          (col("band") * width).cast("int"))
+          .bitwiseAND(lit((1L << width) - 1)))
+    val capped = capBuckets(blocked, maxBucket).localCheckpoint()
+    capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hamming64(col("l.sh"), col("r.sh")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram (word shingle) Jaccard pairs via shingle self-join:
     * explode distinct shingles, join on shingle, count intersections,
     * jaccard = |∩| / (|A|+|B|-|∩|). Shuffles on the shingle key — at

@@ -68,6 +68,29 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
   }
 
+  test("simhash pigeonhole pairs: dup found, unrelated absent, cap + guard") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      bits = 64, nBlocks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 3L))) // exact dup: hamming 0, always blocked
+    assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 0)
+    assert(!ids.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
+    // portable 16-bit / 2-block path (the q153 oracle construction)
+    val p16 = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      bits = 16, nBlocks = 2, maxHamming = 1).collect()
+    assert(p16.exists(r => r.getLong(0) == 0L && r.getLong(1) == 3L))
+    // big-bucket cap: every shared bucket has >= 2 members, so cap 1
+    // skips them all
+    assert(Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      bits = 64, nBlocks = 4, maxHamming = 3, maxBucket = 1).count() === 0)
+    // pigeonhole recall guard
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", nBlocks = 4,
+        maxHamming = 4)
+    }
+  }
+
   test("ngram jaccard: dup=1.0, near-dup high, unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
