@@ -2313,6 +2313,13 @@ object SparkEntry {
             col("doc_id").cast("long").as("doc_id"), col("text")),
           "doc_id", "text", bits = 16, nBlocks = 2, maxHamming = 1)
         .orderBy("a", "b")),
+    // the language-modeling ranker next to BM25: Dirichlet-smoothed
+    // query likelihood (Zhai & Lafferty 2001), matched-terms form,
+    // round-6 scores, rank on the rounded score
+    "q154_query_likelihood" -> ((s, d) =>
+      Retrieval.queryLikelihood(t(s, d, "documents"), "doc_id", "text",
+          bm25Queries(s), topK = 10, mu = 2000L)
+        .orderBy("query_id", "rank")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5289,6 +5296,33 @@ object SparkEntry {
             AND l.bucket = r.bucket AND l.id < r.id)
         SELECT a, b, hamming FROM cand WHERE hamming <= 1
         ORDER BY a, b""",
+    // q154: Dirichlet QL in the matched-terms form; cf = collection
+    // frequency over queried-term postings; round-6 at the same three
+    // points as the Spark side (per-term, match-sum, final)
+    "q154_query_likelihood" ->
+      s"""WITH $bm25CtesSql,
+        cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+          FROM mt GROUP BY term),
+        nq AS (SELECT query_id,
+            CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+          FROM q GROUP BY 1),
+        pt AS (SELECT q.query_id, m.id, m.dl,
+            round(ln(1.0 + (CAST(m.tf AS DOUBLE) * sum_dl) /
+              (2000.0 * cf.cf)), 6) AS w
+          FROM mt m JOIN cf USING (term) JOIN q USING (term)
+          CROSS JOIN stats),
+        sc2 AS (SELECT query_id, id, dl, round(SUM(w), 6) AS s_match
+          FROM pt GROUP BY 1, 2, 3),
+        scored AS (SELECT query_id, id,
+            round(s_match + round(n_terms *
+              ln(2000.0 / (dl + 2000.0)), 6), 6) AS score
+          FROM sc2 JOIN nq USING (query_id)),
+        qlr AS (SELECT query_id, id AS doc_id, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, doc_id, score, rank FROM qlr
+        WHERE rank <= 10 ORDER BY query_id, rank""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

@@ -235,6 +235,58 @@ object Retrieval {
       precomputedStats = Some(stats))
   }
 
+  /** Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai
+    * & Lafferty, SIGIR 2001): score(q,d) = Σ_{t∈q} ln((tf(t,d) +
+    * μ·p(t|C)) / (dl + μ)), p(t|C) = cf(t)/|C| the corpus unigram
+    * model — the language-modeling ranker next to [[bm25]]'s
+    * probabilistic-relevance one. Implemented in the rank-equivalent
+    * matched-terms form score = Σ_{t∈q∩d} ln(1 + tf·|C|/(μ·cf(t))) +
+    * |q|·ln(μ/(dl+μ)): absent terms contribute exactly the length
+    * normalizer, so only MATCHED postings are touched — the same
+    * scale shape as [[bm25]] (broadcast query-term semi-join before
+    * any shuffle; cf/nq/stats broadcast; sharded top-k so a stopword
+    * query is never one window task). cf(t) is collection frequency
+    * over the full postings of the queried terms.
+    *
+    * Scores use the round-6 float protocol ([[ndcgAtK]]'s): per-term
+    * contributions rounded to 6, summed, re-rounded — the ln makes
+    * BM25's exact integer staging impossible, and ranking on the
+    * ROUNDED score keeps cross-engine tie-breaks identical.
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, topK: Int = 10, mu: Long = 2000L,
+      precomputedMatched: Option[DataFrame] = None,
+      shards: Int = 0): DataFrame = {
+    require(topK > 0 && mu > 0, "positive topK and mu")
+    val qt = queries
+      .select(col("query_id"), lower(col("term")).as("term"))
+      .distinct()
+    val matched = precomputedMatched
+      .getOrElse(matchedPostings(docs, idCol, textCol, queries))
+    val stats = corpusStats(docs, textCol)
+    val cf = matched.groupBy("term")
+      .agg(sum(col("tf")).cast("long").as("cf"))
+    val nq = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val perTerm = matched.join(broadcast(qt), "term")
+      .join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"), col("dl"),
+        round(log(lit(1.0) + col("tf").cast("double") * col("sum_dl") /
+          (lit(mu).cast("double") * col("cf"))), 6).as("w"))
+    val scored = perTerm.groupBy(col("query_id"), col("id"), col("dl"))
+      .agg(round(sum(col("w")), 6).as("s_match"))
+      .join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        round(col("s_match") + round(col("n_terms") *
+          log(lit(mu).cast("double") / (col("dl") + lit(mu))), 6), 6)
+          .as("score"))
+    ScaleWindow.shardedRank(scored, Seq("query_id"),
+        Seq(col("score").desc, col("id")), "rank", "_sw_n", shards)
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("id").as("doc_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Reciprocal rank @k per query: 1/rank of the FIRST relevant doc
     * (rel >= minRel) in the top k, 0 when none — the known-item /
     * navigational metric completing [[ndcgAtK]] (graded, full-list)

@@ -1991,6 +1991,53 @@ class OpsSpec extends AnyFunSuite {
     assert(ppm === 4L * 1000000L / 39L) // normalized by the longer side
   }
 
+  test("query likelihood: round-6 Dirichlet twin, length norm beats " +
+    "raw tf, no-hit query absent") {
+    import spark.implicits._
+    val docTexts: Seq[(Long, String)] = Seq(
+      (1L, "sort sort sort merge"),
+      (2L, "sort merge merge join extra words to stretch the length " +
+        "of this document well past average"),
+      (3L, "join join"),
+      (4L, "sort merge"),
+      (5L, "completely unrelated text here"))
+    val docs = docTexts.toDF("id", "text").repartition(3)
+    val qs = Seq(("qa", "sort"), ("qa", "merge"), ("qb", "join"),
+      ("qz", "nohit")).toDF("query_id", "term")
+    val got = Retrieval.queryLikelihood(docs, "id", "text", qs,
+        topK = 5, mu = 50L)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // scalar twin with the identical round-6 staging
+    val toks = docTexts.map { case (i, t) =>
+      i -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val sumDl = toks.values.map(_.size).sum.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cf(t: String) = toks.values.map(_.count(_ == t)).sum.toDouble
+    def score(terms: Seq[String], id: Long): Option[Double] = {
+      val tk = toks(id)
+      val ws = terms.flatMap { t =>
+        val tf = tk.count(_ == t)
+        if (tf == 0) None
+        else Some(r6(math.log(1.0 + tf * sumDl / (50.0 * cf(t)))))
+      }
+      if (ws.isEmpty) None
+      else Some(r6(r6(ws.sum) +
+        r6(terms.size * math.log(50.0 / (tk.size + 50.0)))))
+    }
+    got.foreach { case (q, id, s) =>
+      val terms = Seq(("qa", Seq("sort", "merge")), ("qb", Seq("join")),
+        ("qz", Seq("nohit"))).toMap.apply(q)
+      assert(score(terms, id).contains(s), s"($q, $id)")
+    }
+    // length normalization: doc 4 (same terms, 2 tokens) outranks
+    // doc 2 (higher merge tf, 15 tokens); unmatched docs absent
+    val qa = got.filter(_._1 == "qa").map(_._2)
+    assert(qa === Seq(1L, 4L, 2L))
+    assert(!got.exists(_._1 == "qz"))
+  }
+
   test("bm25: integer scores match a scalar twin; tf saturation, " +
     "length normalization, df weighting, tie-break, no-hit query") {
     import spark.implicits._
