@@ -2320,6 +2320,19 @@ object SparkEntry {
       Retrieval.queryLikelihood(t(s, d, "documents"), "doc_id", "text",
           bm25Queries(s), topK = 10, mu = 2000L)
         .orderBy("query_id", "rank")),
+    // suffix-array-grade exact-substring machinery (the round-3
+    // deferred item): Manber-Myers prefix doubling as relational
+    // rounds + the LCP array from the doubling tables
+    "q155_suffix_array" -> ((s, d) =>
+      ops.SuffixArray.saWithLcp(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("sa_rank")),
+    // exact duplicated spans from the SA: positions whose suffix
+    // shares >= 8 leading tokens with an SA neighbor = 8-gram occurs
+    // twice anywhere in the corpus, with the MAXIMAL repeat length
+    "q156_sa_dup_spans" -> ((s, d) =>
+      ops.SuffixArray.duplicatedPositions(t(s, d, "documents"),
+          "doc_id", "text", minTokens = 8)
+        .orderBy("id", "pos")),
     // output layout: byte-balanced shard assignment — cumulative-weight
     // bins over a deterministic hash order (a row-count split skews
     // wildly when document sizes do); cum/total ride along so the
@@ -5323,6 +5336,67 @@ object SparkEntry {
           FROM scored)
         SELECT query_id, doc_id, score, rank FROM qlr
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q155: the oracle sorts the ACTUAL suffix token-lists (DuckDB
+    // lexicographic list order = the doubling construction's order,
+    // shorter-prefix first) and takes lcp by direct prefix compare
+    "q155_suffix_array" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        p0 AS (SELECT id, CAST(len(tk) AS BIGINT) AS dl, tk,
+            unnest(generate_series(1, len(tk))) AS i FROM d),
+        p AS (SELECT id, dl, CAST(i - 1 AS BIGINT) AS pos,
+            tk[i:] AS suf FROM p0),
+        o AS (SELECT id, pos, dl, suf,
+            CAST(ROW_NUMBER() OVER (ORDER BY suf, id, pos) AS BIGINT)
+              AS sa_rank
+          FROM p),
+        w AS (SELECT id, pos, sa_rank, suf,
+            lag(suf) OVER (ORDER BY sa_rank) AS psuf
+          FROM o),
+        w2 AS (SELECT id, pos, sa_rank, psuf,
+            least(len(suf), len(psuf)) AS mm,
+            list_position(list_transform(
+              generate_series(1, least(len(suf), len(psuf))),
+              j -> suf[j] = psuf[j]), false) AS fd
+          FROM w)
+        SELECT id, pos, sa_rank,
+          CAST(CASE WHEN psuf IS NULL THEN 0
+            WHEN COALESCE(fd, 0) = 0 THEN mm ELSE fd - 1 END AS BIGINT)
+            AS lcp
+        FROM w2 ORDER BY sa_rank""",
+    // q156: same SA chain; dup_len = greatest(lcp_prev, lcp_next)
+    // (max common prefix with ANY other suffix is with an SA neighbor)
+    "q156_sa_dup_spans" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        p0 AS (SELECT id, CAST(len(tk) AS BIGINT) AS dl, tk,
+            unnest(generate_series(1, len(tk))) AS i FROM d),
+        p AS (SELECT id, dl, CAST(i - 1 AS BIGINT) AS pos,
+            tk[i:] AS suf FROM p0),
+        o AS (SELECT id, pos, dl, suf,
+            CAST(ROW_NUMBER() OVER (ORDER BY suf, id, pos) AS BIGINT)
+              AS sa_rank
+          FROM p),
+        w AS (SELECT id, pos, sa_rank, suf,
+            lag(suf) OVER (ORDER BY sa_rank) AS psuf
+          FROM o),
+        w2 AS (SELECT id, pos, sa_rank,
+            CASE WHEN psuf IS NULL THEN 0 ELSE (
+              CASE WHEN COALESCE(list_position(list_transform(
+                  generate_series(1, least(len(suf), len(psuf))),
+                  j -> suf[j] = psuf[j]), false), 0) = 0
+                THEN least(len(suf), len(psuf))
+                ELSE list_position(list_transform(
+                  generate_series(1, least(len(suf), len(psuf))),
+                  j -> suf[j] = psuf[j]), false) - 1 END) END AS lcp
+          FROM w),
+        nx AS (SELECT id, pos, lcp,
+            lead(lcp) OVER (ORDER BY sa_rank) AS lcp_next
+          FROM w2)
+        SELECT id, pos,
+          CAST(greatest(lcp, COALESCE(lcp_next, 0)) AS BIGINT) AS dup_len
+        FROM nx WHERE greatest(lcp, COALESCE(lcp_next, 0)) >= 8
+        ORDER BY id, pos""",
     // q118: the running weight sum is a plain global window in SQL
     // (fine at oracle scale — the Spark side shards it); shard id =
     // exclusive-prefix DIV ceil(total/8), clamped to 7

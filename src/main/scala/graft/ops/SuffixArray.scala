@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction over the tokenized corpus —
+  * the exact-substring machinery deferred since round 3: Manber &
+  * Myers (SIAM J. Comput. 1993) prefix doubling, expressed as
+  * relational rounds (each round = one thin self-join + one dense
+  * re-rank), plus the LCP array recovered from the saved doubling
+  * tables — the standard binary-decomposition LCP walk. Together
+  * (sa_rank, lcp) give suffix-array-grade exact duplicated-substring
+  * detection (Lee et al. 2022 "Deduplicating Training Data Makes
+  * Language Models Better" builds on exactly this pair), closing the
+  * n-gram relaxation gap documented on
+  * [[Curation.dropDuplicatedSpans]].
+  *
+  * Unit: token-level suffixes WITHIN each document ([[Dedup.tokens]]
+  * lowercase/whitespace convention, shared with every other text
+  * operator and the DuckDB oracles). Suffixes of distinct documents
+  * compare by content; identical full suffixes tie and are broken by
+  * (id, pos) — the same total order DuckDB's lexicographic list
+  * comparison produces, which is what makes the whole construction
+  * oracle-checkable.
+  *
+  * Scale shape (10^12 tokens): every table here is thin (id, pos,
+  * rank) longs — text appears ONLY in the initial token-rank pass and
+  * never shuffles afterwards. Per round: one equi-join on (id, pos+h)
+  * and one dense re-rank built from `distinct` +
+  * [[ScaleWindow.shardedRank]] (range-sharded — no global window
+  * task). ceil(log2 maxDocLen) rounds, NOT log2(corpus): suffixes
+  * stop at document ends, so a 10^12-token corpus of ≤64k-token pages
+  * is 16 rounds. Each round localCheckpoints (truncating lineage) and
+  * releases the previous round's blocks, keeping only the ~log tables
+  * the LCP walk needs.
+  */
+object SuffixArray {
+
+  /** (id, pos, dl, tok) token-position rows; empty docs drop out. */
+  private def positions(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        Dedup.tokens(col(textCol)).as("_tk"))
+      .select(col("id"), size(col("_tk")).cast("long").as("dl"),
+        posexplode(col("_tk")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+
+  /** Order-preserving dense rank of `keys` (distinct keys →
+    * shardedRank → join back): the re-rank kernel of every doubling
+    * round. Output rank is 1-based and dense by construction.
+    */
+  private def denseRank(df: DataFrame, keys: Seq[String],
+      out: String, shards: Int): DataFrame = {
+    val dr = df.select(keys.map(col): _*).distinct()
+    val ranked = ScaleWindow.shardedRank(dr, Seq.empty,
+        keys.map(col), out, "_sa_n", shards)
+      .drop("_sa_n")
+    df.join(ranked, keys)
+  }
+
+  /** Suffix ranks by prefix doubling. Returns the per-round tables
+    * `(h, ranks)` in ASCENDING h — `ranks` = (id, pos, dl, rank)
+    * where equal rank ⟺ the suffixes' first min(h, remaining) tokens
+    * agree AND (if either suffix is shorter than h) the suffixes are
+    * identical. The last table's ranks are final: equal ⟺ identical
+    * full suffixes. Early-stops when all ranks are distinct.
+    */
+  def doublingTables(df: DataFrame, idCol: String, textCol: String,
+      shards: Int = 0): Seq[(Long, DataFrame)] = {
+    val pos = positions(df, idCol, textCol)
+    val maxLen = pos.agg(max(col("dl"))).collect()(0).getLong(0)
+    val n = pos.count()
+    var r = denseRank(pos, Seq("tok"), "rank", shards)
+      .select(col("id"), col("pos"), col("dl"), col("rank"))
+      .localCheckpoint()
+    var tables = Seq(1L -> r)
+    var h = 1L
+    var distinctRanks =
+      r.agg(countDistinct(col("rank"))).collect()(0).getLong(0)
+    while (h < maxLen && distinctRanks < n) {
+      // suffix at pos pairs its rank with the rank at pos+h; absent
+      // (past doc end) = sentinel -1, sorting shorter-prefix first —
+      // the same order DuckDB's lexicographic list compare yields
+      val shifted = r.select(col("id"), (col("pos") - h).as("pos"),
+        col("rank").as("_rb"))
+      val paired = r.join(shifted, Seq("id", "pos"), "left")
+        .select(col("id"), col("pos"), col("dl"),
+          col("rank").as("_ra"), coalesce(col("_rb"), lit(-1L)).as("_rb"))
+      r = denseRank(paired, Seq("_ra", "_rb"), "rank", shards)
+        .select(col("id"), col("pos"), col("dl"), col("rank"))
+        .localCheckpoint()
+      h *= 2
+      tables :+= (h -> r)
+      distinctRanks =
+        r.agg(countDistinct(col("rank"))).collect()(0).getLong(0)
+    }
+    tables
+  }
+
+  /** The suffix array with its LCP array: one row per token position,
+    * `(id, pos, sa_rank, lcp)` — sa_rank the 1-based position in the
+    * global suffix order (ties on identical suffixes broken by
+    * (id, pos)), lcp the longest-common-prefix length with the
+    * PREVIOUS suffix in that order (0 for sa_rank 1).
+    *
+    * LCP walk: descending over the doubling tables, two thin lookups
+    * per table (rank at id1/pos1+lcp and id2/pos2+lcp); equal ranks
+    * advance lcp by h. The one overshoot case — both remainders
+    * shorter than h and identical — is exact after the final
+    * least(lcp, remaining) cap (the remainders being identical forces
+    * equal lengths). log2(maxDocLen) joins of adjacent-pair rows
+    * against thin rank tables; nothing corpus-quadratic anywhere.
+    */
+  def saWithLcp(df: DataFrame, idCol: String, textCol: String,
+      shards: Int = 0): DataFrame = {
+    val tables = doublingTables(df, idCol, textCol, shards)
+    val rFinal = tables.last._2
+    val sa = ScaleWindow.shardedRank(rFinal, Seq.empty,
+        Seq(col("rank"), col("id"), col("pos")), "sa_rank", "_sa_n",
+        shards)
+      .drop("_sa_n")
+      .localCheckpoint()
+    val cur = sa.select(col("sa_rank"), col("id").as("id2"),
+      col("pos").as("pos2"), col("dl").as("dl2"))
+    val prev = sa.select((col("sa_rank") + 1).as("sa_rank"),
+      col("id").as("id1"), col("pos").as("pos1"), col("dl").as("dl1"))
+    var pairs = cur.join(prev, Seq("sa_rank"), "left")
+      .withColumn("lcp", lit(0L))
+    tables.reverse.foreach { case (h, rt) =>
+      pairs = pairs
+        .withColumn("_p1", col("pos1") + col("lcp"))
+        .withColumn("_p2", col("pos2") + col("lcp"))
+        .join(rt.select(col("id").as("id1"), col("pos").as("_p1"),
+          col("rank").as("_r1")), Seq("id1", "_p1"), "left")
+        .join(rt.select(col("id").as("id2"), col("pos").as("_p2"),
+          col("rank").as("_r2")), Seq("id2", "_p2"), "left")
+        // null (past either suffix end) falls to otherwise: no advance
+        .withColumn("lcp", when(col("_r1") === col("_r2"),
+          col("lcp") + h).otherwise(col("lcp")))
+        .drop("_p1", "_p2", "_r1", "_r2")
+    }
+    pairs.select(col("id2").as("id"), col("pos2").as("pos"),
+      col("sa_rank"),
+      when(col("id1").isNull, lit(0L))
+        .otherwise(least(col("lcp"), col("dl1") - col("pos1"),
+          col("dl2") - col("pos2"))).as("lcp"))
+  }
+
+  /** Exact duplicated spans from the suffix array: maximal-start
+    * positions whose suffix shares >= minTokens leading tokens with
+    * its SA neighbor — i.e. the span (id, pos, pos+minTokens) occurs
+    * at least twice in the corpus (either document). The SA gives
+    * this without enumerating n-grams: a repeated span of ANY length
+    * >= minTokens shows up as adjacent suffixes with lcp >= minTokens
+    * (duplicated text clusters contiguously in suffix order). Output
+    * one row per position participating in a duplication, with the
+    * matched length.
+    */
+  def duplicatedPositions(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, shards: Int = 0): DataFrame = {
+    val sa = saWithLcp(df, idCol, textCol, shards).localCheckpoint()
+    // a position duplicates if lcp-with-prev >= min OR the NEXT row's
+    // lcp-with-prev >= min (lcp is stored on the later row)
+    val next = sa.select((col("sa_rank") - 1).as("sa_rank"),
+      col("lcp").as("_lcp_next"))
+    sa.join(next, Seq("sa_rank"), "left")
+      .withColumn("dup_len",
+        greatest(col("lcp"), coalesce(col("_lcp_next"), lit(0L))))
+      .filter(col("dup_len") >= minTokens)
+      .select(col("id"), col("pos"), col("dup_len"))
+  }
+}

@@ -1991,6 +1991,34 @@ class OpsSpec extends AnyFunSuite {
     assert(ppm === 4L * 1000000L / 39L) // normalized by the longer side
   }
 
+  test("suffix array: sa_rank + lcp match the brute-force sort") {
+    import spark.implicits._
+    val docTexts: Seq[(Long, String)] = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox leaps over the lazy cat"),
+      (3L, "completely different words entirely"),
+      (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    val docs = docTexts.toDF("id", "text").repartition(3)
+    val got = ops.SuffixArray.saWithLcp(docs, "id", "text", shards = 4)
+      .orderBy("sa_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: sort actual suffixes, direct prefix compare
+    val sufs = docTexts.flatMap { case (i, t) =>
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      tk.indices.map(p => (i, p.toLong, tk.drop(p)))
+    }
+    implicit val ord: Ordering[Seq[String]] = Ordering.Implicits.seqOrdering
+    val sorted = sufs.sortBy { case (i, p, s) => (s, i, p) }
+    def lcpOf(a: Seq[String], b: Seq[String]): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    val expect = sorted.zipWithIndex.map { case ((i, p, s), idx) =>
+      val lcp = if (idx == 0) 0L else lcpOf(s, sorted(idx - 1)._3)
+      (i, p, (idx + 1).toLong, lcp)
+    }
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case (g, e) => assert(g === e, s"at ${g._3}") }
+  }
+
   test("query likelihood: round-6 Dirichlet twin, length norm beats " +
     "raw tf, no-hit query absent") {
     import spark.implicits._
