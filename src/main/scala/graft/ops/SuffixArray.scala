@@ -68,15 +68,19 @@ object SuffixArray {
   def doublingTables(df: DataFrame, idCol: String, textCol: String,
       shards: Int = 0): Seq[(Long, DataFrame)] = {
     val pos = positions(df, idCol, textCol)
-    val maxLen = pos.agg(max(col("dl"))).collect()(0).getLong(0)
-    val n = pos.count()
+    val agg0 = pos.agg(max(col("dl")), count(lit(1))).collect()(0)
+    val (maxLen, n) = (agg0.getLong(0), agg0.getLong(1))
     var r = denseRank(pos, Seq("tok"), "rank", shards)
       .select(col("id"), col("pos"), col("dl"), col("rank"))
       .localCheckpoint()
     var tables = Seq(1L -> r)
     var h = 1L
-    var distinctRanks =
-      r.agg(countDistinct(col("rank"))).collect()(0).getLong(0)
+    // early-stop probe (all ranks unique ⇒ order final) only once
+    // h >= 16: the first rounds never converge, and a corpus with ANY
+    // exact-dup document never converges at all (identical suffixes
+    // tie forever) — so the probe is gated to where it can still save
+    // rounds without paying one action per round
+    var distinctRanks = 0L
     while (h < maxLen && distinctRanks < n) {
       // suffix at pos pairs its rank with the rank at pos+h; absent
       // (past doc end) = sentinel -1, sorting shorter-prefix first —
@@ -91,8 +95,9 @@ object SuffixArray {
         .localCheckpoint()
       h *= 2
       tables :+= (h -> r)
-      distinctRanks =
-        r.agg(countDistinct(col("rank"))).collect()(0).getLong(0)
+      if (h >= 16 && h < maxLen)
+        distinctRanks =
+          r.agg(countDistinct(col("rank"))).collect()(0).getLong(0)
     }
     tables
   }
