@@ -2320,6 +2320,18 @@ object SparkEntry {
       Retrieval.queryLikelihood(t(s, d, "documents"), "doc_id", "text",
           bm25Queries(s), topK = 10, mu = 2000L)
         .orderBy("query_id", "rank")),
+    // off-page relevance: BM25 over virtual per-target-host anchor
+    // documents (weighted postings — no concatenated hub strings)
+    "q157_anchor_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("qa", "news"), ("qa", "item"), ("qb", "section"),
+        ("qb", "index"), ("qc", "relative"), ("qc", "link"))
+        .toDF("query_id", "term")
+      Retrieval.anchorRetrieval(
+          LinkExtractor.extractLinks(linkPages(s, d), "url", "html"),
+          qs, topK = 10)
+        .orderBy("query_id", "rank")
+    }),
     // suffix-array-grade exact-substring machinery (the round-3
     // deferred item): Manber-Myers prefix doubling as relational
     // rounds + the LCP array from the doubling tables
@@ -5336,6 +5348,59 @@ object SparkEntry {
           FROM scored)
         SELECT query_id, doc_id, score, rank FROM qlr
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q157: q78's anchor derivation + weighted postings (tf = Σ
+    // cnt·occurrences, dl = Σ cnt·len) + q97's exact scoring nesting
+    "q157_anchor_bm25" -> {
+      val id = "CAST(doc_id AS BIGINT)"
+      s"""WITH q(query_id, term) AS (VALUES ('qa','news'),('qa','item'),
+          ('qb','section'),('qb','index'),('qc','relative'),
+          ('qc','link')),
+        p AS (SELECT $id AS id, $linkHostSql AS h FROM documents),
+        l AS (
+          SELECT 'src' || CAST((id*7+3) % 20 AS VARCHAR) || '-'
+              || CAST((id*3+1) % 7 AS VARCHAR) || '.example.com'
+              AS dst_host,
+            'news item ' || CAST(id % 10 AS VARCHAR) AS anchor FROM p
+          UNION ALL SELECT h,
+            'relative link ' || CAST(id % 10 AS VARCHAR) FROM p
+          UNION ALL SELECT h, 'section index' FROM p),
+        ba AS (SELECT dst_host AS tid, anchor,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM l GROUP BY 1, 2),
+        tkt AS (SELECT tid, cnt, list_filter(regexp_split_to_array(
+            lower(trim(anchor)), '\\s+'), t -> t != '') AS tk
+          FROM ba),
+        tkt2 AS (SELECT * FROM tkt WHERE len(tk) > 0),
+        dlt AS (SELECT tid, CAST(SUM(cnt * len(tk)) AS BIGINT) AS dl
+          FROM tkt2 GROUP BY tid),
+        post AS (SELECT term, tid, CAST(SUM(cnt) AS BIGINT) AS tf
+          FROM (SELECT tid, cnt, unnest(tk) AS term FROM tkt2)
+          GROUP BY 1, 2),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dlt),
+        mt AS (SELECT post.tid, post.term, post.tf, dlt.dl
+          FROM post JOIN dlt USING (tid)
+          WHERE term IN (SELECT DISTINCT term FROM q)),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc
+          FROM mt GROUP BY term),
+        sc AS (SELECT q.query_id, m.tid,
+            CAST(SUM((CAST(((2*n_docs - 2*dfc + 1) * 1000000)
+                // (2*dfc + 1) AS HUGEINT) *
+              ((CAST(m.tf AS HUGEINT) * 2200000 * 1000000) //
+                (m.tf * 1000000 + (1200000 * ((1000000 - 750000) +
+                  (750000 * m.dl * 1000) //
+                    ((sum_dl * 1000) // n_docs))) // 1000000)))
+              // 1000000) AS BIGINT) AS score_ppm
+          FROM mt m JOIN dft USING (term) JOIN q USING (term)
+          CROSS JOIN stats
+          GROUP BY q.query_id, m.tid)
+        SELECT query_id, doc_id, score_ppm, rank FROM (
+          SELECT query_id, tid AS doc_id, score_ppm,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_ppm DESC, tid) AS BIGINT) AS rank
+          FROM sc)
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
     // q155: the oracle sorts the ACTUAL suffix token-lists (DuckDB
     // lexicographic list order = the doubling construction's order,
     // shorter-prefix first) and takes lcp by direct prefix compare

@@ -235,6 +235,61 @@ object Retrieval {
       precomputedStats = Some(stats))
   }
 
+  /** Anchor-text retrieval: BM25 over per-target-host "anchor
+    * documents" that are never materialized — the off-page relevance
+    * signal (Brin & Page 1998 §2.2; Craswell, Hawking & Robertson,
+    * SIGIR 2001: anchor-text ranking beats content ranking for site
+    * finding). The anchor document of a target is the multiset of its
+    * inbound anchor texts; instead of concatenating strings (a
+    * 10^9-inlink hub would build a multi-GB value), the (target,
+    * anchor, count) table feeds [[bm25]] as VIRTUAL WEIGHTED postings
+    * — bm25f's trick: tf(t, target) = Σ_anchors cnt·tf(t, anchor),
+    * dl(target) = Σ cnt·len(anchor) — so only thin rows ever shuffle
+    * and the scoring kernel/oracle arithmetic stay [[bm25]]'s own.
+    *
+    * `maxAnchorsPerTarget` caps the DISTINCT anchor strings a hub
+    * contributes (top by count desc, anchor asc, via sharded rank) —
+    * anchor-spam mass dilution, same cap + determinism contract as
+    * the dedup bucket caps. nofollow links and non-http(s) targets
+    * are excluded up front (the rel=nofollow contract: the link
+    * conveys no endorsement).
+    */
+  def anchorRetrieval(links: DataFrame, queries: DataFrame,
+      topK: Int = 10, maxAnchorsPerTarget: Int = 0,
+      k1Ppm: Long = 1200000L, bPpm: Long = 750000L,
+      shards: Int = 0): DataFrame = {
+    val thin = links
+      .filter(!col("nofollow") && col("href_abs").rlike("^https?://"))
+      .select(Curation.matchHost(col("href_abs")).as("id"),
+        col("anchor"))
+    val ba = thin.groupBy(col("id"), col("anchor"))
+      .agg(count(lit(1)).cast("long").as("_cnt"))
+    val capped =
+      if (maxAnchorsPerTarget <= 0) ba
+      else ScaleWindow.shardedRank(ba, Seq("id"),
+          Seq(col("_cnt").desc, col("anchor")), "_ar", "_an", shards)
+        .filter(col("_ar") <= maxAnchorsPerTarget).drop("_ar", "_an")
+    val withToks = capped
+      .withColumn("_tk", Dedup.tokens(col("anchor")))
+      .filter(size(col("_tk")) > 0)
+    val dl = withToks.groupBy(col("id"))
+      .agg(sum(col("_cnt") * size(col("_tk"))).cast("long").as("dl"))
+    val tf = withToks
+      .select(col("id"), col("_cnt"), explode(col("_tk")).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(sum(col("_cnt")).cast("long").as("tf"))
+    val qterms = queries.select(lower(col("term")).as("term")).distinct()
+    val matched = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("id"))
+      .select(col("term"), col("id"), col("dl"), col("tf"))
+      .localCheckpoint()
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    bm25(links, "id", "anchor", queries, topK, k1Ppm, bPpm, shards,
+      precomputedMatched = Some(matched),
+      precomputedStats = Some(stats))
+  }
+
   /** Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai
     * & Lafferty, SIGIR 2001): score(q,d) = Σ_{t∈q} ln((tf(t,d) +
     * μ·p(t|C)) / (dl + μ)), p(t|C) = cf(t)/|C| the corpus unigram

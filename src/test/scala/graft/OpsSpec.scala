@@ -1991,6 +1991,29 @@ class OpsSpec extends AnyFunSuite {
     assert(ppm === 4L * 1000000L / 39L) // normalized by the longer side
   }
 
+  test("anchor retrieval: inbound anchors rank the target; nofollow, " +
+    "non-http and cap honored") {
+    import spark.implicits._
+    val links = Seq(
+      ("http://a.com/1", "http://target.com/x", "download firefox", false),
+      ("http://b.com/2", "http://target.com/y", "download firefox", false),
+      ("http://c.com/3", "http://target.com/z", "firefox browser", false),
+      ("http://d.com/4", "http://other.com/p", "download chrome", false),
+      ("http://e.com/5", "http://spam.com/q", "firefox firefox", true),
+      ("http://f.com/6", "ftp://files.com/r", "firefox", false)
+    ).toDF("url", "href_abs", "anchor", "nofollow")
+    val qs = Seq(("q1", "firefox")).toDF("query_id", "term")
+    val got = Retrieval.anchorRetrieval(links, qs, topK = 5)
+      .orderBy("rank").collect()
+    // only target.com matches: spam.com is nofollow, files.com non-http
+    assert(got.map(_.getString(1)).toSeq === Seq("target.com"))
+    // cap 1 keeps only the modal anchor ("download firefox", cnt 2) —
+    // the target still matches the query through it
+    val capped = Retrieval.anchorRetrieval(links, qs, topK = 5,
+      maxAnchorsPerTarget = 1)
+    assert(capped.count() === 1)
+  }
+
   test("suffix array: sa_rank + lcp match the brute-force sort") {
     import spark.implicits._
     val docTexts: Seq[(Long, String)] = Seq(
