@@ -2332,6 +2332,24 @@ object SparkEntry {
           qs, topK = 10)
         .orderBy("query_id", "rank")
     }),
+    // extractive summarization: LexRank — PageRank centrality over
+    // within-doc sentence-similarity graphs; sentence-bearing docs
+    // synthesized from each doc's own tokens by modular picks (the
+    // corpus text has no punctuation, the q148 discipline)
+    "q158_lexrank" -> ((s, d) => {
+      val based = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          Dedup.tokens(col("text")).as("tk"))
+      val sent = (0 until 5).map(j =>
+        array_join(transform(sequence(lit(0), lit(5)),
+          i => element_at(col("tk"),
+            pmod(lit(j * 7) + i * lit(3), size(col("tk"))) + 1)), " "))
+      TextAnalysis.lexRankSummary(
+          based.select(col("doc_id"),
+            concat_ws(". ", sent: _*).as("text")),
+          "doc_id", "text", iterations = 3, topPerDoc = 2)
+        .orderBy("id", "rnk")
+    }),
     // suffix-array-grade exact-substring machinery (the round-3
     // deferred item): Manber-Myers prefix doubling as relational
     // rounds + the LCP array from the doubling tables
@@ -5400,6 +5418,53 @@ object SparkEntry {
               ORDER BY score_ppm DESC, tid) AS BIGINT) AS rank
           FROM sc)
         WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
+    // q158: sentence synthesis + split round-trip, distinct-token
+    // overlap ppm edges, the SHARED prRoundsSql PageRank template
+    // over 'id:sidx' nodes, row_number top-2 per doc
+    "q158_lexrank" -> {
+      val rounds = prRoundsSql(3)
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        sy AS (SELECT id, list_transform(generate_series(0, 4), j ->
+            array_to_string(list_transform(generate_series(0, 5),
+              i -> tk[(j*7 + i*3) % len(tk) + 1]), ' ')) AS sl FROM d),
+        src0 AS (SELECT id, array_to_string(sl, '. ') AS t FROM sy),
+        sp AS (SELECT id, list_filter(list_transform(
+            regexp_split_to_array(t, '[.!?]\\s+'), x -> trim(x)),
+            x -> x != '') AS ss FROM src0),
+        sents AS (SELECT id, u.p.i - 1 AS sidx, u.p.v AS sent
+          FROM sp, unnest(list_transform(generate_series(1, len(ss)),
+            i -> struct_pack(i := i, v := ss[i]))) u(p)),
+        st AS (SELECT id, sidx, sent, list_distinct(list_filter(
+            regexp_split_to_array(lower(trim(sent)), '\\s+'),
+            x -> x != '')) AS tk2 FROM sents),
+        st2 AS (SELECT * FROM st WHERE len(tk2) > 0),
+        pr AS (SELECT a.id, a.sidx AS ai, b.sidx AS bi,
+            (CAST(len(list_intersect(a.tk2, b.tk2)) AS BIGINT)
+              * 1000000) // (len(a.tk2) + len(b.tk2)) AS sim
+          FROM st2 a JOIN st2 b ON a.id = b.id AND a.sidx < b.sidx),
+        pe AS (SELECT CAST(id AS VARCHAR) || ':' || CAST(ai AS VARCHAR)
+            AS src,
+            CAST(id AS VARCHAR) || ':' || CAST(bi AS VARCHAR) AS dst
+          FROM pr WHERE sim >= 200000),
+        e AS (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe),
+        nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
+          FROM nd)$rounds,
+        rk AS (SELECT st2.id, st2.sidx, st2.sent,
+            COALESCE(r3.rank_ppb, 0) AS rank_ppb
+          FROM st2 LEFT JOIN r3 ON r3.node =
+            CAST(st2.id AS VARCHAR) || ':' || CAST(st2.sidx AS VARCHAR)),
+        fin AS (SELECT id, sidx, sent, rank_ppb,
+            ROW_NUMBER() OVER (PARTITION BY id
+              ORDER BY rank_ppb DESC, sidx) AS rnk FROM rk)
+        SELECT id, CAST(sidx AS BIGINT) AS sidx, sent,
+          CAST(rank_ppb AS BIGINT) AS rank_ppb, CAST(rnk AS BIGINT)
+            AS rnk
+        FROM fin WHERE rnk <= 2 ORDER BY id, rnk"""
     },
     // q155: the oracle sorts the ACTUAL suffix token-lists (DuckDB
     // lexicographic list order = the doubling construction's order,

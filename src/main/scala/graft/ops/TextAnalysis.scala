@@ -475,6 +475,70 @@ object TextAnalysis {
       .withColumnRenamed("node", "word")
   }
 
+  /** LexRank extractive summarization (Erkan & Radev, JAIR 2004):
+    * sentences are nodes, similarity edges connect sentence pairs of
+    * the SAME document, centrality = PageRank over the graph, and the
+    * summary is each document's `topPerDoc` most central sentences.
+    * Similarity is exact-integer: overlap_ppm = |shared distinct
+    * tokens|·10^6 DIV (|distinct a| + |distinct b|) — the engine-exact
+    * surrogate for LexRank's idf-modified cosine (same zero/nonzero
+    * support; documented delta, the bm25 rational-idf discipline).
+    * Sentence split is the corpus-wide `[.!?]\s+` convention shared
+    * with [[codeSwitchStats]].
+    *
+    * Scale shape: the union of per-doc sentence graphs runs through
+    * ONE integer-exact [[graft.ops.WebGraph.pageRank]] (thin
+    * "doc:sidx" nodes — rounds replay bit-for-bit in the oracle); the
+    * within-doc pair join is bounded by `maxSentences` (first N, the
+    * standard summarization cap — a 10^5-sentence page would
+    * otherwise fan 10^10 pairs); top-per-doc is a sharded rank.
+    * Sentences with no qualifying edge keep rank 0, so sparse docs
+    * deterministically summarize to their first sentences.
+    */
+  def lexRankSummary(df: DataFrame, idCol: String, textCol: String,
+      iterations: Int = 3, topPerDoc: Int = 2,
+      minSimPpm: Long = 200000L, maxSentences: Int = 50,
+      shards: Int = 0): DataFrame = {
+    val sents = df.select(col(idCol).cast("long").as("id"),
+        posexplode(filter(
+          transform(split(col(textCol), "[.!?]\\s+"), s => trim(s)),
+          s => s =!= "")).as(Seq("sidx", "sent")))
+      .filter(col("sidx") < maxSentences)
+      .withColumn("stoks", array_distinct(Dedup.tokens(col("sent"))))
+      .filter(size(col("stoks")) > 0)
+      .localCheckpoint() // pair join reads it twice, rank-back once
+    val l = sents.select(col("id"), col("sidx").as("ai"),
+      col("stoks").as("atk"))
+    val r = sents.select(col("id"), col("sidx").as("bi"),
+      col("stoks").as("btk"))
+    val pairs = l.join(r, Seq("id")).filter(col("ai") < col("bi"))
+      .withColumn("_sim", call_function("div",
+        size(array_intersect(col("atk"), col("btk"))).cast("long") *
+          lit(1000000L),
+        (size(col("atk")) + size(col("btk"))).cast("long")))
+      .filter(col("_sim") >= minSimPpm)
+      .select(
+        concat(col("id").cast("string"), lit(":"),
+          col("ai").cast("string")).as("src"),
+        concat(col("id").cast("string"), lit(":"),
+          col("bi").cast("string")).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = graft.ops.WebGraph.pageRank(edges, "src", "dst",
+      iterations)
+    val scored = sents
+      .withColumn("node", concat(col("id").cast("string"), lit(":"),
+        col("sidx").cast("string")))
+      .join(ranks, Seq("node"), "left")
+      .withColumn("rank_ppb", coalesce(col("rank_ppb"), lit(0L)))
+    ScaleWindow.shardedRank(scored, Seq("id"),
+        Seq(col("rank_ppb").desc, col("sidx")), "rnk", "_lr_n", shards)
+      .filter(col("rnk") <= topPerDoc)
+      .select(col("id"), col("sidx").cast("long").as("sidx"),
+        col("sent"), col("rank_ppb"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
       topK: Int = 50): DataFrame = {
     val toks = Dedup.tokens(col(textCol))

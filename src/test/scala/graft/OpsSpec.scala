@@ -2014,6 +2014,26 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() === 1)
   }
 
+  test("lexrank: central sentences top the summary; edge-free doc " +
+    "falls back to first sentences at rank 0") {
+    import spark.implicits._
+    // doc 1: s0/s1 connect to everything (degree 3), s2/s3 degree 2
+    val docs = Seq(
+      (1L, "a b c. a b d. a c d. a b n"),
+      (2L, "p q r. x y z")
+    ).toDF("id", "text")
+    val got = TextAnalysis.lexRankSummary(docs, "id", "text",
+        topPerDoc = 2)
+      .orderBy("id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L))
+    assert(d1.forall(_._3 > 0L))
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.map(_._2).toSeq === Seq(0L, 1L))
+    assert(d2.forall(_._3 === 0L))
+  }
+
   test("suffix array: sa_rank + lcp match the brute-force sort") {
     import spark.implicits._
     val docTexts: Seq[(Long, String)] = Seq(
