@@ -2336,20 +2336,15 @@ object SparkEntry {
     // within-doc sentence-similarity graphs; sentence-bearing docs
     // synthesized from each doc's own tokens by modular picks (the
     // corpus text has no punctuation, the q148 discipline)
-    "q158_lexrank" -> ((s, d) => {
-      val based = t(s, d, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"),
-          Dedup.tokens(col("text")).as("tk"))
-      val sent = (0 until 5).map(j =>
-        array_join(transform(sequence(lit(0), lit(5)),
-          i => element_at(col("tk"),
-            pmod(lit(j * 7) + i * lit(3), size(col("tk"))) + 1)), " "))
-      TextAnalysis.lexRankSummary(
-          based.select(col("doc_id"),
-            concat_ws(". ", sent: _*).as("text")),
-          "doc_id", "text", iterations = 3, topPerDoc = 2)
-        .orderBy("id", "rnk")
-    }),
+    "q158_lexrank" -> ((s, d) =>
+      TextAnalysis.lexRankSummary(sentenceDocs(s, d), "doc_id", "text",
+          iterations = 3, topPerDoc = 2)
+        .orderBy("id", "rnk")),
+    // readability gates: Flesch reading ease + FK grade level in
+    // exact integer milli-points over the same sentence-bearing docs
+    "q159_readability" -> ((s, d) =>
+      TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
     // suffix-array-grade exact-substring machinery (the round-3
     // deferred item): Manber-Myers prefix doubling as relational
     // rounds + the LCP array from the doubling tables
@@ -3082,6 +3077,32 @@ object SparkEntry {
       links, lit("</head><body>x</body></html>"))
     t(s, d, "documents").select(url.as("url"), html.as("html"))
   }
+
+  /** Sentence-bearing docs synthesized from each document's own
+    * tokens by modular picks (5 sentences × 6 tokens, stride 3 from
+    * offset 7j mod doc length) — the corpus text has no punctuation,
+    * so q148/q158/q159 plant their own sentence structure this way;
+    * [[sentenceDocsSql]] is the byte-identical DuckDB twin.
+    */
+  private def sentenceDocs(s: SparkSession, d: String): DataFrame = {
+    val based = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.tokens(col("text")).as("tk"))
+    val sent = (0 until 5).map(j =>
+      array_join(transform(sequence(lit(0), lit(5)),
+        i => element_at(col("tk"),
+          pmod(lit(j * 7) + i * lit(3), size(col("tk"))) + 1)), " "))
+    based.select(col("doc_id"), concat_ws(". ", sent: _*).as("text"))
+  }
+
+  /** CTE fragment twin of [[sentenceDocs]]: yields `src0(id, t)`. */
+  private lazy val sentenceDocsSql: String =
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        sy AS (SELECT id, list_transform(generate_series(0, 4), j ->
+            array_to_string(list_transform(generate_series(0, 5),
+              i -> tk[(j*7 + i*3) % len(tk) + 1]), ' ')) AS sl FROM d),
+        src0 AS (SELECT id, array_to_string(sl, '. ') AS t FROM sy)"""
 
   private def linkPages(s: SparkSession, d: String): DataFrame = {
     val did = col("doc_id").cast("long")
@@ -5424,12 +5445,7 @@ object SparkEntry {
     // over 'id:sidx' nodes, row_number top-2 per doc
     "q158_lexrank" -> {
       val rounds = prRoundsSql(3)
-      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
-          FROM documents),
-        sy AS (SELECT id, list_transform(generate_series(0, 4), j ->
-            array_to_string(list_transform(generate_series(0, 5),
-              i -> tk[(j*7 + i*3) % len(tk) + 1]), ' ')) AS sl FROM d),
-        src0 AS (SELECT id, array_to_string(sl, '. ') AS t FROM sy),
+      s"""WITH $sentenceDocsSql,
         sp AS (SELECT id, list_filter(list_transform(
             regexp_split_to_array(t, '[.!?]\\s+'), x -> trim(x)),
             x -> x != '') AS ss FROM src0),
@@ -5466,6 +5482,33 @@ object SparkEntry {
             AS rnk
         FROM fin WHERE rnk <= 2 ORDER BY id, rnk"""
     },
+    // q159: same synthesized sentences; vowel-group syllables, the
+    // identical integer DIV milli staging
+    "q159_readability" ->
+      s"""WITH $sentenceDocsSql,
+        tk3 AS (SELECT id,
+            list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+              x -> x != '') AS tkx,
+            list_filter(list_transform(
+              regexp_split_to_array(t, '[.!?]\\s+'), x -> trim(x)),
+              x -> x != '') AS ss
+          FROM src0),
+        m AS (SELECT id, CAST(len(tkx) AS BIGINT) AS n_words,
+            CAST(greatest(len(ss), 1) AS BIGINT) AS n_sents,
+            CAST(list_sum(list_transform(tkx, w ->
+              greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+              AS BIGINT) AS n_syllables
+          FROM tk3)
+        SELECT id AS doc_id, n_words, n_sents, n_syllables,
+          CAST(CASE WHEN n_words = 0 THEN 206835
+            ELSE 206835 - (1015 * n_words) // n_sents
+              - (84600 * n_syllables) // n_words END AS BIGINT)
+            AS fre_milli,
+          CAST(CASE WHEN n_words = 0 THEN -15590
+            ELSE (390 * n_words) // n_sents
+              + (11800 * n_syllables) // n_words - 15590 END AS BIGINT)
+            AS fkgl_milli
+        FROM m ORDER BY doc_id""",
     // q155: the oracle sorts the ACTUAL suffix token-lists (DuckDB
     // lexicographic list order = the doubling construction's order,
     // shorter-prefix first) and takes lcp by direct prefix compare

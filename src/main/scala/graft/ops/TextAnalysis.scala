@@ -475,6 +475,47 @@ object TextAnalysis {
       .withColumnRenamed("node", "word")
   }
 
+  /** Flesch reading-ease and Flesch-Kincaid grade level (Flesch 1948;
+    * Kincaid et al. 1975) as exact integer milli-points — the
+    * classic readability quality signals (a C4/Gopher-style gate
+    * keeps a band of them: too high = word salad, strongly negative =
+    * degenerate run-ons). Syllables per word = vowel-group count
+    * ([aeiouy]+ runs, min 1) — the standard programmatic
+    * approximation, identical in both engines via regexp_extract_all;
+    * sentence split is the corpus-wide [.!?]\s+ convention. The two
+    * real-valued formulas are staged as integer DIV milli-arithmetic
+    * (the bm25 ppm discipline), so results are engine-exact:
+    * fre_milli = 206835 − 1015·words DIV sents − 84600·syll DIV words,
+    * fkgl_milli = 390·words DIV sents + 11800·syll DIV words − 15590.
+    * Pure per-row Columns — no explode, no shuffle.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]\\s+"), s => trim(s)),
+      s => s =!= "")
+    def dv(a: Column, b: Column) = call_function("div", a, b)
+    df.withColumn("_tk", Dedup.tokens(col(textCol)))
+      .withColumn("n_words", size(col("_tk")).cast("long"))
+      .withColumn("n_sents",
+        greatest(size(sents).cast("long"), lit(1L)))
+      .withColumn("n_syllables", aggregate(col("_tk"), lit(0L),
+        (acc, w) => acc + greatest(
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+          .cast("long")))
+      .withColumn("fre_milli",
+        when(col("n_words") === 0L, lit(206835L)).otherwise(
+          lit(206835L) - dv(lit(1015L) * col("n_words"), col("n_sents"))
+            - dv(lit(84600L) * col("n_syllables"), col("n_words"))))
+      .withColumn("fkgl_milli",
+        when(col("n_words") === 0L, lit(-15590L)).otherwise(
+          dv(lit(390L) * col("n_words"), col("n_sents"))
+            + dv(lit(11800L) * col("n_syllables"), col("n_words"))
+            - lit(15590L)))
+      .select(col(idCol), col("n_words"), col("n_sents"),
+        col("n_syllables"), col("fre_milli"), col("fkgl_milli"))
+  }
+
   /** LexRank extractive summarization (Erkan & Radev, JAIR 2004):
     * sentences are nodes, similarity edges connect sentence pairs of
     * the SAME document, centrality = PageRank over the graph, and the

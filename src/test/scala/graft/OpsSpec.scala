@@ -2014,6 +2014,22 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() === 1)
   }
 
+  test("readability: hand-computed Flesch / FK grade milli-points") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat. it ran fast"), (2L, "beautiful"))
+      .toDF("id", "text")
+    val got = TextAnalysis.readability(d, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // 6 monosyllables over 2 sentences
+    assert(got(0) === ((1L, 6L, 2L, 6L,
+      206835L - 1015L * 6 / 2 - 84600L, 390L * 3 + 11800L - 15590L)))
+    // "beautiful": vowel groups eau, i, u = 3 syllables
+    assert(got(1) === ((2L, 1L, 1L, 3L,
+      206835L - 1015L - 84600L * 3, 390L + 11800L * 3 - 15590L)))
+  }
+
   test("lexrank: central sentences top the summary; edge-free doc " +
     "falls back to first sentences at rank 0") {
     import spark.implicits._
