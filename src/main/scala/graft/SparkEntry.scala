@@ -2345,6 +2345,17 @@ object SparkEntry {
     "q159_readability" -> ((s, d) =>
       TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // eval: ranker agreement — Kendall tau between the BM25 and
+    // Dirichlet-QL orderings of the same workload's common docs
+    "q160_kendall_tau" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Retrieval.kendallTau(
+          Retrieval.bm25(docs, "doc_id", "text", bm25Queries(s),
+            topK = 10),
+          Retrieval.queryLikelihood(docs, "doc_id", "text",
+            bm25Queries(s), topK = 10))
+        .orderBy("query_id")
+    }),
     // suffix-array-grade exact-substring machinery (the round-3
     // deferred item): Manber-Myers prefix doubling as relational
     // rounds + the LCP array from the doubling tables
@@ -5482,6 +5493,57 @@ object SparkEntry {
             AS rnk
         FROM fin WHERE rnk <= 2 ORDER BY id, rnk"""
     },
+    // q160: bm25 CTEs + the q154 QL chain + integer tau with the
+    // sign-first magnitude staging (both engines floor non-negatives)
+    "q160_kendall_tau" ->
+      s"""WITH $bm25CtesSql,
+        cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+          FROM mt GROUP BY term),
+        nq AS (SELECT query_id,
+            CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+          FROM q GROUP BY 1),
+        pt AS (SELECT q.query_id, m.id, m.dl,
+            round(ln(1.0 + (CAST(m.tf AS DOUBLE) * sum_dl) /
+              (2000.0 * cf.cf)), 6) AS w
+          FROM mt m JOIN cf USING (term) JOIN q USING (term)
+          CROSS JOIN stats),
+        sc2 AS (SELECT query_id, id, dl, round(SUM(w), 6) AS s_match
+          FROM pt GROUP BY 1, 2, 3),
+        scored AS (SELECT query_id, id,
+            round(s_match + round(n_terms *
+              ln(2000.0 / (dl + 2000.0)), 6), 6) AS score
+          FROM sc2 JOIN nq USING (query_id)),
+        qlr AS (SELECT query_id, id AS doc_id, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, id) AS BIGINT) AS rank
+          FROM scored),
+        ra AS (SELECT query_id, doc_id, rank FROM bm25r
+          WHERE rank <= 10),
+        rb AS (SELECT query_id, doc_id, rank FROM qlr
+          WHERE rank <= 10),
+        cm AS (SELECT ra.query_id, ra.doc_id, ra.rank AS r1,
+            rb.rank AS r2
+          FROM ra JOIN rb USING (query_id, doc_id)),
+        nn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM cm GROUP BY 1),
+        pp AS (SELECT x.query_id,
+            CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) > 0
+              THEN 1 ELSE 0 END AS conc
+          FROM cm x JOIN cm y ON x.query_id = y.query_id
+            AND x.doc_id < y.doc_id),
+        cd AS (SELECT query_id, CAST(SUM(conc) AS BIGINT) AS c,
+            CAST(COUNT(*) - SUM(conc) AS BIGINT) AS dd
+          FROM pp GROUP BY 1)
+        SELECT nn.query_id, n_common,
+          COALESCE(c, 0) AS concordant, COALESCE(dd, 0) AS discordant,
+          CAST(CASE WHEN n_common < 2 THEN NULL
+            WHEN COALESCE(c, 0) >= COALESCE(dd, 0)
+              THEN ((COALESCE(c, 0) - COALESCE(dd, 0)) * 2000000)
+                // (n_common * (n_common - 1))
+            ELSE -(((COALESCE(dd, 0) - COALESCE(c, 0)) * 2000000)
+                // (n_common * (n_common - 1))) END AS BIGINT)
+            AS tau_ppm
+        FROM nn LEFT JOIN cd USING (query_id) ORDER BY nn.query_id""",
     // q159: same synthesized sentences; vowel-group syllables, the
     // identical integer DIV milli staging
     "q159_readability" ->

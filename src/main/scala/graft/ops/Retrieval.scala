@@ -342,6 +342,49 @@ object Retrieval {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Kendall rank correlation between two per-query rankings (Kendall
+    * 1938) over their COMMON documents — the ranker-agreement
+    * diagnostic (how differently do the content-BM25, anchor and LM
+    * arms order the same candidates) completing the eval family's
+    * ranking-vs-labels metrics with a ranking-vs-ranking one. Both
+    * inputs carry distinct ranks, so there are no ties and tau-a =
+    * tau-b. Exact integer: concordant/discordant counts from a
+    * within-query self-join over the joined common set (bounded by
+    * topK² pairs per query — workload-sized, never corpus-sized);
+    * tau_ppm = (C−D)·10^6 DIV (n(n−1)/2), staged sign-first so both
+    * engines floor a NON-NEGATIVE magnitude (negative integer
+    * division truncates differently across engines). Queries with
+    * < 2 common docs report null tau.
+    */
+  def kendallTau(a: DataFrame, b: DataFrame): DataFrame = {
+    val ja = a.select(col("query_id"), col("doc_id"),
+      col("rank").as("_ra"))
+    val jb = b.select(col("query_id"), col("doc_id"),
+      col("rank").as("_rb"))
+    val c = ja.join(jb, Seq("query_id", "doc_id"))
+    val pairs = c.as("x").join(c.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.query_id").as("query_id"),
+        ((col("x._ra") - col("y._ra")) *
+          (col("x._rb") - col("y._rb")) > 0).as("_conc"))
+    val n = c.groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    val cd = pairs.groupBy("query_id").agg(
+      sum(when(col("_conc"), 1L).otherwise(0L)).as("concordant"),
+      sum(when(!col("_conc"), 1L).otherwise(0L)).as("discordant"))
+    val withCd = n.join(cd, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_common"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"))
+    val mag = call_function("div",
+      abs(col("concordant") - col("discordant")) * lit(2000000L),
+      col("n_common") * (col("n_common") - 1L))
+    withCd.withColumn("tau_ppm",
+      when(col("n_common") < 2L, lit(null).cast("long")).otherwise(
+        when(col("concordant") >= col("discordant"), mag)
+          .otherwise(-mag)))
+  }
+
   /** Reciprocal rank @k per query: 1/rank of the FIRST relevant doc
     * (rel >= minRel) in the top k, 0 when none — the known-item /
     * navigational metric completing [[ndcgAtK]] (graded, full-list)

@@ -2014,6 +2014,26 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() === 1)
   }
 
+  test("kendall tau: hand-computed swap, full reversal, null under " +
+    "2 common, disjoint absent") {
+    import spark.implicits._
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L),
+      ("r", 7L, 1L), ("s", 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q", 1L, 1L), ("q", 3L, 2L), ("q", 2L, 3L),
+      ("r", 7L, 1L), ("s", 6L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.kendallTau(a, b).orderBy("query_id").collect()
+    assert(got.length === 2) // "s" shares no docs → absent
+    val gq = got(0)
+    assert((gq.getString(0), gq.getLong(1), gq.getLong(2),
+      gq.getLong(3), gq.getLong(4)) === (("q", 3L, 2L, 1L, 333333L)))
+    assert(got(1).getString(0) === "r" && got(1).isNullAt(4))
+    val rev = Seq(("q", 1L, 3L), ("q", 2L, 2L), ("q", 3L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val t2 = Retrieval.kendallTau(a.filter($"query_id" === "q"), rev)
+      .collect()(0)
+    assert(t2.getLong(4) === -1000000L)
+  }
+
   test("readability: hand-computed Flesch / FK grade milli-points") {
     import spark.implicits._
     val d = Seq((1L, "the cat sat. it ran fast"), (2L, "beautiful"))
