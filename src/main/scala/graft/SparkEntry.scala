@@ -3106,6 +3106,52 @@ object SparkEntry {
     based.select(col("doc_id"), concat_ws(". ", sent: _*).as("text"))
   }
 
+  /** Dirichlet-QL oracle chain (q154/q160 twin of
+    * Retrieval.queryLikelihood): builds on bm25CtesSql's q/mt/stats;
+    * yields `qlr(query_id, doc_id, score, rank)`. One definition so
+    * the two oracles cannot drift (mu = 2000, round-6 staging).
+    */
+  private lazy val qlCtesSql: String =
+    """cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+          FROM mt GROUP BY term),
+        nq AS (SELECT query_id,
+            CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+          FROM q GROUP BY 1),
+        pt AS (SELECT q.query_id, m.id, m.dl,
+            round(ln(1.0 + (CAST(m.tf AS DOUBLE) * sum_dl) /
+              (2000.0 * cf.cf)), 6) AS w
+          FROM mt m JOIN cf USING (term) JOIN q USING (term)
+          CROSS JOIN stats),
+        sc2 AS (SELECT query_id, id, dl, round(SUM(w), 6) AS s_match
+          FROM pt GROUP BY 1, 2, 3),
+        scored AS (SELECT query_id, id,
+            round(s_match + round(n_terms *
+              ln(2000.0 / (dl + 2000.0)), 6), 6) AS score
+          FROM sc2 JOIN nq USING (query_id)),
+        qlr AS (SELECT query_id, id AS doc_id, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, id) AS BIGINT) AS rank
+          FROM scored)"""
+
+  /** Suffix-sort oracle chain (q155/q156 twin of SuffixArray): sorts
+    * the actual suffix token-lists; yields `w(id, pos, sa_rank, suf,
+    * psuf)`. One definition so the two oracles cannot drift.
+    */
+  private lazy val saCtesSql: String =
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        p0 AS (SELECT id, CAST(len(tk) AS BIGINT) AS dl, tk,
+            unnest(generate_series(1, len(tk))) AS i FROM d),
+        p AS (SELECT id, dl, CAST(i - 1 AS BIGINT) AS pos,
+            tk[i:] AS suf FROM p0),
+        o AS (SELECT id, pos, dl, suf,
+            CAST(ROW_NUMBER() OVER (ORDER BY suf, id, pos) AS BIGINT)
+              AS sa_rank
+          FROM p),
+        w AS (SELECT id, pos, sa_rank, suf,
+            lag(suf) OVER (ORDER BY sa_rank) AS psuf
+          FROM o)"""
+
   /** CTE fragment twin of [[sentenceDocs]]: yields `src0(id, t)`. */
   private lazy val sentenceDocsSql: String =
     s"""d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
@@ -5376,26 +5422,7 @@ object SparkEntry {
     // points as the Spark side (per-term, match-sum, final)
     "q154_query_likelihood" ->
       s"""WITH $bm25CtesSql,
-        cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
-          FROM mt GROUP BY term),
-        nq AS (SELECT query_id,
-            CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
-          FROM q GROUP BY 1),
-        pt AS (SELECT q.query_id, m.id, m.dl,
-            round(ln(1.0 + (CAST(m.tf AS DOUBLE) * sum_dl) /
-              (2000.0 * cf.cf)), 6) AS w
-          FROM mt m JOIN cf USING (term) JOIN q USING (term)
-          CROSS JOIN stats),
-        sc2 AS (SELECT query_id, id, dl, round(SUM(w), 6) AS s_match
-          FROM pt GROUP BY 1, 2, 3),
-        scored AS (SELECT query_id, id,
-            round(s_match + round(n_terms *
-              ln(2000.0 / (dl + 2000.0)), 6), 6) AS score
-          FROM sc2 JOIN nq USING (query_id)),
-        qlr AS (SELECT query_id, id AS doc_id, score,
-          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY score DESC, id) AS BIGINT) AS rank
-          FROM scored)
+        $qlCtesSql
         SELECT query_id, doc_id, score, rank FROM qlr
         WHERE rank <= 10 ORDER BY query_id, rank""",
     // q157: q78's anchor derivation + weighted postings (tf = Σ
@@ -5462,7 +5489,8 @@ object SparkEntry {
             x -> x != '') AS ss FROM src0),
         sents AS (SELECT id, u.p.i - 1 AS sidx, u.p.v AS sent
           FROM sp, unnest(list_transform(generate_series(1, len(ss)),
-            i -> struct_pack(i := i, v := ss[i]))) u(p)),
+            i -> struct_pack(i := i, v := ss[i]))) u(p)
+          WHERE u.p.i - 1 < 50),
         st AS (SELECT id, sidx, sent, list_distinct(list_filter(
             regexp_split_to_array(lower(trim(sent)), '\\s+'),
             x -> x != '')) AS tk2 FROM sents),
@@ -5497,26 +5525,7 @@ object SparkEntry {
     // sign-first magnitude staging (both engines floor non-negatives)
     "q160_kendall_tau" ->
       s"""WITH $bm25CtesSql,
-        cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
-          FROM mt GROUP BY term),
-        nq AS (SELECT query_id,
-            CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
-          FROM q GROUP BY 1),
-        pt AS (SELECT q.query_id, m.id, m.dl,
-            round(ln(1.0 + (CAST(m.tf AS DOUBLE) * sum_dl) /
-              (2000.0 * cf.cf)), 6) AS w
-          FROM mt m JOIN cf USING (term) JOIN q USING (term)
-          CROSS JOIN stats),
-        sc2 AS (SELECT query_id, id, dl, round(SUM(w), 6) AS s_match
-          FROM pt GROUP BY 1, 2, 3),
-        scored AS (SELECT query_id, id,
-            round(s_match + round(n_terms *
-              ln(2000.0 / (dl + 2000.0)), 6), 6) AS score
-          FROM sc2 JOIN nq USING (query_id)),
-        qlr AS (SELECT query_id, id AS doc_id, score,
-          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY score DESC, id) AS BIGINT) AS rank
-          FROM scored),
+        $qlCtesSql,
         ra AS (SELECT query_id, doc_id, rank FROM bm25r
           WHERE rank <= 10),
         rb AS (SELECT query_id, doc_id, rank FROM qlr
@@ -5575,19 +5584,7 @@ object SparkEntry {
     // lexicographic list order = the doubling construction's order,
     // shorter-prefix first) and takes lcp by direct prefix compare
     "q155_suffix_array" ->
-      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
-          FROM documents),
-        p0 AS (SELECT id, CAST(len(tk) AS BIGINT) AS dl, tk,
-            unnest(generate_series(1, len(tk))) AS i FROM d),
-        p AS (SELECT id, dl, CAST(i - 1 AS BIGINT) AS pos,
-            tk[i:] AS suf FROM p0),
-        o AS (SELECT id, pos, dl, suf,
-            CAST(ROW_NUMBER() OVER (ORDER BY suf, id, pos) AS BIGINT)
-              AS sa_rank
-          FROM p),
-        w AS (SELECT id, pos, sa_rank, suf,
-            lag(suf) OVER (ORDER BY sa_rank) AS psuf
-          FROM o),
+      s"""WITH $saCtesSql,
         w2 AS (SELECT id, pos, sa_rank, psuf,
             least(len(suf), len(psuf)) AS mm,
             list_position(list_transform(
@@ -5602,19 +5599,7 @@ object SparkEntry {
     // q156: same SA chain; dup_len = greatest(lcp_prev, lcp_next)
     // (max common prefix with ANY other suffix is with an SA neighbor)
     "q156_sa_dup_spans" ->
-      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
-          FROM documents),
-        p0 AS (SELECT id, CAST(len(tk) AS BIGINT) AS dl, tk,
-            unnest(generate_series(1, len(tk))) AS i FROM d),
-        p AS (SELECT id, dl, CAST(i - 1 AS BIGINT) AS pos,
-            tk[i:] AS suf FROM p0),
-        o AS (SELECT id, pos, dl, suf,
-            CAST(ROW_NUMBER() OVER (ORDER BY suf, id, pos) AS BIGINT)
-              AS sa_rank
-          FROM p),
-        w AS (SELECT id, pos, sa_rank, suf,
-            lag(suf) OVER (ORDER BY sa_rank) AS psuf
-          FROM o),
+      s"""WITH $saCtesSql,
         w2 AS (SELECT id, pos, sa_rank,
             CASE WHEN psuf IS NULL THEN 0 ELSE (
               CASE WHEN COALESCE(list_position(list_transform(

@@ -311,14 +311,20 @@ object Retrieval {
   def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, topK: Int = 10, mu: Long = 2000L,
       precomputedMatched: Option[DataFrame] = None,
+      precomputedStats: Option[DataFrame] = None,
       shards: Int = 0): DataFrame = {
     require(topK > 0 && mu > 0, "positive topK and mu")
+    // the two precomputed seams travel TOGETHER (bm25f discipline):
+    // virtual postings with stats from the raw corpus would silently
+    // use the wrong |C| in ln(1 + tf·|C|/(mu·cf))
+    require(precomputedMatched.isEmpty == precomputedStats.isEmpty,
+      "pass precomputedMatched and precomputedStats together")
     val qt = queries
       .select(col("query_id"), lower(col("term")).as("term"))
       .distinct()
     val matched = precomputedMatched
       .getOrElse(matchedPostings(docs, idCol, textCol, queries))
-    val stats = corpusStats(docs, textCol)
+    val stats = precomputedStats.getOrElse(corpusStats(docs, textCol))
     val cf = matched.groupBy("term")
       .agg(sum(col("tf")).cast("long").as("cf"))
     val nq = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
@@ -361,7 +367,10 @@ object Retrieval {
       col("rank").as("_ra"))
     val jb = b.select(col("query_id"), col("doc_id"),
       col("rank").as("_rb"))
-    val c = ja.join(jb, Seq("query_id", "doc_id"))
+    // consumed by both sides of the pair join plus the n aggregation
+    // — without a fence each evaluation re-runs both upstream ranker
+    // pipelines (the lexRankSummary/simhashNearDupPairs discipline)
+    val c = ja.join(jb, Seq("query_id", "doc_id")).localCheckpoint()
     val pairs = c.as("x").join(c.as("y"),
         col("x.query_id") === col("y.query_id") &&
         col("x.doc_id") < col("y.doc_id"))

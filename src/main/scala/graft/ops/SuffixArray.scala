@@ -69,7 +69,10 @@ object SuffixArray {
       shards: Int = 0): Seq[(Long, DataFrame)] = {
     val pos = positions(df, idCol, textCol)
     val agg0 = pos.agg(max(col("dl")), count(lit(1))).collect()(0)
-    val (maxLen, n) = (agg0.getLong(0), agg0.getLong(1))
+    // empty / all-empty-text corpus: max(dl) is null — one vacuous
+    // round over the empty position table, empty results downstream
+    val maxLen = if (agg0.isNullAt(0)) 0L else agg0.getLong(0)
+    val n = agg0.getLong(1)
     var r = denseRank(pos, Seq("tok"), "rank", shards)
       .select(col("id"), col("pos"), col("dl"), col("rank"))
       .localCheckpoint()

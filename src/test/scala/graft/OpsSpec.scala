@@ -2096,6 +2096,9 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(got.length === expect.length)
     got.zip(expect).foreach { case (g, e) => assert(g === e, s"at ${g._3}") }
+    // empty corpus: empty result, no NPE on the null max(dl)
+    assert(ops.SuffixArray.saWithLcp(
+      docs.filter(col("id") < 0), "id", "text").count() === 0L)
   }
 
   test("query likelihood: round-6 Dirichlet twin, length norm beats " +
