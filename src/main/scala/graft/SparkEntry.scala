@@ -2345,6 +2345,22 @@ object SparkEntry {
     "q159_readability" -> ((s, d) =>
       TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // graph: effective diameter from the q145 neighborhood function —
+    // 90% threshold of final reach, first crossing + interpolation
+    "q161_eff_diameter" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val docs = t(s, d, "documents")
+      def e(x: Column, y: Column) = docs.select(x.as("x"), y.as("y"))
+      val a = pmod(did, lit(30))
+      val b = pmod(did * 7L + 1L, lit(30))
+      val c = pmod(did * 13L + 5L, lit(30))
+      val p1 = pmod(did, lit(100)) + 30L
+      val p2 = pmod(did, lit(200)) + 130L
+      val edges = e(a, b).unionByName(e(a, c)).unionByName(e(b, c))
+        .unionByName(e(a, p1)).unionByName(e(p1, p2))
+      WebGraph.effectiveDiameter(
+        WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
+    }),
     // eval: ranker agreement — Kendall tau between the BM25 and
     // Dirichlet-QL orderings of the same workload's common docs
     "q160_kendall_tau" -> ((s, d) => {
@@ -3998,6 +4014,64 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
+  /** q145/q161 oracle fragment: the full HyperANF sketch-round chain
+    * (MATERIALIZED rounds, 60-bit hash, p=5 registers, per-node
+    * estimates) ending in `allr(round, node, est)`. One definition so
+    * the neighborhood-function and effective-diameter oracles cannot
+    * drift.
+    */
+  private lazy val hyperAnfCtesSql: String = {
+      val m = 32
+      val alpha = 0.697
+      val cc = alpha * m * m * 2305843009213693952.0d
+      val estCtes = (0 to 4).map { r =>
+        s"""est$r AS MATERIALIZED (SELECT $r AS round, node,
+          round(CASE WHEN ($cc / z) <= 80.0 AND nn < 32
+            THEN 32.0 * ln(32.0 / CAST(32 - nn AS DOUBLE))
+            ELSE $cc / z END, 6) AS est
+          FROM (SELECT node, COUNT(*) AS nn,
+            CAST(SUM(2305843009213693952 >> rho) +
+              CAST(32 - COUNT(*) AS HUGEINT) *
+              CAST(2305843009213693952 AS HUGEINT) AS DOUBLE) AS z
+            FROM sk$r GROUP BY node))"""
+      }.mkString(",\n        ")
+      val roundCtes = (1 to 4).map { r =>
+        s""",
+        sk$r AS MATERIALIZED (SELECT node, reg, MAX(rho) AS rho FROM (
+          SELECT node, reg, rho FROM sk${r - 1}
+          UNION ALL SELECT e.s AS node, k.reg, k.rho
+          FROM sk${r - 1} k JOIN e ON e.t = k.node)
+          GROUP BY node, reg)"""
+      }.mkString
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+          FROM documents),
+        raw AS (SELECT doc_id % 30 AS x, (doc_id * 7 + 1) % 30 AS y
+            FROM d
+          UNION ALL SELECT doc_id % 30, (doc_id * 13 + 5) % 30 FROM d
+          UNION ALL SELECT (doc_id * 7 + 1) % 30,
+            (doc_id * 13 + 5) % 30 FROM d
+          UNION ALL SELECT doc_id % 30, 30 + (doc_id % 100) FROM d
+          UNION ALL SELECT 30 + (doc_id % 100),
+            130 + (doc_id % 200) FROM d),
+        und AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u,
+          greatest(x, y) AS v FROM raw WHERE x != y),
+        e AS MATERIALIZED (SELECT u AS s, v AS t FROM und
+          UNION SELECT v, u FROM und),
+        nd AS (SELECT DISTINCT s AS node FROM e),
+        h AS (SELECT node, CAST(('0x' ||
+          substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM nd),
+        sk0 AS MATERIALIZED (SELECT node,
+          hv // 36028797018963968 AS reg,
+          CASE WHEN hv % 36028797018963968 = 0 THEN 56
+            ELSE 55 - (length(bin(hv % 36028797018963968)) - 1)
+            END AS rho FROM h)$roundCtes,
+        $estCtes,
+        allr AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+          UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3
+          UNION ALL SELECT * FROM est4)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5144,64 +5218,33 @@ object SparkEntry {
     // lesson), same 60-bit hash / p=5 register split, same per-node
     // estimate arithmetic with the Scala-printed constant, integer
     // micro-sums so the cross-node mean is order-free
-    "q145_hyperanf" -> {
-      val m = 32
-      val alpha = 0.697
-      val cc = alpha * m * m * 2305843009213693952.0d
-      val estCtes = (0 to 4).map { r =>
-        s"""est$r AS MATERIALIZED (SELECT $r AS round, node,
-          round(CASE WHEN ($cc / z) <= 80.0 AND nn < 32
-            THEN 32.0 * ln(32.0 / CAST(32 - nn AS DOUBLE))
-            ELSE $cc / z END, 6) AS est
-          FROM (SELECT node, COUNT(*) AS nn,
-            CAST(SUM(2305843009213693952 >> rho) +
-              CAST(32 - COUNT(*) AS HUGEINT) *
-              CAST(2305843009213693952 AS HUGEINT) AS DOUBLE) AS z
-            FROM sk$r GROUP BY node))"""
-      }.mkString(",\n        ")
-      val roundCtes = (1 to 4).map { r =>
-        s""",
-        sk$r AS MATERIALIZED (SELECT node, reg, MAX(rho) AS rho FROM (
-          SELECT node, reg, rho FROM sk${r - 1}
-          UNION ALL SELECT e.s AS node, k.reg, k.rho
-          FROM sk${r - 1} k JOIN e ON e.t = k.node)
-          GROUP BY node, reg)"""
-      }.mkString
-      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
-          FROM documents),
-        raw AS (SELECT doc_id % 30 AS x, (doc_id * 7 + 1) % 30 AS y
-            FROM d
-          UNION ALL SELECT doc_id % 30, (doc_id * 13 + 5) % 30 FROM d
-          UNION ALL SELECT (doc_id * 7 + 1) % 30,
-            (doc_id * 13 + 5) % 30 FROM d
-          UNION ALL SELECT doc_id % 30, 30 + (doc_id % 100) FROM d
-          UNION ALL SELECT 30 + (doc_id % 100),
-            130 + (doc_id % 200) FROM d),
-        und AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u,
-          greatest(x, y) AS v FROM raw WHERE x != y),
-        e AS MATERIALIZED (SELECT u AS s, v AS t FROM und
-          UNION SELECT v, u FROM und),
-        nd AS (SELECT DISTINCT s AS node FROM e),
-        h AS (SELECT node, CAST(('0x' ||
-          substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-          FROM nd),
-        sk0 AS MATERIALIZED (SELECT node,
-          hv // 36028797018963968 AS reg,
-          CASE WHEN hv % 36028797018963968 = 0 THEN 56
-            ELSE 55 - (length(bin(hv % 36028797018963968)) - 1)
-            END AS rho FROM h)$roundCtes,
-        $estCtes,
-        allr AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
-          UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3
-          UNION ALL SELECT * FROM est4)
+    "q145_hyperanf" ->
+      s"""WITH $hyperAnfCtesSql
         SELECT CAST(round AS BIGINT) AS round,
           CAST(COUNT(*) AS BIGINT) AS n_nodes,
           CAST(SUM(CAST(round(est * 1000000, 0) AS BIGINT)) AS BIGINT)
             AS sum_est_micro,
           CAST(SUM(CAST(round(est * 1000000, 0) AS BIGINT)) //
             COUNT(*) AS BIGINT) AS mean_est_micro
-        FROM allr GROUP BY round ORDER BY round"""
-    },
+        FROM allr GROUP BY round ORDER BY round""",
+    // q161: same chain; per-round reach totals, 90% threshold of the
+    // final total, first crossing + linear interpolation in milli
+    "q161_eff_diameter" ->
+      s"""WITH $hyperAnfCtesSql,
+        per AS (SELECT CAST(round AS BIGINT) AS r,
+            CAST(SUM(CAST(round(est * 1000000, 0) AS BIGINT))
+              AS BIGINT) AS reach
+          FROM allr GROUP BY round),
+        tot AS (SELECT MAX(reach) AS total_micro FROM per),
+        st AS (SELECT r, reach, lag(reach) OVER (ORDER BY r) AS prev,
+            total_micro, (900000 * total_micro) // 1000000 AS thr
+          FROM per, tot)
+        SELECT CAST(CASE WHEN prev IS NULL THEN 0
+            ELSE (r - 1) * 1000 + ((thr - prev) * 1000)
+              // (reach - prev) END AS BIGINT) AS eff_diameter_milli,
+          r AS crossing_round, CAST(thr AS BIGINT) AS thr_micro,
+          total_micro
+        FROM st WHERE reach >= thr AND (prev IS NULL OR prev < thr)""",
     // q146: q131's oracle grouped by source — same hash/register
     // split, same exact-integer staging per group, same constant
     "q146_hll_by_source" -> {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Host-level web-graph analytics for crawl curation: degree stats and
@@ -634,6 +635,43 @@ object WebGraph {
       out = out.unionByName(snap(r, cur))
     }
     out
+  }
+
+  /** Effective diameter from the HyperANF neighborhood function
+    * (Boldi, Rosa & Vigna, WWW 2011 — the headline application of the
+    * sketch): the smallest radius reaching `qPpm` (default 90%) of
+    * the final total reach, with the standard linear interpolation
+    * between the bracketing rounds, as exact integer milli-radius.
+    * Input is [[hyperAnf]]'s (round, node, est) output; everything
+    * here aggregates the rounds-sized reach table — the corpus never
+    * re-enters, so the tiny global window is explicitly bounded
+    * (≤ rounds+1 rows). Crossing at round 0 (a graph that is qPpm
+    * disconnected singletons) reports diameter 0.
+    */
+  def effectiveDiameter(anf: DataFrame, qPpm: Long = 900000L)
+      : DataFrame = {
+    require(qPpm > 0 && qPpm <= 1000000L, "qPpm in (0, 10^6]")
+    val per = anf.groupBy(col("round"))
+      .agg(sum(round(col("est") * 1000000.0, 0).cast("long"))
+        .cast("long").as("reach_micro"))
+    val tot = per.agg(max(col("reach_micro")).as("total_micro"))
+    val w = Window.orderBy(col("round"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("thr_micro",
+        call_function("div", lit(qPpm) * col("total_micro"),
+          lit(1000000L)))
+      .withColumn("_prev", lag(col("reach_micro"), 1).over(w))
+      .filter(col("reach_micro") >= col("thr_micro") &&
+        (col("_prev").isNull || col("_prev") < col("thr_micro")))
+      .withColumn("eff_diameter_milli",
+        when(col("_prev").isNull, lit(0L)).otherwise(
+          (col("round").cast("long") - 1L) * 1000L +
+            call_function("div",
+              (col("thr_micro") - col("_prev")) * 1000L,
+              col("reach_micro") - col("_prev"))))
+      .select(col("eff_diameter_milli"),
+        col("round").cast("long").as("crossing_round"),
+        col("thr_micro"), col("total_micro"))
   }
 
   private def unpersistCheckpoint(df: DataFrame): Unit =

@@ -2014,6 +2014,22 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() === 1)
   }
 
+  test("effective diameter: clique crosses at round 1, path much later") {
+    import spark.implicits._
+    val clique = (for { i <- 0 until 8; j <- 0 until 8 if i < j }
+      yield (s"n$i", s"n$j")).toDF("x", "y")
+    val dc = WebGraph.effectiveDiameter(
+      WebGraph.hyperAnf(clique, "x", "y", p = 5, rounds = 3)).collect()
+    assert(dc.length === 1)
+    assert(dc(0).getLong(1) === 1L) // crossing_round: 1 hop reaches all
+    assert(dc(0).getLong(0) <= 1000L && dc(0).getLong(0) > 0L)
+    val path = (0 until 12).sliding(2).map(w => (s"p${w(0)}", s"p${w(1)}"))
+      .toSeq.toDF("x", "y")
+    val dp = WebGraph.effectiveDiameter(
+      WebGraph.hyperAnf(path, "x", "y", p = 5, rounds = 8)).collect()(0)
+    assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
+  }
+
   test("kendall tau: hand-computed swap, full reversal, null under " +
     "2 common, disjoint absent") {
     import spark.implicits._
