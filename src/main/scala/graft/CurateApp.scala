@@ -130,12 +130,20 @@ object CurateApp {
     // whose rare-transition fraction exceeds the ceiling) before the
     // LSH stages
     val maxRare = opts.getOrElse("max-rare-bigram-ppm", "-1").toLong
+    // --fre-band lo:hi (milli): optional Flesch reading-ease window —
+    // drop word salad (too high) and degenerate run-ons (too low)
+    // before the LSH stages
+    val freBand = opts.get("fre-band").map { v =>
+      val Array(lo, hi) = v.split(":", 2)
+      (lo.toLong, hi.toLong)
+    }
     val curated = Curation.curateStaged(docs, idCol0, textCol0, output,
       minTokens = opts.getOrElse("min-tokens", "10").toInt,
       paraMinDocs = opts.getOrElse("para-min-docs", "3").toInt,
       spanScrubN = spanScrubN,
       auditSplits = if (auditLeakage) Some(splits) else None,
-      maxRareBigramPpm = maxRare)
+      maxRareBigramPpm = maxRare,
+      freBandMilli = freBand)
     // --index <prior output dir>: incremental-ingestion mode — classify
     // every curated batch doc against the PERSISTED corpus index
     // signatures (exact / near / new), keep ONLY the new docs (the
@@ -364,10 +372,12 @@ object CurateApp {
     val in = docs.count()
     // must mirror curateStaged's config-coded stage names exactly
     val sfx = (if (spanScrubN > 0) s"_s$spanScrubN" else "") +
-      (if (maxRare >= 0) s"_f$maxRare" else "")
+      (if (maxRare >= 0) s"_f$maxRare" else "") +
+      freBand.map { case (lo, hi) => s"_r${lo}_$hi" }.getOrElse("")
     val stageNames = Seq("1_gate", "2_deboil") ++
       (if (spanScrubN > 0) Seq(s"2b_spanscrub$spanScrubN") else Nil) ++
       (if (maxRare >= 0) Seq(s"2c_fluency$maxRare") else Nil) ++
+      freBand.map { case (lo, hi) => s"2d_read${lo}_$hi" }.toSeq ++
       Seq(s"3_exact$sfx", s"4_neardup$sfx")
     val stages = stageNames
       .map(s => s""""$s":${StagedJob.readRows(output, s).getOrElse(-1L)}""")

@@ -652,7 +652,8 @@ object Curation {
       minEstJaccard: Double = 0.5, maxBucket: Int = 0,
       failAfterStage: Int = -1, spanScrubN: Int = 0,
       auditSplits: Option[Seq[(String, Int)]] = None,
-      maxRareBigramPpm: Long = -1L): DataFrame = {
+      maxRareBigramPpm: Long = -1L,
+      freBandMilli: Option[(Long, Long)] = None): DataFrame = {
     val spark = df.sparkSession
     def guard(done: Int): Unit =
       if (failAfterStage == done)
@@ -676,7 +677,8 @@ object Curation {
     // marker would silently win and the final corpus would not match
     // the requested config
     val sfx = (if (spanScrubN <= 0) "" else s"_s$spanScrubN") +
-      (if (maxRareBigramPpm < 0) "" else s"_f$maxRareBigramPpm")
+      (if (maxRareBigramPpm < 0) "" else s"_f$maxRareBigramPpm") +
+      freBandMilli.map { case (lo, hi) => s"_r${lo}_$hi" }.getOrElse("")
     val scrubbed =
       if (spanScrubN <= 0) deboiled
       else graft.io.StagedJob.stage(spark, out, s"2b_spanscrub$spanScrubN",
@@ -695,8 +697,25 @@ object Curation {
           .filter(col("rare_bigram_ppm") <= maxRareBigramPpm)
           .select(col(idCol), col("lang"), col("clean_text"))
       }
+    // optional readability band gate: the Flesch reading-ease window
+    // (too high = word salad, strongly negative = degenerate run-ons)
+    // — per-row, so it rides BEFORE the LSH stages like the fluency
+    // gate; config coded into the stage name per the resume contract
+    val readable = freBandMilli match {
+      case None => fluent
+      case Some((lo, hi)) =>
+        graft.io.StagedJob.stage(spark, out, s"2d_read${lo}_$hi",
+            requiredCols = Seq(idCol, "lang", "clean_text")) {
+          val fre = TextAnalysis
+            .readability(fluent, idCol, "clean_text")
+            .select(col(idCol), col("fre_milli"))
+          fluent.join(fre, Seq(idCol))
+            .filter(col("fre_milli") >= lo && col("fre_milli") <= hi)
+            .select(col(idCol), col("lang"), col("clean_text"))
+        }
+    }
     val exact = graft.io.StagedJob.stage(spark, out, s"3_exact$sfx") {
-      exactStage(fluent, idCol)
+      exactStage(readable, idCol)
     }
     guard(3)
     // with an audit requested, the LSH candidate pairs become their own
