@@ -2345,6 +2345,12 @@ object SparkEntry {
     "q159_readability" -> ((s, d) =>
       TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // retrieval: term-proximity ranking — bottleneck/best pair
+    // distances over capped positional postings, all terms required
+    "q162_proximity" -> ((s, d) =>
+      Retrieval.termProximity(t(s, d, "documents"), "doc_id", "text",
+          bm25Queries(s), topK = 10)
+        .orderBy("query_id", "rank")),
     // graph: effective diameter from the q145 neighborhood function —
     // 90% threshold of final reach, first crossing + interpolation
     "q161_eff_diameter" -> ((s, d) => {
@@ -5564,6 +5570,42 @@ object SparkEntry {
             AS rnk
         FROM fin WHERE rnk <= 2 ORDER BY id, rnk"""
     },
+    // q162: q142's positional-postings pattern + the 64-occurrence
+    // cap + pair minima + the all-pairs integer check
+    "q162_proximity" ->
+      s"""WITH q(query_id, term) AS (VALUES $bm25QueriesSql),
+        d AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        post AS (SELECT id, u.p.pos AS pos, u.p.term AS term
+          FROM d, unnest(list_transform(generate_series(1, len(tk)),
+            i -> struct_pack(pos := i - 1, term := tk[i]))) u(p)),
+        qtd AS (SELECT DISTINCT term FROM q),
+        m0 AS (SELECT post.* FROM post JOIN qtd USING (term)),
+        cap AS (SELECT * FROM (SELECT m0.*, ROW_NUMBER() OVER
+            (PARTITION BY term, id ORDER BY pos) AS pr FROM m0)
+          WHERE pr <= 64),
+        mq AS (SELECT q.query_id, cap.id, cap.term, cap.pos
+          FROM cap JOIN q USING (term)),
+        pm AS (SELECT a.query_id, a.id, a.term AS ta, b.term AS tb,
+            CAST(MIN(abs(a.pos - b.pos)) AS BIGINT) AS md
+          FROM mq a JOIN mq b ON a.query_id = b.query_id
+            AND a.id = b.id AND a.term < b.term
+          GROUP BY 1, 2, 3, 4),
+        nt AS (SELECT query_id,
+            CAST(COUNT(DISTINCT term) AS BIGINT) AS ntm
+          FROM q GROUP BY 1),
+        pd AS (SELECT pm.query_id, id, COUNT(*) AS np,
+            CAST(MAX(md) AS BIGINT) AS bottleneck,
+            CAST(MIN(md) AS BIGINT) AS best
+          FROM pm GROUP BY 1, 2),
+        fd AS (SELECT pd.query_id, id, bottleneck, best
+          FROM pd JOIN nt USING (query_id)
+          WHERE np * 2 = ntm * (ntm - 1)),
+        rk AS (SELECT query_id, id AS doc_id, bottleneck, best,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
+        SELECT query_id, doc_id, bottleneck, best, rank FROM rk
+        WHERE rank <= 10 ORDER BY query_id, rank""",
     // q160: bm25 CTEs + the q154 QL chain + integer tau with the
     // sign-first magnitude staging (both engines floor non-negatives)
     "q160_kendall_tau" ->

@@ -348,6 +348,61 @@ object Retrieval {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Term-proximity ranking (Büttcher/Clarke/Cormack IR ch. 2 / the
+    * classic span-scoring family): documents containing ALL query
+    * terms, ranked by how tightly the terms co-occur — `bottleneck` =
+    * the largest of the per-term-pair minimum position distances (the
+    * worst-separated pair; small ⟺ one tight span covers every term),
+    * `best` = the smallest (the tightest pair). The phrase-adjacent
+    * relevance signal [[bm25]]'s bag-of-words scoring cannot see.
+    *
+    * Scale shape: positional postings are broadcast-filtered to query
+    * terms before anything shuffles; per-(term, doc) position lists
+    * are capped at `maxPosPerTerm` occurrences (first N by position,
+    * sharded rank — a stopword in a 10^5-token page would otherwise
+    * fan quadratic pairs); the within-doc pair join is then bounded by
+    * (terms·cap)² per doc. Single-term queries have no pair and yield
+    * no rows (proximity is undefined); docs missing any query term
+    * are excluded by the all-pairs-present check (integer form:
+    * 2·n_pairs == n_terms·(n_terms−1)).
+    */
+  def termProximity(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, topK: Int = 10, maxPosPerTerm: Int = 64,
+      shards: Int = 0): DataFrame = {
+    require(topK > 0 && maxPosPerTerm > 0)
+    val qt = queries
+      .select(col("query_id"), lower(col("term")).as("term"))
+      .distinct()
+    val pp = positionalPostings(docs, idCol, textCol)
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+    val capped = ScaleWindow.shardedRank(pp, Seq("term", "id"),
+        Seq(col("pos")), "_pr", "_pn", shards)
+      .filter(col("_pr") <= maxPosPerTerm).drop("_pr", "_pn")
+      .join(broadcast(qt), Seq("term"))
+      .localCheckpoint() // both sides of the pair join
+    val l = capped.select(col("query_id"), col("id"),
+      col("term").as("_ta"), col("pos").as("_pa"))
+    val r = capped.select(col("query_id"), col("id"),
+      col("term").as("_tb"), col("pos").as("_pb"))
+    val pairMin = l.join(r, Seq("query_id", "id"))
+      .filter(col("_ta") < col("_tb"))
+      .groupBy(col("query_id"), col("id"), col("_ta"), col("_tb"))
+      .agg(min(abs(col("_pa") - col("_pb"))).cast("long").as("_md"))
+    val nq = qt.groupBy("query_id").agg(count(lit(1)).as("_nt"))
+    val perDoc = pairMin.groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).as("_np"), max(col("_md")).as("bottleneck"),
+        min(col("_md")).as("best"))
+      .join(broadcast(nq), Seq("query_id"))
+      .filter(col("_np") * 2L === col("_nt") * (col("_nt") - 1L))
+    ScaleWindow.shardedRank(perDoc, Seq("query_id"),
+        Seq(col("bottleneck"), col("best"), col("id")), "rank", "_sw_n",
+        shards)
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("bottleneck"), col("best"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Kendall rank correlation between two per-query rankings (Kendall
     * 1938) over their COMMON documents — the ranker-agreement
     * diagnostic (how differently do the content-BM25, anchor and LM

@@ -2014,6 +2014,19 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() === 1)
   }
 
+  test("term proximity: tight co-occurrence outranks loose; docs " +
+    "missing a term excluded; single-term query yields nothing") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha x x x beta"), (2L, "alpha beta"),
+      (3L, "alpha only here")).toDF("id", "text")
+    val qs = Seq(("q", "alpha"), ("q", "beta"), ("s", "alpha"))
+      .toDF("query_id", "term")
+    val got = Retrieval.termProximity(d, "id", "text", qs, topK = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("q", 2L, 1L), ("q", 1L, 4L)))
+  }
+
   test("effective diameter: clique crosses at round 1, path much later") {
     import spark.implicits._
     val clique = (for { i <- 0 until 8; j <- 0 until 8 if i < j }
