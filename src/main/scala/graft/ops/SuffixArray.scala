@@ -78,6 +78,20 @@ object SuffixArray {
       .localCheckpoint()
     var tables = Seq(1L -> r)
     var h = 1L
+    // Composite fast path: when the incoming ranks are DENSE (≤ n)
+    // and (n+1)(n+2) fits a long, the pair (_ra, _rb) packs into ONE
+    // order-isomorphic long — `_ra·(n+2) + _rb + 1` (injective since
+    // _rb+1 ∈ [0, n+1] < n+2; lexicographic order preserved) — so the
+    // round needs NO distinct/re-rank/join at all, just a projection.
+    // The next round must then densify (a second packing would square
+    // past 2^63), so rounds alternate composite/densify: half the
+    // expensive re-ranks. Above ~3·10^9 positions the packing itself
+    // would overflow, so every round densifies — that is the 10^12
+    // scale path; the packing is a small-corpus accelerator with
+    // identical results (rank EQUALITY and ORDER are all downstream
+    // consumers use). q155/q156 oracles pin both paths.
+    val packable = n > 0 && n <= 3000000000L
+    var dense = true
     // early-stop probe (all ranks unique ⇒ order final) only once
     // h >= 16: the first rounds never converge, and a corpus with ANY
     // exact-dup document never converges at all (identical suffixes
@@ -93,12 +107,20 @@ object SuffixArray {
       val paired = r.join(shifted, Seq("id", "pos"), "left")
         .select(col("id"), col("pos"), col("dl"),
           col("rank").as("_ra"), coalesce(col("_rb"), lit(-1L)).as("_rb"))
-      r = denseRank(paired, Seq("_ra", "_rb"), "rank", shards)
-        .select(col("id"), col("pos"), col("dl"), col("rank"))
-        .localCheckpoint()
+      if (dense && packable) {
+        r = paired.select(col("id"), col("pos"), col("dl"),
+          (col("_ra") * (n + 2L) + col("_rb") + 1L).as("rank"))
+          .localCheckpoint()
+        dense = false
+      } else {
+        r = denseRank(paired, Seq("_ra", "_rb"), "rank", shards)
+          .select(col("id"), col("pos"), col("dl"), col("rank"))
+          .localCheckpoint()
+        dense = true
+      }
       h *= 2
       tables :+= (h -> r)
-      if (h >= 16 && h < maxLen)
+      if (h >= 16 && h < maxLen && dense)
         distinctRanks =
           r.agg(countDistinct(col("rank"))).collect()(0).getLong(0)
     }
