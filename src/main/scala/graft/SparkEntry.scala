@@ -2345,6 +2345,14 @@ object SparkEntry {
     "q159_readability" -> ((s, d) =>
       TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // targeted selection: Moore-Lewis cross-entropy difference — rank
+    // by in-domain (source=src0) vs general bigram likelihood ratio
+    "q163_moore_lewis" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.mooreLewis(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"))
+        .orderBy("doc_id")
+    }),
     // retrieval: term-proximity ranking — bottleneck/best pair
     // distances over capped positional postings, all terms required
     "q162_proximity" -> ((s, d) =>
@@ -5570,6 +5578,39 @@ object SparkEntry {
             AS rnk
         FROM fin WHERE rnk <= 2 ORDER BY id, rnk"""
     },
+    // q163: q68's bigram-hash staging twice (general = all docs,
+    // in-domain = source src0), identical round-6 ln-ratio points
+    "q163_moore_lewis" ->
+      s"""WITH t AS (SELECT doc_id, source, list_transform($toksSql,
+          tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS hs
+          FROM documents),
+        pr AS (SELECT doc_id, source, hs[i] AS ph, hs[i + 1] AS ch
+          FROM (SELECT doc_id, source, hs,
+              unnest(generate_series(1, len(hs) - 1)) AS i
+            FROM t WHERE len(hs) >= 2)),
+        bcg AS (SELECT ph, ch, CAST(COUNT(*) AS BIGINT) AS bcg
+          FROM pr GROUP BY 1, 2),
+        pcg AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS pcg
+          FROM pr GROUP BY 1),
+        bct AS (SELECT ph, ch, CAST(COUNT(*) AS BIGINT) AS bct
+          FROM pr WHERE source = 'src0' GROUP BY 1, 2),
+        pct AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS pct
+          FROM pr WHERE source = 'src0' GROUP BY 1),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+            round(SUM(round(
+              ln((COALESCE(bct, 0) + 1.0) /
+                (COALESCE(pct, 0) + 65536.0)) -
+              ln((COALESCE(bcg, 0) + 1.0) /
+                (COALESCE(pcg, 0) + 65536.0)), 6)), 6) AS s
+          FROM pr LEFT JOIN bct USING (ph, ch)
+            LEFT JOIN pct USING (ph)
+            JOIN bcg USING (ph, ch) JOIN pcg USING (ph)
+          GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+          CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN round(s / n_bigrams, 6) END AS celd
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        ORDER BY d.doc_id""",
     // q162: q142's positional-postings pattern + the 64-occurrence
     // cap + pair minima + the all-pairs integer check
     "q162_proximity" ->

@@ -2053,6 +2053,59 @@ object Curation {
     thin.groupBy(col("_ph"), col("_ch")).agg(count(lit(1)).as("_bc")),
     thin.groupBy(col("_ph")).agg(count(lit(1)).as("_pc")))
 
+  /** Moore-Lewis cross-entropy-difference data selection (Moore &
+    * Lewis, ACL 2010, "Intelligent Selection of Language Model
+    * Training Data"): score each document by its mean per-bigram
+    * log-likelihood RATIO between an IN-DOMAIN bigram model (trained
+    * on `target`) and the GENERAL model (trained on `df` itself) —
+    * positive ⟺ reads more like the target domain than like the
+    * background. THE classic targeted-subset selector (the ancestor
+    * of CCNet's perplexity buckets and DSIR): [[dsirWeights]] (q100)
+    * reweights by hashed-n-gram importance ratios, this ranks by LM
+    * likelihood ratio — both serve the "find more data like this"
+    * loop, and this one composes with [[keepTopQuantile]] for the cut.
+    *
+    * Models are Laplace-smoothed over a FIXED pseudo-vocabulary:
+    * p(c|p) = (bc+1)/(pc+pseudoVocab) — deterministic, no actual
+    * vocab count needed. Per-bigram contributions use the round-6
+    * float protocol (ln is unavoidable; the queryLikelihood/ndcgAtK
+    * discipline): w = round(ln p_in − ln p_gen, 6), doc score =
+    * round(Σw / n, 6); docs with no bigram score null. Scale shape:
+    * the q68 one — two count tables off one thin (id, ph, ch)
+    * explode per corpus, scoring joins on bigram-hash keys, text
+    * never shuffles.
+    */
+  def mooreLewis(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, pseudoVocab: Long = 65536L): DataFrame = {
+    require(pseudoVocab > 0)
+    val thin = bigramThin(df, idCol, textCol).localCheckpoint()
+    val (bgG, hdG) = bigramTablesFromThin(thin)
+    val (bgT, hdT) =
+      bigramTablesFromThin(bigramThin(target, idCol, textCol))
+    val v = lit(pseudoVocab.toDouble)
+    def lp(bc: Column, pc: Column) =
+      log((coalesce(bc, lit(0L)) + lit(1.0)) /
+        (coalesce(pc, lit(0L)) + v))
+    val joined = thin
+      .join(bgT.withColumnRenamed("_bc", "_bct"), Seq("_ph", "_ch"),
+        "left")
+      .join(hdT.withColumnRenamed("_pc", "_pct"), Seq("_ph"), "left")
+      .join(bgG.withColumnRenamed("_bc", "_bcg"), Seq("_ph", "_ch"),
+        "left")
+      .join(hdG.withColumnRenamed("_pc", "_pcg"), Seq("_ph"), "left")
+      .select(col(idCol),
+        round(lp(col("_bct"), col("_pct")) -
+          lp(col("_bcg"), col("_pcg")), 6).as("_w"))
+    val sc = joined.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("_w")), 6).as("_s"))
+    df.select(col(idCol)).join(sc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+          round(col("_s") / col("n_bigrams"), 6)).as("celd"))
+  }
+
   /** Train the corpus bigram model ONCE: (bigram counts (_ph,_ch,_bc),
     * head counts (_ph,_pc)) — the persistable tables a deployment
     * reuses to score new batches ([[scoreBigramFluency]]) or a live

@@ -2014,6 +2014,24 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() === 1)
   }
 
+  test("moore-lewis: target-domain docs score above background; " +
+    "bigram-free doc scores null") {
+    import spark.implicits._
+    // background shares the head token "alpha" so the general model
+    // dilutes p(beta|alpha) — with fully disjoint vocab the two
+    // models coincide on target bigrams and the ratio is exactly 0
+    val d = ((0L until 10L).map(i => (i, "alpha beta gamma alpha beta"))
+      ++ (10L until 20L).map(i => (i, "alpha zeta epsilon alpha zeta"))
+      ++ Seq((20L, "kappa"))).toDF("id", "text")
+    val got = Curation.mooreLewis(d, "id", "text",
+        d.filter($"id" < 10L)).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(0L).get > 0)
+    assert(got(0L).get > got(15L).get)
+    assert(got(20L) === None)
+  }
+
   test("term proximity: tight co-occurrence outranks loose; docs " +
     "missing a term excluded; single-term query yields nothing") {
     import spark.implicits._
