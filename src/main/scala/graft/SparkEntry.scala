@@ -2345,6 +2345,12 @@ object SparkEntry {
     "q159_readability" -> ((s, d) =>
       TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // keyword extraction: RAKE — stopword-delimited candidate runs,
+    // deg/freq word scores, integer-ppm phrase scoring
+    "q164_rake" -> ((s, d) =>
+      TextAnalysis.rakeKeywords(t(s, d, "documents"), "doc_id", "text",
+        stopwords = Seq("the", "a", "of", "and"), maxPhraseLen = 4,
+        topK = 30)),
     // targeted selection: Moore-Lewis cross-entropy difference — rank
     // by in-domain (source=src0) vs general bigram likelihood ratio
     "q163_moore_lewis" -> ((s, d) => {
@@ -5578,6 +5584,38 @@ object SparkEntry {
             AS rnk
         FROM fin WHERE rnk <= 2 ORDER BY id, rnk"""
     },
+    // q164: run split via the same per-doc running stopword count,
+    // identical deg/freq ppm staging
+    "q164_rake" ->
+      s"""WITH t AS (SELECT doc_id AS id, $toksSql AS tk FROM documents),
+        p AS (SELECT id, i - 1 AS pos, tk[i] AS tok
+          FROM (SELECT id, tk, unnest(generate_series(1, len(tk))) AS i
+            FROM t)),
+        st AS (SELECT id, pos, tok,
+            tok IN ('the', 'a', 'of', 'and') AS stp,
+            SUM(CASE WHEN tok IN ('the', 'a', 'of', 'and')
+              THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS seg
+          FROM p),
+        cand AS (SELECT id, seg, list(tok ORDER BY pos) AS ptoks
+          FROM st WHERE NOT stp GROUP BY id, seg),
+        cand2 AS (SELECT ptoks, len(ptoks) AS plen FROM cand
+          WHERE len(ptoks) <= 4),
+        ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+            CAST(SUM(plen) AS BIGINT) AS deg
+          FROM (SELECT unnest(ptoks) AS w, plen FROM cand2)
+          GROUP BY w),
+        ws2 AS (SELECT w, (deg * 1000000) // freq AS wsc FROM ws),
+        ph AS (SELECT ptoks, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM cand2 GROUP BY ptoks),
+        px AS (SELECT array_to_string(ptoks, ' ') AS phrase,
+            n_occurrences, unnest(ptoks) AS w FROM ph),
+        sc AS (SELECT phrase, n_occurrences,
+            CAST(SUM(wsc) AS BIGINT) AS score_ppm,
+            CAST(COUNT(*) AS BIGINT) AS n_words
+          FROM px JOIN ws2 USING (w) GROUP BY 1, 2)
+        SELECT phrase, n_occurrences, score_ppm, n_words FROM sc
+        ORDER BY score_ppm DESC, phrase LIMIT 30""",
     // q163: q68's bigram-hash staging twice (general = all docs,
     // in-domain = source src0), identical round-6 ln-ratio points
     "q163_moore_lewis" ->

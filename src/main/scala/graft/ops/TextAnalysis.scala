@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -578,6 +579,63 @@ object TextAnalysis {
       .select(col("id"), col("sidx").cast("long").as("sidx"),
         col("sent"), col("rank_ppb"),
         col("rnk").cast("long").as("rnk"))
+  }
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic Keyword Extraction from Individual Documents"):
+    * candidate phrases are the maximal stopword-free token runs (≤
+    * `maxPhraseLen` words), word score = deg(w)/freq(w) over the
+    * candidate corpus (deg = Σ candidate length per occurrence — long
+    * phrases lift their members), phrase score = Σ member word scores
+    * with multiplicity. Exact integer ppm (deg·10^6 DIV freq — no
+    * floats anywhere), completing the keyword trio: TextRank (graph
+    * centrality), PMI collocations (bigram lift), RAKE (run scoring).
+    *
+    * Scale shape: the run split is a per-DOC window (bounded by doc
+    * length, the G2 segmentation shape); word stats and phrase scores
+    * are vocabulary-/phrase-table-sized aggregations of thin rows;
+    * top-k is orderBy+limit (TakeOrderedAndProject — per-partition
+    * partial top-k, no global window).
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxPhraseLen: Int = 4,
+      topK: Int = 30): DataFrame = {
+    require(stopwords.nonEmpty && maxPhraseLen > 0 && topK > 0)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("_stop",
+        col("tok").isin(stopwords.map(_.toLowerCase): _*))
+      .withColumn("_seg",
+        sum(col("_stop").cast("int")).over(w))
+    val cand = toks.filter(!col("_stop"))
+      .groupBy(col("id"), col("_seg"))
+      .agg(transform(sort_array(collect_list(
+        struct(col("pos"), col("tok")))), s => s.getField("tok"))
+        .as("_ptoks"))
+      .filter(size(col("_ptoks")) <= maxPhraseLen)
+      .select(col("_ptoks"), size(col("_ptoks")).as("_plen"))
+      .localCheckpoint() // word stats + phrase table both read it
+    val wstats = cand
+      .select(explode(col("_ptoks")).as("w"), col("_plen"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("_freq"),
+        sum(col("_plen")).cast("long").as("_deg"))
+      .withColumn("_ws",
+        call_function("div", col("_deg") * lit(1000000L), col("_freq")))
+    val phrases = cand
+      .groupBy(col("_ptoks"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+      .withColumn("phrase", array_join(col("_ptoks"), " "))
+    phrases
+      .select(col("phrase"), col("n_occurrences"),
+        posexplode(col("_ptoks")).as(Seq("_wp", "w")))
+      .join(wstats.select(col("w"), col("_ws")), Seq("w"))
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(sum(col("_ws")).cast("long").as("score_ppm"),
+        count(lit(1)).cast("long").as("n_words"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(topK)
   }
 
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5,

@@ -2014,6 +2014,22 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() === 1)
   }
 
+  test("rake: hand-computed deg/freq phrase scores") {
+    import spark.implicits._
+    // candidates [deep learning], [deep learning networks]:
+    // freq deep=2 learning=2 networks=1; deg 5/5/3 → wsc 2.5M/2.5M/3M
+    val d = Seq((1L, "deep learning of deep learning networks"))
+      .toDF("id", "text")
+    val got = TextAnalysis.rakeKeywords(d, "id", "text", Seq("of"),
+        topK = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("deep learning networks", 1L, 8000000L, 3L),
+      ("deep learning", 1L, 5000000L, 2L)))
+  }
+
   test("moore-lewis: target-domain docs score above background; " +
     "bigram-free doc scores null") {
     import spark.implicits._
