@@ -2345,6 +2345,14 @@ object SparkEntry {
     "q159_readability" -> ((s, d) =>
       TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // storage dedup: content-defined chunking — boundaries from a
+    // 4-token window hash mod 16; chunk rows with portable hashes
+    "q165_cdc_chunks" -> ((s, d) =>
+      Curation.cdcChunks(
+          t(s, d, "documents").select(
+            col("doc_id").cast("long").as("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy("id", "chunk_idx")),
     // keyword extraction: RAKE — stopword-delimited candidate runs,
     // deg/freq word scores, integer-ppm phrase scoring
     "q164_rake" -> ((s, d) =>
@@ -5584,6 +5592,34 @@ object SparkEntry {
             AS rnk
         FROM fin WHERE rnk <= 2 ORDER BY id, rnk"""
     },
+    // q165: same window-hash boundaries + slice/md5 staging
+    "q165_cdc_chunks" ->
+      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        h AS (SELECT id, tk, list_transform(tk,
+            tkx -> CAST(('0x' || substr(md5(tkx), 1, 8)) AS BIGINT))
+            AS th
+          FROM t),
+        b AS (SELECT id, tk, CASE WHEN len(tk) >= 5
+            THEN list_filter(generate_series(3, len(tk) - 2),
+              i -> (th[i + 1] * 3 + th[i] * 5 + th[i - 1] * 7 +
+                th[i - 2] * 11) % 16 = 0)
+            ELSE CAST([] AS BIGINT[]) END AS bs
+          FROM h),
+        se AS (SELECT id, tk,
+            [CAST(0 AS BIGINT)] || list_transform(bs, x -> x + 1)
+              AS starts,
+            list_transform(bs, x -> x + 1) ||
+              [CAST(len(tk) AS BIGINT)] AS ends
+          FROM b),
+        ch AS (SELECT id, u.p.j - 1 AS chunk_idx, starts[u.p.j] AS s,
+            ends[u.p.j] AS e, tk
+          FROM se, unnest(list_transform(generate_series(1, len(starts)),
+            j -> struct_pack(j := j))) u(p))
+        SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          CAST(s AS BIGINT) AS start, CAST(e - s AS BIGINT) AS chunk_len,
+          md5(array_to_string(tk[s + 1 : e], ' ')) AS chunk_hash
+        FROM ch ORDER BY id, chunk_idx""",
     // q164: run split via the same per-doc running stopword count,
     // identical deg/freq ppm staging
     "q164_rake" ->

@@ -2053,6 +2053,57 @@ object Curation {
     thin.groupBy(col("_ph"), col("_ch")).agg(count(lit(1)).as("_bc")),
     thin.groupBy(col("_ph")).agg(count(lit(1)).as("_pc")))
 
+  /** Content-defined chunking (Muthitacharoen, Chen & Mazières, SOSP
+    * 2001 — the LBFS primitive behind dedup storage, delta sync and
+    * chunk-level corpus dedup): cut a document wherever a FIXED-WINDOW
+    * rolling hash of the last `window` tokens hits 0 mod `maskMod`, so
+    * boundaries move with content, not offsets — insert one token and
+    * every later chunk of a fixed-size splitter changes, while CDC
+    * re-synchronizes after one chunk. Token-level with the portable
+    * md5-prefix token hash (same unit as every text operator; expected
+    * chunk length ≈ maskMod tokens). This is the CLAMPLESS pure form:
+    * every matching position cuts, no min/max chunk clamps — clamps
+    * make boundary i depend on boundary i-1 (sequential state); the
+    * pure form is per-position independent, hence one per-row Column
+    * program with no shuffle at all. Returns one row per chunk:
+    * (id, chunk_idx, start, chunk_len, chunk_hash) — feed chunk_hash
+    * to an exact-dedup pass for the storage-dedup ratio.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, maskMod: Long = 16L): DataFrame = {
+    require(window >= 2 && maskMod >= 2)
+    val primes = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+    require(window <= primes.size, s"window <= ${primes.size}")
+    val based = df.select(col(idCol).as("id"),
+        Dedup.tokens(col(textCol)).as("_tk"))
+      .withColumn("_th", transform(col("_tk"), t => Dedup.tokHash(t)))
+    val n = size(col("_tk"))
+    def winHash(i: Column): Column =
+      (0 until window).map { k =>
+        element_at(col("_th"), (i - k + 1).cast("int")) * primes(k)
+      }.reduce(_ + _)
+    val bs = when(n >= window + 1,
+      filter(sequence(lit(window - 1), n - 2),
+        i => pmod(winHash(i), lit(maskMod)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val withB = based.withColumn("_bs", bs)
+      .withColumn("_starts",
+        concat(array(lit(0)), transform(col("_bs"), b => b + 1)))
+      .withColumn("_ends",
+        concat(transform(col("_bs"), b => b + 1), array(n)))
+    withB
+      .select(col("id"), col("_tk"),
+        posexplode(zip_with(col("_starts"), col("_ends"),
+          (s, e) => struct(s.as("s"), e.as("e"))))
+          .as(Seq("chunk_idx", "_se")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_se.s").cast("long").as("start"),
+        (col("_se.e") - col("_se.s")).cast("long").as("chunk_len"),
+        md5(array_join(
+          slice(col("_tk"), col("_se.s") + 1,
+            col("_se.e") - col("_se.s")), " ")).as("chunk_hash"))
+  }
+
   /** Moore-Lewis cross-entropy-difference data selection (Moore &
     * Lewis, ACL 2010, "Intelligent Selection of Language Model
     * Training Data"): score each document by its mean per-bigram

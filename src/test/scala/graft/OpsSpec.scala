@@ -2014,6 +2014,20 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() === 1)
   }
 
+  test("cdc chunks: boundaries re-synchronize after a front insertion") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w${i % 23}x$i").mkString(" ")
+    val d = Seq((1L, base), (2L, "inserted " + base)).toDF("id", "text")
+    val ch = Curation.cdcChunks(d, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    assert(h1.size >= 2, s"want multiple chunks, got ${h1.size}")
+    // only the chunk containing the insertion can differ — a
+    // fixed-width splitter would shift and share nothing
+    assert((h1 intersect h2).size >= h1.size - 1)
+  }
+
   test("rake: hand-computed deg/freq phrase scores") {
     import spark.implicits._
     // candidates [deep learning], [deep learning networks]:
