@@ -2345,6 +2345,36 @@ object SparkEntry {
     "q159_readability" -> ((s, d) =>
       TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // storage-dedup ratio: CDC chunks → exact hash dedup → one
+    // accounting row (the "how much would chunk-level dedup save")
+    "q166_chunk_dedup" -> ((s, d) => {
+      val ch = Curation.cdcChunks(
+        t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text")
+      val a1 = ch.agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_unique"),
+        sum(col("chunk_len")).as("total_tokens"))
+      val a2 = ch.select("chunk_hash", "chunk_len").distinct()
+        .agg(sum(col("chunk_len")).as("unique_tokens"))
+      a1.crossJoin(a2).select(col("n_chunks"), col("n_unique"),
+        col("total_tokens"), col("unique_tokens"),
+        call_function("div",
+          (col("total_tokens") - col("unique_tokens")) * lit(1000000L),
+          col("total_tokens")).as("savings_ppm"))
+    }),
+    // near-dup clustering through the simhash pigeonhole pairs — the
+    // one-long-per-doc alternative to the minhash path (q32/q62),
+    // same label-propagation canonicalization
+    "q167_simhash_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("text"))
+      val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        bits = 16, nBlocks = 2, maxHamming = 1)
+      Dedup.canonicalize(docs, "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // storage dedup: content-defined chunking — boundaries from a
     // 4-token window hash mod 16; chunk rows with portable hashes
     "q165_cdc_chunks" -> ((s, d) =>
@@ -4100,6 +4130,52 @@ object SparkEntry {
           UNION ALL SELECT * FROM est4)"""
   }
 
+  /** q153/q167 oracle fragment: pigeonhole-blocked simhash candidate
+    * pairs ending in `cand(a, b, hamming)`. One definition so the
+    * pair and clustering oracles cannot drift.
+    */
+  private lazy val simhashPairsCtesSql: String =
+    s"""sigs AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          $simhash16Sql AS sh FROM documents),
+        blk AS (SELECT id, sh, b AS band, (sh >> (b * 8)) & 255 AS bucket
+          FROM sigs, generate_series(0, 1) AS t(b)),
+        cand AS (SELECT DISTINCT l.id AS a, r.id AS b,
+            CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+          FROM blk l JOIN blk r ON l.band = r.band
+            AND l.bucket = r.bucket AND l.id < r.id)"""
+
+  /** q165/q166 oracle fragment: content-defined chunks ending in
+    * `chk(id, chunk_idx, start, chunk_len, chunk_hash)`.
+    */
+  private lazy val cdcChunksCtesSql: String =
+    s"""t AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
+          FROM documents),
+        h AS (SELECT id, tk, list_transform(tk,
+            tkx -> CAST(('0x' || substr(md5(tkx), 1, 8)) AS BIGINT))
+            AS th
+          FROM t),
+        b AS (SELECT id, tk, CASE WHEN len(tk) >= 5
+            THEN list_filter(generate_series(3, len(tk) - 2),
+              i -> (th[i + 1] * 3 + th[i] * 5 + th[i - 1] * 7 +
+                th[i - 2] * 11) % 16 = 0)
+            ELSE CAST([] AS BIGINT[]) END AS bs
+          FROM h),
+        se AS (SELECT id, tk,
+            [CAST(0 AS BIGINT)] || list_transform(bs, x -> x + 1)
+              AS starts,
+            list_transform(bs, x -> x + 1) ||
+              [CAST(len(tk) AS BIGINT)] AS ends
+          FROM b),
+        ch AS (SELECT id, u.p.j - 1 AS chunk_idx, starts[u.p.j] AS s,
+            ends[u.p.j] AS e, tk
+          FROM se, unnest(list_transform(generate_series(1, len(starts)),
+            j -> struct_pack(j := j))) u(p)),
+        chk AS (SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          CAST(s AS BIGINT) AS start, CAST(e - s AS BIGINT)
+            AS chunk_len,
+          md5(array_to_string(tk[s + 1 : e], ' ')) AS chunk_hash
+          FROM ch)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5478,16 +5554,21 @@ object SparkEntry {
     // q153: same pigeonhole construction — 2 bands of 8 bits over the
     // portable 16-bit simhash, bucket self-join, exact popcount verify
     "q153_simhash_pairs" ->
-      s"""WITH sigs AS (SELECT CAST(doc_id AS BIGINT) AS id,
-          $simhash16Sql AS sh FROM documents),
-        blk AS (SELECT id, sh, b AS band, (sh >> (b * 8)) & 255 AS bucket
-          FROM sigs, generate_series(0, 1) AS t(b)),
-        cand AS (SELECT DISTINCT l.id AS a, r.id AS b,
-            CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
-          FROM blk l JOIN blk r ON l.band = r.band
-            AND l.bucket = r.bucket AND l.id < r.id)
+      s"""WITH $simhashPairsCtesSql
         SELECT a, b, hamming FROM cand WHERE hamming <= 1
         ORDER BY a, b""",
+    // q167: the q153 pair chain + the q32 recursive component fold
+    "q167_simhash_cluster" ->
+      s"""WITH RECURSIVE $simhashPairsCtesSql,
+        edges AS (SELECT a, b FROM cand WHERE hamming <= 1
+          UNION SELECT b, a FROM cand WHERE hamming <= 1),
+        comp(id, canon) AS (
+          SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)
+            FROM documents
+          UNION
+          SELECT e.a, c.canon FROM edges e JOIN comp c ON c.id = e.b)
+        SELECT id AS doc_id, MIN(canon) AS canonical_id
+        FROM comp GROUP BY 1 ORDER BY 1""",
     // q154: Dirichlet QL in the matched-terms form; cf = collection
     // frequency over queried-term postings; round-6 at the same three
     // points as the Spark side (per-term, match-sum, final)
@@ -5594,32 +5675,22 @@ object SparkEntry {
     },
     // q165: same window-hash boundaries + slice/md5 staging
     "q165_cdc_chunks" ->
-      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id, $toksSql AS tk
-          FROM documents),
-        h AS (SELECT id, tk, list_transform(tk,
-            tkx -> CAST(('0x' || substr(md5(tkx), 1, 8)) AS BIGINT))
-            AS th
-          FROM t),
-        b AS (SELECT id, tk, CASE WHEN len(tk) >= 5
-            THEN list_filter(generate_series(3, len(tk) - 2),
-              i -> (th[i + 1] * 3 + th[i] * 5 + th[i - 1] * 7 +
-                th[i - 2] * 11) % 16 = 0)
-            ELSE CAST([] AS BIGINT[]) END AS bs
-          FROM h),
-        se AS (SELECT id, tk,
-            [CAST(0 AS BIGINT)] || list_transform(bs, x -> x + 1)
-              AS starts,
-            list_transform(bs, x -> x + 1) ||
-              [CAST(len(tk) AS BIGINT)] AS ends
-          FROM b),
-        ch AS (SELECT id, u.p.j - 1 AS chunk_idx, starts[u.p.j] AS s,
-            ends[u.p.j] AS e, tk
-          FROM se, unnest(list_transform(generate_series(1, len(starts)),
-            j -> struct_pack(j := j))) u(p))
-        SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-          CAST(s AS BIGINT) AS start, CAST(e - s AS BIGINT) AS chunk_len,
-          md5(array_to_string(tk[s + 1 : e], ' ')) AS chunk_hash
-        FROM ch ORDER BY id, chunk_idx""",
+      s"""WITH $cdcChunksCtesSql
+        SELECT id, chunk_idx, start, chunk_len, chunk_hash
+        FROM chk ORDER BY id, chunk_idx""",
+    // q166: same chunk chain + the dedup-ratio accounting
+    "q166_chunk_dedup" ->
+      s"""WITH $cdcChunksCtesSql,
+        a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_unique,
+            CAST(SUM(chunk_len) AS BIGINT) AS total_tokens
+          FROM chk),
+        a2 AS (SELECT CAST(SUM(chunk_len) AS BIGINT) AS unique_tokens
+          FROM (SELECT DISTINCT chunk_hash, chunk_len FROM chk))
+        SELECT n_chunks, n_unique, total_tokens, unique_tokens,
+          CAST(((total_tokens - unique_tokens) * 1000000)
+            // total_tokens AS BIGINT) AS savings_ppm
+        FROM a1, a2""",
     // q164: run split via the same per-doc running stopword count,
     // identical deg/freq ppm staging
     "q164_rake" ->
