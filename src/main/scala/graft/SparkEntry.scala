@@ -698,7 +698,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
-      Dedup.canonicalize(docs, "doc_id", pairs)
+      Dedup.canonicalizeStar(docs, "doc_id", pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -2364,14 +2364,19 @@ object SparkEntry {
           col("total_tokens")).as("savings_ppm"))
     }),
     // near-dup clustering through the simhash pigeonhole pairs — the
-    // one-long-per-doc alternative to the minhash path (q32/q62),
-    // same label-propagation canonicalization
+    // one-long-per-doc alternative to the minhash path (q32/q62).
+    // STAR contraction, not label propagation: the 16-bit portable
+    // fingerprint's random hamming-collisions chain into
+    // long-diameter components — the adversarial shape whose round
+    // count star bounds at O(log n) where label prop pays diameter
+    // (q62's rationale; both paths pinned equal by this oracle, and
+    // at the production 64 bits the spurious chains vanish entirely)
     "q167_simhash_cluster" -> ((s, d) => {
       val docs = t(s, d, "documents").select(
         col("doc_id").cast("long").as("doc_id"), col("text"))
       val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
         bits = 16, nBlocks = 2, maxHamming = 1)
-      Dedup.canonicalize(docs, "doc_id", pairs)
+      Dedup.canonicalizeStar(docs, "doc_id", pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
