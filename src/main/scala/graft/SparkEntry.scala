@@ -2345,6 +2345,14 @@ object SparkEntry {
     "q159_readability" -> ((s, d) =>
       TextAnalysis.readability(sentenceDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // chunk-overlap near-dup pairs: CDC's payoff — insertion-robust
+    // shared-span detection over chunk-hash sets, df-capped join
+    "q168_chunk_neardup" -> ((s, d) =>
+      Curation.chunkNearDupPairs(
+          t(s, d, "documents").select(
+            col("doc_id").cast("long").as("doc_id"), col("text")),
+          "doc_id", "text", minJaccard = 0.05, maxChunkDf = 64)
+        .orderBy("a", "b")),
     // storage-dedup ratio: CDC chunks → exact hash dedup → one
     // accounting row (the "how much would chunk-level dedup save")
     "q166_chunk_dedup" -> ((s, d) => {
@@ -5683,6 +5691,26 @@ object SparkEntry {
       s"""WITH $cdcChunksCtesSql
         SELECT id, chunk_idx, start, chunk_len, chunk_hash
         FROM chk ORDER BY id, chunk_idx""",
+    // q168: same chunk chain + df cap + set-Jaccard staging
+    "q168_chunk_neardup" ->
+      s"""WITH $cdcChunksCtesSql,
+        thin AS (SELECT DISTINCT id, chunk_hash FROM chk),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM thin GROUP BY 1),
+        dfc AS (SELECT chunk_hash FROM (SELECT chunk_hash,
+            COUNT(*) AS dd FROM thin GROUP BY 1) WHERE dd <= 64),
+        kept AS (SELECT thin.* FROM thin JOIN dfc USING (chunk_hash)),
+        it AS (SELECT l.id AS a, r.id AS b,
+            CAST(COUNT(*) AS BIGINT) AS inter
+          FROM kept l JOIN kept r ON l.chunk_hash = r.chunk_hash
+            AND l.id < r.id
+          GROUP BY 1, 2),
+        scj AS (SELECT a, b, inter,
+            CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+          FROM it JOIN sizes sa ON sa.id = a
+            JOIN sizes sb ON sb.id = b)
+        SELECT a, b, inter, round(j, 6) AS jaccard FROM scj
+        WHERE j >= 0.05 ORDER BY a, b""",
     // q166: same chunk chain + the dedup-ratio accounting
     "q166_chunk_dedup" ->
       s"""WITH $cdcChunksCtesSql,

@@ -2104,6 +2104,53 @@ object Curation {
             col("_se.e") - col("_se.s")), " ")).as("chunk_hash"))
   }
 
+  /** Chunk-overlap near-duplicate pairs — [[cdcChunks]]'s payoff:
+    * document pairs sharing >= `minJaccard` of their content-defined
+    * chunk hash sets. Because CDC boundaries re-synchronize after an
+    * edit, a doc that prepends a header to another still shares all
+    * but ~one chunk — the insertion-robust complement to token-shingle
+    * MinHash (which dilutes large shared spans across every shingle)
+    * and the relational form of storage-layer dedup detection.
+    *
+    * Scale shape: only (id, chunk_hash) thin rows shuffle; the
+    * shared-hash self-join is guarded by `maxChunkDf` (chunks present
+    * in more docs are skipped — boilerplate chunks would fan
+    * quadratically; the rare-key blocking discipline of
+    * containmentPairs, capped + deterministic).
+    */
+  def chunkNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, maskMod: Long = 16L, minJaccard: Double = 0.1,
+      maxChunkDf: Int = 0): DataFrame = {
+    val thin = cdcChunks(df, idCol, textCol, window, maskMod)
+      .select(col("id"), col("chunk_hash")).distinct()
+      .localCheckpoint() // sizes + df counts + both join sides
+    val sizes = thin.groupBy("id").agg(count(lit(1)).as("_sz"))
+    val kept =
+      if (maxChunkDf <= 0) thin
+      else {
+        val dfc = thin.groupBy("chunk_hash")
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxChunkDf)
+          .select("chunk_hash")
+        thin.join(dfc, Seq("chunk_hash"))
+      }
+    val inter = kept.as("l")
+      .join(kept.as("r"), col("l.chunk_hash") === col("r.chunk_hash")
+        && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("_sz").as("_sza")),
+        Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("_sz").as("_szb")),
+        Seq("b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("_sza") + col("_szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Moore-Lewis cross-entropy-difference data selection (Moore &
     * Lewis, ACL 2010, "Intelligent Selection of Language Model
     * Training Data"): score each document by its mean per-bigram

@@ -2028,6 +2028,21 @@ class OpsSpec extends AnyFunSuite {
     assert((h1 intersect h2).size >= h1.size - 1)
   }
 
+  test("chunk near-dup pairs: prepended-header doc pairs with its " +
+    "source; unrelated doc absent") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"t${i % 31}v$i").mkString(" ")
+    val d = Seq((1L, base), (2L, "added header tokens here " + base),
+      (3L, (100 to 160).map(i => s"z$i").mkString(" ")))
+      .toDF("id", "text")
+    val pairs = Curation.chunkNearDupPairs(d, "id", "text",
+        minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.5),
+      pairs.mkString(","))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("rake: hand-computed deg/freq phrase scores") {
     import spark.implicits._
     // candidates [deep learning], [deep learning networks]:
