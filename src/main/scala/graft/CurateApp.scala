@@ -134,8 +134,12 @@ object CurateApp {
     // drop word salad (too high) and degenerate run-ons (too low)
     // before the LSH stages
     val freBand = opts.get("fre-band").map { v =>
-      val Array(lo, hi) = v.split(":", 2)
-      (lo.toLong, hi.toLong)
+      val parts = v.split(":", 2)
+      require(parts.length == 2 && parts.forall(_.nonEmpty),
+        s"--fre-band expects lo:hi (milli), got '$v'")
+      val (lo, hi) = (parts(0).toLong, parts(1).toLong)
+      require(lo <= hi, s"--fre-band lo > hi ($lo > $hi): empty band")
+      (lo, hi)
     }
     val curated = Curation.curateStaged(docs, idCol0, textCol0, output,
       minTokens = opts.getOrElse("min-tokens", "10").toInt,

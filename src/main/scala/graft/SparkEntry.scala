@@ -698,7 +698,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
-      Dedup.canonicalizeStar(docs, "doc_id", pairs)
+      Dedup.canonicalize(docs, "doc_id", pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -2174,16 +2174,7 @@ object SparkEntry {
     // ball size, the average-distance/effective-diameter input a
     // 10^12-page graph cannot BFS
     "q145_hyperanf" -> ((s, d) => {
-      val did = col("doc_id").cast("long")
-      val docs = t(s, d, "documents")
-      def e(x: Column, y: Column) = docs.select(x.as("x"), y.as("y"))
-      val a = pmod(did, lit(30))
-      val b = pmod(did * 7L + 1L, lit(30))
-      val c = pmod(did * 13L + 5L, lit(30))
-      val p1 = pmod(did, lit(100)) + 30L
-      val p2 = pmod(did, lit(200)) + 130L
-      val edges = e(a, b).unionByName(e(a, c)).unionByName(e(b, c))
-        .unionByName(e(a, p1)).unionByName(e(p1, p2))
+      val edges = hyperAnfEdges(s, d)
       WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4)
         .groupBy("round")
         .agg(count(lit(1)).cast("long").as("n_nodes"),
@@ -2360,6 +2351,7 @@ object SparkEntry {
         t(s, d, "documents").select(
           col("doc_id").cast("long").as("doc_id"), col("text")),
         "doc_id", "text")
+        .localCheckpoint() // two aggregation branches below
       val a1 = ch.agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("chunk_hash")).as("n_unique"),
         sum(col("chunk_len")).as("total_tokens"))
@@ -2419,16 +2411,7 @@ object SparkEntry {
     // graph: effective diameter from the q145 neighborhood function —
     // 90% threshold of final reach, first crossing + interpolation
     "q161_eff_diameter" -> ((s, d) => {
-      val did = col("doc_id").cast("long")
-      val docs = t(s, d, "documents")
-      def e(x: Column, y: Column) = docs.select(x.as("x"), y.as("y"))
-      val a = pmod(did, lit(30))
-      val b = pmod(did * 7L + 1L, lit(30))
-      val c = pmod(did * 13L + 5L, lit(30))
-      val p1 = pmod(did, lit(100)) + 30L
-      val p2 = pmod(did, lit(200)) + 130L
-      val edges = e(a, b).unionByName(e(a, c)).unionByName(e(b, c))
-        .unionByName(e(a, p1)).unionByName(e(p1, p2))
+      val edges = hyperAnfEdges(s, d)
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
@@ -3174,6 +3157,23 @@ object SparkEntry {
         "href=\"/feed.xml\">"),
       links, lit("</head><body>x</body></html>"))
     t(s, d, "documents").select(url.as("url"), html.as("html"))
+  }
+
+  /** The q144/q145/q161 synthetic pendant graph (30-node dense core +
+    * two pendant layers), shared so the Spark twins cannot drift from
+    * the single hyperAnfCtesSql oracle graph.
+    */
+  private def hyperAnfEdges(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("long")
+    val docs = t(s, d, "documents")
+    def e(x: Column, y: Column) = docs.select(x.as("x"), y.as("y"))
+    val a = pmod(did, lit(30))
+    val b = pmod(did * 7L + 1L, lit(30))
+    val c = pmod(did * 13L + 5L, lit(30))
+    val p1 = pmod(did, lit(100)) + 30L
+    val p2 = pmod(did, lit(200)) + 130L
+    e(a, b).unionByName(e(a, c)).unionByName(e(b, c))
+      .unionByName(e(a, p1)).unionByName(e(p1, p2))
   }
 
   /** Sentence-bearing docs synthesized from each document's own
@@ -5361,7 +5361,8 @@ object SparkEntry {
               // (reach - prev) END AS BIGINT) AS eff_diameter_milli,
           r AS crossing_round, CAST(thr AS BIGINT) AS thr_micro,
           total_micro
-        FROM st WHERE reach >= thr AND (prev IS NULL OR prev < thr)""",
+        FROM st WHERE reach >= thr AND (prev IS NULL OR prev < thr)
+        ORDER BY r LIMIT 1""",
     // q146: q131's oracle grouped by source — same hash/register
     // split, same exact-integer staging per group, same constant
     "q146_hll_by_source" -> {

@@ -2178,8 +2178,8 @@ object Curation {
     require(pseudoVocab > 0)
     val thin = bigramThin(df, idCol, textCol).localCheckpoint()
     val (bgG, hdG) = bigramTablesFromThin(thin)
-    val (bgT, hdT) =
-      bigramTablesFromThin(bigramThin(target, idCol, textCol))
+    val (bgT, hdT) = bigramTablesFromThin(
+      bigramThin(target, idCol, textCol).localCheckpoint())
     val v = lit(pseudoVocab.toDouble)
     def lp(bc: Column, pc: Column) =
       log((coalesce(bc, lit(0L)) + lit(1.0)) /

@@ -663,6 +663,12 @@ object WebGraph {
       .withColumn("_prev", lag(col("reach_micro"), 1).over(w))
       .filter(col("reach_micro") >= col("thr_micro") &&
         (col("_prev").isNull || col("_prev") < col("thr_micro")))
+      // FIRST crossing only: per-node registers are monotone, but the
+      // ESTIMATOR is not (the linear-counting → raw-estimate switch
+      // can dip), so the total can in principle re-cross; rounds+1
+      // rows at most, so the sort is trivial
+      .orderBy(col("round"))
+      .limit(1)
       .withColumn("eff_diameter_milli",
         when(col("_prev").isNull, lit(0L)).otherwise(
           (col("round").cast("long") - 1L) * 1000L +
