@@ -95,6 +95,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length === 40 && streamed.toSeq === batch.toSeq)
   }
 
+  test("cdc chunking + readability on a stream == batch (stateless " +
+      "per-row programs — the live storage-dedup / quality-gate arms)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 30L).map { i =>
+      (i, (1 to 40).map(j => s"w${(i * 7 + j * 3) % 19}t$j")
+        .mkString(" ") +
+        (if (i % 3 == 0) ". second sentence here" else ""))
+    }
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.cdcChunks(df, "id", "text")
+    def reads(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.readability(df, "id", "text")
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = chunks(s1.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("cdc_stream_out")
+      .outputMode("append").start()
+    s1.addData(rows.slice(0, 15)); q1.processAllAvailable()
+    s1.addData(rows.slice(15, 30)); q1.processAllAvailable()
+    q1.stop()
+    assert(spark.table("cdc_stream_out").collect()
+      .map(_.toString).sorted.toSeq ===
+      chunks(rows.toDF("id", "text")).collect()
+        .map(_.toString).sorted.toSeq)
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = reads(s2.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("read_stream_out")
+      .outputMode("append").start()
+    s2.addData(rows); q2.processAllAvailable(); q2.stop()
+    assert(spark.table("read_stream_out").collect()
+      .map(_.toString).sorted.toSeq ===
+      reads(rows.toDF("id", "text")).collect()
+        .map(_.toString).sorted.toSeq)
+  }
+
   test("urlFeatures + NFC normalization on a stream == batch " +
       "(stateless per-row projections)") {
     import spark.implicits._
