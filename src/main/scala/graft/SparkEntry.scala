@@ -2415,6 +2415,17 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // eval: Spearman rho over the same two rankers — in-subset
+    // re-ranks, integer 1 - 6Σd²/(n(n²-1)) ppm
+    "q169_spearman" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Retrieval.spearmanRho(
+          Retrieval.bm25(docs, "doc_id", "text", bm25Queries(s),
+            topK = 10),
+          Retrieval.queryLikelihood(docs, "doc_id", "text",
+            bm25Queries(s), topK = 10))
+        .orderBy("query_id")
+    }),
     // eval: ranker agreement — Kendall tau between the BM25 and
     // Dirichlet-QL orderings of the same workload's common docs
     "q160_kendall_tau" -> ((s, d) => {
@@ -5826,6 +5837,33 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q169: same ra/rb arms; in-subset row_number re-ranks, the
+    // non-negative-numerator rho staging
+    "q169_spearman" ->
+      s"""WITH $bm25CtesSql,
+        $qlCtesSql,
+        ra AS (SELECT query_id, doc_id, rank FROM bm25r
+          WHERE rank <= 10),
+        rb AS (SELECT query_id, doc_id, rank FROM qlr
+          WHERE rank <= 10),
+        cm2 AS (SELECT ra.query_id, ra.doc_id, ra.rank AS r1o,
+            rb.rank AS r2o
+          FROM ra JOIN rb USING (query_id, doc_id)),
+        rr AS (SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY r1o, doc_id) AS r1,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY r2o, doc_id) AS r2
+          FROM cm2),
+        ag AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+            CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+          FROM rr GROUP BY 1)
+        SELECT query_id, n_common, sum_d2,
+          CAST(CASE WHEN n_common < 2 THEN NULL
+            ELSE 1000000 - (6000000 * sum_d2)
+              // (n_common * (n_common * n_common - 1)) END AS BIGINT)
+            AS rho_ppm
+        FROM ag ORDER BY query_id""",
     // q160: bm25 CTEs + the q154 QL chain + integer tau with the
     // sign-first magnitude staging (both engines floor non-negatives)
     "q160_kendall_tau" ->

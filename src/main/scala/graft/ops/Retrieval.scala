@@ -403,6 +403,40 @@ object Retrieval {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Spearman rank correlation between two per-query rankings
+    * (Spearman 1904): ranks are REBUILT within the common-doc subset
+    * (row_number over each arm's original order — the statistically
+    * clean form; windows are per-query over ≤ topK rows, bounded by
+    * the rankings' own cut, never corpus-sized), then the classic
+    * rho = 1 − 6Σd²/(n(n²−1)) in exact integer ppm — the numerator
+    * 6·10^6·Σd² is non-negative, so both engines floor identically
+    * and the subtraction carries the sign. Pairs with [[kendallTau]]
+    * (pairwise concordance) as the two standard ranking-vs-ranking
+    * diagnostics; < 2 common docs → null.
+    */
+  def spearmanRho(a: DataFrame, b: DataFrame): DataFrame = {
+    val c = a.select(col("query_id"), col("doc_id"),
+        col("rank").as("_ra"))
+      .join(b.select(col("query_id"), col("doc_id"),
+        col("rank").as("_rb")), Seq("query_id", "doc_id"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ra"), col("doc_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("_rb"), col("doc_id"))
+    c.withColumn("_r1", row_number().over(w1).cast("long"))
+      .withColumn("_r2", row_number().over(w2).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum((col("_r1") - col("_r2")) * (col("_r1") - col("_r2")))
+          .cast("long").as("sum_d2"))
+      .withColumn("rho_ppm",
+        when(col("n_common") < 2L, lit(null).cast("long")).otherwise(
+          lit(1000000L) - call_function("div",
+            lit(6000000L) * col("sum_d2"),
+            col("n_common") *
+              (col("n_common") * col("n_common") - 1L))))
+  }
+
   /** Kendall rank correlation between two per-query rankings (Kendall
     * 1938) over their COMMON documents — the ranker-agreement
     * diagnostic (how differently do the content-BM25, anchor and LM

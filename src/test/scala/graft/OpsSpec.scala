@@ -2106,6 +2106,24 @@ class OpsSpec extends AnyFunSuite {
     assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
   }
 
+  test("spearman rho: identity 1e6, reversal -1e6, in-subset re-rank") {
+    import spark.implicits._
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val same = Retrieval.spearmanRho(a, a).collect()(0)
+    assert(same.getLong(3) === 1000000L)
+    val rev = Seq(("q", 1L, 3L), ("q", 2L, 2L), ("q", 3L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    assert(Retrieval.spearmanRho(a, rev).collect()(0).getLong(3) ===
+      -1000000L)
+    // original ranks 5/9/11 re-rank to 1/2/3 within the subset:
+    // identity despite different raw rank values
+    val sparse = Seq(("q", 1L, 5L), ("q", 2L, 9L), ("q", 3L, 11L))
+      .toDF("query_id", "doc_id", "rank")
+    assert(Retrieval.spearmanRho(a, sparse).collect()(0).getLong(3) ===
+      1000000L)
+  }
+
   test("kendall tau: hand-computed swap, full reversal, null under " +
     "2 common, disjoint absent") {
     import spark.implicits._
