@@ -2415,6 +2415,19 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // eval: expected calibration error per source — does the
+    // length-derived confidence MEAN its probability of is_en
+    "q170_calibration" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mx = docs.agg(max(col("n_chars")).cast("long").as("_mx"))
+      Curation.calibrationError(
+          docs.crossJoin(broadcast(mx))
+            .withColumn("conf_ppm",
+              expr("(CAST(n_chars AS BIGINT) * 1000000) div _mx"))
+            .withColumn("is_en", col("lang") === "en"),
+          "is_en", "conf_ppm", bins = 10, strataCols = Seq("source"))
+        .orderBy("source")
+    }),
     // eval: Spearman rho over the same two rankers — in-subset
     // re-ranks, integer 1 - 6Σd²/(n(n²-1)) ppm
     "q169_spearman" -> ((s, d) => {
@@ -5837,6 +5850,26 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q170: identical binning + telescoped one-floor ECE staging
+    "q170_calibration" ->
+      """WITH mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS m
+          FROM documents),
+        b0 AS (SELECT source, (lang = 'en') AS lb,
+            (CAST(n_chars AS BIGINT) * 1000000) // m AS cf
+          FROM documents, mx),
+        b1 AS (SELECT source, lb, cf, (cf * 10) // 1000001 AS bin
+          FROM b0),
+        pb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN lb THEN 1 ELSE 0 END) AS BIGINT) AS sl,
+            CAST(SUM(cf) AS BIGINT) AS sc
+          FROM b1 GROUP BY 1, 2),
+        pg AS (SELECT source, nb, abs(1000000 * sl - sc) AS gap
+          FROM pb)
+        SELECT source, CAST(SUM(nb) AS BIGINT) AS n,
+          CAST(COUNT(*) AS BIGINT) AS n_bins_hit,
+          CAST(SUM(gap) // SUM(nb) AS BIGINT) AS ece_ppm,
+          CAST(MAX(gap // nb) AS BIGINT) AS max_bin_gap_ppm
+        FROM pg GROUP BY source ORDER BY source""",
     // q169: same ra/rb arms; in-subset row_number re-ranks, the
     // non-negative-numerator rho staging
     "q169_spearman" ->

@@ -2332,6 +2332,44 @@ object Curation {
     * first). One scalar total-positives aggregate rides along via
     * crossJoin broadcast.
     */
+  /** Expected calibration error (Naeini et al., AAAI 2015; the metric
+    * Guo et al. 2017 made standard): B equal-width confidence bins
+    * over ppm scores, ECE = Σ_b (n_b/N)·|acc_b − conf_b| — completing
+    * the classifier-evaluation trio with [[rankAuc]] ("the ranking is
+    * good") and [[f1Sweep]] ("cut here"): calibration asks whether
+    * the score MEANS its probability, the property temperature-scaled
+    * sampling and mixture weighting rely on. Exact integer: the
+    * weighted sum telescopes to ece_ppm = ⌊Σ_b |10^6·Σlabel_b −
+    * Σconf_b| / N⌋ — one floor total, agg-order-proof. Also reports
+    * the worst single-bin gap. Per-stratum groupBy of thin
+    * (bin, label, conf) rows; bins are score-domain-sized.
+    */
+  def calibrationError(df: DataFrame, labelCol: String,
+      confPpmCol: String, bins: Int = 10,
+      strataCols: Seq[String] = Seq.empty): DataFrame = {
+    require(bins >= 2)
+    def dv(a: Column, b: Column) = call_function("div", a, b)
+    val strata = strataCols.map(col)
+    val binned = df.select((strata :+
+        col(labelCol).cast("boolean").as("_lb") :+
+        col(confPpmCol).cast("long").as("_cf")): _*)
+      .withColumn("_bin",
+        dv(col("_cf") * lit(bins.toLong), lit(1000001L)))
+    val perBin = binned
+      .groupBy((strata :+ col("_bin")): _*)
+      .agg(count(lit(1)).as("_nb"),
+        sum(col("_lb").cast("long")).as("_sl"),
+        sum(col("_cf")).as("_sc"))
+      .withColumn("_gap", abs(lit(1000000L) * col("_sl") - col("_sc")))
+    perBin.groupBy(strata: _*)
+      .agg(sum(col("_nb")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_bins_hit"),
+        dv(sum(col("_gap")), sum(col("_nb"))).cast("long")
+          .as("ece_ppm"),
+        max(dv(col("_gap"), col("_nb"))).cast("long")
+          .as("max_bin_gap_ppm"))
+  }
+
   def f1Sweep(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val lbl = col(labelCol).cast("boolean")
     val hist = df.filter(lbl.isNotNull && col(scoreCol).isNotNull)

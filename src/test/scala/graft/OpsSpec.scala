@@ -2106,6 +2106,21 @@ class OpsSpec extends AnyFunSuite {
     assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
   }
 
+  test("calibration error: perfectly calibrated bin 0, overconfident " +
+    "bin full gap") {
+    import spark.implicits._
+    val d = ((1 to 10).map(i => (i % 2 == 0, 500000L, "a")) ++
+      (1 to 10).map(_ => (false, 900000L, "b")))
+      .toDF("lb", "conf", "src")
+    val got = Curation.calibrationError(d, "lb", "conf",
+        strataCols = Seq("src"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(got(0) === (("a", 10L, 0L, 0L)))
+    assert(got(1) === (("b", 10L, 900000L, 900000L)))
+  }
+
   test("spearman rho: identity 1e6, reversal -1e6, in-subset re-rank") {
     import spark.implicits._
     val a = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
