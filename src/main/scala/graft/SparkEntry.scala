@@ -2415,6 +2415,26 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // eval: Cohen's kappa — chance-corrected agreement between two
+    // deterministic quality gates, per source
+    "q171_kappa" -> ((s, d) =>
+      Curation.cohensKappa(
+          t(s, d, "documents")
+            .withColumn("long_doc", col("n_chars") >= 300)
+            .withColumn("tok_rich",
+              TextAnalysis.tokenCount(col("text")) >= 55),
+          "long_doc", "tok_rich", strataCols = Seq("source"))
+        .orderBy("source")),
+    // corpus concentration: exact Gini over per-host document counts
+    // — "how dominated is the crawl by its biggest hosts"
+    "q172_host_gini" -> ((s, d) => {
+      val did = col("doc_id").cast("long")
+      val host = concat(col("source"), lit("-"),
+        pmod(did, lit(7)).cast("string"), lit(".example.com"))
+      val hw = t(s, d, "documents").select(host.as("host"))
+        .groupBy("host").agg(count(lit(1)).cast("long").as("w"))
+      Curation.giniConcentration(hw, "host", "w")
+    }),
     // eval: expected calibration error per source — does the
     // length-derived confidence MEAN its probability of is_en
     "q170_calibration" -> ((s, d) => {
@@ -5850,6 +5870,44 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q171: closed-form kappa counts + the sign-first staging
+    "q171_kappa" ->
+      s"""WITH b AS (SELECT source, (n_chars >= 300) AS a,
+          (len($toksSql) >= 55) AS bb FROM documents),
+        c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN bb THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN a AND bb THEN 1 ELSE 0 END) AS BIGINT)
+              AS n11,
+            CAST(SUM(CASE WHEN NOT a AND NOT bb THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00
+          FROM b GROUP BY 1)
+        SELECT source, n,
+          CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_ppm,
+          CAST(CASE
+            WHEN (n*n - na*nb - (n-na)*(n-nb)) = 0 THEN NULL
+            WHEN (n*(n11+n00) - na*nb - (n-na)*(n-nb)) >= 0
+              THEN ((n*(n11+n00) - na*nb - (n-na)*(n-nb)) * 1000000)
+                // (n*n - na*nb - (n-na)*(n-nb))
+            ELSE -((-(n*(n11+n00) - na*nb - (n-na)*(n-nb)) * 1000000)
+                // (n*n - na*nb - (n-na)*(n-nb))) END AS BIGINT)
+            AS kappa_ppm
+        FROM c ORDER BY source""",
+    // q172: same rank construction (ROW_NUMBER over (w, host)) +
+    // the non-negative single-floor Gini staging
+    "q172_host_gini" ->
+      """WITH hw AS (SELECT source || '-' ||
+            CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR) ||
+            '.example.com' AS host, CAST(COUNT(*) AS BIGINT) AS w
+          FROM documents GROUP BY 1),
+        r AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY w, host)
+            AS BIGINT) AS i FROM hw)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(w) AS BIGINT) AS total,
+          CAST(((2 * SUM(CAST(i AS HUGEINT) * w) -
+            (COUNT(*) + 1) * SUM(w)) * 1000000)
+            // (COUNT(*) * SUM(w)) AS BIGINT) AS gini_ppm
+        FROM r""",
     // q170: identical binning + telescoped one-floor ECE staging
     "q170_calibration" ->
       """WITH mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS m

@@ -2332,6 +2332,76 @@ object Curation {
     * first). One scalar total-positives aggregate rides along via
     * crossJoin broadcast.
     */
+  /** Cohen's kappa (1960) between two boolean verdicts — the
+    * chance-corrected gate-agreement diagnostic (are the fluency gate
+    * and the classifier gate making the SAME decisions, beyond what
+    * their base rates force?), completing the agreement family with
+    * kendallTau/spearmanRho (rankings). Closed form over five counts:
+    * kappa = (n·(n11+n00) − na·nb − (n−na)(n−nb)) /
+    * (n² − na·nb − (n−na)(n−nb)) — exact integer ppm with the
+    * sign-first staging (numerator may be negative; denominator ≥ 0,
+    * = 0 only when both raters are constant → null). One partial-agg
+    * groupBy per stratum; nothing else.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String,
+      strataCols: Seq[String] = Seq.empty): DataFrame = {
+    def dv(a: Column, b: Column) = call_function("div", a, b)
+    val strata = strataCols.map(col)
+    val counts = df.select((strata :+ col(aCol).cast("boolean").as("_a")
+        :+ col(bCol).cast("boolean").as("_b")): _*)
+      .groupBy(strata: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_a").cast("long")).as("_na"),
+        sum(col("_b").cast("long")).as("_nb"),
+        sum((col("_a") && col("_b")).cast("long")).as("_n11"),
+        sum((!col("_a") && !col("_b")).cast("long")).as("_n00"))
+    val num = col("n") * (col("_n11") + col("_n00")) -
+      col("_na") * col("_nb") -
+      (col("n") - col("_na")) * (col("n") - col("_nb"))
+    val den = col("n") * col("n") - col("_na") * col("_nb") -
+      (col("n") - col("_na")) * (col("n") - col("_nb"))
+    counts.withColumn("po_ppm",
+        dv((col("_n11") + col("_n00")) * lit(1000000L), col("n")))
+      .withColumn("kappa_ppm",
+        when(den === 0L, lit(null).cast("long")).otherwise(
+          when(num >= 0L, dv(num * lit(1000000L), den))
+            .otherwise(-dv(-num * lit(1000000L), den))))
+      .drop("_na", "_nb", "_n11", "_n00")
+  }
+
+  /** Gini concentration of a non-negative weight across keys (host
+    * document counts, per-host token mass — "how dominated is the
+    * crawl by its biggest hosts"): G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) −
+    * (n+1)/n over ascending-sorted weights with 1-based global ranks.
+    * Exact single-floor integer ppm — the numerator
+    * 2·Σ i·xᵢ − (n+1)·Σx is non-negative for ascending ranks
+    * (Chebyshev's sum inequality), so
+    * g_ppm = ⌊(2·Σ i·xᵢ − (n+1)·Σx)·10⁶ / (n·Σx)⌋ needs no sign
+    * handling. Ranks come from [[ScaleWindow.shardedRank]] (ties
+    * broken by the key — deterministic), so no corpus-sized window
+    * exists; everything after is one map-side-combinable aggregation.
+    */
+  def giniConcentration(df: DataFrame, keyCol: String,
+      weightCol: String, shards: Int = 0): DataFrame = {
+    val thin = df.select(col(keyCol).as("_k"),
+        col(weightCol).cast("long").as("_x"))
+      .filter(col("_x") >= 0L)
+    val ranked = ScaleWindow.shardedRank(thin, Seq.empty,
+      Seq(col("_x"), col("_k")), "_i", "_gn", shards)
+    ranked.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("_x")).cast("decimal(38,0)").as("_sx"),
+        sum(col("_i").cast("decimal(38,0)") * col("_x"))
+          .cast("decimal(38,0)").as("_six"))
+      .select(col("n"), col("_sx").cast("long").as("total"),
+        when(col("n") === 0L || col("_sx") === 0L,
+          lit(null).cast("long")).otherwise(
+          call_function("div",
+            (lit(2L) * col("_six") -
+              (col("n") + 1L) * col("_sx")) * lit(1000000L),
+            col("n").cast("decimal(38,0)") * col("_sx"))
+            .cast("long")).as("gini_ppm"))
+  }
+
   /** Expected calibration error (Naeini et al., AAAI 2015; the metric
     * Guo et al. 2017 made standard): B equal-width confidence bins
     * over ppm scores, ECE = Σ_b (n_b/N)·|acc_b − conf_b| — completing

@@ -2106,6 +2106,33 @@ class OpsSpec extends AnyFunSuite {
     assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
   }
 
+  test("cohens kappa: perfect 1e6, opposite -1e6, constant raters null") {
+    import spark.implicits._
+    val perfect = Seq((true, true), (true, true), (false, false),
+      (false, false)).toDF("a", "b")
+    assert(Curation.cohensKappa(perfect, "a", "b").collect()(0)
+      .getLong(2) === 1000000L)
+    val opposite = Seq((true, false), (true, false), (false, true),
+      (false, true)).toDF("a", "b")
+    assert(Curation.cohensKappa(opposite, "a", "b").collect()(0)
+      .getLong(2) === -1000000L)
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(Curation.cohensKappa(const, "a", "b").collect()(0).isNullAt(2))
+  }
+
+  test("gini concentration: equal weights 0, dominant host 720000") {
+    import spark.implicits._
+    val eq = Seq(("h1", 5L), ("h2", 5L), ("h3", 5L), ("h4", 5L))
+      .toDF("host", "w")
+    assert(Curation.giniConcentration(eq, "host", "w").collect()(0)
+      .getLong(2) === 0L)
+    // [1,1,1,97]: (2*394 - 5*100)*1e6 / (4*100) = 720000
+    val dom = Seq(("h1", 1L), ("h2", 1L), ("h3", 1L), ("h4", 97L))
+      .toDF("host", "w")
+    assert(Curation.giniConcentration(dom, "host", "w").collect()(0)
+      .getLong(2) === 720000L)
+  }
+
   test("calibration error: perfectly calibrated bin 0, overconfident " +
     "bin full gap") {
     import spark.implicits._
