@@ -2415,6 +2415,16 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // semantic split leakage: the EMBEDDING twin of q65's lexical
+    // audit — near-dup vector pairs crossing deterministic split
+    // boundaries (one audit shape, two similarity modalities)
+    "q173_semantic_leakage" -> ((s, d) => {
+      val pairs = Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.2, planes = 4)
+      Curation.splitLeakageAuditFromPairs(pairs,
+          Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .orderBy("split_lo", "split_hi")
+    }),
     // eval: Cohen's kappa — chance-corrected agreement between two
     // deterministic quality gates, per source
     "q171_kappa" -> ((s, d) =>
@@ -3767,11 +3777,10 @@ object SparkEntry {
     * aggregate() fold — the bucket SIGN has no rounding tolerance),
     * cosine as in the proven q17 twin.
     */
-  private def embedNearDupSql(nPlanes: Int, dim: Int, threshold: Double)
-      : String = {
+  private def embedNearDupCtes(nPlanes: Int, dim: Int): String = {
     val planeRows = SimSearch.planes(nPlanes, dim).zipWithIndex
       .map { case (p, i) => s"($i, ${planeListSql(p)})" }.mkString(", ")
-    s"""WITH v AS (SELECT vec_id AS id,
+    s"""v AS (SELECT vec_id AS id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
           FROM embeddings),
         planes(pi, pv) AS (VALUES $planeRows),
@@ -3790,11 +3799,15 @@ object SparkEntry {
             i -> l.e[i] * l.e[i]))) *
            sqrt(list_sum(list_transform(generate_series(1, $dim),
             i -> r.e[i] * r.e[i])))) AS cosine
-          FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)"""
+  }
+
+  private def embedNearDupSql(nPlanes: Int, dim: Int, threshold: Double)
+      : String =
+    s"""WITH ${embedNearDupCtes(nPlanes, dim)}
         SELECT a, b, round(cosine, 6) AS cosine FROM pairs
         WHERE cosine >= $threshold
         ORDER BY cosine DESC, a, b LIMIT 50"""
-  }
 
   /** q18 oracle CTEs: the full multi-table multi-probe LSH ANN as
     * relational SQL — `tables` plane sets (seeds seed..seed+tables-1,
@@ -5870,6 +5883,26 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q173: q29's shared embedding-pair chain + q65's split staging
+    "q173_semantic_leakage" -> {
+      def slotSql(e: String) =
+        s"""CAST(('0x' || substr(md5(CAST($e AS VARCHAR) || ':split'),
+          1, 8)) AS BIGINT) % 10000"""
+      s"""WITH ${embedNearDupCtes(4, 64)},
+        e2 AS (SELECT a, b FROM pairs WHERE cosine >= 0.2),
+        sl AS (SELECT a, b, ${slotSql("a")} AS qa, ${slotSql("b")} AS qb
+          FROM e2),
+        sp AS (SELECT
+            (CASE WHEN qa < 8000 THEN 'train' WHEN qa < 9000 THEN 'val'
+              ELSE 'test' END) AS sa,
+            (CASE WHEN qb < 8000 THEN 'train' WHEN qb < 9000 THEN 'val'
+              ELSE 'test' END) AS sb
+          FROM sl)
+        SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          least(sa, sb) != greatest(sa, sb) AS leaks
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
     // q171: closed-form kappa counts + the sign-first staging
     "q171_kappa" ->
       s"""WITH b AS (SELECT source, (n_chars >= 300) AS a,
