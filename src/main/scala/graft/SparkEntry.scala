@@ -5939,7 +5939,9 @@ object SparkEntry {
           CAST(SUM(w) AS BIGINT) AS total,
           CAST(((2 * SUM(CAST(i AS HUGEINT) * w) -
             (COUNT(*) + 1) * SUM(w)) * 1000000)
-            // (COUNT(*) * SUM(w)) AS BIGINT) AS gini_ppm
+            // (COUNT(*) * SUM(w)) AS BIGINT) AS gini_ppm,
+          CAST((SUM(CAST(w AS HUGEINT) * w) * 1000000)
+            // (SUM(w) * SUM(w)) AS BIGINT) AS hhi_ppm
         FROM r""",
     // q170: identical binning + telescoped one-floor ECE staging
     "q170_calibration" ->

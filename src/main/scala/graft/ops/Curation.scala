@@ -2388,10 +2388,15 @@ object Curation {
       .filter(col("_x") >= 0L)
     val ranked = ScaleWindow.shardedRank(thin, Seq.empty,
       Seq(col("_x"), col("_k")), "_i", "_gn", shards)
+    // HHI rides the same agg: Σ share² telescopes to the exact
+    // rational Σx²·10⁶ / (Σx)² — one floor, no per-share rounding
+    // (1/n for a uniform corpus, 10⁶ for a single dominant key)
     ranked.agg(count(lit(1)).cast("long").as("n"),
         sum(col("_x")).cast("decimal(38,0)").as("_sx"),
         sum(col("_i").cast("decimal(38,0)") * col("_x"))
-          .cast("decimal(38,0)").as("_six"))
+          .cast("decimal(38,0)").as("_six"),
+        sum(col("_x").cast("decimal(38,0)") * col("_x"))
+          .cast("decimal(38,0)").as("_sxx"))
       .select(col("n"), col("_sx").cast("long").as("total"),
         when(col("n") === 0L || col("_sx") === 0L,
           lit(null).cast("long")).otherwise(
@@ -2399,7 +2404,11 @@ object Curation {
             (lit(2L) * col("_six") -
               (col("n") + 1L) * col("_sx")) * lit(1000000L),
             col("n").cast("decimal(38,0)") * col("_sx"))
-            .cast("long")).as("gini_ppm"))
+            .cast("long")).as("gini_ppm"),
+        when(col("n") === 0L || col("_sx") === 0L,
+          lit(null).cast("long")).otherwise(
+          call_function("div", col("_sxx") * lit(1000000L),
+            col("_sx") * col("_sx")).cast("long")).as("hhi_ppm"))
   }
 
   /** Expected calibration error (Naeini et al., AAAI 2015; the metric

@@ -2124,13 +2124,15 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val eq = Seq(("h1", 5L), ("h2", 5L), ("h3", 5L), ("h4", 5L))
       .toDF("host", "w")
-    assert(Curation.giniConcentration(eq, "host", "w").collect()(0)
-      .getLong(2) === 0L)
+    val eqr = Curation.giniConcentration(eq, "host", "w").collect()(0)
+    assert(eqr.getLong(2) === 0L)
+    assert(eqr.getLong(3) === 250000L) // HHI = 1/n for uniform
     // [1,1,1,97]: (2*394 - 5*100)*1e6 / (4*100) = 720000
     val dom = Seq(("h1", 1L), ("h2", 1L), ("h3", 1L), ("h4", 97L))
       .toDF("host", "w")
-    assert(Curation.giniConcentration(dom, "host", "w").collect()(0)
-      .getLong(2) === 720000L)
+    val domr = Curation.giniConcentration(dom, "host", "w").collect()(0)
+    assert(domr.getLong(2) === 720000L)
+    assert(domr.getLong(3) === 941200L) // (1+1+1+9409)*1e6/10000
   }
 
   test("calibration error: perfectly calibrated bin 0, overconfident " +
