@@ -2415,6 +2415,11 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // corpus linguistics: term burstiness (VMR) — content terms clump,
+    // function words spread; exact one-floor staging, top-20 by cf
+    "q174_burstiness" -> ((s, d) =>
+      TextAnalysis.termBurstiness(t(s, d, "documents"), "doc_id",
+        "text", topK = 20)),
     // semantic split leakage: the EMBEDDING twin of q65's lexical
     // audit — near-dup vector pairs crossing deterministic split
     // boundaries (one audit shape, two similarity modalities)
@@ -5883,6 +5888,21 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q174: posting counts + the telescoped VMR floor
+    "q174_burstiness" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        post AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+          GROUP BY 1, 2),
+        st AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+            SUM(CAST(tf AS HUGEINT) * tf) AS stf2,
+            CAST(COUNT(*) AS BIGINT) AS doc_freq
+          FROM post GROUP BY 1)
+        SELECT term, cf, doc_freq,
+          CAST(((nd * stf2 - CAST(cf AS HUGEINT) * cf) * 1000000)
+            // (nd * CAST(cf AS HUGEINT)) AS BIGINT) AS vmr_ppm
+        FROM st, n ORDER BY cf DESC, term LIMIT 20""",
     // q173: q29's shared embedding-pair chain + q65's split staging
     "q173_semantic_leakage" -> {
       def slotSql(e: String) =

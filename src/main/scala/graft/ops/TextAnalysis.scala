@@ -581,6 +581,39 @@ object TextAnalysis {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Term burstiness: variance-to-mean ratio of per-document term
+    * frequency over the whole corpus (Church & Gale 1995, "Poisson
+    * mixtures") — the corpus-linguistics statistic separating CONTENT
+    * terms (bursty: absent from most docs, clumped where they appear,
+    * VMR ≫ 1) from FUNCTION words (Poisson-ish, VMR ≈ 1); a
+    * keyword/stopword-induction signal that needs no stopword list.
+    * Exact integer: VMR = (n·Σtf² − cf²) / (n·cf) telescopes to one
+    * decimal(38) floor at ppm (zero-count docs contribute nothing to
+    * either sum, so only postings rows are touched). Reported for the
+    * topK most frequent terms (TakeOrderedAndProject — no global
+    * window); df (doc frequency) rides along.
+    */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK > 0)
+    val dec = "decimal(38,0)"
+    val n = df.agg(count(lit(1)).cast("long").as("_n"))
+    Retrieval.postings(df, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).cast("long").as("cf"),
+        sum(col("tf").cast(dec) * col("tf")).cast(dec).as("_stf2"),
+        count(lit(1)).cast("long").as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("cf"), col("doc_freq"),
+        call_function("div",
+          (col("_n").cast(dec) * col("_stf2") -
+            col("cf").cast(dec) * col("cf")) * lit(1000000L),
+          col("_n").cast(dec) * col("cf")).cast("long")
+          .as("vmr_ppm"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(topK)
+  }
+
   /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
     * "Automatic Keyword Extraction from Individual Documents"):
     * candidate phrases are the maximal stopword-free token runs (≤

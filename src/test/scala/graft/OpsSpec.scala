@@ -2106,6 +2106,18 @@ class OpsSpec extends AnyFunSuite {
     assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
   }
 
+  test("term burstiness: clumped term VMR far above evenly-spread term") {
+    import spark.implicits._
+    val d = ((0L until 10L).map(i => (i, "f f")) ++
+      Seq((10L, "b b b b b b b b b b"), (11L, "b b b b b b b b b b")))
+      .toDF("id", "text")
+    val got = TextAnalysis.termBurstiness(d, "id", "text", topK = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // f: (12*40-400)/(12*20) = 1/3; b: (12*200-400)/(12*20) = 25/3
+    assert(got("f") === 333333L)
+    assert(got("b") === 8333333L)
+  }
+
   test("cohens kappa: perfect 1e6, opposite -1e6, constant raters null") {
     import spark.implicits._
     val perfect = Seq((true, true), (true, true), (false, false),
