@@ -2415,6 +2415,11 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // corpus linguistics: Gries DP dispersion over 10 hash-deciles —
+    // across-corpus evenness, the complement of q174's burstiness
+    "q175_dispersion" -> ((s, d) =>
+      TextAnalysis.termDispersion(t(s, d, "documents"), "doc_id",
+        "text", parts = 10, topK = 20)),
     // corpus linguistics: term burstiness (VMR) — content terms clump,
     // function words spread; exact one-floor staging, top-20 by cf
     "q174_burstiness" -> ((s, d) =>
@@ -5888,6 +5893,29 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q175: same hash-decile parts + common-denominator DP floor
+    "q175_dispersion" ->
+      s"""WITH t AS (SELECT CAST(('0x' || substr(md5(
+            CAST(doc_id AS VARCHAR) || ':disp'), 1, 8)) AS BIGINT)
+            % 10000 % 10 AS part, $toksSql AS tk FROM documents),
+        pd AS (SELECT part, CAST(SUM(len(tk)) AS BIGINT) AS dlp
+          FROM t GROUP BY 1),
+        tot AS (SELECT CAST(SUM(dlp) AS BIGINT) AS sdl FROM pd),
+        tfp AS (SELECT term, part, CAST(COUNT(*) AS BIGINT) AS tfp
+          FROM (SELECT part, unnest(tk) AS term FROM t) GROUP BY 1, 2),
+        cfq AS (SELECT term, CAST(SUM(tfp) AS BIGINT) AS cf
+          FROM tfp GROUP BY 1),
+        cells AS (SELECT cfq.term, cfq.cf, pd.part, pd.dlp,
+            COALESCE(tfp.tfp, 0) AS tfp
+          FROM cfq CROSS JOIN pd LEFT JOIN tfp
+            ON tfp.term = cfq.term AND tfp.part = pd.part),
+        agg AS (SELECT term, cf,
+            SUM(abs(CAST(tfp AS HUGEINT) * sdl -
+              CAST(dlp AS HUGEINT) * cf)) AS num, sdl
+          FROM cells, tot GROUP BY term, cf, sdl)
+        SELECT term, cf, CAST((num * 1000000)
+            // (2 * CAST(cf AS HUGEINT) * sdl) AS BIGINT) AS dp_ppm
+        FROM agg ORDER BY cf DESC, term LIMIT 20""",
     // q174: posting counts + the telescoped VMR floor
     "q174_burstiness" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -614,6 +614,57 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Term dispersion DP (Gries 2008, "Dispersions and adjusted
+    * frequencies in corpus linguistics"): how evenly a term spreads
+    * across corpus parts — DP = ½·Σ_p |obs_p − exp_p| with obs_p the
+    * part's share of the term's occurrences and exp_p the part's
+    * share of the corpus tokens. 0 = perfectly proportional, → 1 =
+    * concentrated in one part. The ACROSS-corpus evenness measure
+    * complementing [[termBurstiness]] (within-doc clumping): a term
+    * can be Poisson within docs yet live in one crawl segment.
+    * Parts are `parts` deterministic hash-slot buckets of the doc id
+    * ([[Curation.hashSlot]] — engine-stable); exact integer via the
+    * common-denominator staging DP_ppm = ⌊Σ_p |tf_p·Σdl − dl_p·cf| ·
+    * 10⁶ / (2·cf·Σdl)⌋ — decimal(38) products, ONE floor. Reported
+    * for the topK most frequent terms; the per-term part table is
+    * `parts` rows.
+    */
+  def termDispersion(df: DataFrame, idCol: String, textCol: String,
+      parts: Int = 10, topK: Int = 20): DataFrame = {
+    require(parts >= 2 && topK > 0)
+    val dec = "decimal(38,0)"
+    val withPart = df.select(
+      pmod(Curation.hashSlot(col(idCol), "disp"), lit(parts))
+        .as("_part"),
+      Dedup.tokens(col(textCol)).as("_tk"))
+    val partDl = withPart
+      .groupBy(col("_part"))
+      .agg(sum(size(col("_tk")).cast("long")).as("_dlp"))
+      .localCheckpoint() // joined per term below + total
+    val totDl = partDl.agg(sum(col("_dlp")).cast("long").as("_sdl"))
+    val tfp = withPart
+      .select(col("_part"), explode(col("_tk")).as("term"))
+      .groupBy(col("term"), col("_part"))
+      .agg(count(lit(1)).cast("long").as("_tfp"))
+    val cf = tfp.groupBy(col("term"))
+      .agg(sum(col("_tfp")).cast("long").as("cf"))
+    // every (term, part) cell — including parts where the term is
+    // absent (obs 0, exp > 0 still contributes) — via the part table
+    val cells = cf.crossJoin(broadcast(partDl))
+      .join(tfp, Seq("term", "_part"), "left")
+      .withColumn("_tfp", coalesce(col("_tfp"), lit(0L)))
+    cells.crossJoin(broadcast(totDl))
+      .groupBy(col("term"), col("cf"), col("_sdl"))
+      .agg(sum(abs(col("_tfp").cast(dec) * col("_sdl") -
+        col("_dlp").cast(dec) * col("cf"))).cast(dec).as("_num"))
+      .select(col("term"), col("cf"),
+        call_function("div", col("_num") * lit(1000000L),
+          lit(2L).cast(dec) * col("cf") * col("_sdl")).cast("long")
+          .as("dp_ppm"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(topK)
+  }
+
   /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
     * "Automatic Keyword Extraction from Individual Documents"):
     * candidate phrases are the maximal stopword-free token runs (≤

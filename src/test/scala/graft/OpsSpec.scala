@@ -2106,6 +2106,21 @@ class OpsSpec extends AnyFunSuite {
     assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
   }
 
+  test("term dispersion: one-doc term far less dispersed than " +
+    "everywhere term") {
+    import spark.implicits._
+    val d = (0L until 40L).map { i =>
+      (i, "common filler words here" +
+        (if (i == 7L) " rareterm rareterm" else ""))
+    }.toDF("id", "text")
+    val got = TextAnalysis.termDispersion(d, "id", "text", parts = 10,
+        topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("rareterm") > got("common") + 300000L,
+      s"rare=${got("rareterm")} common=${got("common")}")
+    assert(got("common") < 200000L)
+  }
+
   test("term burstiness: clumped term VMR far above evenly-spread term") {
     import spark.implicits._
     val d = ((0L until 10L).map(i => (i, "f f")) ++
