@@ -2415,6 +2415,12 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // list-free stopword induction: frequent + non-bursty + evenly
+    // dispersed — the automatic replacement for hand-curated lists
+    "q176_stopword_induction" -> ((s, d) =>
+      TextAnalysis.induceStopwords(t(s, d, "documents"), "doc_id",
+          "text", topK = 30)
+        .orderBy(col("cf").desc, col("term"))),
     // corpus linguistics: Gries DP dispersion over 10 hash-deciles —
     // across-corpus evenness, the complement of q174's burstiness
     "q175_dispersion" -> ((s, d) =>
@@ -4256,6 +4262,41 @@ object SparkEntry {
           md5(array_to_string(tk[s + 1 : e], ' ')) AS chunk_hash
           FROM ch)"""
 
+  /** q174/q176 oracle fragment: posting counts ending in
+    * `st(term, cf, stf2, doc_freq)` + the corpus count `n(nd)`. */
+  private lazy val burstinessCtesSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        post AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+          GROUP BY 1, 2),
+        st AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+            SUM(CAST(tf AS HUGEINT) * tf) AS stf2,
+            CAST(COUNT(*) AS BIGINT) AS doc_freq
+          FROM post GROUP BY 1)"""
+
+  /** q175/q176 oracle fragment: hash-decile part stats ending in
+    * `agg(term, cf, num, sdl)` (dispersion numerator). */
+  private lazy val dispersionCtesSql: String =
+    s"""td AS (SELECT CAST(('0x' || substr(md5(
+            CAST(doc_id AS VARCHAR) || ':disp'), 1, 8)) AS BIGINT)
+            % 10000 % 10 AS part, $toksSql AS tk FROM documents),
+        pd AS (SELECT part, CAST(SUM(len(tk)) AS BIGINT) AS dlp
+          FROM td GROUP BY 1),
+        totd AS (SELECT CAST(SUM(dlp) AS BIGINT) AS sdl FROM pd),
+        tfp AS (SELECT term, part, CAST(COUNT(*) AS BIGINT) AS tfp
+          FROM (SELECT part, unnest(tk) AS term FROM td) GROUP BY 1, 2),
+        cfq AS (SELECT term, CAST(SUM(tfp) AS BIGINT) AS cf
+          FROM tfp GROUP BY 1),
+        cells AS (SELECT cfq.term, cfq.cf, pd.part, pd.dlp,
+            COALESCE(tfp.tfp, 0) AS tfp
+          FROM cfq CROSS JOIN pd LEFT JOIN tfp
+            ON tfp.term = cfq.term AND tfp.part = pd.part),
+        agg AS (SELECT term, cf,
+            SUM(abs(CAST(tfp AS HUGEINT) * sdl -
+              CAST(dlp AS HUGEINT) * cf)) AS num, sdl
+          FROM cells, totd GROUP BY term, cf, sdl)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5893,40 +5934,30 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q176: both shared chains, top-30 each, join + threshold flag
+    "q176_stopword_induction" ->
+      s"""WITH $burstinessCtesSql,
+        $dispersionCtesSql,
+        bz AS (SELECT term, cf, doc_freq,
+            CAST(((nd * stf2 - CAST(cf AS HUGEINT) * cf) * 1000000)
+              // (nd * CAST(cf AS HUGEINT)) AS BIGINT) AS vmr_ppm
+          FROM st, n ORDER BY cf DESC, term LIMIT 30),
+        dz AS (SELECT term, cf, CAST((num * 1000000)
+              // (2 * CAST(cf AS HUGEINT) * sdl) AS BIGINT) AS dp_ppm
+          FROM agg ORDER BY cf DESC, term LIMIT 30)
+        SELECT bz.term, bz.cf, doc_freq, vmr_ppm, dp_ppm,
+          (vmr_ppm <= 3000000 AND dp_ppm <= 300000) AS stopword
+        FROM bz JOIN dz ON bz.term = dz.term AND bz.cf = dz.cf
+        ORDER BY bz.cf DESC, bz.term""",
     // q175: same hash-decile parts + common-denominator DP floor
     "q175_dispersion" ->
-      s"""WITH t AS (SELECT CAST(('0x' || substr(md5(
-            CAST(doc_id AS VARCHAR) || ':disp'), 1, 8)) AS BIGINT)
-            % 10000 % 10 AS part, $toksSql AS tk FROM documents),
-        pd AS (SELECT part, CAST(SUM(len(tk)) AS BIGINT) AS dlp
-          FROM t GROUP BY 1),
-        tot AS (SELECT CAST(SUM(dlp) AS BIGINT) AS sdl FROM pd),
-        tfp AS (SELECT term, part, CAST(COUNT(*) AS BIGINT) AS tfp
-          FROM (SELECT part, unnest(tk) AS term FROM t) GROUP BY 1, 2),
-        cfq AS (SELECT term, CAST(SUM(tfp) AS BIGINT) AS cf
-          FROM tfp GROUP BY 1),
-        cells AS (SELECT cfq.term, cfq.cf, pd.part, pd.dlp,
-            COALESCE(tfp.tfp, 0) AS tfp
-          FROM cfq CROSS JOIN pd LEFT JOIN tfp
-            ON tfp.term = cfq.term AND tfp.part = pd.part),
-        agg AS (SELECT term, cf,
-            SUM(abs(CAST(tfp AS HUGEINT) * sdl -
-              CAST(dlp AS HUGEINT) * cf)) AS num, sdl
-          FROM cells, tot GROUP BY term, cf, sdl)
+      s"""WITH $dispersionCtesSql
         SELECT term, cf, CAST((num * 1000000)
             // (2 * CAST(cf AS HUGEINT) * sdl) AS BIGINT) AS dp_ppm
         FROM agg ORDER BY cf DESC, term LIMIT 20""",
     // q174: posting counts + the telescoped VMR floor
     "q174_burstiness" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
-        post AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-          FROM (SELECT doc_id, unnest(tk) AS term FROM t)
-          GROUP BY 1, 2),
-        st AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
-            SUM(CAST(tf AS HUGEINT) * tf) AS stf2,
-            CAST(COUNT(*) AS BIGINT) AS doc_freq
-          FROM post GROUP BY 1)
+      s"""WITH $burstinessCtesSql
         SELECT term, cf, doc_freq,
           CAST(((nd * stf2 - CAST(cf AS HUGEINT) * cf) * 1000000)
             // (nd * CAST(cf AS HUGEINT)) AS BIGINT) AS vmr_ppm

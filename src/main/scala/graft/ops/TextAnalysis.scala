@@ -665,6 +665,25 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** List-free stopword induction: a term is function-word-like when
+    * it is FREQUENT (top-cf candidate set), NON-BURSTY
+    * ([[termBurstiness]] VMR ≤ maxVmrPpm — spreads Poisson-ish within
+    * docs) and EVENLY DISPERSED ([[termDispersion]] DP ≤ maxDpPpm —
+    * spreads across corpus parts). The automatic replacement for the
+    * hand-curated lists [[rakeKeywords]]/[[stopwordHits]] consume —
+    * per-language lists fall out of running it per language stratum.
+    * Pure composition: both statistics ranked by the same
+    * (cf desc, term) order, joined on the shared candidate set.
+    */
+  def induceStopwords(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 30, maxVmrPpm: Long = 3000000L,
+      maxDpPpm: Long = 300000L, parts: Int = 10): DataFrame =
+    termBurstiness(df, idCol, textCol, topK)
+      .join(termDispersion(df, idCol, textCol, parts, topK),
+        Seq("term", "cf"))
+      .withColumn("stopword",
+        col("vmr_ppm") <= maxVmrPpm && col("dp_ppm") <= maxDpPpm)
+
   /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
     * "Automatic Keyword Extraction from Individual Documents"):
     * candidate phrases are the maximal stopword-free token runs (≤

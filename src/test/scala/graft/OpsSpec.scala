@@ -2106,6 +2106,18 @@ class OpsSpec extends AnyFunSuite {
     assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
   }
 
+  test("stopword induction: uniform term flagged, bursty term not") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i => (i, "the quick fox" +
+      (if (i % 20 == 0) " burstword burstword burstword burstword"
+       else ""))).toDF("id", "text")
+    val got = TextAnalysis.induceStopwords(d, "id", "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(got("the"))
+    // vmr = (40*32-64)/(40*8) = 3.8e6 > threshold
+    assert(!got("burstword"))
+  }
+
   test("term dispersion: one-doc term far less dispersed than " +
     "everywhere term") {
     import spark.implicits._
