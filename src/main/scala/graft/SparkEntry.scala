@@ -2415,6 +2415,12 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // lexical repetitiveness: per-doc Yule's K — the length-robust
+    // diversity gate (template spam recycles a tiny vocabulary)
+    "q177_yule_k" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.yuleK(col("text")).as("yule_k_milli"))
+        .orderBy("doc_id")),
     // list-free stopword induction: frequent + non-bursty + evenly
     // dispersed — the automatic replacement for hand-curated lists
     "q176_stopword_induction" -> ((s, d) =>
@@ -5934,6 +5940,22 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q177: tf² per token HASH (mirrors the Spark fold's unit, the
+    // q53 collision discipline) + the single milli-K floor
+    "q177_yule_k" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        tf AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, CAST(('0x' || substr(md5(t2), 1, 8))
+              AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(tk) AS t2 FROM t))
+          GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(c * c) AS BIGINT) AS ssq FROM tf GROUP BY 1)
+        SELECT d0.doc_id, CASE WHEN n IS NULL OR n = 0 THEN NULL
+          ELSE CAST(((ssq - n) * 10000000)
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) END AS yule_k_milli
+        FROM documents d0 LEFT JOIN agg ON agg.doc_id = d0.doc_id
+        ORDER BY d0.doc_id""",
     // q176: both shared chains, top-30 each, join + threshold flag
     "q176_stopword_induction" ->
       s"""WITH $burstinessCtesSql,

@@ -350,6 +350,39 @@ object TextAnalysis {
       .otherwise(round(-folded, 6) + lit(0.0))
   }
 
+  /** Yule's K (Yule 1944, "The Statistical Study of Literary
+    * Vocabulary") per document — the sample-size-robust lexical
+    * repetitiveness characteristic: K = 10⁴·(Σ_types tf² − N)/N².
+    * Natural prose sits ~60-200; template/keyword-stuffed spam that
+    * recycles a tiny vocabulary scores far higher, and K is far less
+    * length-sensitive than type/token ratio — the classic
+    * lexical-diversity gate next to [[tokenEntropy]] (K weights the
+    * REPEATED tail quadratically where entropy saturates). Exact
+    * integer milli-K (scale 10⁷) via the same single O(n log n)
+    * sorted-hash run-length fold as tokenEntropy — Σtf² accumulates
+    * per run, one integer floor at the end; no shuffle.
+    */
+  def yuleK(text: Column): Column = {
+    val hs = array_sort(transform(Dedup.tokens(text),
+      t => Dedup.tokHash(t).cast("long")))
+    val n = size(hs).cast("long")
+    def st(prev: Column, cnt: Column, acc: Column) =
+      struct(prev.as("prev"), cnt.as("cnt"), acc.as("acc"))
+    val sumSq = aggregate(hs,
+      st(lit(0L), lit(0L), lit(0L)),
+      (s, h) => when(s.getField("cnt") > 0L && h === s.getField("prev"),
+          st(s.getField("prev"), s.getField("cnt") + 1L,
+            s.getField("acc")))
+        .otherwise(st(h, lit(1L),
+          s.getField("acc") +
+            s.getField("cnt") * s.getField("cnt"))),
+      s => s.getField("acc") + s.getField("cnt") * s.getField("cnt"))
+    when(n <= 0L, lit(null).cast("long")).otherwise(
+      call_function("div",
+        (sumSq - n).cast("decimal(38,0)") * lit(10000000L),
+        (n * n).cast("decimal(38,0)")).cast("long"))
+  }
+
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase
     * text (engine-portable).
     */

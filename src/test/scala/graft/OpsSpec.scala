@@ -2106,6 +2106,19 @@ class OpsSpec extends AnyFunSuite {
     assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
   }
 
+  test("yule's k: hand-computed repetitive vs all-distinct; empty null") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b"), (2L, "a b c d"), (3L, ""))
+      .toDF("id", "text")
+    val got = d.select(col("id"),
+        TextAnalysis.yuleK(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(3750000L)) // (10-4)*1e7/16
+    assert(got(2L) === Some(0L))
+    assert(got(3L) === None)
+  }
+
   test("stopword induction: uniform term flagged, bursty term not") {
     import spark.implicits._
     val d = (0L until 40L).map(i => (i, "the quick fox" +
