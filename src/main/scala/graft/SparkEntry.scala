@@ -2415,6 +2415,16 @@ object SparkEntry {
       WebGraph.effectiveDiameter(
         WebGraph.hyperAnf(edges, "x", "y", p = 5, rounds = 4))
     }),
+    // drift monitoring: per-term Jensen-Shannon contributions between
+    // two sources — names the DRIVERS of a distribution shift
+    "q178_term_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.termDrift(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"), "text")
+        .orderBy(col("jsd_contrib").desc, col("term"))
+        .limit(20)
+    }),
     // lexical repetitiveness: per-doc Yule's K — the length-robust
     // diversity gate (template spam recycles a tiny vocabulary)
     "q177_yule_k" -> ((s, d) =>
@@ -5940,6 +5950,33 @@ object SparkEntry {
             ORDER BY bottleneck, best, id) AS BIGINT) AS rank FROM fd)
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q178: same full-outer counts + round-6 log2 contributions
+    "q178_term_drift" ->
+      s"""WITH ta AS (SELECT unnest($toksSql) AS term FROM documents
+          WHERE source = 'src0'),
+        tb AS (SELECT unnest($toksSql) AS term FROM documents
+          WHERE source = 'src1'),
+        ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_a
+          FROM ta GROUP BY 1),
+        cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_b
+          FROM tb GROUP BY 1),
+        jj AS (SELECT COALESCE(ca.term, cb.term) AS term,
+            COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+          FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        tt AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+            CAST(SUM(cnt_b) AS BIGINT) AS nb FROM jj),
+        sc AS (SELECT term, cnt_a, cnt_b,
+            CAST(cnt_a AS DOUBLE) / na AS p,
+            CAST(cnt_b AS DOUBLE) / nb AS q
+          FROM jj, tt),
+        fc AS (SELECT term, cnt_a, cnt_b, round(
+            ((CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2.0))
+              ELSE 0 END) +
+             (CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2.0))
+              ELSE 0 END)) / 2.0, 6) AS jsd_contrib
+          FROM sc)
+        SELECT term, cnt_a, cnt_b, jsd_contrib FROM fc
+        ORDER BY jsd_contrib DESC, term LIMIT 20""",
     // q177: tf² per token HASH (mirrors the Spark fold's unit, the
     // q53 collision discipline) + the single milli-K floor
     "q177_yule_k" ->

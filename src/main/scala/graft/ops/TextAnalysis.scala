@@ -350,6 +350,42 @@ object TextAnalysis {
       .otherwise(round(-folded, 6) + lit(0.0))
   }
 
+  /** Per-term Jensen-Shannon drift between two corpora's term
+    * distributions (Lin 1991) — the "did the crawl shift" monitor
+    * between snapshots / sources / pipeline versions: JSD =
+    * ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2, decomposed into PER-TERM
+    * contributions so the report names the DRIVERS of the drift, not
+    * just a number (Σ contributions = the corpus JSD in bits,
+    * bounded [0,1]). Terms absent from one side contribute their
+    * full half-KL mass (0·log0 = 0 handles the gap). Round-6 float
+    * protocol per term (log2, the q149 precedent); counts and the
+    * full-outer term join are vocabulary-sized thin rows.
+    */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String)
+      : DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(Dedup.tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as(out))
+    val j = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("term"),
+        "full")
+      .select(col("term"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .localCheckpoint() // totals + per-term pass
+    val tot = j.agg(sum(col("cnt_a")).cast("long").as("_na"),
+      sum(col("cnt_b")).cast("long").as("_nb"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("_p", col("cnt_a").cast("double") / col("_na"))
+      .withColumn("_q", col("cnt_b").cast("double") / col("_nb"))
+      .withColumn("_m", (col("_p") + col("_q")) / lit(2.0))
+      .withColumn("jsd_contrib", round(
+        (when(col("_p") > 0.0, col("_p") * log2(col("_p") / col("_m")))
+          .otherwise(lit(0.0)) +
+         when(col("_q") > 0.0, col("_q") * log2(col("_q") / col("_m")))
+          .otherwise(lit(0.0))) / lit(2.0), 6))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        col("jsd_contrib"))
+  }
+
   /** Yule's K (Yule 1944, "The Statistical Study of Literary
     * Vocabulary") per document — the sample-size-robust lexical
     * repetitiveness characteristic: K = 10⁴·(Σ_types tf² − N)/N².

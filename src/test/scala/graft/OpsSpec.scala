@@ -2106,6 +2106,18 @@ class OpsSpec extends AnyFunSuite {
     assert(dp.getLong(1) >= 3L, s"path crossed at ${dp.getLong(1)}")
   }
 
+  test("term drift: identical corpora 0, disjoint vocab sums to 1 bit") {
+    import spark.implicits._
+    val a = Seq((1L, "x y z")).toDF("id", "text")
+    assert(TextAnalysis.termDrift(a, a, "text")
+      .agg(sum(abs(col("jsd_contrib")))).collect()(0)
+      .getDouble(0) === 0.0)
+    val b = Seq((1L, "p q r")).toDF("id", "text")
+    val tot = TextAnalysis.termDrift(a, b, "text")
+      .agg(round(sum(col("jsd_contrib")), 4)).collect()(0).getDouble(0)
+    assert(tot === 1.0, s"JSD of disjoint = 1 bit, got $tot")
+  }
+
   test("yule's k: hand-computed repetitive vs all-distinct; empty null") {
     import spark.implicits._
     val d = Seq((1L, "a a a b"), (2L, "a b c d"), (3L, ""))
