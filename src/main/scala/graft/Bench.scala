@@ -112,7 +112,8 @@ object Bench {
       "q157_anchor_bm25", "q158_lexrank", "q159_readability", "q160_kendall_tau", "q161_eff_diameter", "q162_proximity", "q163_moore_lewis", "q164_rake", "q165_cdc_chunks",
       "q166_chunk_dedup", "q167_simhash_cluster", "q168_chunk_neardup", "q169_spearman", "q170_calibration", "q171_kappa",
       "q172_host_gini", "q173_semantic_leakage", "q174_burstiness",
-      "q175_dispersion", "q176_stopword_induction", "q177_yule_k", "q178_term_drift")
+      "q175_dispersion", "q176_stopword_induction", "q177_yule_k", "q178_term_drift",
+      "q179_sa_scrub")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *              | warc:<archive dir> | warc:synth:N> \
   *     --output <dir> \
   *     [--id doc_id] [--text text] [--min-tokens 10] [--para-min-docs 3] \
-  *     [--span-scrub-n 8] [--max-rare-bigram-ppm 400000] \
+  *     [--span-scrub-n 8 | --sa-scrub-n 8] [--max-rare-bigram-ppm 400000] \
   *     [--audit-leakage true] [--write-index true | --index <priorOut>] \
   *     [--resample-keep 0.5 [--resample-alpha 0.5]] [--seq-len 2048 [--shards 64]]
   *     [--zorder true [--zorder-files 16]]
@@ -119,8 +119,16 @@ object CurateApp {
     val t0 = System.nanoTime()
     // --span-scrub-n 8: corpus-level exact-substring scrub stage
     // (single parse: the curateStaged call and the stage accounting
-    // below must agree on the stage names it implies)
-    val spanScrubN = opts.getOrElse("span-scrub-n", "0").toInt
+    // below must agree on the stage names it implies).
+    // --sa-scrub-n 8: the suffix-array EXACT form of the same stage
+    // (any-repeat semantics, no gram-hash space to saturate) — the
+    // two are mutually exclusive spellings of stage 2b
+    val ngramScrubN = opts.getOrElse("span-scrub-n", "0").toInt
+    val saScrubN = opts.getOrElse("sa-scrub-n", "0").toInt
+    require(ngramScrubN <= 0 || saScrubN <= 0,
+      "--span-scrub-n and --sa-scrub-n are mutually exclusive")
+    val scrubSa = saScrubN > 0
+    val spanScrubN = if (scrubSa) saScrubN else ngramScrubN
     val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
     // --audit-leakage true: persist the near-dup stage's LSH pairs and
     // run the split-leakage audit off them as a final committed stage
@@ -147,7 +155,8 @@ object CurateApp {
       spanScrubN = spanScrubN,
       auditSplits = if (auditLeakage) Some(splits) else None,
       maxRareBigramPpm = maxRare,
-      freBandMilli = freBand)
+      freBandMilli = freBand,
+      spanScrubSa = scrubSa)
     // --index <prior output dir>: incremental-ingestion mode — classify
     // every curated batch doc against the PERSISTED corpus index
     // signatures (exact / near / new), keep ONLY the new docs (the
@@ -375,11 +384,14 @@ object CurateApp {
 
     val in = docs.count()
     // must mirror curateStaged's config-coded stage names exactly
-    val sfx = (if (spanScrubN > 0) s"_s$spanScrubN" else "") +
+    val sfx = (if (spanScrubN > 0)
+        (if (scrubSa) s"_sa$spanScrubN" else s"_s$spanScrubN") else "") +
       (if (maxRare >= 0) s"_f$maxRare" else "") +
       freBand.map { case (lo, hi) => s"_r${lo}_$hi" }.getOrElse("")
     val stageNames = Seq("1_gate", "2_deboil") ++
-      (if (spanScrubN > 0) Seq(s"2b_spanscrub$spanScrubN") else Nil) ++
+      (if (spanScrubN > 0)
+        Seq(if (scrubSa) s"2b_sascrub$spanScrubN"
+          else s"2b_spanscrub$spanScrubN") else Nil) ++
       (if (maxRare >= 0) Seq(s"2c_fluency$maxRare") else Nil) ++
       freBand.map { case (lo, hi) => s"2d_read${lo}_$hi" }.toSeq ++
       Seq(s"3_exact$sfx", s"4_neardup$sfx")

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Production BPE encoding as a native codegen'd expression — the
+  * per-partition kernel the [[graft.ops.Bpe.encode]] scaladoc promised:
+  * cost per word is O(len · merges-applied) and INDEPENDENT of the
+  * merge-table size, where the Column-fold spelling
+  * ([[graft.ops.Bpe.encodeFold]]) nests one array-aggregate per merge
+  * (a 30k-merge vocabulary = a 30k-deep expression tree per row — the
+  * round-4 verdict's "demonstration scale" caveat).
+  *
+  * Semantics are EXACTLY the reference sequential form ("for each
+  * merge in training order, apply it greedily left-to-right"), via the
+  * rank-jump loop: keep a cursor `cur` (the next merge turn); each
+  * iteration scans the symbol sequence for the MINIMUM merge rank
+  * `>= cur` present, applies that one merge greedily, and sets
+  * `cur = rank + 1`. This equals the sequential semantics because
+  * (a) merges with no occurrence are no-ops, so jumping over them
+  * changes nothing, and (b) applying rank r can only create pairs
+  * whose rank is a merge with r's PRODUCT as a component — a merge
+  * learned after r — so no pair with rank in [cur, r) can appear
+  * after the jump; pairs of rank < cur that later applications create
+  * "missed their turn" and are correctly ignored, exactly as the
+  * sequential pass ignores them. (NOT the HuggingFace min-rank-
+  * revisiting loop, which diverges from sequential semantics when a
+  * later merge's product string equals an earlier merge's component —
+  * the golden fuzz suite pins this.)
+  *
+  * Input: the TOKEN ARRAY ([[graft.ops.Dedup.tokens]] output — the
+  * expression does not re-tokenize, so the tokenization contract stays
+  * in one place). Output: the flattened BPE symbol stream. Word
+  * splits are code-point units (matching the Column fold's
+  * `substr`), with the standard `</w>` end-of-word marker.
+  *
+  * The codec builds once on the driver and ships as a codegen
+  * reference object; a per-task bounded memo caches encoded words
+  * (Zipf reuse makes the hit rate high within any partition).
+  */
+case class BpeEncodeWords(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def prettyName: String = "bpe_encode"
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING>, got $other")
+  }
+
+  @transient private lazy val codec = new BpeCodec(merges.toArray)
+
+  override protected def nullSafeEval(v: Any): Any =
+    codec.encodeAll(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec,
+      classOf[BpeCodec].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodeAll($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+}
+
+object BpeEncodeWords {
+  def apply(tokens: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      BpeEncodeWords(
+        org.apache.spark.sql.graftbridge.Bridge.expression(tokens), merges))
+}
+
+/** The sequential-semantics BPE encoder behind [[BpeEncodeWords]];
+  * see that scaladoc for the rank-jump equivalence argument.
+  */
+final class BpeCodec(pairs: Array[(String, String)]) extends Serializable {
+  import BpeCodec.EndOfWord
+
+  // (left, right) -> training rank; first occurrence wins (a trainer
+  // never emits duplicate keys, but be deterministic if fed one)
+  @transient private lazy val ranks: java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      m.putIfAbsent(pairs(i), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  // bounded per-instance word memo (instances are per-task via the
+  // codegen references array — still high-hit within a partition)
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  private val MemoCap = 1 << 16
+
+  /** Code-point symbols of one word plus the end-of-word marker. */
+  private def initSyms(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+    var i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + cc)
+      i += cc
+    }
+    out += EndOfWord
+    out
+  }
+
+  /** One greedy left-to-right application of merge (a, b) -> a+b. */
+  private def applyGreedy(s: scala.collection.mutable.ArrayBuffer[String],
+      a: String, b: String,
+      m: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += m; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out
+  }
+
+  def encodeWord(w: String): Array[UTF8String] = {
+    var syms = initSyms(w)
+    var cur = 0
+    var done = false
+    while (!done && syms.length >= 2) {
+      // min merge rank >= cur present in the sequence
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get((syms(i), syms(i + 1)))
+        if (r != null && r >= cur && r < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = pairs(best)
+        syms = applyGreedy(syms, a, b, a + b)
+        cur = best + 1
+      }
+    }
+    val out = new Array[UTF8String](syms.length)
+    var j = 0
+    while (j < syms.length) { out(j) = UTF8String.fromString(syms(j)); j += 1 }
+    out
+  }
+
+  private def encodeWordMemo(w: String): Array[UTF8String] = {
+    val hit = memo.get(w)
+    if (hit != null) hit
+    else {
+      val enc = encodeWord(w)
+      if (memo.size < MemoCap) memo.putIfAbsent(w, enc)
+      enc
+    }
+  }
+
+  /** Encode a token array into the flattened BPE symbol stream. */
+  def encodeAll(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < n) {
+      val enc = encodeWordMemo(toks.getUTF8String(i).toString)
+      var j = 0
+      while (j < enc.length) { out += enc(j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+object BpeCodec {
+  val EndOfWord = "</w>"
+}

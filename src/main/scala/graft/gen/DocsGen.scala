@@ -46,6 +46,41 @@ object DocsGen {
     df.select(did, plantedText(did, salad).as("text"))
   }
 
+  /** [[docs]] with the full driver-table schema (doc_id, text, lang,
+    * source, n_chars) so the SparkEntry catalog queries run against a
+    * generated corpus unchanged — the 10×-scale evidence harness
+    * (BenchScale) materializes this at two sizes. Deterministic pure
+    * Column functions of doc_id, like everything else here.
+    */
+  def documentsTable(spark: SparkSession, n: Long): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es")
+    docs(spark, n)
+      .withColumn("lang",
+        element_at(array(langs.map(lit): _*),
+          pmod(col("doc_id"), lit(langs.size.toLong)).cast("int") + 1))
+      .withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(4L)).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Deterministic synthetic embeddings with cluster structure
+    * (per-label centroid + per-vector noise — IVF/LSH stages see
+    * non-degenerate cells), full driver-table schema (vec_id,
+    * embedding float[dim], label).
+    */
+  def embeddingsTable(spark: SparkSession, n: Long,
+      dim: Int = 64): DataFrame = {
+    val vid = col("vec_id")
+    val label = pmod(vid, lit(8L)).cast("int")
+    def unit(h: Column): Column =
+      (pmod(h, lit(2001L)) - 1000L).cast("double") / 1000.0
+    val emb = transform(sequence(lit(0), lit(dim - 1)), j =>
+      (unit(xxhash64(label, j)) +
+        unit(xxhash64(vid, j, lit("n"))) * 0.3).cast("float"))
+    spark.range(n).withColumnRenamed("id", "vec_id")
+      .select(vid, emb.as("embedding"), label.as("label"))
+  }
+
   /** The planted-structure wrapper around a base body: promo docs
     * (did%17), exact-dup decade groups (did%10<2), near-dup pairs
     * (did%10∈{4,5}, one-token difference), a PII contact line, and

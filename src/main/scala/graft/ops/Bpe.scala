@@ -137,13 +137,31 @@ object Bpe {
   /** Encode documents with a trained merge table: tokenize, expand
     * each word to its initial symbols, apply the merges IN TRAINING
     * ORDER (the reference encoder), flatten. Appends `bpe_tokens` and
-    * `n_bpe_tokens`. The fold nests one array-aggregate per merge —
-    * fine for the tens-of-merges demonstration scale here; a
-    * production encoder for a 30k-merge vocabulary belongs in a
-    * per-partition kernel with a rank-priority heap, slotting in
-    * exactly like the multimodal codec seam.
+    * `n_bpe_tokens`.
+    *
+    * This is the PRODUCTION path: the native codegen kernel
+    * [[graft.functions.BpeEncodeWords]], whose per-word cost is
+    * O(len · merges-applied) and independent of the merge-table size
+    * — a 30k-merge vocabulary costs the same per word as a 30-merge
+    * one (the Column-fold spelling, kept as [[encodeFold]], nests one
+    * array-aggregate per merge and was honest-but-demo-scale).
+    * Results are IDENTICAL to the fold (golden fuzz in BpeSpec); the
+    * corpus pass stays one per-row projection, no shuffle.
     */
   def encode(df: DataFrame, textCol: String, merges: Seq[Merge])
+      : DataFrame =
+    df.withColumn("bpe_tokens",
+        graft.functions.BpeEncodeWords(Dedup.tokens(col(textCol)),
+          merges.map(m => (m.left, m.right))))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+
+  /** The pure-Column twin of [[encode]] — one nested array-aggregate
+    * per merge, kept as the engine-portable reference the kernel is
+    * golden-tested against (and the spelling an oracle could
+    * re-derive). Demonstration scale: fine for tens of merges, not
+    * thousands.
+    */
+  def encodeFold(df: DataFrame, textCol: String, merges: Seq[Merge])
       : DataFrame = {
     val perWord = (w: Column) =>
       merges.foldLeft(initSyms(w)) { case (s, m) =>
@@ -152,6 +170,122 @@ object Bpe {
     df.withColumn("bpe_tokens",
         flatten(transform(Dedup.tokens(col(textCol)), w => perWord(w))))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
+  /** Production trainer: ONE corpus aggregation, then the whole merge
+    * loop driver-side over the (bounded) word-frequency table — 30k
+    * merges become 30k in-memory steps instead of 30k Spark jobs
+    * ([[trainBpe]]'s one-action-per-merge loop, kept as the
+    * distributed reference twin). This is the shape every production
+    * tokenizer trainer uses (word-count table + capped vocabulary):
+    * the corpus-sized work is exactly one `wordCounts` shuffle; the
+    * collect is BOUNDED by `maxWords` (top words by (n desc, word) —
+    * a deterministic prune; ≤ maxWords rows of short strings, default
+    * 4M ≈ well under a GB).
+    *
+    * EXACT when the corpus has ≤ maxWords distinct words (golden:
+    * identical merge table to [[trainBpe]] and the scalar reference);
+    * above that it trains on the frequency-pruned vocabulary — the
+    * standard practical trade, and deterministic.
+    *
+    * In-memory loop: pair counts live in a hash map; the argmax rides
+    * a TreeSet ordered by (count desc, pa, pb) with UTF-8-BYTE string
+    * order (= Spark's binary string comparison, so tie-breaks match
+    * trainBpe exactly); each merge re-counts only the words that
+    * contain the merged pair (tracked per pair), so a step costs the
+    * total length of affected words, not the vocabulary.
+    */
+  def trainBpeLocal(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L, maxWords: Int = 1 << 22): Seq[Merge] = {
+    require(numMerges >= 0 && maxWords > 0)
+    val rows = wordCounts(df, textCol)
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxWords)
+      .collect()
+
+    // UTF-8-byte string order — Spark's binary comparison
+    val u8: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var r = 0
+      while (r == 0 && i < n) {
+        r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1
+      }
+      if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+    }
+    implicit val pairOrd: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, u8, u8)
+
+    val ns = rows.map(_.getLong(1))
+    val seqs: Array[Vector[String]] = rows.map { r =>
+      val w = r.getString(0)
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc); i += cc
+      }
+      b += EndOfWord
+      b.result()
+    }
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    val heap = scala.collection.mutable.TreeSet
+      .empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long, wid: Int): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) heap.remove((old, p._1, p._2))
+      val now = old + delta
+      if (now != 0L) { counts(p) = now; heap.add((now, p._1, p._2)) }
+      else counts.remove(p)
+      val s = occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty)
+      if (delta > 0) s += wid
+      else if (now == 0L) { occ.remove(p); () }
+    }
+    def pairsOf(s: Vector[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else s.iterator.zip(s.iterator.drop(1))
+    seqs.indices.foreach { wid =>
+      pairsOf(seqs(wid)).foreach(p => bump(p, ns(wid), wid))
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var step = 0
+    var done = numMerges == 0
+    while (!done) {
+      heap.headOption.filter(_._1 >= minPairCount) match {
+        case Some((c, a, b)) =>
+          merges += Merge(step, a, b, a + b, c)
+          val affected = occ.getOrElse((a, b),
+            scala.collection.mutable.Set.empty[Int]).toArray
+          affected.foreach { wid =>
+            val oldSeq = seqs(wid)
+            pairsOf(oldSeq).foreach(p => bump(p, -ns(wid), wid))
+            // occ entries for this word's now-stale pairs are lazily
+            // wrong only when count stayed > 0 via OTHER words; a
+            // stale wid in occ is harmless (re-processing a word that
+            // no longer contains the pair is a no-op subtract/add)
+            val merged = Vector.newBuilder[String]
+            var i = 0
+            while (i < oldSeq.length) {
+              if (i + 1 < oldSeq.length && oldSeq(i) == a &&
+                  oldSeq(i + 1) == b) {
+                merged += (a + b); i += 2
+              } else { merged += oldSeq(i); i += 1 }
+            }
+            seqs(wid) = merged.result()
+            pairsOf(seqs(wid)).foreach(p => bump(p, ns(wid), wid))
+          }
+          step += 1
+          done = step >= numMerges
+        case None => done = true
+      }
+    }
+    merges.result()
   }
 
   /** Inverse of [[encode]]: concatenate the symbol stream and turn

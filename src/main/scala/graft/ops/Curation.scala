@@ -80,10 +80,19 @@ object Curation {
 
   /** Text with validated card spans replaced by `<CC>` (invalid
     * candidates untouched). Per-row Columns, no shuffle.
+    *
+    * The replacement is a `\b`-anchored regexp (spans match
+    * [[CcCandidateRe]], so they contain only `[0-9 -]` — regex-safe
+    * verbatim), mirroring the candidate regex's own boundaries: a
+    * validated card that ALSO occurs as a substring of a longer digit
+    * run elsewhere in the text (which the candidate regex deliberately
+    * excluded there) is NOT redacted at that embedded occurrence —
+    * a plain literal replace would corrupt it.
     */
   def ccRedact(text: Column): Column =
     aggregate(ccValidSpans(text), text,
-      (acc, c) => replace(acc, c, lit("<CC>")))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("\\b"), c, lit("\\b")), lit("<CC>")))
 
   // ---- Gopher-style repetition / structural features ----
 
@@ -394,6 +403,43 @@ object Curation {
     * that explodes them (text never enters the thin frame). Returns
     * (tokenized input, thin (idCol, _pos, _gh) frame).
     */
+  /** Suffix-array-grade exact-substring scrub — [[SuffixArray]]'s
+    * machinery composed into the curation flow: scrub every token
+    * inside a substring of >= `n` tokens that occurs at least TWICE in
+    * the corpus — ANY two positions, so within-document repeats count
+    * (Lee et al. 2022's actual semantics), where
+    * [[dropDuplicatedSpans]] implements the cross-document
+    * (`minDocs` distinct docs) relaxation. Exact at any corpus size by
+    * construction: suffix ranks compare CONTENT, so there is no
+    * fixed-width gram-hash space to saturate (the failure mode
+    * [[dropDuplicatedSpansConfirmed]] exists to patch).
+    *
+    * Coverage algebra is shared with the n-gram form (scrubFlagged):
+    * a duplicated-position row (p, dup_len >= n) flags the window
+    * [p, p+n); [[SuffixArray.duplicatedPositionsFromSa]] returns every
+    * start p..p+L-n of a length-L duplicated span, and the union of
+    * their windows covers exactly [p, p+L).
+    *
+    * The SA build is the expensive pass (log2 maxDocLen thin shuffle
+    * rounds); pass `prebuiltSa` (the build-once artifact of
+    * [[SuffixArray.saWithLcp]], fenced by the caller) to reuse one
+    * construction across scrub configs or downstream consumers.
+    */
+  def dropDuplicatedSpansSa(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, shards: Int = 0,
+      prebuiltSa: Option[DataFrame] = None): DataFrame = {
+    require(n > 0)
+    val withT = df.withColumn("_stoks", Dedup.tokens(col(textCol)))
+    val sa = prebuiltSa.getOrElse(
+      SuffixArray.saWithLcp(df, idCol, textCol, shards)
+        .localCheckpoint())
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val flagged = SuffixArray.duplicatedPositionsFromSa(sa, n)
+      .select(col("id").cast(idType).as(idCol),
+        col("pos").cast("int").as("_pos"))
+    scrubFlagged(withT, flagged, idCol, n, textCol)
+  }
+
   private def gramStarts(df: DataFrame, idCol: String, textCol: String,
       n: Int,
       hashFn: Column => Column = Dedup.tokHash): (DataFrame, DataFrame) = {
@@ -596,7 +642,7 @@ object Curation {
       minTokens: Int = 10, maxDupLinePpm: Long = 300000L,
       paraMinDocs: Int = 3, shingleN: Int = 3,
       minEstJaccard: Double = 0.5, maxBucket: Int = 0,
-      spanScrubN: Int = 0): DataFrame = {
+      spanScrubN: Int = 0, spanScrubSa: Boolean = false): DataFrame = {
     // The gate (langId + repetition features + redaction) is the
     // expensive per-doc scan, and the stages below fan out over it
     // (paragraph explode + rejoin, LSH pairs, component fixpoint) —
@@ -616,7 +662,7 @@ object Curation {
     // paying it (only a map-side clean_text projection is recomputed)
     val exact = exactStage(
         spanScrubStage(deboilStage(gate, idCol, paraMinDocs), idCol,
-          spanScrubN),
+          spanScrubN, sa = spanScrubSa),
         idCol)
       .localCheckpoint()
     nearDupStage(exact, idCol, shingleN, minEstJaccard, maxBucket)
@@ -628,12 +674,21 @@ object Curation {
     * boilerplate cheaper, spans catch sub-paragraph repetition the
     * block hash misses). Runs on the deboiled clean_text so already-
     * removed boilerplate can't re-flag its surroundings.
+    * `sa = true` swaps in the suffix-array exact form
+    * ([[dropDuplicatedSpansSa]]: any-repeat semantics, no hash space
+    * to saturate) for the n-gram cross-document relaxation.
     */
   private[graft] def spanScrubStage(deb: DataFrame, idCol: String,
-      spanScrubN: Int): DataFrame =
+      spanScrubN: Int, sa: Boolean = false): DataFrame =
     if (spanScrubN <= 0) deb
-    else dropDuplicatedSpans(deb, idCol, "clean_text", n = spanScrubN)
-      .select(col(idCol), col("lang"), col("clean_text"))
+    else {
+      val scrubbed =
+        if (sa) dropDuplicatedSpansSa(deb, idCol, "clean_text",
+          n = spanScrubN)
+        else dropDuplicatedSpans(deb, idCol, "clean_text",
+          n = spanScrubN)
+      scrubbed.select(col(idCol), col("lang"), col("clean_text"))
+    }
 
   /** `curate` with STAGE-level checkpoint/resume (io.StagedJob): each
     * of the four stages commits its output as a parquet table + atomic
@@ -653,7 +708,8 @@ object Curation {
       failAfterStage: Int = -1, spanScrubN: Int = 0,
       auditSplits: Option[Seq[(String, Int)]] = None,
       maxRareBigramPpm: Long = -1L,
-      freBandMilli: Option[(Long, Long)] = None): DataFrame = {
+      freBandMilli: Option[(Long, Long)] = None,
+      spanScrubSa: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     def guard(done: Int): Unit =
       if (failAfterStage == done)
@@ -676,14 +732,18 @@ object Curation {
     // differently-gated input — with unsuffixed names the old 3_exact
     // marker would silently win and the final corpus would not match
     // the requested config
-    val sfx = (if (spanScrubN <= 0) "" else s"_s$spanScrubN") +
+    val sfx = (if (spanScrubN <= 0) ""
+        else if (spanScrubSa) s"_sa$spanScrubN" else s"_s$spanScrubN") +
       (if (maxRareBigramPpm < 0) "" else s"_f$maxRareBigramPpm") +
       freBandMilli.map { case (lo, hi) => s"_r${lo}_$hi" }.getOrElse("")
+    val scrubStage =
+      if (spanScrubSa) s"2b_sascrub$spanScrubN"
+      else s"2b_spanscrub$spanScrubN"
     val scrubbed =
       if (spanScrubN <= 0) deboiled
-      else graft.io.StagedJob.stage(spark, out, s"2b_spanscrub$spanScrubN",
+      else graft.io.StagedJob.stage(spark, out, scrubStage,
           requiredCols = Seq(idCol, "lang", "clean_text")) {
-        spanScrubStage(deboiled, idCol, spanScrubN)
+        spanScrubStage(deboiled, idCol, spanScrubN, sa = spanScrubSa)
       }
     // optional bigram-fluency gate: drop garble BEFORE the expensive
     // LSH stages (rare-transition fraction over the corpus-trained
@@ -2102,6 +2162,11 @@ object Curation {
         md5(array_join(
           slice(col("_tk"), col("_se.s") + 1,
             col("_se.e") - col("_se.s")), " ")).as("chunk_hash"))
+      // token-less docs would otherwise emit one zero-length chunk
+      // with chunk_hash = md5('') — and every empty doc would then
+      // pair with every other empty doc at jaccard 1.0 in
+      // chunkNearDupPairs. Empty docs yield NO chunks.
+      .where(col("chunk_len") > 0)
   }
 
   /** Chunk-overlap near-duplicate pairs — [[cdcChunks]]'s payoff:

@@ -103,10 +103,12 @@ object Dedup {
     // canonicalize below. Blocks live until session end — one
     // signature-table-sized block set per call, bounded and small
     // next to the corpus.
+    // (fence BEFORE the cap: capBuckets' count pass and the self-join
+    // sides all read the one materialized signature table)
     val capped = capBuckets(
-      bandedSignatures(df, idCol, textCol, k, bands, seed, shingleN),
+      bandedSignatures(df, idCol, textCol, k, bands, seed, shingleN)
+        .localCheckpoint(),
       maxBucket)
-      .localCheckpoint()
     val l = capped.as("l")
     val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") &&
@@ -121,14 +123,27 @@ object Dedup {
     * drop rows of (band, bucket) groups larger than `maxBucket`
     * (0 = unbounded). One definition so batch and streaming twins
     * cannot diverge.
+    *
+    * TWO-PASS shape (the `Skew.heavyHitters` discipline): a
+    * count-over-window would place the entire hot bucket — the very
+    * thing the guard exists to neutralize — into ONE task just to
+    * measure its size (a viral (band,bucket) of 10^8 rows becomes one
+    * straggler materializing gigabytes before dropping them). Instead,
+    * pass 1 is a map-side-combinable groupBy whose output is only the
+    * over-cap bucket set — small by construction (hot buckets are the
+    * rare tail); pass 2 removes their members with a broadcast
+    * anti-join. Callers fence `banded` (localCheckpoint) so both
+    * passes share one signature computation.
     */
   private[graft] def capBuckets(banded: DataFrame,
       maxBucket: Int): DataFrame =
     if (maxBucket <= 0) banded
     else {
-      val w = Window.partitionBy(col("band"), col("bucket"))
-      banded.withColumn("_bsz", count(lit(1)).over(w))
-        .filter(col("_bsz") <= maxBucket).drop("_bsz")
+      val over = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") > maxBucket)
+        .select(col("band"), col("bucket"))
+      banded.join(broadcast(over), Seq("band", "bucket"), "left_anti")
     }
 
   /** Estimated Jaccard of two k-perm signature arrays: matching-perm
@@ -255,7 +270,7 @@ object Dedup {
         call_function("shiftrightunsigned", col("sh"),
           (col("band") * width).cast("int"))
           .bitwiseAND(lit((1L << width) - 1)))
-    val capped = capBuckets(blocked, maxBucket).localCheckpoint()
+    val capped = capBuckets(blocked.localCheckpoint(), maxBucket)
     capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
@@ -846,7 +861,8 @@ object Dedup {
     val capped = capBuckets(
       bandedFromSig(sig, k, bands)
         .select(col("id"), col("_idx"), col("sig"), col("band"),
-          col("bucket")),
+          col("bucket"))
+        .localCheckpoint(),
       maxBucket)
     val l = capped.filter(col("_idx")).as("l")
     val r = capped.filter(!col("_idx")).as("r")
@@ -959,12 +975,17 @@ object Dedup {
       threshold: Double = 0.95, planes: Int = 8, dim: Int = 64,
       seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
     val bucketed = embeddingBuckets(df, idCol, vecCol, planes, dim, seed)
+    // same two-pass guard as capBuckets: never materialize a hot
+    // bucket inside one window task just to count it
     val capped =
       if (maxBucket <= 0) bucketed
       else {
-        val w = Window.partitionBy(col("bucket"))
-        bucketed.withColumn("_bsz", count(lit(1)).over(w))
-          .filter(col("_bsz") <= maxBucket).drop("_bsz")
+        val fenced = bucketed.localCheckpoint()
+        val over = fenced.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") > maxBucket)
+          .select(col("bucket"))
+        fenced.join(broadcast(over), Seq("bucket"), "left_anti")
       }
     capped.as("l").join(capped.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))

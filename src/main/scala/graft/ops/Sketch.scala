@@ -68,11 +68,14 @@ object Sketch {
         coalesce(col("in_b"), lit(0)).as("in_b"))
       .orderBy("h")
       .limit(k)
+    // coalesce: on empty/all-null-key inputs max/sum over zero rows
+    // are NULL — the empty-corpus row must be all-zero, not mixed
+    // NULL/0, in columns documented as longs
     val agg = merged.agg(
       count(lit(1)).as("n_union_sketch"),
-      max(col("h")).as("vk"),
-      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
-        .otherwise(0L)).as("shared_in_k"))
+      coalesce(max(col("h")), lit(0L)).as("vk"),
+      coalesce(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as("shared_in_k"))
     val exact = col("n_union_sketch") < k
     val denom = when(exact, col("n_union_sketch")).otherwise(lit(k.toLong))
     agg.select(

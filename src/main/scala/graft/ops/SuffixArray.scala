@@ -187,8 +187,19 @@ object SuffixArray {
     * matched length.
     */
   def duplicatedPositions(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int, shards: Int = 0): DataFrame = {
-    val sa = saWithLcp(df, idCol, textCol, shards).localCheckpoint()
+      minTokens: Int, shards: Int = 0): DataFrame =
+    duplicatedPositionsFromSa(
+      saWithLcp(df, idCol, textCol, shards).localCheckpoint(), minTokens)
+
+  /** [[duplicatedPositions]] over an ALREADY-BUILT `(id, pos, sa_rank,
+    * lcp)` table — the seam that lets one suffix-array construction
+    * (minutes at corpus scale) serve every downstream consumer: dup
+    * spans at several `minTokens`, scrub stages, span statistics. The
+    * production shape is build-once-persist, then derive; callers
+    * fence the SA (localCheckpoint / persisted table) so this derive
+    * pass never re-runs the doubling rounds.
+    */
+  def duplicatedPositionsFromSa(sa: DataFrame, minTokens: Int): DataFrame = {
     // a position duplicates if lcp-with-prev >= min OR the NEXT row's
     // lcp-with-prev >= min (lcp is stored on the later row)
     val next = sa.select((col("sa_rank") - 1).as("sa_rank"),

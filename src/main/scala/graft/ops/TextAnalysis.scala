@@ -454,14 +454,19 @@ object TextAnalysis {
     */
   def termGate(df: DataFrame, textCol: String, terms: Seq[String],
       minDistinct: Int = 2): DataFrame = {
+    require(terms.nonEmpty, "termGate needs at least one term")
     require(terms.forall(t => t == toLowerAscii(t)),
       "termGate terms must be lowercase (matching lowercases the text)")
-    val st = graft.functions.AhoCorasickStats(lower(col(textCol)), terms)
-    df.withColumn("_ac", st)
-      .withColumn("term_matches", col("_ac").getItem(0))
-      .withColumn("n_terms_hit", col("_ac").getItem(1))
+    // One automaton per 64-term group (the bitmask kernel's capacity);
+    // groups are DISJOINT slices of the distinct term list, so both
+    // occurrence counts and distinct-term counts sum exactly across
+    // groups — still one text pass per group, not one per term.
+    val groups = terms.distinct.grouped(64).toSeq
+    val stats = groups.map(g =>
+      graft.functions.AhoCorasickStats(lower(col(textCol)), g))
+    df.withColumn("term_matches", stats.map(_.getItem(0)).reduce(_ + _))
+      .withColumn("n_terms_hit", stats.map(_.getItem(1)).reduce(_ + _))
       .withColumn("term_flagged", col("n_terms_hit") >= minDistinct)
-      .drop("_ac")
   }
 
   private def toLowerAscii(s: String): String = s.toLowerCase(java.util.Locale.ROOT)

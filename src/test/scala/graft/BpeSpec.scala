@@ -149,4 +149,80 @@ class BpeSpec extends AnyFunSuite {
     // every adjacent pair occurs once; minPairCount=2 -> no merges
     assert(Bpe.trainBpe(df, "text", numMerges = 5).isEmpty)
   }
+
+  test("trainBpeLocal == trainBpe merge-for-merge (incl. counts); " +
+      "early-stops identically; deterministic under repartition") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    def flat(ms: Seq[Bpe.Merge]) =
+      ms.map(m => (m.step, m.left, m.right, m.merged, m.pairCount))
+    val dist = flat(Bpe.trainBpe(df, "text", numMerges = 12))
+    val local = flat(Bpe.trainBpeLocal(df, "text", numMerges = 12))
+    assert(local === dist)
+    assert(local.nonEmpty)
+    assert(flat(Bpe.trainBpeLocal(df.repartition(5), "text",
+      numMerges = 12)) === local)
+    // early stop: no pair reaches minPairCount
+    assert(Bpe.trainBpeLocal(
+      Seq((0L, "ab cd ef")).toDF("doc_id", "text"), "text", 5).isEmpty)
+    // fuzz corpora: narrow alphabet so merges chain deep
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val docs = (0 until 30).map { i =>
+        (i.toLong, (0 until 12).map(_ =>
+          (0 until (1 + rnd.nextInt(6)))
+            .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+          .mkString(" "))
+      }
+      val fdf = docs.toDF("doc_id", "text")
+      assert(flat(Bpe.trainBpeLocal(fdf, "text", 15)) ===
+        flat(Bpe.trainBpe(fdf, "text", 15)), s"trial $trial")
+    }
+  }
+
+  test("kernel encode == Column-fold encode on fuzz corpora " +
+      "(incl. multi-byte chars) and on a deep merge table") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcéß"  // multi-byte UTF-8 chars in the mix
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 10).map(_ =>
+        (0 until (1 + rnd.nextInt(7)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.trainBpeLocal(df, "text", numMerges = 40,
+      minPairCount = 1L)
+    assert(merges.size >= 20, s"want a deep table, got ${merges.size}")
+    val kern = Bpe.encode(df, "text", merges)
+      .select("doc_id", "bpe_tokens", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toList, r.getLong(2))).toMap
+    val fold = Bpe.encodeFold(df, "text", merges)
+      .select("doc_id", "bpe_tokens", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toList, r.getLong(2))).toMap
+    assert(kern === fold)
+    // and both equal the scalar sequential reference
+    val goldenMerges = merges.map(m =>
+      (m.left, m.right, m.merged, m.pairCount))
+    docs.foreach { case (id, text) =>
+      assert(kern(id)._1 === scalarEncode(text, goldenMerges).toList,
+        s"doc $id")
+    }
+  }
+
+  test("trainBpeLocal maxWords prune is deterministic and exact when " +
+      "the vocabulary fits") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val full = Bpe.trainBpeLocal(df, "text", 8)
+    // vocabulary is ~14 words; a cap above that changes nothing
+    assert(Bpe.trainBpeLocal(df, "text", 8, maxWords = 1000) === full)
+    // a tight cap still trains deterministically (on the top words)
+    val pruned = Bpe.trainBpeLocal(df, "text", 8, maxWords = 4)
+    assert(pruned === Bpe.trainBpeLocal(df.repartition(3), "text", 8,
+      maxWords = 4))
+  }
 }

@@ -652,6 +652,33 @@ class OpsSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
       assert(got === expected)
     }
+    // the suffix-array form: ANY-repeat semantics — occurrence counts
+    // (within-doc repeats included), not distinct-doc counts. Same
+    // brute-force oracle with the count swapped.
+    val spanOcc = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- docsTok; s <- ts.indices; l <- n to (ts.length - s))
+      spanOcc.updateWith(ts.slice(s, s + l).mkString(" "))(
+        o => Some(o.getOrElse(0) + 1))
+    val dupAny = spanOcc.filter(_._2 >= 2).keySet
+    val expectedSa: Map[Long, (Long, String)] = docsTok.map {
+      case (id, ts) =>
+        val covered = Array.fill(ts.length)(false)
+        for (s <- ts.indices; l <- n to (ts.length - s)
+             if dupAny(ts.slice(s, s + l).mkString(" "));
+             j <- s until s + l)
+          covered(j) = true
+        val kept =
+          ts.zipWithIndex.collect { case (t, j) if !covered(j) => t }
+        val nRemoved = (ts.length - kept.length).toLong
+        id -> (nRemoved,
+          if (nRemoved == 0) ts.mkString(" ") else kept.mkString(" "))
+    }.toMap
+    // the within-doc plant is exactly what separates the two forms
+    assert(expectedSa(3L)._1 === 8L)
+    val gotSa = Curation.dropDuplicatedSpansSa(df, "doc_id", "text", n)
+      .select("doc_id", "n_removed", "clean_text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(gotSa === expectedSa)
   }
 
   test("line dedup within doc: first occurrence kept, blanks dropped") {
@@ -2317,6 +2344,17 @@ class OpsSpec extends AnyFunSuite {
     // empty corpus: empty result, no NPE on the null max(dl)
     assert(ops.SuffixArray.saWithLcp(
       docs.filter(col("id") < 0), "id", "text").count() === 0L)
+    // derive-from-artifact seam ≡ the self-building form (the q156
+    // shared-construction path)
+    val saArt = ops.SuffixArray.saWithLcp(docs, "id", "text")
+      .localCheckpoint()
+    val selfBuilt = ops.SuffixArray
+      .duplicatedPositions(docs, "id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromArt = ops.SuffixArray
+      .duplicatedPositionsFromSa(saArt, minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(selfBuilt.nonEmpty && fromArt === selfBuilt)
   }
 
   test("query likelihood: round-6 Dirichlet twin, length norm beats " +
@@ -3418,6 +3456,62 @@ class OpsSpec extends AnyFunSuite {
       edges.unionByName(hub), "src", "dst", maxOutDeg = 5).collect()
     assert(skipped.map(x => (x.getString(0), x.getLong(1))).toSeq ===
       Seq(("hub", 10L)))
+  }
+
+  test("termGate: >64-term lexicon chunks into 64-term automata; " +
+      "occurrence and distinct counts sum exactly across groups") {
+    import spark.implicits._
+    // terms span two automaton groups (70 > 64); wNx shapes so no term
+    // is a substring of another
+    val terms = (0 until 70).map(i => s"w${i}x")
+    val d = Seq(
+      (1L, "w0x w0x w65x hello w69x"), // w0x×2 + w65x + w69x
+      (2L, "nothing here at all"),
+      (3L, "w64x only")                // one term → below minDistinct
+    ).toDF("id", "text")
+    val got = TextAnalysis.termGate(d, "text", terms, minDistinct = 2)
+      .select("id", "term_matches", "n_terms_hit", "term_flagged")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((4L, 3L, true)))
+    assert(got(2L) === ((0L, 0L, false)))
+    assert(got(3L) === ((1L, 1L, false)))
+  }
+
+  test("ccRedact: a validated card embedded in a longer (invalid) " +
+      "digit run is not partially redacted there") {
+    import spark.implicits._
+    // 378282246310005 is Luhn-valid; 93782822463100051 (17 digits,
+    // word-bounded, contains it) is a candidate but Luhn-INVALID —
+    // a literal substring replace would corrupt it to 9<CC>1
+    val doc = "amex 378282246310005 ok ref 93782822463100051 end"
+    val red = Seq(doc).toDF("text")
+      .select(Curation.ccRedact(col("text"))).head.getString(0)
+    assert(red === "amex <CC> ok ref 93782822463100051 end")
+  }
+
+  test("cdcChunks: token-less docs yield no chunks and never pair") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"t${i % 31}v$i").mkString(" ")
+    val d = Seq((1L, ""), (2L, "   \n  "), (3L, base), (4L, base))
+      .toDF("id", "text")
+    val ch = Curation.cdcChunks(d, "id", "text")
+    assert(ch.filter(col("id").isin(1L, 2L)).count() === 0)
+    assert(ch.filter(col("chunk_len") <= 0).count() === 0)
+    val pairs = Curation.chunkNearDupPairs(d, "id", "text",
+        minJaccard = 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the two empty docs must NOT appear as a jaccard-1.0 pair; the
+    // two identical real docs must
+    assert(pairs.toSeq === Seq((3L, 4L)))
+  }
+
+  test("kmvOverlap: empty inputs produce one all-zero row, no NULLs") {
+    val e = spark.range(0).select(col("id").cast("string").as("k"))
+    val r = graft.ops.Sketch.kmvOverlap(e, e, "k").head
+    assert((0 until r.length).forall(i => !r.isNullAt(i)),
+      s"NULL in empty-corpus row: $r")
+    assert((0 until r.length).forall(i => r.getLong(i) === 0L), r.toString)
   }
 
 }

@@ -264,6 +264,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket caps: no count-window over banded signature or " +
+      "vector-carrying rows") {
+    // same rationale as the semanticDedup cap: measuring a hot bucket
+    // must never funnel it through one window task
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    withPlainPlan {
+      val mh = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 8, bands = 2, maxBucket = 4)
+      val w1 = mh.queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }
+      assert(w1.isEmpty, s"minhash cap planned a window: $w1")
+      val emb = (0L until 32L)
+        .map(i => (i, Seq.tabulate(8)(j => (i % 4 + j).toFloat)))
+        .toDF("vec_id", "embedding")
+      val ep = graft.ops.Dedup.embeddingNearDupPairs(emb, "vec_id",
+        "embedding", threshold = 0.5, planes = 2, dim = 8, maxBucket = 8)
+      val w2 = ep.queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }
+      assert(w2.isEmpty, s"embedding cap planned a window: $w2")
+    }
+  }
+
   test("dropDuplicatedParagraphsFromParas: hash branch shuffles thin rows") {
     withPlainPlan {
       val withP = docs.withColumn("_paras",

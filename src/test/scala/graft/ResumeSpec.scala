@@ -191,6 +191,19 @@ class ResumeSpec extends AnyFunSuite {
     assert(resumed === inMem)
     assert(resumed.forall(!_.contains(planted)),
       "resumed staged output is scrubbed too")
+    // the SA spelling of stage 2b: its own stage/suffix names (config
+    // coded into the resume contract), staged == in-memory, and the
+    // planted cross-doc span is scrubbed by it too
+    val saDir = Files.createTempDirectory("graft_cur_sascrub").toString
+    val sa = canon(graft.ops.Curation.curateStaged(docs, "id", "text",
+      saDir, minTokens = 5, paraMinDocs = 3, spanScrubN = 8,
+      spanScrubSa = true))
+    assert(graft.io.StagedJob.committed(saDir, "2b_sascrub8"))
+    assert(graft.io.StagedJob.committed(saDir, "3_exact_sa8"))
+    assert(sa === canon(graft.ops.Curation.curate(docs, "id", "text",
+      minTokens = 5, paraMinDocs = 3, spanScrubN = 8,
+      spanScrubSa = true)))
+    assert(sa.forall(!_.contains(planted)))
   }
 
   test("staged curation: a stage committed by an older format is recomputed") {
