@@ -113,7 +113,12 @@ object Bench {
       "q166_chunk_dedup", "q167_simhash_cluster", "q168_chunk_neardup", "q169_spearman", "q170_calibration", "q171_kappa",
       "q172_host_gini", "q173_semantic_leakage", "q174_burstiness",
       "q175_dispersion", "q176_stopword_induction", "q177_yule_k", "q178_term_drift",
-      "q179_sa_scrub")
+      // q179_sa_scrub is NOT in the headline: it re-runs the full
+      // suffix-array construction (on plant-augmented text, so the
+      // shared-SA memo cannot serve it) — the build cost is already
+      // timed once by q155, and q179 exists for oracle coverage of
+      // the scrub composition (Verify still runs it every round)
+      "q180_bpe_encode", "q181_margin_ann")
 
     // Part 1: headline queries (skippable for scaling-only iteration)
     val skipHeadline = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")

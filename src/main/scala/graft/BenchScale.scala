@@ -39,7 +39,7 @@ object BenchScale {
     "q97_bm25", "q101_winnow", "q109_heavy_hitters", "q174_burstiness",
     "q167_simhash_cluster", "q168_chunk_neardup",
     "q29_embed_neardup", "q42_ann_ivf", "q69_semantic_dedup",
-    "q102_margin_mining", "q103_ann_ivfpq",
+    "q102_margin_mining", "q181_margin_ann", "q103_ann_ivfpq",
     "q155_suffix_array", "q156_sa_dup_spans")
 
   def main(args: Array[String]): Unit = {
@@ -73,13 +73,34 @@ object BenchScale {
 
     def run(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
-      val rows = fn(spark, dir).count() // warm
-      val probes = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+      // release the PREVIOUS query's leaked localCheckpoint blocks:
+      // they are unevictable storage, and ~40 accumulated 10×-sized
+      // block sets squeeze execution memory to zero (measured:
+      // q102@10× died UNABLE_TO_ACQUIRE with 24 GB heap before this).
+      // Safe here: each query builds its own state from parquet; the
+      // q156 shared-SA memo entry is created by the query's own warm
+      // run, AFTER this point
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      try {
+        val t0w = System.nanoTime()
+        val rows = fn(spark, dir).count() // warm
+        val warmSec = (System.nanoTime() - t0w) / 1e9
+        val probes = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(
+          f"[scale] $name @ $dir: warm $warmSec%.1f s min3 ${probes.min}%.1f s rows $rows")
+        (probes.min, rows)
+      } catch {
+        case e: Throwable =>
+          // isolate the failure: report it, keep the battery going
+          System.err.println(s"[scale] $name @ $dir FAILED: " +
+            e.toString.takeWhile(_ != '\n'))
+          (-1.0, -1L)
       }
-      (probes.min, rows)
     }
 
     // all of 1× first, then all of factor× (parquet/footer caches

@@ -2430,6 +2430,42 @@ object SparkEntry {
     }),
     // drift monitoring: per-term Jensen-Shannon contributions between
     // two sources — names the DRIVERS of a distribution shift
+    // margin mining over IVF candidates — the scale path of q102's
+    // brute baseline (nothing quadratic materializes: x probes 4 of
+    // 16 cells, pairs only with the right-side vectors there); margin
+    // statistics exact over the candidate graph, quantizer shared
+    // with q42/q103's oracle chain
+    "q181_margin_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = SimSearch.ivfCentroids(emb, "vec_id", "embedding", 16)
+      SimSearch.marginMiningCandidates(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", cents, k = 4,
+          minMarginPpm = 1000000L, nProbe = 4)
+        .orderBy("x")
+    }),
+    // BPE encode with a FIXED 3-merge table — the native kernel
+    // (functions.BpeEncodeWords) checked against an INDEPENDENT
+    // DuckDB implementation of the sequential merge semantics. The
+    // planted merges chain (t+h -> th, th+e -> the, e+</w>) so apply
+    // order is observable; each has left != right, which makes
+    // matches non-overlapping and greedy == simultaneous replacement
+    // (the form SQL can express)
+    "q180_bpe_encode" -> ((s, d) => {
+      val merges = Seq(
+        ops.Bpe.Merge(0, "t", "h", "th", 0L),
+        ops.Bpe.Merge(1, "th", "e", "the", 0L),
+        ops.Bpe.Merge(2, "e", ops.Bpe.EndOfWord,
+          "e" + ops.Bpe.EndOfWord, 0L))
+      ops.Bpe.encode(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "text", merges)
+        .select(col("doc_id"),
+          col("n_bpe_tokens"),
+          md5(array_join(col("bpe_tokens"), " ")).as("bpe_md5"))
+        .orderBy("doc_id")
+    }),
     // suffix-array exact-substring scrub (the --sa-scrub curation
     // stage): scrub every token inside a >=8-token span occurring at
     // least TWICE anywhere — ANY-repeat semantics, so the planted
@@ -5995,6 +6031,72 @@ object SparkEntry {
         SELECT query_id, doc_id, bottleneck, best, rank FROM rk
         WHERE rank <= 10 ORDER BY query_id, rank""",
     // q178: same full-outer counts + round-6 log2 contributions
+    // q181: the q102 margin tail over IVF-candidate pairs — cells and
+    // probe ranking from the SHARED ivfCellSqlCtes quantizer chain
+    // (same deterministic md5 sampling, same s DESC, ci tie rule)
+    "q181_margin_ann" ->
+      s"""WITH $ivfCellSqlCtes,
+        xs AS (SELECT vec_id AS x, e FROM v WHERE vec_id % 2 = 0),
+        ys AS (SELECT vec_id AS y, e FROM v WHERE vec_id % 2 = 1),
+        ycell AS (SELECT ys.y, cell.cell FROM cell
+          JOIN ys ON ys.y = cell.vec_id),
+        xprobe AS (SELECT vec_id AS x, ci AS cell FROM (
+            SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+              ORDER BY s DESC, ci) AS pr
+            FROM sims WHERE vec_id % 2 = 0) WHERE pr <= 4),
+        p AS (SELECT xp.x, yc.y,
+            CAST(floor((${cosSql("xs.e", "ys.e")}) * 1000000) AS BIGINT)
+              AS cos_ppm
+          FROM xprobe xp JOIN ycell yc ON yc.cell = xp.cell
+          JOIN xs ON xs.x = xp.x JOIN ys ON ys.y = yc.y),
+        rx AS (SELECT x, y, cos_ppm, row_number() OVER (
+            PARTITION BY x ORDER BY cos_ppm DESC, y) AS rk FROM p),
+        ry AS (SELECT x, y, cos_ppm, row_number() OVER (
+            PARTITION BY y ORDER BY cos_ppm DESC, x) AS rk FROM p),
+        ax AS (SELECT x, CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT)
+            AS avg_x_ppm FROM rx WHERE rk <= 4 GROUP BY x),
+        ay AS (SELECT y, CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT)
+            AS avg_y_ppm FROM ry WHERE rk <= 4 GROUP BY y),
+        best AS (SELECT x, y, cos_ppm FROM rx WHERE rk = 1)
+        SELECT best.x, best.y, best.cos_ppm, avg_x_ppm, avg_y_ppm,
+          CAST((cos_ppm * 2000000) // (avg_x_ppm + avg_y_ppm) AS BIGINT)
+            AS margin_ppm
+        FROM best JOIN ax USING (x) JOIN ay USING (y)
+        WHERE avg_x_ppm + avg_y_ppm > 0
+          AND (cos_ppm * 2000000) // (avg_x_ppm + avg_y_ppm) >= 1000000
+        ORDER BY best.x""",
+    // q180: per-word char+</w> symbols, three greedy merge layers
+    // (left != right makes matches non-overlapping, so one
+    // mark-and-drop list pass per merge IS the greedy semantics),
+    // flatten in word order
+    "q180_bpe_encode" -> {
+      def applyMergeSql(s: String, a: String, b: String,
+          m: String): String =
+        s"""list_filter(list_transform(generate_series(1, len($s)),
+           i -> CASE WHEN i < len($s) AND $s[i] = '$a'
+               AND $s[i + 1] = '$b' THEN '$m'
+             WHEN i > 1 AND $s[i - 1] = '$a' AND $s[i] = '$b' THEN NULL
+             ELSE $s[i] END), x -> x IS NOT NULL)"""
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        w AS (SELECT doc_id, i AS wpos, tk[i] AS word
+          FROM (SELECT doc_id, tk,
+              unnest(generate_series(1, len(tk))) AS i FROM t)),
+        s0 AS (SELECT doc_id, wpos,
+          list_append(string_split(word, ''), '</w>') AS s FROM w),
+        s1 AS (SELECT doc_id, wpos,
+          ${applyMergeSql("s", "t", "h", "th")} AS s FROM s0),
+        s2 AS (SELECT doc_id, wpos,
+          ${applyMergeSql("s", "th", "e", "the")} AS s FROM s1),
+        s3 AS (SELECT doc_id, wpos,
+          ${applyMergeSql("s", "e", "</w>", "e</w>")} AS s FROM s2),
+        fl AS (SELECT doc_id, flatten(list(s ORDER BY wpos)) AS bt
+          FROM s3 GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(len(bt), 0) AS BIGINT) AS n_bpe_tokens,
+          md5(coalesce(array_to_string(bt, ' '), '')) AS bpe_md5
+        FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
+    },
     // q179: q55's window-mask chain with two swaps — gram TEXT (the
     // SA compares content, no hash) and OCCURRENCE counts (count(*),
     // within-doc repeats included) instead of distinct-doc counts

@@ -1670,10 +1670,11 @@ object Curation {
   def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Int)], k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, minEstJaccard: Double = 0.5,
-      salt: String = "split"): DataFrame =
+      salt: String = "split", maxBucket: Int = 0): DataFrame =
     splitLeakageAuditFromPairs(
       Dedup.minhashLshPairs(df, idCol, textCol, k, bands,
-        minEstJaccard = minEstJaccard, shingleN = shingleN),
+        minEstJaccard = minEstJaccard, shingleN = shingleN,
+        maxBucket = maxBucket),
       splits, salt)
 
   /** [[splitLeakageAudit]] over an ALREADY-GENERATED candidate-pair

@@ -461,6 +461,49 @@ object SimSearch {
         floor(cosine(col("xv"), col("yv")) * lit(1000000L)).cast("long"))
       .select(col("x"), col("y"), col("cos_ppm"))
       .localCheckpoint() // one cosine pass feeds 3 consumers
+    marginFromPairs(pairs, k, minMarginPpm)
+  }
+
+  /** [[marginMining]] with CANDIDATE pairs from the IVF coarse
+    * quantizer — the scale swap that scaladoc documents: x probes its
+    * `nProbe` nearest cells and pairs only with the right-side
+    * vectors living there, so nothing quadratic in either side is
+    * ever materialized (measured: the brute form's 100M-pair
+    * checkpoint saturates a 24 GB single box at 2×10k vectors; this
+    * path's pair count is Σ probed-cell sizes). The margin statistics
+    * are computed over the candidate graph — exact for every covered
+    * pair; recall vs brute follows probe coverage exactly as in
+    * [[ivfTopK]]. `cents` is the shared coarse quantizer
+    * ([[ivfCentroids]]; train on the union so an oracle re-derives
+    * the same cells).
+    */
+  def marginMiningCandidates(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[Seq[Double]],
+      k: Int = 4, minMarginPpm: Long = 1000000L,
+      nProbe: Int = 4): DataFrame = {
+    val r = right.select(col(idCol).as("y"),
+        col(vecCol).cast("array<double>").as("yv"))
+      .withColumn("cell", ivfCell(col("yv"), cents))
+    val l = left.select(col(idCol).as("x"),
+        col(vecCol).cast("array<double>").as("xv"))
+      .withColumn("cell",
+        explode(slice(transform(ivfCellRanking(col("xv"), cents),
+          s => s("i")), 1, nProbe)))
+    // y lives in exactly one cell and x's probed cells are distinct,
+    // so (x, y) appears at most once — no dedup pass needed
+    val pairs = l.join(r, Seq("cell"))
+      .withColumn("cos_ppm",
+        floor(cosine(col("xv"), col("yv")) * lit(1000000L)).cast("long"))
+      .select(col("x"), col("y"), col("cos_ppm"))
+      .localCheckpoint()
+    marginFromPairs(pairs, k, minMarginPpm)
+  }
+
+  /** The margin tail shared by the brute and candidate pair sources:
+    * per-endpoint top-k neighborhood means, forward-best, ratio gate.
+    */
+  private def marginFromPairs(pairs: DataFrame, k: Int,
+      minMarginPpm: Long): DataFrame = {
     def avgTopK(key: String, other: String, outCol: String) =
       pairs.withColumn("_rk", row_number().over(
           Window.partitionBy(col(key))
