@@ -3101,9 +3101,14 @@ object SparkEntry {
     // curation: eval-integrity audit — MinHash-LSH near-dup pairs that
     // straddle the train/val/test hash split (cross-split rows = test
     // leakage the dedup-before-split discipline must eliminate)
+    // maxBucket=64: the audit's candidate generation rides the same
+    // big-bucket guard as q28 — at 10× generated scale the uncapped
+    // form's bucket fan-out grew ~quadratically in template-sharing
+    // dup-group count (BenchScale measured 14×); the cap is mirrored
+    // in the oracle CTE chain, so the guard itself stays verified
     "q65_split_leakage" -> ((s, d) =>
       Curation.splitLeakageAudit(t(s, d, "documents"), "doc_id", "text",
-        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        Seq("train" -> 8, "val" -> 1, "test" -> 1), maxBucket = 64)
         .orderBy("split_lo", "split_hi")),
     // curation: per-URL latest-snapshot (as-of) selection — the
     // keep-newest-crawl dedup over multi-snapshot web corpora, with a
@@ -8251,7 +8256,7 @@ object SparkEntry {
       def slotSql(e: String) =
         s"""CAST(('0x' || substr(md5(CAST($e AS VARCHAR) || ':split'),
           1, 8)) AS BIGINT) % 10000"""
-      s"""WITH ${lshPairsCtesOver(3)},
+      s"""WITH ${lshPairsCtesOver(3, maxBucket = 64)},
         e AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5),
         sl AS (SELECT a, b, ${slotSql("a")} AS qa, ${slotSql("b")} AS qb
           FROM e),

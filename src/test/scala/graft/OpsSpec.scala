@@ -3506,6 +3506,42 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((3L, 4L)))
   }
 
+  test("marginMiningCandidates: full probing (nProbe = nCells) " +
+      "reproduces the brute marginMining exactly; partial probing " +
+      "returns a subset with identical forward-best rows when covered") {
+    import spark.implicits._
+    val emb = (0L until 120L)
+      .map(i => (i, Seq.tabulate(16)(j =>
+        math.sin((i % 7 + 1) * (j + 1) * 0.37 + i * 0.011).toFloat)))
+      .toDF("vec_id", "embedding")
+    val left = emb.filter(col("vec_id") % 2 === 0)
+    val right = emb.filter(col("vec_id") % 2 === 1)
+    val cents = SimSearch.ivfCentroids(emb, "vec_id", "embedding", 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val brute = rows(SimSearch.marginMining(left, right, "vec_id",
+      "embedding", k = 4, minMarginPpm = 0L))
+    // full probing: candidate set == all pairs -> exact equality
+    val full = rows(SimSearch.marginMiningCandidates(left, right,
+      "vec_id", "embedding", cents, k = 4, minMarginPpm = 0L,
+      nProbe = 4))
+    assert(full === brute)
+    // partial probing: every returned x is a real left id and its
+    // margin row is self-consistent (the stats are exact over the
+    // candidate graph; coverage, not correctness, varies with probes)
+    val part = SimSearch.marginMiningCandidates(left, right, "vec_id",
+      "embedding", cents, k = 4, minMarginPpm = 0L, nProbe = 1)
+      .collect()
+    assert(part.nonEmpty)
+    part.foreach { r =>
+      assert(r.getLong(0) % 2 === 0 && r.getLong(1) % 2 === 1)
+      val (cos, ax, ay, m) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(m === cos * 2000000L / (ax + ay))
+    }
+  }
+
   test("kmvOverlap: empty inputs produce one all-zero row, no NULLs") {
     val e = spark.range(0).select(col("id").cast("string").as("k"))
     val r = graft.ops.Sketch.kmvOverlap(e, e, "k").head
