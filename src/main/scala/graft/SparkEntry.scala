@@ -709,8 +709,14 @@ object SparkEntry {
     // canonical survivor (min id). Oracle = recursive CTE in DuckDB.
     "q32_dedup_cluster" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // maxBucket=64: clustering rides the same capped candidate
+      // generation as q28 (mirrored in the oracle CTE chain) — at 20x
+      // generated scale the uncapped pair volume grew ~quadratically
+      // in template-sharing dup-group count (BenchScale: 20.6x time
+      // growth uncapped vs capped q28's 2.8x on the same corpus)
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
+        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3,
+        maxBucket = 64)
       Dedup.canonicalize(docs, "doc_id", pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
@@ -721,8 +727,10 @@ object SparkEntry {
     // diameter rounds) — same recursive-CTE oracle pins equality
     "q62_dedup_star" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // maxBucket=64 — same capped chain as q32 (shared oracle)
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
+        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3,
+        maxBucket = 64)
       Dedup.canonicalizeStar(docs, "doc_id", pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
@@ -1551,7 +1559,8 @@ object SparkEntry {
     "q111_keep_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3)
+        k = 16, bands = 8, minEstJaccard = 0.5, shingleN = 3,
+        maxBucket = 64) // same capped chain as q32 (shared CTEs)
       val labels = Dedup.canonicalize(docs, "doc_id", pairs)
       Dedup.keepBestPerCluster(labels,
           docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
@@ -3744,7 +3753,7 @@ object SparkEntry {
     * algorithms must produce this labeling).
     */
   private lazy val dedupClusterOracleSql: String =
-    s"""WITH RECURSIVE ${lshPairsCtesOver(3)},
+    s"""WITH RECURSIVE ${lshPairsCtesOver(3, maxBucket = 64)},
       edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
         UNION SELECT b, a FROM pairs WHERE est_jaccard >= 0.5),
       comp(id, canon) AS (
@@ -4625,7 +4634,7 @@ object SparkEntry {
     // q111: the same recursive-CTE component labeling, then the
     // argmax(score)/min-id survivor re-derived relationally
     "q111_keep_best" ->
-      s"""WITH RECURSIVE ${lshPairsCtesOver(3)},
+      s"""WITH RECURSIVE ${lshPairsCtesOver(3, maxBucket = 64)},
         edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= 0.5
           UNION SELECT b, a FROM pairs WHERE est_jaccard >= 0.5),
         comp(id, canon) AS (
