@@ -115,8 +115,13 @@ object Dedup {
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         estJaccardCol(col("l.sig"), col("r.sig"), k).as("est_jaccard"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: est_jaccard is a pure function
+      // of the pair's signatures, so every duplicate of a pair carries
+      // the same value and the filter commutes with distinct — the
+      // below-threshold candidates (the bulk, at the default 0.5) never
+      // reach the distinct's exchange
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
   }
 
   /** The big-bucket guard shared by every banded candidate generator:
@@ -276,8 +281,12 @@ object Dedup {
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         hamming64(col("l.sh"), col("r.sh")).cast("int").as("hamming"))
-      .distinct()
+      // filter before the dedup shuffle (minhashLshPairs discipline):
+      // hamming is a pure function of the pair, so the exact popcount
+      // verify commutes with distinct and rejected candidates never
+      // reach its exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram (word shingle) Jaccard pairs via shingle self-join:
@@ -870,8 +879,9 @@ object Dedup {
         col("l.bucket") === col("r.bucket"))
       .select(col("l.id").as("_iid"), col("r.id").as("_nid"),
         estJaccardCol(col("l.sig"), col("r.sig"), k).as("est_jaccard"))
-      .distinct()
+      // filter before the dedup shuffle (minhashLshPairs discipline)
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
     val near = cross.groupBy(col("_nid")).agg(min(col("_iid")).as("_nd"))
     val exact = newSigs
       .select(col("id").as("_xnid"), col("fp"))

@@ -167,8 +167,21 @@ object Retrieval {
   def matchedPostings(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame): DataFrame = {
     val qterms = queries.select(lower(col("term")).as("term")).distinct()
-    postings(docs, idCol, textCol)
+    // The broadcast query-term join sits BELOW the (term, id, dl)
+    // aggregation: Catalyst cannot push an inner join under an
+    // aggregate, so `postings(docs).join(qterms)` would shuffle the
+    // FULL corpus vocabulary — every (term, id) row — and only then
+    // drop the non-queried terms. Written this way the broadcast hash
+    // join filters exploded occurrences map-side and only queried-term
+    // occurrences reach the exchange (Σ_t cf(t) rows instead of the
+    // corpus token vocabulary). Identical output: the per-(term, id)
+    // counts of the surviving terms are untouched by the filter.
+    docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("_tk"))
+      .select(col("id"), size(col("_tk")).cast("long").as("dl"),
+        explode(col("_tk")).as("term"))
       .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
   }
 
@@ -188,7 +201,8 @@ object Retrieval {
     // sharded per-query rank, same as bm25: a stopword-ish query
     // matching 10^11 docs must never become ONE window task
     ScaleWindow.shardedRank(m, Seq("query_id"),
-        Seq(col("tf_sum").desc, col("id")), "rank", "_sw_n", shards)
+        Seq(col("tf_sum").desc, col("id")), "rank", "_sw_n", shards,
+        boundedStrata = true) // strata = the query workload
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("id").as("doc_id"), col("tf_sum"),
         col("rank").cast("long").as("rank"))
@@ -213,19 +227,32 @@ object Retrieval {
     require(fields.nonEmpty && fields.forall(_._2 > 0L),
       "at least one field, positive integer weights")
     val qterms = queries.select(lower(col("term")).as("term")).distinct()
+    // per-field exploded terms are broadcast-filtered to the query
+    // workload BEFORE the (term, id) aggregation shuffles — the
+    // matchedPostings discipline (an inner join does not push below an
+    // aggregate, so filtering after `postings` would shuffle every
+    // field's full vocabulary); weighted tf of surviving terms is
+    // unchanged by the filter
     val tfTab = fields.map { case (c, w) =>
-      postings(docs, idCol, c)
-        .select(col("term"), col("id"), (col("tf") * w).as("tf"))
+      docs.select(col(idCol).as("id"), Dedup.tokens(col(c)).as("_tk"))
+        .select(col("id"), explode(col("_tk")).as("term"))
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("term"), col("id"))
+        .agg((count(lit(1)) * w).as("tf"))
     }.reduce(_ unionByName _)
       .groupBy(col("term"), col("id"))
       .agg(sum(col("tf")).cast("long").as("tf"))
+    // fenced: consumed by the matched join AND the corpus-stats
+    // aggregate — unfenced, each consumer re-tokenizes every field of
+    // the whole corpus (the dl pass is the one corpus-wide scan left
+    // in bm25f; its output is one thin row per doc)
     val dlTab = fields.map { case (c, w) =>
       docs.select(col(idCol).as("id"),
         (size(Dedup.tokens(col(c))).cast("long") * w).as("_dl"))
     }.reduce(_ unionByName _)
       .groupBy(col("id")).agg(sum(col("_dl")).cast("long").as("dl"))
-    val matched = tfTab.join(broadcast(qterms), Seq("term"))
-      .join(dlTab, Seq("id"))
+      .localCheckpoint()
+    val matched = tfTab.join(dlTab, Seq("id"))
       .select(col("term"), col("id"), col("dl"), col("tf"))
       .localCheckpoint()
     val stats = dlTab.agg(count(lit(1)).as("n_docs"),
@@ -269,18 +296,27 @@ object Retrieval {
       else ScaleWindow.shardedRank(ba, Seq("id"),
           Seq(col("_cnt").desc, col("anchor")), "_ar", "_an", shards)
         .filter(col("_ar") <= maxAnchorsPerTarget).drop("_ar", "_an")
+    // fenced: dl and tf (and through them the matched join and the
+    // corpus stats) all derive from this one thin table — unfenced,
+    // every consumer pass re-runs the upstream link extraction
+    // (an HTML parse of the whole crawl) just to rebuild
+    // (id, anchor, count, tokens) rows
     val withToks = capped
       .withColumn("_tk", Dedup.tokens(col("anchor")))
       .filter(size(col("_tk")) > 0)
+      .localCheckpoint()
     val dl = withToks.groupBy(col("id"))
       .agg(sum(col("_cnt") * size(col("_tk"))).cast("long").as("dl"))
+    val qterms = queries.select(lower(col("term")).as("term")).distinct()
+    // broadcast-filter exploded anchor terms to the query workload
+    // BEFORE the (term, id) aggregation — the matchedPostings
+    // discipline (the join does not push below the aggregate)
     val tf = withToks
       .select(col("id"), col("_cnt"), explode(col("_tk")).as("term"))
+      .join(broadcast(qterms), Seq("term"))
       .groupBy(col("term"), col("id"))
       .agg(sum(col("_cnt")).cast("long").as("tf"))
-    val qterms = queries.select(lower(col("term")).as("term")).distinct()
-    val matched = tf.join(broadcast(qterms), Seq("term"))
-      .join(dl, Seq("id"))
+    val matched = tf.join(dl, Seq("id"))
       .select(col("term"), col("id"), col("dl"), col("tf"))
       .localCheckpoint()
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -342,7 +378,8 @@ object Retrieval {
           log(lit(mu).cast("double") / (col("dl") + lit(mu))), 6), 6)
           .as("score"))
     ScaleWindow.shardedRank(scored, Seq("query_id"),
-        Seq(col("score").desc, col("id")), "rank", "_sw_n", shards)
+        Seq(col("score").desc, col("id")), "rank", "_sw_n", shards,
+        boundedStrata = true) // strata = the query workload
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("id").as("doc_id"), col("score"),
         col("rank").cast("long").as("rank"))
@@ -396,7 +433,7 @@ object Retrieval {
       .filter(col("_np") * 2L === col("_nt") * (col("_nt") - 1L))
     ScaleWindow.shardedRank(perDoc, Seq("query_id"),
         Seq(col("bottleneck"), col("best"), col("id")), "rank", "_sw_n",
-        shards)
+        shards, boundedStrata = true) // strata = the query workload
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("id").as("doc_id"),
         col("bottleneck"), col("best"),
@@ -696,7 +733,8 @@ object Retrieval {
       .select(col("query_id"), col("id").as("doc_id"),
         col("_s").cast("long").as("score_ppm"))
     ScaleWindow.shardedRank(scored, Seq("query_id"),
-        Seq(col("score_ppm").desc, col("doc_id")), "rank", "_sw_n", shards)
+        Seq(col("score_ppm").desc, col("doc_id")), "rank", "_sw_n", shards,
+        boundedStrata = true) // strata = the query workload
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("doc_id"), col("score_ppm"), col("rank"))
   }

@@ -54,9 +54,10 @@ object ScaleWindow {
     */
   def shardedRank(df: DataFrame, strataCols: Seq[String],
       order: Seq[Column], rnOut: String, nOut: String,
-      shards: Int = 0): DataFrame =
+      shards: Int = 0, boundedStrata: Boolean = false): DataFrame =
     shardedPrefix(df, strataCols, order, count(lit(1)),
-      w => row_number().over(w).cast("long"), rnOut, nOut, shards)
+      w => row_number().over(w).cast("long"), rnOut, nOut, shards,
+      boundedStrata)
 
   /** Exact global per-stratum INCLUSIVE running sum of `value` over an
     * arbitrary sort order, plus the stratum total — the running-sum
@@ -67,12 +68,12 @@ object ScaleWindow {
     */
   def shardedRunningSum(df: DataFrame, strataCols: Seq[String],
       order: Seq[Column], value: Column, cumOut: String, totOut: String,
-      shards: Int = 0): DataFrame =
+      shards: Int = 0, boundedStrata: Boolean = false): DataFrame =
     shardedPrefix(df.withColumn("_sw_v", value.cast("long")), strataCols,
       order, sum(col("_sw_v")),
       w => sum(col("_sw_v")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-      cumOut, totOut, shards)
+      cumOut, totOut, shards, boundedStrata)
       .drop("_sw_v")
 
   /** Shared core: range-shard, per-(stratum, shard) local window value,
@@ -84,10 +85,25 @@ object ScaleWindow {
     * local(last row of shard) == partialAgg(shard) for offsets to be
     * exact.
     */
+  /** `boundedStrata` marks the stratum count as BOUNDED BY THE WORKLOAD
+    * (a query panel, a language set) rather than by the corpus: the
+    * offsets table — strata × shards thin rows — is then provably
+    * small, and broadcasting it replaces the offset-attach
+    * SortMergeJoin (which pays a corpus-sized Exchange + Sort on the
+    * ranked side: the LogicalRDD behind the checkpoint has unknown
+    * partitioning, so EnsureRequirements re-shuffles the whole table
+    * just to meet a join whose other side is a few hundred rows) with
+    * a BroadcastHashJoin that streams the windowed rows as-is. With
+    * NO strata the offsets table is exactly `shards` rows, so the
+    * broadcast is always safe and applied unconditionally. Per-corpus
+    * strata (a per-host cap) must keep the default: their offsets
+    * table scales with the corpus and may not fit an executor.
+    */
   private def shardedPrefix(df: DataFrame, strataCols: Seq[String],
       order: Seq[Column], partialAgg: Column,
       localOver: org.apache.spark.sql.expressions.WindowSpec => Column,
-      outCol: String, totOut: String, shards: Int): DataFrame = {
+      outCol: String, totOut: String, shards: Int,
+      boundedStrata: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val p =
       if (shards > 0) shards
@@ -120,9 +136,12 @@ object ScaleWindow {
       .foldLeft(col("_sw_pid") === col("_sw_opid"))(_ && _)
     val dropCols = Seq("_sw_pid", "_sw_opid", "_sw_lrn", "_sw_cnt",
       "_sw_off", "_sw_n") ++ strataCols.indices.map(i => s"_sw_s$i")
+    val offSide =
+      if (strataCols.isEmpty || boundedStrata) broadcast(offsets)
+      else offsets
     ranged
       .withColumn("_sw_lrn", localOver(w))
-      .join(offsets, cond)
+      .join(offSide, cond)
       .withColumn(outCol, col("_sw_off") + col("_sw_lrn"))
       .withColumn(totOut, col("_sw_n"))
       .drop(dropCols: _*)

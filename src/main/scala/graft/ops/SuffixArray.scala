@@ -101,12 +101,31 @@ object SuffixArray {
     while (h < maxLen && distinctRanks < n) {
       // suffix at pos pairs its rank with the rank at pos+h; absent
       // (past doc end) = sentinel -1, sorting shorter-prefix first —
-      // the same order DuckDB's lexicographic list compare yields
-      val shifted = r.select(col("id"), (col("pos") - h).as("pos"),
-        col("rank").as("_rb"))
-      val paired = r.join(shifted, Seq("id", "pos"), "left")
-        .select(col("id"), col("pos"), col("dl"),
-          col("rank").as("_ra"), coalesce(col("_rb"), lit(-1L)).as("_rb"))
+      // the same order DuckDB's lexicographic list compare yields.
+      // Positions are contiguous 0..dl-1 within a document, so "the
+      // rank at pos+h" is exactly lead(rank, h) over (partition by id
+      // order by pos) — ONE exchange on id instead of the two the
+      // (id, pos)/(id, pos−h) self-join paid, and the window partition
+      // is document-bounded (≤ maxDocLen rows), never corpus-sized.
+      // The join form is kept for the (physically unreachable) case of
+      // a document longer than 2^31 tokens, where lead's int offset
+      // cannot express h.
+      val paired =
+        if (h <= Int.MaxValue) {
+          val wDoc = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id")).orderBy(col("pos"))
+          r.select(col("id"), col("pos"), col("dl"),
+            col("rank").as("_ra"),
+            coalesce(lead(col("rank"), h.toInt).over(wDoc), lit(-1L))
+              .as("_rb"))
+        } else {
+          val shifted = r.select(col("id"), (col("pos") - h).as("pos"),
+            col("rank").as("_rb"))
+          r.join(shifted, Seq("id", "pos"), "left")
+            .select(col("id"), col("pos"), col("dl"),
+              col("rank").as("_ra"),
+              coalesce(col("_rb"), lit(-1L)).as("_rb"))
+        }
       if (dense && packable) {
         r = paired.select(col("id"), col("pos"), col("dl"),
           (col("_ra") * (n + 2L) + col("_rb") + 1L).as("rank"))
@@ -120,9 +139,12 @@ object SuffixArray {
       }
       h *= 2
       tables :+= (h -> r)
+      // after a densify round ranks are dense 1..K, so the distinct
+      // count IS max(rank) — a map-side max over the just-checkpointed
+      // blocks instead of a countDistinct shuffle per probed round
       if (h >= 16 && h < maxLen && dense)
         distinctRanks =
-          r.agg(countDistinct(col("rank"))).collect()(0).getLong(0)
+          r.agg(max(col("rank"))).collect()(0).getLong(0)
     }
     tables
   }
