@@ -35,6 +35,7 @@ object BenchCap {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.SessionTuning(spark)
 
     // hotPct% of rows land in ONE (band, bucket) — the viral
     // boilerplate page every real crawl has; the rest spread over

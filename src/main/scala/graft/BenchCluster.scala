@@ -66,6 +66,7 @@ object BenchCluster {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.ops.SessionTuning(spark)
     import spark.implicits._
     // disjoint slice: files are bucketed by directory (bucket=<id>)
     val dirs = new File(pagesPath).listFiles()
@@ -144,6 +145,7 @@ object BenchCluster {
         .config("spark.sql.constraintPropagation.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
+      graft.ops.SessionTuning(spark)
       import org.apache.spark.sql.functions._
       graft.gen.PagesGen.pages(spark, nPages, 42, 64, boost)
         .withColumn("bucket", pmod(xxhash64(col("url")), lit(64)))

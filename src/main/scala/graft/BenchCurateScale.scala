@@ -42,6 +42,7 @@ object BenchCurateScale {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.ops.SessionTuning(spark)
     def job(n: Long): Long =
       graft.ops.Curation.curate(
         gen.DocsGen.docs(spark, n), "doc_id", "text").count()

@@ -28,6 +28,7 @@ object BenchPipeline {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.SessionTuning(spark)
     // warmup (JIT + codegen), then measured run
     ExtractionPipeline.records(PagesGen.pages(spark, 500, 7, cpus, boost),
       partitions = cpus).count()

@@ -60,6 +60,7 @@ object BenchScale {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.SessionTuning(spark)
 
     val scales = Seq(1, factor)
     val dirs = scales.map { s =>

@@ -71,6 +71,7 @@ object CurateApp {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.SessionTuning(spark)
 
     val (docs, idCol0, textCol0) =
       if (input.startsWith("pages:") || input.startsWith("warc:")) {

@@ -48,6 +48,7 @@ object GraftApp {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.SessionTuning(spark)
     import spark.implicits._
 
     val pages: Dataset[Page] =

@@ -2154,9 +2154,14 @@ object Curation {
         concat(transform(col("_bs"), b => b + 1), array(n)))
     withB
       .select(col("id"), col("_tk"),
-        posexplode(zip_with(col("_starts"), col("_ends"),
+        // outer + null-filter: the filter inferred above a non-outer
+        // generate re-runs the whole boundary computation inside the
+        // scan (SparkEntry.tuneSession); the span array is never empty
+        // (_starts always holds position 0)
+        posexplode_outer(zip_with(col("_starts"), col("_ends"),
           (s, e) => struct(s.as("s"), e.as("e"))))
           .as(Seq("chunk_idx", "_se")))
+      .filter(col("chunk_idx").isNotNull)
       .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("_se.s").cast("long").as("start"),
         (col("_se.e") - col("_se.s")).cast("long").as("chunk_len"),

@@ -428,7 +428,13 @@ object Dedup {
     // of the blocking self-join, AND the per-doc hash sets the exact
     // re-check intersects) derives from this one thin (id, 32-bit
     // hash) table — the corpus is tokenized exactly once.
-    val thin = sh.select(col("id"), explode(col("sh")).as("_s"))
+    // explode_outer + null-filter: the filter the optimizer would infer
+    // above a plain explode re-runs the whole tokenize+shingle chain
+    // inside the scan (SparkEntry.tuneSession documents the 13×
+    // measurement); shingle arrays carry no null elements, so this is
+    // explode's exact row set
+    val thin = sh.select(col("id"), explode_outer(col("sh")).as("_s"))
+      .filter(col("_s").isNotNull)
       .select(col("id"), tokHash(col("_s")).as("_h"))
       .distinct()
       .localCheckpoint()
@@ -473,7 +479,8 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
       .select(col("id"),
         filter(shinglesOf(col("tk"), n), s => length(s) > 0).as("sh"))
-    sh.select(col("id"), explode(col("sh")).as("_s"))
+    sh.select(col("id"), explode_outer(col("sh")).as("_s"))
+      .filter(col("_s").isNotNull) // outer: see containmentPairs
       .select(col("id"), tokHash(col("_s")).as("_h"))
       .distinct()
       .groupBy(col("_h").as("shingle_hash"))
@@ -519,8 +526,13 @@ object Dedup {
         j => when(element_at(sl, j) === mn, j).otherwise(lit(0))))
       struct(mn.as("fp"), (i + rpos - 1).cast("long").as("pos"))
     })
+    // outer + null-filter: the inferred-filter pushdown of a plain
+    // explode re-runs the whole O(m·w) winnow map inside the scan
+    // (SparkEntry.tuneSession); sels is never empty (m ≥ 1 after the
+    // size filter) and carries no null elements
     grams.select(col(idCol),
-        explode(array_distinct(sels)).as("_sel"))
+        explode_outer(array_distinct(sels)).as("_sel"))
+      .filter(col("_sel").isNotNull)
       .select(col(idCol), col("_sel.fp").as("fp"),
         col("_sel.pos").as("pos"))
   }

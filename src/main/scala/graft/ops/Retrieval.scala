@@ -46,9 +46,17 @@ object Retrieval {
     * the corpus-wide convention the oracles mirror.
     */
   def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // explode_outer + null-filter, NOT explode: the optimizer infers a
+    // `size(arr) > 0` filter above a non-outer explode and pushes the
+    // generator's whole derived expression (the tokenize) into the
+    // scan, recomputing it per row — see SparkEntry.tuneSession. The
+    // outer form plans no inferred filter in ANY session; token arrays
+    // carry no null elements, so dropping the empty-array marker row
+    // is exactly explode's semantics.
     df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("_tk"))
       .select(col("id"), size(col("_tk")).cast("long").as("dl"),
-        explode(col("_tk")).as("term"))
+        explode_outer(col("_tk")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("term"), col("id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
@@ -67,8 +75,11 @@ object Retrieval {
     */
   def positionalPostings(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
+    // outer + null-filter for the same inferred-filter reason as
+    // [[postings]]
     df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("_tk"))
-      .select(col("id"), posexplode(col("_tk")))
+      .select(col("id"), posexplode_outer(col("_tk")))
+      .filter(col("pos").isNotNull)
       .select(col("id"), col("pos"), col("col").as("term"))
 
   /** Exact phrase occurrences: for each (phrase, doc), how many start
@@ -178,7 +189,7 @@ object Retrieval {
     // counts of the surviving terms are untouched by the filter.
     docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("_tk"))
       .select(col("id"), size(col("_tk")).cast("long").as("dl"),
-        explode(col("_tk")).as("term"))
+        explode_outer(col("_tk")).as("term")) // outer: see postings
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("term"), col("id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -235,8 +246,8 @@ object Retrieval {
     // unchanged by the filter
     val tfTab = fields.map { case (c, w) =>
       docs.select(col(idCol).as("id"), Dedup.tokens(col(c)).as("_tk"))
-        .select(col("id"), explode(col("_tk")).as("term"))
-        .join(broadcast(qterms), Seq("term"))
+        .select(col("id"), explode_outer(col("_tk")).as("term"))
+        .join(broadcast(qterms), Seq("term")) // outer: see postings
         .groupBy(col("term"), col("id"))
         .agg((count(lit(1)) * w).as("tf"))
     }.reduce(_ unionByName _)
@@ -312,8 +323,8 @@ object Retrieval {
     // BEFORE the (term, id) aggregation — the matchedPostings
     // discipline (the join does not push below the aggregate)
     val tf = withToks
-      .select(col("id"), col("_cnt"), explode(col("_tk")).as("term"))
-      .join(broadcast(qterms), Seq("term"))
+      .select(col("id"), col("_cnt"), explode_outer(col("_tk")).as("term"))
+      .join(broadcast(qterms), Seq("term")) // outer: see postings
       .groupBy(col("term"), col("id"))
       .agg(sum(col("_cnt")).cast("long").as("tf"))
     val matched = tf.join(dl, Seq("id"))

@@ -39,10 +39,16 @@ object SuffixArray {
   /** (id, pos, dl, tok) token-position rows; empty docs drop out. */
   private def positions(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
+    // posexplode_outer + null-filter, not posexplode: a non-outer
+    // generate gets a `size(arr) > 0` filter inferred above it, and its
+    // pushdown recomputes the whole tokenize inside the scan
+    // (SparkEntry.tuneSession has the measurement); empty docs drop via
+    // the null marker row exactly as posexplode dropped them
     df.select(col(idCol).cast("long").as("id"),
         Dedup.tokens(col(textCol)).as("_tk"))
       .select(col("id"), size(col("_tk")).cast("long").as("dl"),
-        posexplode(col("_tk")).as(Seq("pos", "tok")))
+        posexplode_outer(col("_tk")).as(Seq("pos", "tok")))
+      .filter(col("pos").isNotNull)
       .withColumn("pos", col("pos").cast("long"))
 
   /** Order-preserving dense rank of `keys` (distinct keys →
