@@ -54,10 +54,64 @@ object ScaleWindow {
     */
   def shardedRank(df: DataFrame, strataCols: Seq[String],
       order: Seq[Column], rnOut: String, nOut: String,
-      shards: Int = 0, boundedStrata: Boolean = false): DataFrame =
-    shardedPrefix(df, strataCols, order, count(lit(1)),
-      w => row_number().over(w).cast("long"), rnOut, nOut, shards,
-      boundedStrata)
+      shards: Int = 0, boundedStrata: Boolean = false): DataFrame = {
+    // Rank needs no analytic window at all: after the range exchange
+    // the rows are sorted WITHIN each shard (sortWithinPartitions — no
+    // further exchange), and `monotonically_increasing_id()` assigns
+    // per-partition-contiguous ids in that sorted stream order, so the
+    // local row number is `_sw_m − min(_sw_m within (stratum, shard)) +
+    // 1` — a projection plus the same thin partials aggregate the
+    // offsets already needed. This removes the hash re-exchange on
+    // `_sw_pid` AND the separate window sort that the generic
+    // [[shardedPrefix]] pays over the full table (its
+    // Window.partitionBy(pid) cannot see that the range exchange
+    // already co-located the pid groups). mono-id is nondeterministic
+    // in Catalyst, so the optimizer cannot push the projection below
+    // the sort; the localCheckpoint pins one evaluation for every
+    // consumer (rank pass and offsets pass must observe the same
+    // sampled range boundaries, as in shardedPrefix). Running SUMS
+    // still need the real window — [[shardedRunningSum]] keeps the
+    // generic path.
+    val spark = df.sparkSession
+    val p =
+      if (shards > 0) shards
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val strata = strataCols.map(col)
+    val ranged = df
+      .repartitionByRange(math.max(1, p), (strata ++ order): _*)
+      .sortWithinPartitions((strata ++ order): _*)
+      .withColumn("_sw_m", monotonically_increasing_id())
+      .withColumn("_sw_pid", spark_partition_id())
+      .localCheckpoint()
+    val keys = strata :+ col("_sw_pid")
+    val partials = ranged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("_sw_cnt"), min(col("_sw_m")).as("_sw_base"))
+    val offW = Window.partitionBy(strata: _*).orderBy(col("_sw_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(strata: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets0 = partials
+      .withColumn("_sw_off", sum(col("_sw_cnt")).over(offW) - col("_sw_cnt"))
+      .withColumn("_sw_n", sum(col("_sw_cnt")).over(totW))
+      .withColumnRenamed("_sw_pid", "_sw_opid")
+    val offsets = strataCols.zipWithIndex.foldLeft(offsets0) {
+      case (f, (c, i)) => f.withColumnRenamed(c, s"_sw_s$i")
+    }
+    val cond = strataCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"_sw_s$i") }
+      .foldLeft(col("_sw_pid") === col("_sw_opid"))(_ && _)
+    val dropCols = Seq("_sw_pid", "_sw_opid", "_sw_m", "_sw_base",
+      "_sw_cnt", "_sw_off", "_sw_n") ++
+      strataCols.indices.map(i => s"_sw_s$i")
+    val offSide =
+      if (strataCols.isEmpty || boundedStrata) broadcast(offsets)
+      else offsets
+    ranged.join(offSide, cond)
+      .withColumn(rnOut,
+        col("_sw_off") + (col("_sw_m") - col("_sw_base")) + 1L)
+      .withColumn(nOut, col("_sw_n"))
+      .drop(dropCols: _*)
+  }
 
   /** Exact global per-stratum INCLUSIVE running sum of `value` over an
     * arbitrary sort order, plus the stratum total — the running-sum

@@ -541,9 +541,17 @@ object TextAnalysis {
           element_at(col("_tk"), i + 2).as("b")))).as("p"))
       .select(col("p.a").as("src"), col("p.b").as("dst"))
       .where(col("src") =!= col("dst"))
+      // fence the directed bigrams (one corpus tokenize+explode pass),
+      // then fence the deduped edge list: pageRank evaluates its edge
+      // input three times (out-degree, degree join, node table) — left
+      // unfenced, that is six corpus explode passes and three distinct
+      // shuffles; fenced, the corpus is exploded once and the distinct
+      // runs once
+      .localCheckpoint()
     val edges = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint()
     graft.ops.WebGraph.pageRank(edges, "src", "dst", iterations)
       .orderBy(col("rank_ppb").desc, col("node"))
       .limit(topK)
@@ -638,6 +646,12 @@ object TextAnalysis {
           col("ai").cast("string")).as("src"),
         concat(col("id").cast("string"), lit(":"),
           col("bi").cast("string")).as("dst"))
+      // fence the DIRECTED half before the union (the canonicalize
+      // discipline): pageRank evaluates its edge input three times
+      // (out-degree, degree join, node table) — unfenced, each
+      // evaluation re-runs the within-doc sentence pair join; fenced,
+      // all three are cheap scans of the materialized pair blocks
+      .localCheckpoint()
     val edges = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
     val ranks = graft.ops.WebGraph.pageRank(edges, "src", "dst",

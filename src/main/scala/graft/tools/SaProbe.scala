@@ -33,6 +33,99 @@ object SaProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (sys.env.get("SA_PROBE_PHASES").contains("1")) {
+      // phase-timed inline copy of doublingTables + saWithLcp (same
+      // code path shapes; prints where the seconds go)
+      import graft.ops.{Dedup, ScaleWindow}
+      import org.apache.spark.sql.expressions.Window
+      def denseRank(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+          out: String) = {
+        val dr = df.select(keys.map(col): _*).distinct()
+        val ranked = ScaleWindow.shardedRank(dr, Seq.empty,
+            keys.map(col), out, "_sa_n", 0).drop("_sa_n")
+        df.join(ranked, keys)
+      }
+      graft.ops.SuffixArray.saWithLcp(docs, "doc_id", "text").count() // warm
+      val t0 = System.nanoTime()
+      def lap(l: String) = println(f"[phase] $l: ${(System.nanoTime()-t0)/1e9}%.2f s cum")
+      val pos = docs.select(col("doc_id").cast("long").as("id"),
+          Dedup.tokens(col("text")).as("_tk"))
+        .select(col("id"), size(col("_tk")).cast("long").as("dl"),
+          posexplode_outer(col("_tk")).as(Seq("pos", "tok")))
+        .filter(col("pos").isNotNull)
+        .withColumn("pos", col("pos").cast("long"))
+      val agg0 = pos.agg(max(col("dl")), count(lit(1))).collect()(0)
+      lap("agg0")
+      val maxLen = agg0.getLong(0); val n = agg0.getLong(1)
+      var r = denseRank(pos, Seq("tok"), "rank")
+        .select(col("id"), col("pos"), col("dl"), col("rank"))
+        .localCheckpoint()
+      lap("initial tok rank")
+      var h = 1L
+      var dense = true
+      while (h < maxLen) {
+        val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+        val paired = r.select(col("id"), col("pos"), col("dl"),
+          col("rank").as("_ra"),
+          coalesce(lead(col("rank"), h.toInt).over(wDoc), lit(-1L)).as("_rb"))
+        if (dense) {
+          r = paired.select(col("id"), col("pos"), col("dl"),
+            (col("_ra") * (n + 2L) + col("_rb") + 1L).as("rank"))
+            .localCheckpoint()
+          dense = false
+        } else {
+          r = denseRank(paired, Seq("_ra", "_rb"), "rank")
+            .select(col("id"), col("pos"), col("dl"), col("rank"))
+            .localCheckpoint()
+          dense = true
+        }
+        h *= 2
+        lap(s"round h=$h dense=$dense")
+        if (h >= 16 && h < maxLen && dense)
+          { r.agg(max(col("rank"))).collect(); lap(s"probe h=$h") }
+      }
+      val sa = ScaleWindow.shardedRank(r, Seq.empty,
+          Seq(col("rank"), col("id"), col("pos")), "sa_rank", "_sa_n", 0)
+        .drop("_sa_n").localCheckpoint()
+      lap("final sa shardedRank")
+      // variant experiment on ONE densify-shaped round (input = final r,
+      // packed to non-dense then re-ranked): where do the 2 s go?
+      val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+      def mkPaired(rr: org.apache.spark.sql.DataFrame) =
+        rr.select(col("id"), col("pos"), col("dl"),
+          col("rank").as("_ra"),
+          coalesce(lead(col("rank"), 3).over(wDoc), lit(-1L)).as("_rb"))
+      (1 to 2).foreach { i =>
+        var t = System.nanoTime()
+        def lap2(l: String) = {
+          println(f"[variant] $l: ${(System.nanoTime()-t)/1e9}%.2f s")
+          t = System.nanoTime()
+        }
+        denseRank(mkPaired(r), Seq("_ra", "_rb"), "rank2")
+          .select(col("id"), col("pos"), col("dl"), col("rank2"))
+          .localCheckpoint()
+        lap2(s"V1 today pass$i")
+        val pf = mkPaired(r).localCheckpoint()
+        lap2(s"V2a fence paired pass$i")
+        denseRank(pf, Seq("_ra", "_rb"), "rank2")
+          .select(col("id"), col("pos"), col("dl"), col("rank2"))
+          .localCheckpoint()
+        lap2(s"V2b denseRank over fence pass$i")
+        val dr2 = pf.select(col("_ra"), col("_rb")).distinct()
+        lap2(s"V3a distinct only (lazy) pass$i")
+        val drf = dr2.localCheckpoint()
+        lap2(s"V3b distinct fence pass$i")
+        val ranked2 = ScaleWindow.shardedRank(drf, Seq.empty,
+          Seq(col("_ra"), col("_rb")), "rank2", "_sa_n", 0).drop("_sa_n")
+        val rkf = ranked2.localCheckpoint()
+        lap2(s"V3c shardedRank over fenced distinct pass$i")
+        pf.join(rkf, Seq("_ra", "_rb"))
+          .select(col("id"), col("pos"), col("dl"), col("rank2"))
+          .localCheckpoint()
+        lap2(s"V3d join-back pass$i")
+      }
+      spark.stop(); return
+    }
     val skipSa = sys.env.get("SA_PROBE_SKIP_SA").contains("1")
     if (!skipSa) {
       // warm
