@@ -33,10 +33,19 @@ object SparkEntry {
     */
   private val saMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  private def sharedSa(s: SparkSession, d: String): DataFrame =
+  private def sharedSa(s: SparkSession, d: String): DataFrame = {
+    // a localCheckpoint'd frame whose blocks were unpersisted (e.g. a
+    // harness that clears all persistent RDDs between queries) cannot
+    // be recomputed — lineage is truncated — so a stale memo hit would
+    // fail its next action; detect eviction and rebuild instead
+    val hit = saMemo.get((s, d))
+    if (hit != null &&
+        hit.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      saMemo.remove((s, d))
     saMemo.computeIfAbsent((s, d), _ =>
       ops.SuffixArray.saWithLcp(t(s, d, "documents"), "doc_id", "text")
         .localCheckpoint())
+  }
 
   /** [[t]] rebalanced to session parallelism — for queries whose first
     * stage is a CPU-heavy per-row text kernel (shingling, winnowing,

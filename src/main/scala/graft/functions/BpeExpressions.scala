@@ -175,9 +175,15 @@ final class BpeCodec(pairs: Array[(String, String)]) extends Serializable {
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     var i = 0
     while (i < n) {
-      val enc = encodeWordMemo(toks.getUTF8String(i).toString)
-      var j = 0
-      while (j < enc.length) { out += enc(j); j += 1 }
+      // checkInputDataTypes accepts containsNull = true arrays, so a
+      // null element must not NPE: skip it (the tokenizers this feeds
+      // on never emit null elements, but the expression is public API)
+      val w = toks.getUTF8String(i)
+      if (w != null) {
+        val enc = encodeWordMemo(w.toString)
+        var j = 0
+        while (j < enc.length) { out += enc(j); j += 1 }
+      }
       i += 1
     }
     new GenericArrayData(out.toArray)

@@ -1666,6 +1666,14 @@ object Curation {
     *
     * Returns (split_lo, split_hi, n_pairs, leaks) — rows with
     * `leaks = true` are cross-split near-dup pair counts.
+    *
+    * RECALL TRADE with `maxBucket > 0`: pairs whose signatures land
+    * only in over-cap LSH buckets are dropped from the audit — and
+    * hot buckets are exactly where template-heavy (leak-prone)
+    * documents live. The library default (maxBucket = 0) keeps full
+    * recall; a capped audit should be read alongside
+    * [[graft.ops.Dedup.minhashLshSkippedBuckets]] on the same corpus
+    * so the dropped-bucket mass is reported, not silent.
     */
   def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Int)], k: Int = 16, bands: Int = 8,

@@ -148,7 +148,13 @@ object Dedup {
         .agg(count(lit(1)).as("_bsz"))
         .filter(col("_bsz") > maxBucket)
         .select(col("band"), col("bucket"))
-      banded.join(broadcast(over), Seq("band", "bucket"), "left_anti")
+      // no forced broadcast: the over-cap set is small in every sane
+      // corpus, but its worst case is totalRows/maxBucket rows, and a
+      // forced broadcast past the 8 GB relation cap fails the job
+      // where a shuffle anti-join would merely be slower — let AQE
+      // pick the strategy from the aggregate's actual runtime size
+      // (it broadcasts the usual few-row set anyway)
+      banded.join(over, Seq("band", "bucket"), "left_anti")
     }
 
   /** Estimated Jaccard of two k-perm signature arrays: matching-perm
@@ -1007,7 +1013,9 @@ object Dedup {
           .agg(count(lit(1)).as("_bsz"))
           .filter(col("_bsz") > maxBucket)
           .select(col("bucket"))
-        fenced.join(broadcast(over), Seq("bucket"), "left_anti")
+        // no forced broadcast — same worst-case bound rationale as
+        // capBuckets: AQE picks broadcast from the actual runtime size
+        fenced.join(over, Seq("bucket"), "left_anti")
       }
     capped.as("l").join(capped.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
