@@ -1387,7 +1387,10 @@ object SparkEntry {
       val hosts = webEdges(s, d)
         .select(explode(array(col("src"), col("dst"))).as("host"))
         .distinct()
-      val lab = Dedup.canonicalizeStar(hosts, "host", e)
+      // fenced: the component-size self-join reads `lab` twice, and
+      // unfenced each branch re-runs the contraction's final join
+      // over the webEdges scan (the translationClusters discipline)
+      val lab = Dedup.canonicalizeStar(hosts, "host", e).localCheckpoint()
       lab.join(
           lab.groupBy(col("canonical_id").as("component"))
             .agg(count(lit(1)).as("component_size")),

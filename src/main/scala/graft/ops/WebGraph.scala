@@ -356,12 +356,19 @@ object WebGraph {
     */
   def translationClusters(links: DataFrame, urlCol: String = "url",
       hrefCol: String = "href_abs"): DataFrame = {
+    // fence the edge list BEFORE deriving nodes: `links` is typically
+    // an extraction plan (hreflang HTML parsing), and unfenced it
+    // re-runs once for the contraction's own edge checkpoint, once
+    // under `nodes`, and once more per final-join branch; fenced, the
+    // extraction runs exactly once. Same for `lab`, which the
+    // cluster-size self-join reads twice.
     val e = links.select(col(urlCol).cast("string").as("a"),
         col(hrefCol).cast("string").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     val nodes = e.select(explode(array(col("a"), col("b"))).as("url"))
       .distinct()
-    val lab = Dedup.canonicalizeStar(nodes, "url", e)
+    val lab = Dedup.canonicalizeStar(nodes, "url", e).localCheckpoint()
     lab.join(
         lab.groupBy(col("canonical_id").as("cluster"))
           .agg(count(lit(1)).as("n_members")),
