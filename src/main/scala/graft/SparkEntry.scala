@@ -37,11 +37,19 @@ object SparkEntry {
     // a localCheckpoint'd frame whose blocks were unpersisted (e.g. a
     // harness that clears all persistent RDDs between queries) cannot
     // be recomputed — lineage is truncated — so a stale memo hit would
-    // fail its next action; detect eviction and rebuild instead
+    // fail its next action; detect eviction and rebuild instead.
+    // Probe the LogicalRDD's OWN rdd: `hit.rdd` would wrap the
+    // checkpoint in a fresh deserialization RDD whose storage level is
+    // always NONE, which would misread every hit as evicted and
+    // silently rebuild the SA per call (measured: q156 0.35 → 11 s)
     val hit = saMemo.get((s, d))
-    if (hit != null &&
-        hit.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      saMemo.remove((s, d))
+    val evicted = hit != null && (hit.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    })
+    if (evicted) saMemo.remove((s, d))
     saMemo.computeIfAbsent((s, d), _ =>
       ops.SuffixArray.saWithLcp(t(s, d, "documents"), "doc_id", "text")
         .localCheckpoint())
