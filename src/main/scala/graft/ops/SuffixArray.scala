@@ -73,7 +73,13 @@ object SuffixArray {
     */
   def doublingTables(df: DataFrame, idCol: String, textCol: String,
       shards: Int = 0): Seq[(Long, DataFrame)] = {
-    val pos = positions(df, idCol, textCol)
+    // fence the position table: the tokenize+posexplode pass otherwise
+    // re-runs for the stats aggregate AND under every branch of the
+    // initial rank (distinct, range sampling, join-back) — four corpus
+    // text passes before the first round. The checkpoint is the same
+    // magnitude as each round table (thin rows + token strings) and is
+    // released as soon as the h=1 ranks are materialized.
+    val pos = positions(df, idCol, textCol).localCheckpoint()
     val agg0 = pos.agg(max(col("dl")), count(lit(1))).collect()(0)
     // empty / all-empty-text corpus: max(dl) is null — one vacuous
     // round over the empty position table, empty results downstream
@@ -82,6 +88,10 @@ object SuffixArray {
     var r = denseRank(pos, Seq("tok"), "rank", shards)
       .select(col("id"), col("pos"), col("dl"), col("rank"))
       .localCheckpoint()
+    // token strings are no longer needed once the h=1 ranks exist
+    pos.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
     var tables = Seq(1L -> r)
     var h = 1L
     // Composite fast path: when the incoming ranks are DENSE (≤ n)
